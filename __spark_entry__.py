@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Wires every implemented operator from SURVEY.md §2 (plus the
+training-pipeline extensions) to a named query and, where SQL-expressible,
+a DuckDB oracle. Oracle SQL for hash-based operators (minhash, simhash,
+LSH) is generated from the same deterministic constants the Spark side
+uses (functions/text.py, operators/similarity.py), so values match
+bit-for-bit; floating-point outputs are rounded to 6dp on both sides
+(ordering always happens on unrounded values with id tiebreaks).
 """
 
 from __future__ import annotations
@@ -12,27 +14,777 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hnsw_vector_db_spark.functions.text import HASH_MOD, minhash_params
+from hnsw_vector_db_spark.operators import dedup, events, relational, similarity, table, text_analysis
+from hnsw_vector_db_spark.operators.knn import knn_batch, knn_point
+from hnsw_vector_db_spark.operators.stats import group_stats, index_stats
+from hnsw_vector_db_spark.sources.parquet import load_events, load_table
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+SIM_THRESHOLD = 0.35      # embedding near-dup cosine similarity
+JACCARD_THRESHOLD = 0.5   # n-gram near-dup
+MINHASH_K = 8
+LSH_K, LSH_BANDS = 16, 4
+SIMHASH_MAX_HAMMING = 4
+LSH_PLANES = 6
+LSH_PROBE_HAMMING = 1
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_events(spark, sf_dir)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    return (
+        _emb(spark, sf_dir).filter(F.col("vec_id") == vec_id).select("embedding").first()[0]
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark queries
+# --------------------------------------------------------------------------
+
+def _mk_knn(metric: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        qv = _query_vec(spark, sf_dir)
+        res = knn_point(_emb(spark, sf_dir), qv, k=10, metric=metric)
+        return res.select("vec_id", F.round("dist", 6).alias("dist"))
+
+    return q
+
+
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_batch(queries, emb, k=5, metric="cosine")
+    return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"), "rank")
+
+
+def q_knn_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vec(spark, sf_dir)
+    res = knn_point(_emb(spark, sf_dir), qv, k=10, metric="cosine")
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), "lang", "source"
+    )
+    return table.attach_metadata(res, docs).select(
+        "vec_id", F.round("dist", 6).alias("dist"), "lang", "source"
+    )
+
+
+def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return index_stats(_emb(spark, sf_dir))
+
+
+def q_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return group_stats(_emb(spark, sf_dir))
+
+
+def q_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    victims = emb.filter(F.col("vec_id") % 10 == 0)
+    return table.delete_ids(emb, victims).select("vec_id", "label")
+
+
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "label")
+    updates = emb.filter(F.col("vec_id") < 50).withColumn("label", F.lit(99))
+    return table.upsert(emb, updates).select("vec_id", "label")
+
+
+def q_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 == 0, F.slice("embedding", 1, 32)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    valid, rejects = table.validate_vectors(emb, dim=64)
+    return valid.select("vec_id", F.lit(True).alias("is_valid")).unionByName(
+        rejects.select("vec_id", F.lit(False).alias("is_valid"))
+    )
+
+
+def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.similarity_join(_emb(spark, sf_dir), threshold=SIM_THRESHOLD)
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.lsh_ann_topk(
+        queries, emb, k=5, n_planes=LSH_PLANES, dim=64, metric="cosine",
+        probe_hamming=LSH_PROBE_HAMMING,
+    )
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=JACCARD_THRESHOLD)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signature(_docs(spark, sf_dir), k=MINHASH_K)
+
+
+def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_near_dup(
+        _docs(spark, sf_dir), k=LSH_K, bands=LSH_BANDS, threshold=JACCARD_THRESHOLD
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_fingerprint(_docs(spark, sf_dir))
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dup(_docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.fingerprint(_docs(spark, sf_dir))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.token_counts(_docs(spark, sf_dir))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.quality_score(_docs(spark, sf_dir))
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.language_id(_docs(spark, sf_dir))
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = events.windowed_agg(_events(spark, sf_dir), "15 minutes")
+    return out.select(
+        F.date_format("window_start", TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "avg_value",
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = events.sessionize(_events(spark, sf_dir), gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("long"),
+        F.date_format("session_start", TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_end", TS_FMT_SPARK).alias("session_end"),
+        "n_events",
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    signups = ev.filter(F.col("event_type") == "signup")
+    out = events.asof_join(clicks, signups, right_cols=("value",))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+        F.round("asof_value", 6).alias("asof_value"),
+        F.date_format("asof_ts", TS_FMT_SPARK).alias("asof_ts"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    signups = ev.filter(F.col("event_type") == "signup")
+    errors = ev.filter(F.col("event_type") == "error")
+    pairs = events.range_join(signups, errors, window_minutes=240)
+    return pairs.groupBy("l_event_id").agg(
+        F.count(F.lit(1)).alias("n_following")
+    )
+
+
+def q_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.json_props_stats(_events(spark, sf_dir))
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_revenue_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    ).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", TS_FMT_SPARK).alias("o_orderdate"),
+        "revenue",
+    )
+
+
+def q_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customer_order_ranks(load_table(spark, sf_dir, "orders"))
+
+
+def q_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.nation_rollup(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.user_set_ops(_events(spark, sf_dir))
+
+
+# ---- rows-only entries (approximate / non-SQL-expressible) ----------------
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    assigned, centroids = similarity.ivf_fit(emb, n_cells=8)
+    qv = _query_vec(spark, sf_dir)
+    return similarity.ivf_topk(assigned, centroids, qv, k=10, nprobe=3)
+
+
+def q_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_topk
+
+    emb = _emb(spark, sf_dir)
+    assigned, centroids = similarity.ivf_fit(emb, n_cells=4)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return hnsw_topk(queries, assigned, centroids, k=5, ef=64, nprobe=2)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnsw_vector_db_spark.operators.multimodal import attach_payload, decode_features
+
+    media = attach_payload(_docs(spark, sf_dir))
+    return decode_features(media).select(
+        "doc_id", F.round("feature_norm", 6).alias("feature_norm")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: cosine top-10 with metadata enrichment on sf0.001 —
+    the reference's POST /search end-to-end (SURVEY.md §3.1)."""
+    return q_knn_metadata(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "knn_cosine": _mk_knn("cosine"),
+        "knn_euclidean": _mk_knn("euclidean"),
+        "knn_manhattan": _mk_knn("manhattan"),
+        "knn_dot": _mk_knn("dot_product"),
+        "knn_batch": q_knn_batch,
+        "knn_metadata": q_knn_metadata,
+        "vector_stats": q_vector_stats,
+        "label_stats": q_label_stats,
+        "delete_vectors": q_delete,
+        "upsert_vectors": q_upsert,
+        "validate_vectors": q_validate,
+        "similarity_join": q_similarity_join,
+        "lsh_ann": q_lsh_ann,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_neardup": q_minhash_lsh_neardup,
+        "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "exact_dedup": q_exact_dedup,
+        "fingerprint": q_fingerprint,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality,
+        "language_id": q_language_id,
+        "events_window": q_events_window,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "json_stats": q_json_stats,
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "order_ranks": q_order_ranks,
+        "nation_rollup": q_nation_rollup,
+        "user_set_ops": q_user_set_ops,
+        "ivf_ann": q_ivf_ann,
+        "hnsw_ann": q_hnsw_ann,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL (generated from the same deterministic constants)
+# --------------------------------------------------------------------------
+
+def _dd(col: str) -> str:
+    return f"{col}::DOUBLE[]"
+
+
+def _cos_dist(a: str, b: str) -> str:
+    na = f"sqrt(list_dot_product({_dd(a)}, {_dd(a)}))"
+    nb = f"sqrt(list_dot_product({_dd(b)}, {_dd(b)}))"
+    dp = f"list_dot_product({_dd(a)}, {_dd(b)})"
+    return f"CASE WHEN {na} = 0 OR {nb} = 0 THEN 1.0 ELSE 1.0 - {dp} / ({na} * {nb}) END"
+
+
+def _metric_sql(metric: str, a: str, b: str) -> str:
+    if metric == "cosine":
+        return _cos_dist(a, b)
+    if metric == "euclidean":
+        return f"sqrt(list_sum(list_transform(list_zip({_dd(a)}, {_dd(b)}), x -> (x[1]-x[2])*(x[1]-x[2]))))"
+    if metric == "manhattan":
+        return f"list_sum(list_transform(list_zip({_dd(a)}, {_dd(b)}), x -> abs(x[1]-x[2])))"
+    if metric == "dot_product":
+        return f"-list_dot_product({_dd(a)}, {_dd(b)})"
+    raise ValueError(metric)
+
+
+def _knn_sql(metric: str) -> str:
+    d = _metric_sql(metric, "e.embedding", "q.embedding")
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({d}, 6) + 0 AS dist
+FROM embeddings e, q
+ORDER BY {d}, e.vec_id
+LIMIT 10
+""".strip()
+
+
+# shared SQL fragments ------------------------------------------------------
+
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+# distinct 3-gram word shingles per doc
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+         ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+    END)) AS shingle
+  FROM toks
+)
+""".strip()
+
+_POLY = "list_reduce(list_transform(string_split_regex({s}, ''), c -> unicode(c)::BIGINT), (a, c) -> (a * 131 + c) % 2147483647)"
+
+
+def _poly_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN length({expr}) = 0 THEN 0 ELSE "
+        + _POLY.format(s=expr)
+        + " END"
+    )
+
+
+def _jaccard_tail(threshold: float) -> str:
+    """CTEs sizes/common/jac — assume the shingle CTE `sh` is in scope."""
+    return f"""
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE common / (sa.sz + sb.sz - common) >= {threshold}
+)
+""".strip()
+
+
+def _minhash_sig_cte(k: int) -> str:
+    """CTE `sig`: doc_id, mh0..mh{k-1} using the shared shingle CTE."""
+    params = minhash_params(k)
+    mins = ",\n    ".join(
+        f"min((h * {a} + {b}) % {HASH_MOD}) AS mh{i}" for i, (a, b) in enumerate(params)
+    )
+    return f"""
+{_SHINGLES_CTE},
+hashed AS (SELECT doc_id, {_poly_sql('shingle')} AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM hashed GROUP BY doc_id
+)
+""".strip()
+
+
+def _minhash_long_sql(k: int) -> str:
+    selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i}::INTEGER AS perm, mh{i}::BIGINT AS minhash FROM sig"
+        for i in range(k)
+    )
+    return f"WITH {_minhash_sig_cte(k)}\n{selects}"
+
+
+def _band_key_sql(band: int, r: int) -> str:
+    expr = "0"
+    for j in range(r):
+        expr = f"(({expr}) * {dedup.BAND_BASE} + mh{band * r + j}) % {HASH_MOD}"
+    return expr
+
+
+def _minhash_lsh_sql(k: int, bands: int, threshold: float) -> str:
+    r = k // bands
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {band} AS band, {_band_key_sql(band, r)} AS band_key FROM sig"
+        for band in range(bands)
+    )
+    return f"""
+WITH {_minhash_sig_cte(k)},
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+{_jaccard_tail(threshold)}
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+""".strip()
+
+
+def _simhash_cte() -> str:
+    bits = dedup.SIMHASH_BITS
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+hashed AS (SELECT doc_id, {_poly_sql('tok')} AS h FROM toks),
+sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id),
+simsig AS (SELECT doc_id, ({fp})::BIGINT AS simhash FROM sums)
+""".strip()
+
+
+def _lsh_ann_sql(k: int, n_planes: int) -> str:
+    planes = similarity.hyperplanes(n_planes, 64)
+    terms = []
+    for i, p in enumerate(planes):
+        lits = ", ".join(repr(x) for x in p)
+        terms.append(
+            f"CASE WHEN list_dot_product({_dd('embedding')}, [{lits}]::DOUBLE[]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END"
+        )
+    bucket = " + ".join(terms)
+    d = _cos_dist("v.embedding", "q.embedding")
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, ({bucket})::BIGINT AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding, bucket FROM bucketed WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, v.vec_id, round({d}, 6) + 0 AS dist,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY {d}, v.vec_id) AS rank
+  FROM bucketed v JOIN q ON bit_count(xor(v.bucket, q.bucket)) <= {LSH_PROBE_HAMMING}
+)
+SELECT query_id, vec_id, dist, rank::INTEGER AS rank FROM scored WHERE rank <= {k}
+""".strip()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    d_cos = _cos_dist("e.embedding", "q.embedding")
+    sql: dict[str, str] = {}
+
+    sql["knn_cosine"] = _knn_sql("cosine")
+    sql["knn_euclidean"] = _knn_sql("euclidean")
+    sql["knn_manhattan"] = _knn_sql("manhattan")
+    sql["knn_dot"] = _knn_sql("dot_product")
+
+    sql["knn_batch"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id, round({d_cos}, 6) + 0 AS dist,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY {d_cos}, e.vec_id) AS rank
+  FROM embeddings e, q
+)
+SELECT query_id, vec_id, dist, rank::INTEGER AS rank FROM scored WHERE rank <= 5
+""".strip()
+
+    sql["knn_metadata"] = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+top AS (
+  SELECT e.vec_id, round({d_cos}, 6) + 0 AS dist
+  FROM embeddings e, q
+  ORDER BY {d_cos}, e.vec_id
+  LIMIT 10
+)
+SELECT t.vec_id, t.dist, d.lang, d.source
+FROM top t LEFT JOIN documents d ON d.doc_id = t.vec_id
+""".strip()
+
+    norm_e = "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+    sql["vector_stats"] = f"""
+SELECT count(*)::BIGINT AS total_vectors,
+       count(DISTINCT vec_id)::BIGINT AS distinct_ids,
+       min(len(embedding))::INTEGER AS min_dim,
+       max(len(embedding))::INTEGER AS max_dim,
+       round(avg({norm_e}), 6) AS avg_norm,
+       round(max({norm_e}), 6) AS max_norm
+FROM embeddings
+""".strip()
+
+    sql["label_stats"] = f"""
+SELECT label, count(*)::BIGINT AS n, round(avg({norm_e}), 6) AS avg_norm,
+       min(vec_id)::BIGINT AS min_id, max(vec_id)::BIGINT AS max_id
+FROM embeddings GROUP BY label
+""".strip()
+
+    sql["delete_vectors"] = (
+        "SELECT vec_id, label FROM embeddings WHERE vec_id % 10 <> 0"
+    )
+
+    sql["upsert_vectors"] = (
+        "SELECT vec_id, CASE WHEN vec_id < 50 THEN 99 ELSE label END AS label "
+        "FROM embeddings"
+    )
+
+    sql["validate_vectors"] = """
+SELECT vec_id,
+       (len(CASE WHEN vec_id % 7 = 0 THEN embedding[1:32] ELSE embedding END) = 64) AS is_valid
+FROM embeddings
+""".strip()
+
+    cos_sim_ab = (
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+    )
+    sql["similarity_join"] = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos_sim_ab}, 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({cos_sim_ab}, 6) >= {SIM_THRESHOLD}
+""".strip()
+
+    sql["lsh_ann"] = _lsh_ann_sql(5, LSH_PLANES)
+
+    sql["jaccard_pairs"] = (
+        f"WITH {_SHINGLES_CTE},\n{_jaccard_tail(JACCARD_THRESHOLD)}\n"
+        "SELECT doc_a, doc_b, jaccard FROM jac"
+    )
+
+    sql["minhash_signatures"] = _minhash_long_sql(MINHASH_K)
+    sql["minhash_lsh_neardup"] = _minhash_lsh_sql(LSH_K, LSH_BANDS, JACCARD_THRESHOLD)
+
+    sql["simhash"] = f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM simsig"
+
+    sql["simhash_neardup"] = f"""
+WITH {_simhash_cte()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+FROM simsig a JOIN simsig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+""".strip()
+
+    sql["exact_dedup"] = (
+        "SELECT min(doc_id)::BIGINT AS doc_id, text FROM documents GROUP BY text"
+    )
+
+    norm_text = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    sql["fingerprint"] = f"""
+SELECT doc_id, {_poly_sql('text')}::BIGINT AS fp,
+       {_poly_sql(norm_text)}::BIGINT AS fp_normalized
+FROM documents
+""".strip()
+
+    sql["token_stats"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks, text FROM documents)
+SELECT doc_id,
+       len(toks)::INTEGER AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::INTEGER AS n_subwords,
+       round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / greatest(len(toks), 1), 6) AS avg_token_chars
+FROM t
+""".strip()
+
+    stop_list = ", ".join(f"'{w}'" for w in text_analysis.STOPWORDS_EN)
+    sql["quality_score"] = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+         length(text) AS n_chars
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+         len(list_filter(toks, w -> list_contains([{stop_list}], lower(w))))::DOUBLE
+           / greatest(len(toks), 1) AS stop_ratio,
+         len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1) AS distinct_ratio
+  FROM t
+)
+SELECT doc_id, n_tok::INTEGER AS n_tokens,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(distinct_ratio, 6) AS distinct_ratio,
+       round(0.4 * (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+           + 0.3 * distinct_ratio
+           + 0.2 * (1.0 - least(punct_ratio * 5, 1.0))
+           + 0.1 * least(stop_ratio * 5, 1.0), 6) AS quality
+FROM feat
+""".strip()
+
+    def marker_hits(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in text_analysis.LANG_MARKERS[lang])
+        return (
+            f"len(list_filter(list_transform({_TOKS}, w -> lower(w)), "
+            f"w -> list_contains([{words}], w)))"
+        )
+
+    sql["language_id"] = f"""
+SELECT doc_id,
+  CASE
+    WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+    WHEN regexp_matches(text, '[\\x{{0400}}-\\x{{04ff}}]') THEN 'ru'
+    WHEN regexp_matches(text, '[\\x{{0370}}-\\x{{03ff}}]') THEN 'el'
+    WHEN regexp_matches(text, '[\\x{{3040}}-\\x{{30ff}}]') THEN 'ja'
+    WHEN {marker_hits("es")} > {marker_hits("en")} THEN 'es'
+    WHEN {marker_hits("fr")} > {marker_hits("en")} THEN 'fr'
+    WHEN {marker_hits("de")} > {marker_hits("en")} THEN 'de'
+    WHEN {marker_hits("en")} > 0 THEN 'en'
+    ELSE 'und'
+  END AS pred_lang
+FROM documents
+""".strip()
+
+    sql["events_window"] = f"""
+SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '{TS_FMT_DUCK}') AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+""".strip()
+
+    sql["sessionize"] = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts), '{TS_FMT_DUCK}') AS session_end,
+       count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id, session_id
+""".strip()
+
+    sql["asof_join"] = f"""
+WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+signups AS (SELECT * FROM events WHERE event_type = 'signup')
+SELECT l.event_id, l.user_id, strftime(l.ts, '{TS_FMT_DUCK}') AS ts,
+       round(r.value, 6) AS asof_value,
+       strftime(r.ts, '{TS_FMT_DUCK}') AS asof_ts
+FROM clicks l ASOF LEFT JOIN signups r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""".strip()
+
+    sql["range_join"] = """
+WITH signups AS (SELECT * FROM events WHERE event_type = 'signup'),
+errors AS (SELECT * FROM events WHERE event_type = 'error')
+SELECT s.event_id AS l_event_id, count(*)::BIGINT AS n_following
+FROM signups s JOIN errors e
+  ON e.user_id = s.user_id AND e.ts > s.ts AND epoch(e.ts) <= epoch(s.ts) + 14400
+GROUP BY 1
+""".strip()
+
+    sql["json_stats"] = """
+SELECT event_type, count(*)::BIGINT AS n,
+       round(avg(CAST(props->>'$.k' AS INTEGER)), 6) AS avg_k,
+       max(CAST(props->>'$.k' AS INTEGER))::INTEGER AS max_k
+FROM events GROUP BY event_type
+""".strip()
+
+    sql["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""".strip()
+
+    sql["top_orders"] = f"""
+SELECT o.o_orderkey, strftime(o.o_orderdate, '{TS_FMT_DUCK}') AS o_orderdate,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+""".strip()
+
+    sql["order_ranks"] = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rnk::INTEGER AS rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+""".strip()
+
+    sql["nation_rollup"] = """
+SELECT r_name, n_name, count(*)::BIGINT AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""".strip()
+
+    sql["user_set_ops"] = """
+SELECT user_id FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 150.0
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 150.0
+) ORDER BY user_id
+""".strip()
+
+    return sql

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+The reference publishes no numbers (BASELINE.md) — these wall-clocks are
+the living baseline. Each query runs once after a warmup query primes the
+JVM/parquet footers; timing includes full plan execution to a count/collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hnsw_vector_db_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+# headline subset: the scan/join/agg-heavy queries that actually stress the
+# engine at sf0.1 (600k lineitem, 100k events), plus the vector/dedup core.
+HEADLINE = [
+    "knn_cosine",
+    "knn_batch",
+    "lsh_ann",
+    "similarity_join",
+    "jaccard_pairs",
+    "minhash_lsh_neardup",
+    "simhash_neardup",
+    "token_stats",
+    "quality_score",
+    "pricing_summary",
+    "top_orders",
+    "order_ranks",
+    "events_window",
+    "sessionize",
+    "asof_join",
+    "range_join",
+    "hnsw_ann",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+
+    # warmup: prime JVM, codegen, and file index
+    queries["vector_stats"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,282 @@
+"""Deduplication operators over a documents table — exact, n-gram Jaccard,
+MinHash+LSH, and SimHash.
+
+The reference has only the *set-dedup* germ of this (visited-set pruning and
+edge Set[int], `core/hnsw/graph.py:95,105,15`); full document dedup is part
+of the training-data-pipeline surface this engine adds (BASELINE.md north
+star). Everything here is expressed as joins/aggregations with portable
+arithmetic (functions/text.py) so the DuckDB oracle can verify exact values.
+
+Scale design notes (the part that matters at 100 TB):
+- Nothing here cross-joins the corpus. Pair generation always goes through
+  an equi-join on a derived key (shingle, LSH band bucket, SimHash chunk),
+  which Spark executes as a hash-partitioned join on that key.
+- Shingle joins skew on stopword-ish shingles; ``max_shingle_freq`` drops
+  shingles occurring in more than that many docs (standard df-cut), which
+  bounds the per-key fanout. AQE skew-join splitting catches the rest.
+- MinHash signatures are one explode + one groupBy (map-side partial min),
+  k columns wide — linear in corpus size, no pairs materialized until the
+  banded bucket join has pruned candidates.
+- SimHash candidate generation uses the pigeonhole chunk trick (hamming
+  <= max_hamming implies one of max_hamming+1 chunks matches exactly), so
+  near-dup detection is equi-joins, never a quadratic distance scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hnsw_vector_db_spark.functions.text import (
+    HASH_MOD,
+    minhash_params,
+    minhash_perm,
+    poly_hash,
+    shingles,
+    tokens,
+)
+
+BAND_BASE = 1_000_003  # band-key fold base; r values < 2^31 keep fold < 2^62 pre-mod
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the min-id doc per identical text. One hash
+    aggregation on the text (at real scale: on poly_hash(text) first, then
+    verify — same plan shape). Returns (doc_id, text)."""
+    return (
+        docs.groupBy(text_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, text_col)
+    )
+
+
+def _doc_shingles(
+    docs: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, shingle) exploded distinct shingle sets."""
+    return docs.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: J(A,B) >= threshold, id_a < id_b.
+
+    Plan: explode shingles -> (optional df-cut) -> self equi-join on shingle
+    -> count common -> join per-doc set sizes -> filter. The shingle join is
+    the inverted-index approach: cost is sum of per-shingle doc-frequency
+    squared, not |docs|^2.
+
+    Output: (doc_a, doc_b, jaccard) with jaccard rounded to 6dp.
+    """
+    sh = _doc_shingles(docs, n, text_col, id_col)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.countDistinct(id_col).alias("_df"))
+        sh = (
+            sh.join(freq.filter(F.col("_df") <= max_shingle_freq), "shingle")
+            .drop("_df")
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.toDF("doc_a", "shingle")
+    b = sh.toDF("doc_b", "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.toDF("doc_a", "sz_a")
+    sb = sizes.toDF("doc_b", "sz_b")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signature_wide(
+    docs: DataFrame,
+    k: int = 16,
+    n: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Wide MinHash signature: (id, mh0..mh{k-1}).
+
+    Shingles are poly-hashed to ints; permutation i takes
+    min((a_i*h + b_i) mod p) over the doc's shingle set. One explode + one
+    groupBy with k partial-min aggregates — a single shuffle on doc id.
+    Docs with no shingles (shorter than n words) are dropped.
+    """
+    params = minhash_params(k, seed)
+    sh = _doc_shingles(docs, n, text_col, id_col).withColumn(
+        "h", poly_hash(F.col("shingle"))
+    )
+    aggs = [
+        F.min(minhash_perm(F.col("h"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signature(
+    docs: DataFrame, k: int = 16, n: int = 3, seed: int = 42,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Long-form signature (id, perm, minhash) — one row per permutation
+    (scalar rows hash-compare cleanly against the SQL oracle)."""
+    wide = minhash_signature_wide(docs, k, n, seed, text_col, id_col)
+    pairs = ", ".join(f"{i}, mh{i}" for i in range(k))
+    return wide.selectExpr(
+        id_col, f"stack({k}, {pairs}) as (perm, minhash)"
+    ).select(id_col, F.col("perm").cast("int"), "minhash")
+
+
+def _band_keys(wide: DataFrame, k: int, bands: int, id_col: str) -> DataFrame:
+    """(id, band, band_key): fold each band's r minhashes into one bigint."""
+    assert k % bands == 0, "k must be divisible by bands"
+    r = k // bands
+    rows = []
+    for band in range(bands):
+        key = F.lit(0).cast("long")
+        for j in range(r):
+            key = (key * BAND_BASE + F.col(f"mh{band * r + j}")) % HASH_MOD
+        rows.append(F.struct(F.lit(band).alias("band"), key.alias("band_key")))
+    return wide.select(
+        F.col(id_col), F.explode(F.array(*rows)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_lsh_near_dup(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-dup: band the k-wide signature into ``bands``
+    buckets, equi-join on (band, band_key) for candidates, then verify each
+    candidate's *exact* n-gram Jaccard >= threshold.
+
+    This is the standard shingle->minhash->band->bucket-join pipeline: the
+    only join keys are band buckets (candidates ~ true near-dups, not all
+    pairs), then the verify join touches only candidate pairs.
+    Output: (doc_a, doc_b, jaccard).
+    """
+    wide = minhash_signature_wide(docs, k, n, seed, text_col, id_col)
+    bk = _band_keys(wide, k, bands, id_col)
+    a = bk.toDF("doc_a", "band", "band_key")
+    b = bk.toDF("doc_b", "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    exact = jaccard_pairs(docs, n, 0.0, text_col, id_col)
+    return (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 61  # fits in a positive BIGINT in every engine
+
+
+def simhash_fingerprint(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash: per-token poly hash; fingerprint bit b is 1 iff the sum of
+    (+1/-1 for token-hash bit b) over all tokens is positive. Output
+    (id, simhash BIGINT). One explode + one groupBy with 61 conditional-sum
+    aggregates — linear, one shuffle on id.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", poly_hash(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        fp = fp + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dup(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Candidate generation is the pigeonhole chunk trick: split the 61-bit
+    fingerprint into max_hamming+1 chunks; any pair within the hamming
+    budget must agree exactly on >= 1 chunk, so candidates come from
+    equi-joins on (chunk_id, chunk_value) — no quadratic scan. Output:
+    (doc_a, doc_b, hamming).
+    """
+    nchunks = max_hamming + 1
+    width = -(-SIMHASH_BITS // nchunks)
+    fp = simhash_fingerprint(docs, text_col, id_col)
+    chunks = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("cval"),
+                    )
+                    for i in range(nchunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.cval").alias("cval"))
+    a = chunks.toDF("doc_a", "sim_a", "chunk", "cval")
+    b = chunks.toDF("doc_b", "sim_b", "chunk", "cval")
+    return (
+        a.join(b, ["chunk", "cval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int"))
+    )

@@ -1,0 +1,183 @@
+"""Temporal/relational operators over the events stream table: windowed
+aggregation, sessionization, as-of join, range join, JSON extraction.
+
+The reference's only temporal structure is the Raft command log — an
+ordered stream of mutations applied in sequence (`distributed/raft/
+node.py:298-309`). These operators are the batch forms of the streaming
+semantics that replace it (see streaming/); each has an exact SQL oracle.
+
+Scale notes: every operator shuffles at most once on (user_id) or the
+window bucket; the as-of join uses the union-and-carry-forward pattern
+(one sort within key partitions — no point-lookup joins, no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def windowed_agg(
+    events: DataFrame,
+    duration: str = "15 minutes",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts/sums per group — batch twin of the streaming
+    windowed aggregation (streaming/windows.py). Epoch-aligned buckets ==
+    DuckDB time_bucket. Output (window_start, <group>, n_events, sum_value,
+    avg_value)."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), duration).start.alias("window_start"),
+            F.col(group_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the previous
+    event of the same key is more than ``gap_minutes`` older. Classic
+    lag + running-sum — one shuffle on the key. Output per session:
+    (user_id, session_id, session_start, session_end, n_events)."""
+    gap = gap_minutes * 60
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    with_flag = events.withColumn(
+        "_new_sess",
+        F.when(
+            F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w) > gap,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    with_id = with_flag.withColumn(
+        "session_id",
+        F.sum("_new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_id.groupBy(key_col, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tuple[str, ...] = ("value",),
+    tolerance_minutes: int | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts, per key (DuckDB's ASOF JOIN is the oracle).
+
+    Implementation is the scalable union-merge: tag both sides, union,
+    sort within key partitions, carry the last-seen right values forward
+    with last_value(ignoreNulls) — one shuffle+sort on the key, linear in
+    rows, no per-row lookup join. Works identically at 100 TB because the
+    state carried is one row per key.
+    """
+    lt = left.withColumn("_side", F.lit(1))
+    rt_cols = [F.col(c).alias(f"_r_{c}") for c in right_cols]
+    rt = right.select(
+        F.col(key_col),
+        F.col(right_ts).alias(left_ts),
+        F.lit(0).alias("_side"),
+        *rt_cols,
+    )
+    for c in right_cols:
+        lt = lt.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    lt = lt.select(*[c for c in lt.columns])
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts => "<=" semantics
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(left_ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned
+    for c in right_cols:
+        carried = carried.withColumn(
+            f"asof_{c}", F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w)
+        )
+    carried = carried.withColumn(
+        "_asof_ts", F.last(F.when(F.col("_side") == 0, F.col(left_ts)), ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance_minutes is not None:
+        tol = tolerance_minutes * 60
+        within = (
+            F.col(left_ts).cast("long") - F.col("_asof_ts").cast("long") <= tol
+        ) & F.col("_asof_ts").isNotNull()
+        for c in right_cols:
+            out = out.withColumn(
+                f"asof_{c}", F.when(within, F.col(f"asof_{c}"))
+            )
+        out = out.withColumn("_asof_ts", F.when(within, F.col("_asof_ts")))
+    drop = ["_side"] + [f"_r_{c}" for c in right_cols]
+    return out.drop(*drop).withColumnRenamed("_asof_ts", "asof_ts")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    window_minutes: int = 5,
+) -> DataFrame:
+    """Interval join: pairs (l, r) on the same key with
+    l.ts < r.ts <= l.ts + window. Equi-join on the key + range predicate;
+    Spark plans SMJ on the key with the range as a post-filter (AQE handles
+    key skew). Output: left row + matched right ts/value."""
+    win = window_minutes * 60
+    l = left.select(
+        F.col(key_col),
+        F.col(left_ts).alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = right.select(
+        F.col(key_col),
+        F.col(right_ts).alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    cond = (F.col("r_ts") > F.col("l_ts")) & (
+        F.col("r_ts").cast("long") <= F.col("l_ts").cast("long") + win
+    )
+    return l.join(r, on=key_col).filter(cond)
+
+
+def json_props_stats(
+    events: DataFrame, props_col: str = "props", group_col: str = "event_type"
+) -> DataFrame:
+    """Extract a typed field from the JSON props blob (the reference's
+    untyped metadata, `api/rest/server.py:24`) and aggregate. Output
+    (event_type, n, avg_k, max_k)."""
+    k = F.get_json_object(F.col(props_col), "$.k").cast("int")
+    return (
+        events.withColumn("_k", k)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("_k"), 6).alias("avg_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )

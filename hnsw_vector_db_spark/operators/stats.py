@@ -1,0 +1,54 @@
+"""Index/table statistics — the reference's ``get_stats`` as aggregations.
+
+Reference parity: `core/hnsw/graph.py:209-234` computes total node count,
+max level, mean level, per-level average out-degree (a hand-rolled
+explode-then-group over adjacency dicts, `graph.py:218-223`), plus
+insert/search counters. Our table-centric analogs:
+
+- ``index_stats``: one-row summary over the vectors table (count, dim
+  checks, per-vector norm stats). Pure partial+final aggregation — one
+  narrow shuffle of 32 partial rows, scan-bound at any scale.
+- ``group_stats``: the per-level explode-group pattern generalized to any
+  key (label here; layer once an edges table exists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hnsw_vector_db_spark.functions.distance import norm
+
+
+def index_stats(
+    vectors: DataFrame, id_col: str = "vec_id", vector_col: str = "embedding"
+) -> DataFrame:
+    """One-row table summary (analog of `graph.py:209-234`'s dict)."""
+    return vectors.agg(
+        F.count(F.lit(1)).alias("total_vectors"),
+        F.countDistinct(id_col).alias("distinct_ids"),
+        F.min(F.size(vector_col)).alias("min_dim"),
+        F.max(F.size(vector_col)).alias("max_dim"),
+        F.round(F.avg(norm(vector_col)), 6).alias("avg_norm"),
+        F.round(F.max(norm(vector_col)), 6).alias("max_norm"),
+    )
+
+
+def group_stats(
+    vectors: DataFrame,
+    key: str = "label",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Per-group stats — the per-level loop of `graph.py:218-223` as a
+    groupBy. Partial aggregation map-side, then one shuffle on the key."""
+    return (
+        vectors.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(norm(vector_col)), 6).alias("avg_norm"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+        .orderBy(key)
+    )

@@ -1,0 +1,105 @@
+"""Vector-table lifecycle: insert / batch insert / upsert / delete / validate.
+
+Reference parity:
+- insert with optional caller id, auto-assign otherwise (`core/hnsw/graph.py:
+  127-136`); a re-used external id silently overwrites (`graph.py:139`) — we
+  make that an explicit, deterministic upsert instead.
+- batch insert = REST loop with per-item failure count (`api/rest/server.py:
+  202-230`) — here one vectorized append with invalid rows split to a
+  rejects DataFrame (same partial-success semantics, set-oriented).
+- delete = drop node + symmetric edges (`graph.py:191-207`) — here an
+  anti-join (or, on a transactional table format, DELETE WHERE).
+- dim check at ingress (`server.py:142-146`) — here a size() filter.
+- metadata attach (`server.py:148-149`) + result-time lookup join
+  (`server.py:174`) — here metadata simply lives as columns on the vectors
+  table; the join form is `attach_metadata` (broadcast hash join).
+
+Scale notes: validate/append/delete are all narrow or broadcast-side ops —
+no full shuffle of the corpus. `upsert` shuffles only on the id key and is
+exactly what a Delta/Iceberg MERGE plans; we express it engine-neutrally
+as union + keep-latest so it runs on plain parquet too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def validate_vectors(
+    df: DataFrame, dim: int, vector_col: str = "embedding"
+) -> tuple[DataFrame, DataFrame]:
+    """Split a batch into (valid, rejects) by the reference's dim check
+    (`server.py:142-146`). Null vectors are rejects too."""
+    ok = F.col(vector_col).isNotNull() & (F.size(vector_col) == dim)
+    return df.filter(ok), df.filter(~ok | F.col(vector_col).isNull())
+
+
+def assign_ids(
+    df: DataFrame, start: int = 0, id_col: str = "vec_id", order_col: str | None = None
+) -> DataFrame:
+    """Deterministic id assignment, replacing the reference's monotonic
+    counter (`graph.py:131-136`) and its guess-the-id race
+    (`distributed_server.py:308`). Ids are row_number over a stable order —
+    same input, same ids, on any cluster size.
+
+    Scale note: a global row_number is a single-partition window; fine for
+    micro-batches of new rows (the only place ids are minted), never run
+    it over the full corpus.
+    """
+    order = F.col(order_col) if order_col else F.monotonically_increasing_id()
+    w = Window.orderBy(order)
+    return df.withColumn(id_col, F.row_number().over(w) + F.lit(start - 1))
+
+
+def insert_batch(
+    base: DataFrame, new: DataFrame, dim: int, vector_col: str = "embedding"
+) -> tuple[DataFrame, DataFrame]:
+    """Batch insert = validate + append (`server.py:202-230` vectorized).
+    Returns (new_table, rejects)."""
+    valid, rejects = validate_vectors(new, dim, vector_col)
+    return base.unionByName(valid), rejects
+
+
+def upsert(
+    base: DataFrame, updates: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Keyed upsert: rows in ``updates`` win over same-id rows in ``base``
+    — the explicit form of the reference's silent overwrite-by-external-id
+    (`graph.py:131-139`). Within ``updates`` the last occurrence wins.
+
+    Plans as union + per-id keep-one: one hash shuffle on the id key (what
+    a MERGE does under the hood). AQE handles skew on hot ids.
+    """
+    b = base.withColumn("_src", F.lit(0)).withColumn("_ord", F.lit(0))
+    u = updates.withColumn("_src", F.lit(1)).withColumn(
+        "_ord", F.monotonically_increasing_id()
+    )
+    allrows = b.unionByName(u)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_src").desc(), F.col("_ord").desc()
+    )
+    return (
+        allrows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_src", "_ord", "_rn")
+    )
+
+
+def delete_ids(
+    base: DataFrame, ids: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Point/bulk delete as an anti-join (`graph.py:191-207`). The delete
+    set is broadcast (it is small by nature); the corpus never shuffles.
+    Unlike the reference, no stranded-edge problem exists — derived
+    indexes are rebuilt, not patched."""
+    return base.join(F.broadcast(ids.select(id_col)), id_col, "left_anti")
+
+
+def attach_metadata(
+    results: DataFrame, metadata: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Result enrichment join (`server.py:174`'s per-row dict lookup as a
+    broadcast hash join). Left join: hits without metadata keep nulls, as
+    the reference's ``.get(id, {})`` does."""
+    return results.join(F.broadcast(metadata), id_col, "left")

@@ -1,0 +1,118 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+Part of the training-data-pipeline surface (BASELINE.md north star; the
+reference itself stores text only as opaque JSON metadata,
+`api/rest/server.py:24`). All arithmetic is portable (regex counts, ratios,
+poly hashes) so the DuckDB oracle verifies exact values. Everything is a
+single projection or projection+groupBy — linear scans, no joins, fully
+whole-stage-codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hnsw_vector_db_spark.functions.text import bpe_ish_tokens, poly_hash, tokens
+
+# Tiny per-language stopword marker lists for the heuristic language ID.
+# Chosen to be unambiguous across the testdata's language mix.
+LANG_MARKERS = {
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "les", "des", "une", "est"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "en": ["the", "and", "of", "to", "is"],
+}
+
+STOPWORDS_EN = ["the", "and", "of", "to", "is", "in", "a", "for", "on", "it"]
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token accounting: whitespace tokens, BPE-ish subword count,
+    chars-per-token. Output (doc_id, n_tokens, n_subwords, avg_token_chars)."""
+    toks = tokens(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(bpe_ish_tokens(text_col)).alias("n_subwords"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("avg_token_chars"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic doc-quality features + composite score in [0,1]:
+    length band, punctuation density, stopword presence, token diversity.
+    Output (doc_id, n_tokens, punct_ratio, stop_ratio, distinct_ratio, quality).
+    """
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+    quality = (
+        F.lit(0.4) * length_ok
+        + F.lit(0.3) * distinct_ratio
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
+        + F.lit(0.1) * F.least(stop_ratio * 5, F.lit(1.0))
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: CJK/Cyrillic/Greek by script range, else by
+    stopword-marker hits, else 'und'. Output (doc_id, pred_lang).
+
+    A real pipeline plugs fastText/CLD3 in as a pandas_udf; the heuristic
+    here keeps the operator portable and oracle-checkable, and the classes
+    match the testdata's lang column for accuracy measurement."""
+    t = F.col(text_col)
+    toks_lower = F.transform(tokens(text_col), F.lower)
+
+    def marker_hits(lang: str) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        return F.size(F.filter(toks_lower, lambda w: F.array_contains(arr, w)))
+
+    pred = (
+        F.when(t.rlike("[一-鿿]"), F.lit("zh"))
+        .when(t.rlike("[Ѐ-ӿ]"), F.lit("ru"))
+        .when(t.rlike("[Ͱ-Ͽ]"), F.lit("el"))
+        .when(t.rlike("[぀-ヿ]"), F.lit("ja"))
+        .otherwise(
+            F.when(marker_hits("es") > marker_hits("en"), F.lit("es"))
+            .when(marker_hits("fr") > marker_hits("en"), F.lit("fr"))
+            .when(marker_hits("de") > marker_hits("en"), F.lit("de"))
+            .when(marker_hits("en") > 0, F.lit("en"))
+            .otherwise(F.lit("und"))
+        )
+    )
+    return docs.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whole-document rolling-hash fingerprint + normalized variant
+    (lowercased, whitespace-collapsed) — the cheap exact-dup key at scale.
+    Output (doc_id, fp, fp_normalized)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return docs.select(
+        F.col(id_col),
+        poly_hash(F.col(text_col)).alias("fp"),
+        poly_hash(norm).alias("fp_normalized"),
+    )

@@ -1,0 +1,80 @@
+"""Parquet sources/sinks — the engine's entire storage layer.
+
+Reference parity: ``core/storage/engine.py`` hand-rolls a snapshot format
+(msgpack topology + raw float64 matrix with an 8-byte shape header + JSON
+metadata, `engine.py:19-68`) and a loader that rebuilds per-node dicts
+(`engine.py:70-115`). Parquet replaces all of it: columnar layout (the
+reference's offset-addressed dense matrix, `engine.py:45-47`, is exactly a
+poor man's column chunk), schema-on-read, predicate pushdown, column
+pruning, and partition discovery come free. We deliberately do NOT
+reproduce the reference's load bug where `distance_metric` is dropped on
+restore (`engine.py:84-91` — a cosine index silently reloads as euclidean);
+our metric is a per-query argument, never table state.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table (schema from the parquet footer)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table stores TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as LONG
+    (legacy conf) and convert to a microsecond timestamp — exact for this
+    data (event times are minute-granular)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Scan every testdata table present in sf_dir."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def snapshot_save(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Persist a vectors (or any) table — replaces `save_graph`
+    (`engine.py:23-68`). ``partition_by`` enables partition pruning on
+    read; at 100 TB partition on a coarse key (e.g. IVF cluster id or
+    ingest date), never on a high-cardinality id.
+    """
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def snapshot_load(spark: SparkSession, path: str) -> DataFrame:
+    """Re-open a snapshot — replaces `load_graph` (`engine.py:70-115`)."""
+    return spark.read.parquet(path)

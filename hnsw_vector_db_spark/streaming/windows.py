@@ -1,0 +1,69 @@
+"""Streaming windowed aggregation with watermarks + late-data handling.
+
+New capability relative to the reference (its only "stream" is the Raft
+apply loop, `distributed/raft/node.py:298-309`); driven by the events
+table. The batch twins in operators/events.py share the same expressions,
+so stream-vs-batch equivalence is testable (tests/test_streaming.py) and
+the batch form has a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_windowed_counts(
+    events_stream: DataFrame,
+    duration: str = "15 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts with a watermark: state for a window is
+    dropped once the watermark passes its end — bounded state at any
+    scale; events later than the watermark are dropped (the reference has
+    no late-data story at all: Raft applies in log order, wall-clock be
+    damned)."""
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration).start.alias("window_start"), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def stream_sliding_avg(
+    events_stream: DataFrame,
+    duration: str = "30 minutes",
+    slide: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window average value per event_type."""
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), duration, slide).start.alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+def run_stream_as_batch(stream_df: DataFrame, tmp_dir: str) -> DataFrame:
+    """Execute a streaming aggregation to completion (availableNow) and
+    return the final result as a batch DataFrame — the harness used to
+    assert stream == batch-twin."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("stream_result")
+        .outputMode("complete")
+        .option("checkpointLocation", tmp_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table("stream_result")

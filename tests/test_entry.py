@@ -1,0 +1,42 @@
+"""Driver-contract checks: entry() smoke, queries()/oracle_sql() key
+consistency, and full oracle parity at sf0.001 (the fast gate; the driver
+runs sf0.01 — tests/oracle_harness.py runs that on demand)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entry_mod
+from tests.oracle_harness import duck_con, run_one
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"vec_id", "dist", "lang", "source"}
+
+
+def test_oracle_keys_subset_of_queries():
+    q = set(entry_mod.queries())
+    o = set(entry_mod.oracle_sql())
+    assert o <= q, f"oracle without query: {o - q}"
+    rows_only = q - o
+    # approximate/non-SQL ops are the only permitted rows-only entries
+    assert rows_only <= {"ivf_ann", "hnsw_ann", "multimodal_features"}
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))
+def test_oracle_parity(spark, name):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    con = duck_con(SF)
+    spark_pdf, duck_pdf, problems = run_one(
+        spark, con, name, qs[name], oracles[name], SF
+    )
+    assert not problems, f"{name}: {problems[:3]}"

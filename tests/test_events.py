@@ -1,0 +1,78 @@
+"""Temporal operators: as-of, range join, sessionization — naive-Python
+ground truth on small fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from hnsw_vector_db_spark.operators import events as E
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    rows = [
+        # (event_id, user_id, minute, type, value)
+        (1, 1, 0, "signup", 10.0),
+        (2, 1, 5, "click", 1.0),
+        (3, 1, 40, "signup", 20.0),
+        (4, 1, 41, "click", 2.0),
+        (5, 2, 10, "click", 3.0),      # click with no prior signup
+        (6, 2, 12, "signup", 30.0),
+        (7, 2, 12, "click", 4.0),      # same-ts click: <= semantics
+    ]
+    return spark.createDataFrame(
+        [(i, u, _ts(m), t, v) for i, u, m, t, v in rows],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    ).cache()
+
+
+def test_asof_join(ev):
+    clicks = ev.filter(F.col("event_type") == "click")
+    signups = ev.filter(F.col("event_type") == "signup")
+    out = {r["event_id"]: r for r in E.asof_join(clicks, signups).collect()}
+    assert out[2]["asof_value"] == 10.0
+    assert out[4]["asof_value"] == 20.0   # latest prior, not first
+    assert out[5]["asof_value"] is None   # no prior signup
+    assert out[7]["asof_value"] == 30.0   # same-timestamp counts (<=)
+
+
+def test_asof_join_tolerance(ev):
+    clicks = ev.filter(F.col("event_type") == "click")
+    signups = ev.filter(F.col("event_type") == "signup")
+    out = {
+        r["event_id"]: r
+        for r in E.asof_join(clicks, signups, tolerance_minutes=3).collect()
+    }
+    assert out[2]["asof_value"] is None   # 5 min > 3 min tolerance
+    assert out[4]["asof_value"] == 20.0   # 1 min within tolerance
+
+
+def test_range_join(ev):
+    signups = ev.filter(F.col("event_type") == "signup")
+    clicks = ev.filter(F.col("event_type") == "click")
+    pairs = E.range_join(signups, clicks, window_minutes=10).collect()
+    got = {(r["l_event_id"], r["r_event_id"]) for r in pairs}
+    assert got == {(1, 2), (3, 4)}  # same-ts click NOT in (strict >)
+
+
+def test_sessionize(spark):
+    rows = [(1, 1, _ts(0)), (2, 1, _ts(10)), (3, 1, _ts(60)), (4, 2, _ts(0))]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = E.sessionize(df, gap_minutes=30)
+    sess = [(r["user_id"], r["n_events"]) for r in out.orderBy("user_id", "session_id").collect()]
+    assert sess == [(1, 2), (1, 1), (2, 1)]
+
+
+def test_windowed_agg_buckets(spark):
+    rows = [(1, _ts(0), "a", 1.0), (2, _ts(14), "a", 2.0), (3, _ts(16), "a", 4.0)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    out = E.windowed_agg(df, "15 minutes").orderBy("window_start").collect()
+    assert [r["n_events"] for r in out] == [2, 1]
+    assert out[0]["sum_value"] == 3.0

@@ -1,0 +1,90 @@
+"""knn operators: brute-force ground truth, batch/point consistency, and
+physical-plan shape (the part that matters at scale)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hnsw_vector_db_spark.operators.knn import knn_batch, knn_point
+from hnsw_vector_db_spark.plans.explain import (
+    assert_no_cartesian,
+    broadcast_join_count,
+    has_take_ordered,
+    physical_plan,
+)
+from hnsw_vector_db_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, X
+
+
+def _np_topk(ids, X, q, k, metric="cosine"):
+    q = np.asarray(q, dtype=np.float64)
+    if metric == "cosine":
+        d = 1 - (X @ q) / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+    else:
+        d = np.linalg.norm(X - q, axis=1)
+    order = np.lexsort((ids, d))
+    return [int(ids[i]) for i in order[:k]]
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+def test_knn_point_matches_numpy(emb, emb_np, metric):
+    ids, X = emb_np
+    q = X[0].tolist()
+    got = [r["vec_id"] for r in knn_point(emb, q, k=10, metric=metric).collect()]
+    assert got == _np_topk(ids, X, q, 10, metric)
+
+
+def test_knn_point_plan_no_shuffle(emb):
+    """Top-k must plan as TakeOrderedAndProject over the scan — the
+    per-partition bounded heap; a global sort would be a scale bug."""
+    q = [0.0] * 64
+    df = knn_point(emb, q, k=5)
+    assert has_take_ordered(df), physical_plan(df)
+    assert "Exchange" not in physical_plan(df)
+
+
+def test_knn_batch_consistent_with_point(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = knn_batch(queries, emb, k=5).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    for qid, expected_rows in by_q.items():
+        qv = emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        single = [r["vec_id"] for r in knn_point(emb, qv, k=5).collect()]
+        assert expected_rows == single
+
+
+def test_knn_batch_plan_broadcasts_queries(emb):
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    df = knn_batch(queries, emb, k=5)
+    assert_no_cartesian(df)
+    assert broadcast_join_count(df) >= 1, physical_plan(df)
+
+
+def test_knn_monotone_in_k(emb, emb_np):
+    """top-k is a prefix of top-(k+5) — reference graph.py:188-189 sort
+    semantics."""
+    ids, X = emb_np
+    q = X[1].tolist()
+    k5 = [r["vec_id"] for r in knn_point(emb, q, k=5).collect()]
+    k10 = [r["vec_id"] for r in knn_point(emb, q, k=10).collect()]
+    assert k10[:5] == k5

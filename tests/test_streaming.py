@@ -1,0 +1,92 @@
+"""Structured Streaming: command-log ingest folds to the right table state;
+streaming windowed agg == its batch twin."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hnsw_vector_db_spark.operators.events import windowed_agg
+from hnsw_vector_db_spark.sources.parquet import load_events
+from hnsw_vector_db_spark.streaming.ingest import (
+    COMMAND_SCHEMA,
+    apply_commands_batch,
+    start_ingest,
+)
+from hnsw_vector_db_spark.streaming.windows import (
+    run_stream_as_batch,
+    stream_windowed_counts,
+)
+
+
+def test_apply_commands_batch(spark):
+    table = spark.createDataFrame(
+        [(1, [1.0], "a"), (2, [2.0], "b")],
+        "vec_id long, embedding array<float>, label string",
+    )
+    commands = spark.createDataFrame(
+        [
+            ("insert", 3, [3.0], "c", 1),
+            ("delete", 1, None, None, 2),
+            ("insert", 2, [9.0], "b2", 3),   # upsert
+            ("insert", 4, [4.0], "d", 4),
+            ("delete", 4, None, None, 5),    # insert-then-delete: delete wins
+        ],
+        COMMAND_SCHEMA,
+    )
+    out = apply_commands_batch(table, commands)
+    got = {r["vec_id"]: r["label"] for r in out.collect()}
+    assert got == {2: "b2", 3: "c"}
+
+
+def test_streaming_ingest_end_to_end(spark, tmp_path):
+    log_dir = str(tmp_path / "log")
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(log_dir)
+    batch1 = spark.createDataFrame(
+        [("insert", 1, [1.0], "a", 1), ("insert", 2, [2.0], "b", 2)],
+        COMMAND_SCHEMA,
+    )
+    batch1.coalesce(1).write.mode("append").parquet(log_dir)
+    q = start_ingest(spark, log_dir, table_dir, ckpt)
+    q.awaitTermination()
+    got = {r["vec_id"]: r["label"] for r in spark.read.parquet(table_dir).collect()}
+    assert got == {1: "a", 2: "b"}
+    # second micro-batch: delete 1, upsert 2
+    batch2 = spark.createDataFrame(
+        [("delete", 1, None, None, 3), ("insert", 2, [9.0], "b2", 4)],
+        COMMAND_SCHEMA,
+    )
+    batch2.coalesce(1).write.mode("append").parquet(log_dir)
+    q2 = start_ingest(spark, log_dir, table_dir, ckpt)
+    q2.awaitTermination()
+    got2 = {r["vec_id"]: r["label"] for r in spark.read.parquet(table_dir).collect()}
+    assert got2 == {2: "b2"}
+
+
+def test_stream_window_equals_batch(spark, sf_dir, tmp_path):
+    ev = load_events(spark, sf_dir)
+    # batch twin
+    batch = windowed_agg(ev, "15 minutes").select(
+        "window_start", "event_type", "n_events", "sum_value"
+    )
+    # stream over the same rows via a file source
+    src = str(tmp_path / "events_src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    result = run_stream_as_batch(
+        stream_windowed_counts(stream, "15 minutes", "30 minutes"),
+        str(tmp_path / "ckpt"),
+    )
+    b = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    s = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in result.collect()
+    }
+    assert b == s

@@ -1,0 +1,81 @@
+"""Table lifecycle: validate / insert / upsert / delete / id assignment
+(reference semantics per SURVEY.md §2.1 #8-12)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hnsw_vector_db_spark.operators import table
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    rows = [(i, [float(i), float(i + 1)], str(i % 3)) for i in range(10)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).cache()
+
+
+def test_validate_splits_dim_mismatch(spark):
+    rows = [(1, [1.0, 2.0]), (2, [1.0]), (3, None), (4, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    valid, rejects = table.validate_vectors(df, dim=2)
+    assert sorted(r["vec_id"] for r in valid.collect()) == [1, 4]
+    assert sorted(r["vec_id"] for r in rejects.collect()) == [2, 3]
+
+
+def test_insert_batch_appends_only_valid(spark, base):
+    new = spark.createDataFrame(
+        [(100, [9.0, 9.0], "x"), (101, [9.0], "x")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    out, rejects = table.insert_batch(base, new, dim=2)
+    assert out.count() == 11
+    assert [r["vec_id"] for r in rejects.collect()] == [101]
+
+
+def test_upsert_updates_win(spark, base):
+    updates = spark.createDataFrame(
+        [(3, [9.0, 9.0], "Z"), (99, [1.0, 1.0], "N")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    out = table.upsert(base, updates)
+    assert out.count() == 11  # 10 base, 1 overwritten, 1 new
+    got = {r["vec_id"]: r["label"] for r in out.collect()}
+    assert got[3] == "Z" and got[99] == "N" and got[4] == "1"
+
+
+def test_upsert_last_update_wins_within_batch(spark, base):
+    """Reference graph.py:131-139 silently overwrites on id reuse; our
+    upsert makes 'last wins' explicit and deterministic."""
+    updates = spark.createDataFrame(
+        [(5, [1.0, 1.0], "first"), (5, [2.0, 2.0], "second")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    out = table.upsert(base, updates)
+    got = {r["vec_id"]: r["label"] for r in out.collect()}
+    assert got[5] == "second"
+    assert out.count() == 10
+
+
+def test_delete_anti_join(spark, base):
+    deletes = spark.createDataFrame([(2,), (4,), (999,)], "vec_id long")
+    out = table.delete_ids(base, deletes)
+    assert sorted(r["vec_id"] for r in out.collect()) == [0, 1, 3, 5, 6, 7, 8, 9]
+
+
+def test_assign_ids_deterministic(spark):
+    df = spark.createDataFrame([("c",), ("a",), ("b",)], "name string")
+    out1 = table.assign_ids(df, start=100, id_col="vec_id", order_col="name")
+    out2 = table.assign_ids(df, start=100, id_col="vec_id", order_col="name")
+    got1 = {r["name"]: r["vec_id"] for r in out1.collect()}
+    got2 = {r["name"]: r["vec_id"] for r in out2.collect()}
+    assert got1 == got2 == {"a": 100, "b": 101, "c": 102}
+
+
+def test_attach_metadata_left_join(spark, base):
+    meta = spark.createDataFrame([(0, "m0"), (1, "m1")], "vec_id long, meta string")
+    out = table.attach_metadata(base.select("vec_id"), meta)
+    got = {r["vec_id"]: r["meta"] for r in out.collect()}
+    assert got[0] == "m0" and got[5] is None  # .get(id, {}) semantics

@@ -1,0 +1,92 @@
+"""Text primitives + analysis operators: known-answer and edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hnsw_vector_db_spark.functions import text as T
+from hnsw_vector_db_spark.operators import text_analysis as TA
+
+
+@pytest.fixture(scope="module")
+def one(spark):
+    return spark.range(1)
+
+
+def test_poly_hash_known_values(one):
+    # 'ab' -> (0*131+97)*131+98 = 12805; '' -> 0
+    r = one.select(
+        T.poly_hash(F.lit("ab")).alias("ab"),
+        T.poly_hash(F.lit("")).alias("empty"),
+        T.poly_hash(F.lit("世")).alias("cjk"),
+    ).first()
+    assert r["ab"] == 97 * 131 + 98
+    assert r["empty"] == 0
+    assert r["cjk"] == 19990  # unicode codepoint
+
+
+def test_tokens_collapse_whitespace(one):
+    r = one.select(T.tokens(F.lit("  a  b\tc \n")).alias("t")).first()
+    assert r["t"] == ["a", "b", "c"]
+
+
+def test_word_ngrams(one):
+    toks = F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("d"))
+    r = one.select(T.word_ngrams(toks, 3).alias("g")).first()
+    assert r["g"] == ["a b c", "b c d"]
+    r2 = one.select(T.word_ngrams(F.array(F.lit("a")), 3).alias("g")).first()
+    assert r2["g"] == []
+
+
+def test_bpe_ish_tokens(one):
+    r = one.select(T.bpe_ish_tokens(F.lit("abc123 def!x")).alias("t")).first()
+    assert r["t"] == ["abc", "123", "def", "!", "x"]
+
+
+def test_minhash_params_deterministic():
+    assert T.minhash_params(4) == T.minhash_params(4)
+    ab = T.minhash_params(8)
+    assert len({a for a, _ in ab}) == 8  # distinct coefficients
+    assert all(0 < a < T.HASH_MOD and 0 <= b < T.HASH_MOD for a, b in ab)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox and the lazy dog run to the hill"),
+        (1, "x y"),
+        (2, "el la de que los palabras aqui"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_counts(docs):
+    out = {r["doc_id"]: r for r in TA.token_counts(docs).collect()}
+    assert out[0]["n_tokens"] == 12
+    assert out[1]["n_tokens"] == 2
+
+
+def test_quality_score_ranges(docs):
+    for r in TA.quality_score(docs).collect():
+        assert 0.0 <= r["quality"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+    out = {r["doc_id"]: r for r in TA.quality_score(docs).collect()}
+    assert out[0]["quality"] > out[1]["quality"]  # too-short doc scores lower
+
+
+def test_language_id(docs, spark):
+    out = {r["doc_id"]: r["pred_lang"] for r in TA.language_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[2] == "es"
+    zh = spark.createDataFrame([(9, "这 是 中文 文本")], "doc_id long, text string")
+    assert TA.language_id(zh).first()["pred_lang"] == "zh"
+
+
+def test_fingerprint_normalization(spark):
+    rows = [(0, "Hello  World"), (1, "hello world"), (2, "different")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TA.fingerprint(df).collect()}
+    assert out[0]["fp"] != out[1]["fp"]
+    assert out[0]["fp_normalized"] == out[1]["fp_normalized"]
+    assert out[0]["fp_normalized"] != out[2]["fp_normalized"]
