@@ -257,6 +257,55 @@ def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.user_set_ops(_events(spark, sf_dir))
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.tfidf_top_terms(_docs(spark, sf_dir), top_k=3)
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = events.sliding_windowed_agg(_events(spark, sf_dir), "30 minutes", "10 minutes")
+    return out.select(
+        F.date_format("window_start", TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.value_percentiles(_events(spark, sf_dir))
+
+
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.orders_by_month(load_table(spark, sf_dir, "orders"))
+
+
+def q_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.part_brand_stats(load_table(spark, sf_dir, "part"), type_like="%O%")
+
+
+def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.lineitem_corr_stats(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_customer_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customer_segment_cube(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "nation")
+    )
+
+
+def q_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    out = table.assign_ids(docs, start=1000, id_col="new_id", order_col=None)
+    # deterministic order: by (lang, doc_id) via explicit order col
+    from hnsw_vector_db_spark.operators.table import assign_ids as _aid
+    import pyspark.sql.functions as _F
+
+    docs2 = docs.withColumn("_ord", _F.concat_ws("|", "lang", _F.lpad(_F.col("doc_id").cast("string"), 10, "0")))
+    return _aid(docs2, start=1000, id_col="new_id", order_col="_ord").select(
+        "new_id", "doc_id", "lang"
+    )
+
+
 # ---- rows-only entries (approximate / non-SQL-expressible) ----------------
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,6 +376,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_ranks": q_order_ranks,
         "nation_rollup": q_nation_rollup,
         "user_set_ops": q_user_set_ops,
+        "tfidf_top_terms": q_tfidf,
+        "events_sliding": q_events_sliding,
+        "value_percentiles": q_percentiles,
+        "orders_by_month": q_orders_by_month,
+        "part_brand_stats": q_part_brand_stats,
+        "lineitem_corr": q_lineitem_corr,
+        "customer_cube": q_customer_cube,
+        "assign_ids": q_assign_ids,
         "ivf_ann": q_ivf_ann,
         "hnsw_ann": q_hnsw_ann,
         "multimodal_features": q_multimodal_features,
@@ -785,6 +842,77 @@ SELECT user_id FROM (
   EXCEPT
   SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 150.0
 ) ORDER BY user_id
+""".strip()
+
+    sql["tfidf_top_terms"] = f"""
+WITH terms AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n::DOUBLE / df.df) AS tfidf_raw
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf_raw,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_raw DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, round(tfidf_raw, 6) AS tfidf, rnk::INTEGER AS rnk
+FROM ranked WHERE rnk <= 3
+""".strip()
+
+    sql["events_sliding"] = f"""
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '10 minutes', ts) - k * INTERVAL '10 minutes' AS window_start,
+         event_type, value
+  FROM events, unnest([0, 1, 2]) AS t(k)
+)
+SELECT strftime(window_start, '{TS_FMT_DUCK}') AS window_start, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+FROM expanded GROUP BY 1, 2
+""".strip()
+
+    sql["value_percentiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""".strip()
+
+    sql["orders_by_month"] = """
+SELECT year(o_orderdate)::INTEGER AS o_year, month(o_orderdate)::INTEGER AS o_month,
+       count(*)::BIGINT AS n_orders, round(sum(o_totalprice), 2) AS total_revenue
+FROM orders GROUP BY 1, 2
+""".strip()
+
+    sql["part_brand_stats"] = """
+SELECT p_brand, upper(substr(p_name, 1, 1)) AS initial,
+       count(*)::BIGINT AS n_parts, round(avg(p_retailprice), 6) AS avg_price
+FROM part WHERE p_type LIKE '%O%'
+GROUP BY 1, 2
+""".strip()
+
+    sql["lineitem_corr"] = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(stddev_samp(l_quantity), 6) AS qty_stddev
+FROM lineitem GROUP BY l_returnflag
+""".strip()
+
+    sql["customer_cube"] = """
+SELECT c_mktsegment, n_name, count(*)::BIGINT AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY CUBE (c_mktsegment, n_name)
+""".strip()
+
+    sql["assign_ids"] = """
+SELECT (row_number() OVER (ORDER BY lang || '|' || lpad(doc_id::VARCHAR, 10, '0')) + 999)::BIGINT AS new_id,
+       doc_id, lang
+FROM documents
 """.strip()
 
     return sql

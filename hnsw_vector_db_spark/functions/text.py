@@ -61,15 +61,24 @@ def bpe_ish_tokens(s: Column | str) -> Column:
 def word_ngrams(toks: Column, n: int, sep: str = " ") -> Column:
     """Sliding word n-grams joined by ``sep``; empty when len(toks) < n.
 
-    Spark: transform(sequence(1, size-n+1), i -> concat_ws(sep, slice(toks, i, n))).
-    DuckDB twin: list_transform(range(1, len-n+2), i -> array_to_string(toks[i:i+n-1], sep)).
+    Built as shift-and-zip: zip the token array with its own 1..n-1 shifted
+    copies, concatenating as we go, then cut the n-1 partial tail grams.
+    The naive form — transform(sequence(...), i -> concat_ws(slice(toks,
+    i, n))) — re-evaluates the whole ``toks`` expression tree PER ELEMENT
+    (lambda bodies get no common-subexpression elimination), which turned a
+    linear scan into ~L re-tokenizations per document. Here ``toks``
+    appears a constant ~n+2 times per row.
+
+    DuckDB twin: list_transform(range(1, len-n+2), i ->
+    array_to_string(toks[i:i+n-1], sep)) — same gram strings.
     """
     size = F.size(toks)
+    grams = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(size - j, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(sep, a, b))
     return F.when(size < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), size - F.lit(n) + F.lit(1)),
-            lambda i: F.concat_ws(sep, F.slice(toks, i, n)),
-        )
+        F.slice(grams, 1, size - F.lit(n) + F.lit(1))
     )
 
 

@@ -52,12 +52,33 @@ def exact_dedup(
     )
 
 
+def _doc_shingle_sets(
+    docs: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, shingle_arr, sz): one distinct-shingle array per doc.
+
+    Repartitions first: the docs table typically scans as a handful of
+    file splits, and everything downstream (shingling, char-level hashing)
+    is CPU-bound — without the spread it runs on one core. One tiny
+    shuffle of the raw text buys full-width parallelism for the expensive
+    projections."""
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    # NOTE: no filter here — a sz>0 filter gets pushed below the exchange,
+    # forcing the whole shingle expression to evaluate in the (often
+    # single-task) scan stage. Empty sets are harmless: explode drops them.
+    return (
+        docs.repartition(parallelism)
+        .select(F.col(id_col), shingles(text_col, n).alias("shingle_arr"))
+        .withColumn("sz", F.size("shingle_arr"))
+    )
+
+
 def _doc_shingles(
     docs: DataFrame, n: int, text_col: str, id_col: str
 ) -> DataFrame:
     """(id, shingle) exploded distinct shingle sets."""
-    return docs.select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
+    return _doc_shingle_sets(docs, n, text_col, id_col).select(
+        F.col(id_col), F.explode("shingle_arr").alias("shingle")
     )
 
 
@@ -68,6 +89,7 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_shingle_freq: int | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: J(A,B) >= threshold, id_a < id_b.
 
@@ -76,23 +98,36 @@ def jaccard_pairs(
     the inverted-index approach: cost is sum of per-shingle doc-frequency
     squared, not |docs|^2.
 
+    ``candidates`` (doc_a, doc_b), when given, semi-join-prunes the pair
+    stream *before* the expensive groupBy — the LSH verify path, where only
+    bucket-collision pairs are worth counting.
+
     Output: (doc_a, doc_b, jaccard) with jaccard rounded to 6dp.
     """
-    sh = _doc_shingles(docs, n, text_col, id_col)
+    sets = _doc_shingle_sets(docs, n, text_col, id_col)
+    sh = sets.select(F.col(id_col), F.explode("shingle_arr").alias("shingle"))
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.countDistinct(id_col).alias("_df"))
         sh = (
             sh.join(freq.filter(F.col("_df") <= max_shingle_freq), "shingle")
             .drop("_df")
         )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        # sizes must reflect the post-cut sets
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    else:
+        # set sizes come free from the array — no second explode+groupBy
+        sizes = sets.select(F.col(id_col), F.col("sz"))
     a = sh.toDF("doc_a", "shingle")
     b = sh.toDF("doc_b", "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    pair_stream = a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+    if candidates is not None:
+        pair_stream = pair_stream.join(
+            F.broadcast(candidates.select("doc_a", "doc_b")),
+            ["doc_a", "doc_b"],
+            "left_semi",
+        )
+    common = pair_stream.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("common")
     )
     sa = sizes.toDF("doc_a", "sz_a")
     sb = sizes.toDF("doc_b", "sz_b")
@@ -195,11 +230,10 @@ def minhash_lsh_near_dup(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    exact = jaccard_pairs(docs, n, 0.0, text_col, id_col)
-    return (
-        cand.join(exact, ["doc_a", "doc_b"])
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+    # exact-verify ONLY the candidate pairs (semi-join pushdown into the
+    # pair stream) — the whole point of banding is that this set is tiny.
+    return jaccard_pairs(
+        docs, n, threshold, text_col, id_col, candidates=cand
     )
 
 
@@ -214,9 +248,12 @@ def simhash_fingerprint(
     (id, simhash BIGINT). One explode + one groupBy with 61 conditional-sum
     aggregates — linear, one shuffle on id.
     """
-    tok = docs.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).withColumn("h", poly_hash(F.col("tok")))
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(parallelism)  # spread the CPU-bound hash projection
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .withColumn("h", poly_hash(F.col("tok")))
+    )
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -40,6 +40,44 @@ def windowed_agg(
     )
 
 
+def sliding_windowed_agg(
+    events: DataFrame,
+    duration: str = "30 minutes",
+    slide: str = "10 minutes",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Sliding-window counts (batch twin of streaming/windows.py's
+    stream_sliding_avg): each event lands in duration/slide windows —
+    Spark's window() explodes them; cost is the fanout factor, and the
+    aggregation stays partial+final. Output (window_start, <group>,
+    n_events, sum_value)."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), duration, slide).start.alias("window_start"),
+            F.col(group_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def value_percentiles(
+    events: DataFrame, group_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark `percentile`
+    == ANSI percentile_cont == DuckDB quantile_cont). Exact percentile is
+    a sort-within-group; at 100 TB swap in approx_percentile (t-digest)
+    and accept the documented error bound. Output (event_type, p50, p90, p99)."""
+    return events.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("p50"),
+        F.round(F.expr(f"percentile({value_col}, 0.9)"), 6).alias("p90"),
+        F.round(F.expr(f"percentile({value_col}, 0.99)"), 6).alias("p99"),
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,

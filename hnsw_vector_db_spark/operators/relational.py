@@ -106,6 +106,58 @@ def nation_rollup(
     )
 
 
+def orders_by_month(orders: DataFrame) -> DataFrame:
+    """Date-function surface: monthly order counts/revenue (year/month
+    extraction; date filters push to the scan). Output (o_year, o_month,
+    n_orders, total_revenue)."""
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+    )
+
+
+def part_brand_stats(part: DataFrame, type_like: str = "%a%") -> DataFrame:
+    """String-function surface: LIKE filter + upper/substring/concat.
+    Output (p_brand, initial, n_parts, avg_price)."""
+    return (
+        part.filter(F.col("p_type").like(type_like))
+        .withColumn("initial", F.upper(F.substring("p_name", 1, 1)))
+        .groupBy("p_brand", "initial")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+def lineitem_corr_stats(lineitem: DataFrame) -> DataFrame:
+    """Statistical-aggregate surface: correlation + sample stddev per
+    return flag. Output (l_returnflag, qty_price_corr, qty_stddev)."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+    )
+
+
+def customer_segment_cube(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """CUBE grouping-sets surface (rollup's sibling): all subtotal
+    combinations of (mktsegment, nation). Output (c_mktsegment, n_name,
+    n_customers, total_acctbal)."""
+    j = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    )
+    return j.cube("c_mktsegment", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
 def user_set_ops(events: DataFrame, value_cut: float = 150.0) -> DataFrame:
     """Set-op surface: users with a high-value purchase but no high-value
     error (EXCEPT/anti-join duality). Output (user_id)."""

@@ -170,6 +170,7 @@ def ivf_fit(
     seed: int = 42,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    max_iter: int = 10,
 ):
     """Fit an IVF coarse quantizer: KMeans centroids + cell assignment.
 
@@ -181,7 +182,10 @@ def ivf_fit(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     feat = vectors.withColumn("_feat", array_to_vector(F.col(vector_col).cast("array<double>")))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="_feat", predictionCol="cell")
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter,
+        featuresCol="_feat", predictionCol="cell",
+    )
     model = km.fit(feat)
     assigned = model.transform(feat).drop("_feat")
     centroids = np.array([np.asarray(c) for c in model.clusterCenters()])

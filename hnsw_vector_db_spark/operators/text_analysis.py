@@ -106,6 +106,42 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return docs.select(F.col(id_col), pred.alias("pred_lang"))
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact TF-IDF (tf * ln(N/df)) with the top_k highest-scoring terms
+    per doc. Spark's HashingTF trades exactness for speed; this is the
+    join-based exact form with a clean SQL twin — at 100 TB the df table
+    is the only shuffle that matters and it's a plain groupBy(term).
+    Output (doc_id, term, tfidf, rnk)."""
+    from pyspark.sql import Window
+
+    term_rows = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = term_rows.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = term_rows.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("tfidf_raw", F.col("tf") * F.log(F.col("n") / F.col("df")))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf_raw").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select(
+            id_col, "term", F.round("tfidf_raw", 6).alias("tfidf"), "rnk"
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whole-document rolling-hash fingerprint + normalized variant
     (lowercased, whitespace-collapsed) — the cheap exact-dup key at scale.

@@ -1,0 +1,50 @@
+"""Snapshot sink/source (the reference's storage engine, SURVEY.md §2.1
+#14-15) + the partition-pruning scale path for IVF cells."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hnsw_vector_db_spark.operators import similarity
+from hnsw_vector_db_spark.plans.explain import physical_plan
+from hnsw_vector_db_spark.sources.parquet import (
+    load_table,
+    snapshot_load,
+    snapshot_save,
+)
+
+
+def test_snapshot_roundtrip(spark, sf_dir, tmp_path):
+    """save_graph/load_graph equivalent: full-fidelity round trip,
+    including the metric-survives-reload property the reference breaks
+    (engine.py:84-91 drops distance_metric on load)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "snap")
+    snapshot_save(emb, path)
+    back = snapshot_load(spark, path)
+    assert back.schema == emb.schema
+    assert back.count() == emb.count()
+    a = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    b = {r["vec_id"]: r["embedding"] for r in back.collect()}
+    assert a == b
+
+
+def test_ivf_snapshot_partition_pruning(spark, sf_dir, tmp_path):
+    """Cell-partitioned snapshot: a cell-filtered scan must prune
+    partitions at the source (the Spark analog of the reference's
+    coarse-to-fine descent skipping graph regions)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = similarity.ivf_fit(emb, n_cells=4)
+    path = str(tmp_path / "ivf")
+    snapshot_save(assigned, path, partition_by=["cell"])
+    table = snapshot_load(spark, path)
+    probed = table.filter(F.col("cell").isin([0, 1]))
+    plan = physical_plan(probed)
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:200], plan
+    # pruned scan reads only the probed cells
+    full, pruned = table.count(), probed.count()
+    per_cell = {r["cell"]: r["n"] for r in table.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert pruned == per_cell.get(0, 0) + per_cell.get(1, 0)
+    assert pruned < full
