@@ -306,7 +306,19 @@ def q_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_neardup(_emb(spark, sf_dir), threshold=SIM_THRESHOLD)
+
+
 # ---- rows-only entries (approximate / non-SQL-expressible) ----------------
+
+def q_hnsw_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_edges, hnsw_graph_stats
+
+    emb = _emb(spark, sf_dir)
+    assigned, _ = similarity.ivf_fit(emb, n_cells=4)
+    return hnsw_graph_stats(hnsw_edges(assigned))
+
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
@@ -384,6 +396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_corr": q_lineitem_corr,
         "customer_cube": q_customer_cube,
         "assign_ids": q_assign_ids,
+        "embedding_neardup": q_embedding_neardup,
+        "hnsw_graph_stats": q_hnsw_graph_stats,
         "ivf_ann": q_ivf_ann,
         "hnsw_ann": q_hnsw_ann,
         "multimodal_features": q_multimodal_features,
@@ -641,6 +655,24 @@ FROM embeddings
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos_sim_ab}, 6) AS sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round({cos_sim_ab}, 6) >= {SIM_THRESHOLD}
+""".strip()
+
+    sql["embedding_neardup"] = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round({cos_sim_ab}, 6) >= {SIM_THRESHOLD}
+),
+neigh AS (
+  SELECT id_a AS v, id_b AS u FROM pairs
+  UNION ALL
+  SELECT id_b AS v, id_a AS u FROM pairs
+),
+rep AS (SELECT v, min(u) AS min_neigh FROM neigh GROUP BY v)
+SELECT e.vec_id,
+       least(e.vec_id, coalesce(r.min_neigh, e.vec_id)) AS rep_id,
+       least(e.vec_id, coalesce(r.min_neigh, e.vec_id)) <> e.vec_id AS is_dup
+FROM embeddings e LEFT JOIN rep r ON e.vec_id = r.v
 """.strip()
 
     sql["lsh_ann"] = _lsh_ann_sql(5, LSH_PLANES)

@@ -237,6 +237,48 @@ def minhash_lsh_near_dup(
     )
 
 
+def embedding_neardup(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup: star-assign every vector to the minimum
+    id in its cosine neighborhood (sim >= threshold), the single-pass
+    representative rule most training-data pipelines use before a full
+    connected-components pass.
+
+    ``pairs`` (id_a, id_b[, sim]) lets callers swap in the LSH/IVF
+    candidate path at scale; default is the exact ``similarity_join``.
+    The assignment itself is one symmetric explode + min-groupBy + left
+    join — linear in pairs, one shuffle on vector id.
+
+    Output: (vec_id, rep_id, is_dup) for every input vector.
+    """
+    from hnsw_vector_db_spark.operators.similarity import similarity_join
+
+    if pairs is None:
+        pairs = similarity_join(
+            vectors, threshold=threshold, id_col=id_col, vector_col=vector_col
+        )
+    neigh = pairs.select(
+        F.col("id_a").alias("_v"), F.col("id_b").alias("_u")
+    ).unionAll(pairs.select(F.col("id_b").alias("_v"), F.col("id_a").alias("_u")))
+    rep = neigh.groupBy("_v").agg(F.min("_u").alias("_min_neigh"))
+    return (
+        vectors.select(F.col(id_col))
+        .join(rep, F.col(id_col) == F.col("_v"), "left")
+        .select(
+            F.col(id_col),
+            F.least(
+                F.col(id_col), F.coalesce(F.col("_min_neigh"), F.col(id_col))
+            ).alias("rep_id"),
+        )
+        .withColumn("is_dup", F.col("rep_id") != F.col(id_col))
+    )
+
+
 SIMHASH_BITS = 61  # fits in a positive BIGINT in every engine
 
 

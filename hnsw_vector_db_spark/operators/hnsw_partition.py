@@ -162,6 +162,67 @@ class LocalHNSW:
         return [(n, d) for d, n in res[:k]]
 
 
+def hnsw_edges(
+    assigned: DataFrame,
+    metric: str = "cosine",
+    m: int = 8,
+    ef_construction: int = 64,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the per-cell HNSW topology as an edges DataFrame
+    (cell, layer, src, dst) — the Spark-native form of the reference's
+    in-memory adjacency dicts (`core/hnsw/graph.py:15,66`). Build is
+    per-cell inside ``applyInPandas`` (embarrassingly parallel, one
+    shuffle on cell id); deterministic for a fixed seed.
+    """
+    import pandas as pd
+
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(assigned.sparkSession)
+
+    def per_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=["cell", "layer", "src", "dst"])
+        X = np.vstack(pdf[vector_col].to_numpy())
+        ids = pdf[id_col].to_numpy()
+        index = LocalHNSW(m=m, ef_construction=ef_construction, metric=metric, seed=0)
+        index.build(X)
+        rows = []
+        for layer, adj in enumerate(index.adj):
+            for src, nbrs in adj.items():
+                for dst in nbrs:
+                    rows.append((int(key[0]), layer, int(ids[src]), int(ids[dst])))
+        return pd.DataFrame(rows, columns=["cell", "layer", "src", "dst"])
+
+    return (
+        assigned.select("cell", id_col, vector_col)
+        .groupBy("cell")
+        .applyInPandas(per_cell, "cell int, layer int, src long, dst long")
+    )
+
+
+def hnsw_graph_stats(edges: DataFrame) -> DataFrame:
+    """Per-layer graph statistics — the reference's ``get_stats``
+    explode-then-group loop (`core/hnsw/graph.py:209-234`) as one
+    two-level aggregation: per-(layer, node) out-degree, then per-layer
+    node count / avg / max degree. Two narrow shuffles on small keys.
+    Output: (layer, n_nodes, n_edges, avg_out_degree, max_out_degree).
+    """
+    deg = edges.groupBy("layer", "src").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg.groupBy("layer")
+        .agg(
+            F.countDistinct("src").alias("n_nodes"),
+            F.sum("deg").alias("n_edges"),
+            F.round(F.avg("deg"), 6).alias("avg_out_degree"),
+            F.max("deg").alias("max_out_degree"),
+        )
+        .orderBy("layer")
+    )
+
+
 def assign_query_cells(
     queries: DataFrame,
     centroids: np.ndarray,

@@ -27,10 +27,19 @@ def stream_windowed_counts(
     damned)."""
     return (
         events_stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), duration).start.alias("window_start"), F.col(group_col))
+        # group by the window STRUCT (not .start): the struct carries the
+        # event-time metadata append-mode finalization keys off; project
+        # .start only after the aggregate.
+        .groupBy(F.window(F.col(ts_col), duration), F.col(group_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("window").start.alias("window_start"),
+            group_col,
+            "n_events",
+            "sum_value",
         )
     )
 
@@ -45,11 +54,11 @@ def stream_sliding_avg(
     """Sliding-window average value per event_type."""
     return (
         events_stream.withWatermark(ts_col, watermark)
-        .groupBy(
-            F.window(F.col(ts_col), duration, slide).start.alias("window_start"),
-            F.col("event_type"),
-        )
+        .groupBy(F.window(F.col(ts_col), duration, slide), F.col("event_type"))
         .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.col("window").start.alias("window_start"), "event_type", "avg_value"
+        )
     )
 
 

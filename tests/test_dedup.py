@@ -85,3 +85,34 @@ def test_lsh_agrees_with_exact_on_testdata(spark, sf_dir):
     }
     recall = len(lsh & high) / max(len(high), 1)
     assert recall >= 0.9, f"LSH recall {recall} on J>=0.9 pairs"
+
+
+def test_embedding_neardup_star_assignment(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.01]),   # near-dup of 1
+            (3, [0.0, 1.0]),      # unique
+            (4, [0.998, 0.02]),   # near-dup of 1 and 2
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = dedup.embedding_neardup(vecs, threshold=0.99)
+    got = {r["vec_id"]: (r["rep_id"], r["is_dup"]) for r in out.collect()}
+    assert got == {1: (1, False), 2: (1, True), 3: (3, False), 4: (1, True)}
+
+
+def test_embedding_neardup_covers_all_rows(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dedup.embedding_neardup(emb, threshold=0.35)
+    rows = out.collect()
+    ids = {r["vec_id"] for r in rows}
+    assert len(rows) == emb.count()
+    # single-pass star rule: rep <= id, rep is a real vector id, and
+    # is_dup exactly marks rep != id (full closure needs the iterative
+    # connected-components pass, out of scope for the one-pass operator)
+    for r in rows:
+        assert r["rep_id"] <= r["vec_id"]
+        assert r["rep_id"] in ids
+        assert r["is_dup"] == (r["rep_id"] != r["vec_id"])
+    assert any(r["is_dup"] for r in rows)  # testdata has near-dups at 0.35

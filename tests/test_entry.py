@@ -28,7 +28,12 @@ def test_oracle_keys_subset_of_queries():
     assert o <= q, f"oracle without query: {o - q}"
     rows_only = q - o
     # approximate/non-SQL ops are the only permitted rows-only entries
-    assert rows_only <= {"ivf_ann", "hnsw_ann", "multimodal_features"}
+    assert rows_only <= {
+        "ivf_ann",
+        "hnsw_ann",
+        "multimodal_features",
+        "hnsw_graph_stats",
+    }
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))

@@ -88,3 +88,24 @@ def test_knn_monotone_in_k(emb, emb_np):
     k5 = [r["vec_id"] for r in knn_point(emb, q, k=5).collect()]
     k10 = [r["vec_id"] for r in knn_point(emb, q, k=10).collect()]
     assert k10[:5] == k5
+
+
+def test_hnsw_graph_stats_shape(spark, sf_dir):
+    from hnsw_vector_db_spark.operators.hnsw_partition import (
+        hnsw_edges,
+        hnsw_graph_stats,
+    )
+    from hnsw_vector_db_spark.operators.similarity import ivf_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = ivf_fit(emb, n_cells=2)
+    edges = hnsw_edges(assigned, m=4, ef_construction=16)
+    stats = hnsw_graph_stats(edges).collect()
+    assert stats[0]["layer"] == 0
+    base = stats[0]
+    n = emb.count()
+    assert base["n_nodes"] == n                      # every vector linked at layer 0
+    assert base["max_out_degree"] <= 8               # degree cap M0 = 2*m
+    # determinism: same seed => identical stats
+    stats2 = hnsw_graph_stats(hnsw_edges(assigned, m=4, ef_construction=16)).collect()
+    assert [tuple(r) for r in stats] == [tuple(r) for r in stats2]

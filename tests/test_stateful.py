@@ -1,0 +1,133 @@
+"""Custom stateful streaming operator (applyInPandasWithState
+sessionization) + watermark late-data semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+from pyspark.sql import functions as F
+
+from hnsw_vector_db_spark.operators.events import sessionize
+from hnsw_vector_db_spark.sources.parquet import load_events
+from hnsw_vector_db_spark.streaming.stateful import stream_sessionize
+from hnsw_vector_db_spark.streaming.windows import stream_windowed_counts
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _min(m: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=m)
+
+
+EV_SCHEMA = "user_id long, ts timestamp, value double"
+
+
+def _run_files_stream(spark, tmp_path, batches, build, one_file_per_trigger=True):
+    """Write each batch as one parquet file, stream with availableNow
+    (maxFilesPerTrigger=1 => one micro-batch per file, so watermarks
+    advance between batches), collect from a memory sink."""
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(0.05)  # strictly increasing mtimes => deterministic file order
+    reader = spark.readStream.schema(EV_SCHEMA)
+    if one_file_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    stream = reader.parquet(src)
+    out = build(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_result")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stateful_result").collect()
+
+
+def test_stream_sessionize_exact(spark, tmp_path):
+    # user 1: events at 0,10min (one session), then 120min (new session)
+    # user 2: single event at 5min
+    # sentinel user 99 far in the future advances the watermark in batch 2
+    # so every real session times out and is emitted.
+    batch1 = [
+        (1, _min(0), 1.0),
+        (1, _min(10), 2.0),
+        (1, _min(120), 4.0),
+        (2, _min(5), 8.0),
+    ]
+    batch2 = [(99, _min(10_000), 0.0)]
+    rows = _run_files_stream(
+        spark,
+        tmp_path,
+        [batch1, batch2],
+        lambda s: stream_sessionize(s, gap="30 minutes", watermark="30 minutes"),
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in rows
+    }
+    assert got == {
+        (1, _min(0), _min(10), 2, 3.0),
+        (1, _min(120), _min(120), 1, 4.0),
+        (2, _min(5), _min(5), 1, 8.0),
+    }
+
+
+def test_stream_sessionize_matches_batch_twin(spark, sf_dir, tmp_path):
+    """Closed stream sessions == the batch sessionize result for the same
+    slice (a far-future sentinel closes everything)."""
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id") < 10)
+        .select("user_id", "ts", "value")
+    )
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = [(9999, max_ts + dt.timedelta(days=7), 0.0)]
+    rows = _run_files_stream(
+        spark,
+        tmp_path,
+        [[(r.user_id, r.ts, r.value) for r in ev.collect()], sentinel],
+        lambda s: stream_sessionize(s, gap="30 minutes", watermark="30 minutes"),
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in rows
+        if r.user_id != 9999
+    }
+    assert got == batch
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """An event arriving after the watermark finalized its window is
+    dropped. The drop guarantee needs the window EVICTED before the late
+    row's batch: watermark advances at batch N's commit, state evicts
+    during batch N+1, so the late row must land in batch N+2 (hence the
+    spacer batch)."""
+    on_time = [
+        (1, _min(0), 1.0),
+        (1, _min(5), 1.0),
+        (1, _min(100), 1.0),  # advances watermark to 100-30=70min > window [0,15)
+    ]
+    spacer = [(2, _min(101), 1.0)]  # batch whose close evicts window [0,15)
+    late = [(1, _min(1), 100.0)]  # belongs to the already-evicted [0,15) window
+    flush = [(1, _min(10_000), 0.0)]
+    rows = _run_files_stream(
+        spark,
+        tmp_path,
+        [on_time, spacer, late, flush],
+        lambda s: stream_windowed_counts(
+            s.withColumn("event_type", F.lit("e")), "15 minutes", "30 minutes"
+        ),
+    )
+    by_window = {r.window_start: (r.n_events, r.sum_value) for r in rows}
+    assert by_window[_min(0)] == (2, 2.0)  # late row NOT counted
