@@ -29,18 +29,27 @@ HEADLINE = [
     "knn_batch",
     "lsh_ann",
     "similarity_join",
+    "embedding_neardup",
+    "exact_dedup",
     "jaccard_pairs",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "token_stats",
     "quality_score",
+    "tfidf_top_terms",
     "pricing_summary",
     "top_orders",
     "order_ranks",
+    "orders_by_month",
+    "lineitem_corr",
+    "customer_cube",
+    "value_percentiles",
     "events_window",
+    "events_sliding",
     "sessionize",
     "asof_join",
     "range_join",
+    "ivf_ann",
     "hnsw_ann",
 ]
 

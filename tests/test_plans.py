@@ -1,0 +1,75 @@
+"""Physical-plan shape locks for the driver-contract queries: filters
+pushed to the scan, column pruning, broadcast joins on small sides,
+TakeOrderedAndProject for top-k, no accidental cartesian products.
+
+The reference has no optimizer (SURVEY.md §4) — for this engine the
+optimizer IS the execution story, so plan shape is contract, not
+implementation detail: these properties are exactly what keeps the same
+code viable at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from hnsw_vector_db_spark.plans.explain import (
+    assert_no_cartesian,
+    broadcast_join_count,
+    has_take_ordered,
+    physical_plan,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry_mod.queries()
+
+
+def test_knn_point_is_take_ordered(spark, qs):
+    # orderBy+limit must plan as the bounded-heap physical op, the analog
+    # of the reference's ef-bounded heap (core/hnsw/graph.py:120-124)
+    assert has_take_ordered(qs["knn_cosine"](spark, SF))
+
+
+def test_dim_join_broadcasts(spark, qs):
+    # metadata enrichment = broadcast hash join, never a shuffle join
+    assert broadcast_join_count(qs["knn_metadata"](spark, SF)) >= 1
+    assert broadcast_join_count(qs["top_orders"](spark, SF)) >= 1
+    assert broadcast_join_count(qs["customer_cube"](spark, SF)) >= 1
+
+
+def test_no_cartesian_anywhere(spark, qs):
+    for name in (
+        "similarity_join",
+        "jaccard_pairs",
+        "minhash_lsh_neardup",
+        "simhash_neardup",
+        "embedding_neardup",
+        "range_join",
+        "asof_join",
+    ):
+        assert_no_cartesian(qs[name](spark, SF))
+
+
+def test_scan_prunes_columns(spark, qs):
+    # pricing_summary reads 600k-row lineitem: the scan must NOT read all
+    # 16 columns for a 7-column aggregate
+    plan = physical_plan(qs["pricing_summary"](spark, SF))
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "l_comment" not in scan and "l_partkey" not in scan
+
+
+def test_filter_pushdown_reaches_scan(spark, qs):
+    plan = physical_plan(qs["knn_batch"](spark, SF))
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,5)" in plan
+
+
+def test_dedup_pair_joins_are_hash_joins(spark, qs):
+    # candidate generation must be equi-joins on derived keys (shingle /
+    # band bucket / simhash chunk), never a nested-loop pair scan
+    for name in ("minhash_lsh_neardup", "simhash_neardup"):
+        plan = physical_plan(qs[name](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
