@@ -1,0 +1,57 @@
+"""Multimodal plumbing: binary payload schema, Arrow-batched decode shape,
+determinism of the stub decoder, frame-sampling fanout."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+from hnsw_vector_db_spark.operators.multimodal import (
+    FEATURE_DIM,
+    _decode_one,
+    attach_payload,
+    decode_features,
+    frame_sample_plan,
+)
+from hnsw_vector_db_spark.sources.parquet import load_table
+
+
+def test_payload_schema_is_binary(spark, sf_dir):
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    assert isinstance(media.schema["payload"].dataType, BinaryType)
+    assert set(media.columns) == {"doc_id", "payload", "modality", "payload_bytes"}
+
+
+def test_decode_features_shape_and_determinism(spark, sf_dir):
+    media = attach_payload(load_table(spark, sf_dir, "documents")).limit(50)
+    out = decode_features(media)
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r["features"]) == FEATURE_DIM
+        assert all(0.0 <= x < 1.0 for x in r["features"])
+        assert abs(r["feature_norm"] - float(np.linalg.norm(r["features"]))) < 1e-5
+    # Spark-side decode must equal a local call on the same bytes
+    one = media.filter(F.col("doc_id") == rows[0]["doc_id"]).first()
+    local = _decode_one(bytes(one["payload"]), "text")
+    got = np.array(rows[0]["features"], dtype=np.float32)
+    assert np.allclose(local, got)
+
+
+def test_decode_none_payload_is_zero_vector():
+    assert _decode_one(None, "image").tolist() == [0.0] * FEATURE_DIM
+
+
+def test_frame_sample_fanout(spark, sf_dir):
+    media = attach_payload(load_table(spark, sf_dir, "documents")).limit(20)
+    frames = frame_sample_plan(media, every_n=10)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    sizes = {r["doc_id"]: r["payload_bytes"] for r in media.collect()}
+    for doc_id, n in per_doc.items():
+        expected = (sizes[doc_id] // 50) // 10 + 1
+        assert n == expected
+    assert set(per_doc) == set(sizes)

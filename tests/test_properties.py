@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis) for the pure-Python components:
+the msgpack subset codec and the partition-local HNSW index."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hnsw_vector_db_spark.operators.hnsw_partition import LocalHNSW
+from hnsw_vector_db_spark.sources.vectorflow_snapshot import (
+    msgpack_decode,
+    msgpack_encode,
+)
+
+# json-ish values the reference's snapshot payloads can contain
+scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**64 - 1),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=80),
+    st.binary(max_size=40),
+)
+values = st.recursive(
+    scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=8),
+        st.dictionaries(st.text(max_size=20), children, max_size=8),
+    ),
+    max_leaves=25,
+)
+
+
+@given(values)
+@settings(max_examples=200, deadline=None)
+def test_msgpack_roundtrip_property(obj):
+    assert msgpack_decode(msgpack_encode(obj)) == obj
+
+
+@given(
+    st.integers(min_value=2, max_value=40),
+    st.integers(min_value=2, max_value=8),
+    st.sampled_from(["cosine", "euclidean", "manhattan", "dot_product"]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_local_hnsw_invariants(n, dim, metric, seed):
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, dim)
+    index = LocalHNSW(m=4, ef_construction=16, metric=metric, seed=0)
+    index.build(X)
+    q = rng.randn(dim)
+    k = min(5, n)
+    res = index.search(q, k=k, ef=16)
+    assert 1 <= len(res) <= k
+    ids = [i for i, _ in res]
+    dists = [d for _, d in res]
+    # valid ids, no duplicates, ascending distance (lower-is-better for
+    # every metric, reference graph.py:23-43 convention)
+    assert len(set(ids)) == len(ids)
+    assert all(0 <= i < n for i in ids)
+    assert dists == sorted(dists)
+
+
+@given(st.integers(min_value=5, max_value=30), st.integers(min_value=0, max_value=1000))
+@settings(max_examples=25, deadline=None)
+def test_local_hnsw_exhaustive_ef_is_exact_top1(n, seed):
+    """With ef >= n the beam search degenerates to exhaustive scan of the
+    reachable graph; layer-0 links every node, so top-1 must equal the
+    exact nearest neighbor (euclidean, no ties with continuous data)."""
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, 4)
+    index = LocalHNSW(m=4, ef_construction=n, metric="euclidean", seed=0)
+    index.build(X)
+    q = rng.randn(4)
+    got = index.search(q, k=1, ef=n * 2)[0][0]
+    exact = int(np.argmin(np.linalg.norm(X - q, axis=1)))
+    assert got == exact
