@@ -74,6 +74,19 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"), "rank")
 
 
+def q_knn_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side-pruned exact batch kNN — must equal knn_batch bit-for-bit
+    at 6dp (same oracle SQL)."""
+    from hnsw_vector_db_spark.operators.knn import knn_batch_twophase
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_batch_twophase(queries, emb, k=5, metric="cosine")
+    return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"), "rank")
+
+
 def q_knn_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vec(spark, sf_dir)
     res = knn_point(_emb(spark, sf_dir), qv, k=10, metric="cosine")
@@ -360,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_manhattan": _mk_knn("manhattan"),
         "knn_dot": _mk_knn("dot_product"),
         "knn_batch": q_knn_batch,
+        "knn_twophase": q_knn_twophase,
         "knn_metadata": q_knn_metadata,
         "vector_stats": q_vector_stats,
         "label_stats": q_label_stats,
@@ -601,6 +615,9 @@ scored AS (
 )
 SELECT query_id, vec_id, dist, rank::INTEGER AS rank FROM scored WHERE rank <= 5
 """.strip()
+
+    # the two-phase plan computes the SAME function -> same oracle
+    sql["knn_twophase"] = sql["knn_batch"]
 
     sql["knn_metadata"] = f"""
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),

@@ -115,6 +115,125 @@ def knn_batch(
     )
 
 
+def knn_batch_twophase(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Exact batch kNN with map-side pruning — the 100 TB form of
+    ``knn_batch``.
+
+    Phase 1 (mapInPandas over the corpus, queries broadcast as a dense
+    matrix): each Arrow batch computes the full Q x B distance block with
+    one BLAS matmul and keeps only the per-query top-k of that batch —
+    so the shuffle carries at most Q * k * num_partitions candidate rows
+    instead of Q * N. Phase 2: one window rank over that small candidate
+    set. Same exact semantics as ``knn_batch`` (same distances, same id
+    tiebreak); the plan trades the JVM-codegen distance for numpy's BLAS,
+    which wins from a few hundred queries upward.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(vectors.sparkSession)
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    if metric == "cosine":
+        qn = np.linalg.norm(Q, axis=1, keepdims=True)
+        Qn = Q / np.where(qn == 0, 1.0, qn)
+
+    def topk_block(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf[vector_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            if metric == "cosine":
+                xn = np.linalg.norm(X, axis=1, keepdims=True)
+                Xn = X / np.where(xn == 0, 1.0, xn)
+                D = 1.0 - Xn @ Qn.T  # (B, Q)
+            elif metric == "dot_product":
+                D = -(X @ Q.T)
+            elif metric == "manhattan":
+                D = np.abs(X[:, None, :] - Q[None, :, :]).sum(axis=2)
+            else:  # euclidean via ||x||^2 - 2xq + ||q||^2
+                D = np.sqrt(
+                    np.maximum(
+                        (X * X).sum(1)[:, None]
+                        - 2.0 * (X @ Q.T)
+                        + (Q * Q).sum(1)[None, :],
+                        0.0,
+                    )
+                )
+            kk = min(k, D.shape[0])
+            part = np.argpartition(D, kk - 1, axis=0)[:kk]  # (kk, Q)
+            out_qid, out_id, out_dist = [], [], []
+            for j in range(D.shape[1]):
+                rows = part[:, j]
+                out_qid.extend([qids[j]] * len(rows))
+                out_id.extend(ids[rows])
+                out_dist.extend(D[rows, j])
+            yield pd.DataFrame(
+                {query_id_col: out_qid, id_col: out_id, "dist": out_dist}
+            )
+
+    schema = f"{query_id_col} long, {id_col} long, dist double"
+    candidates = vectors.select(id_col, vector_col).mapInPandas(topk_block, schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "dist", "rank")
+    )
+
+
+def knn_auto(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    approx: bool = False,
+    corpus_rows: int | None = None,
+    query_rows: int | None = None,
+    **kw,
+) -> DataFrame:
+    """Strategy-selecting kNN (SURVEY.md §4's `knn` operator): pick the
+    physical plan from the data shape, the way the reference picks a
+    traversal (`graph.py:175-189`) — but by cost, not by fiat.
+
+    - approx=True -> sign-bit LSH candidates + exact re-rank
+      (similarity.lsh_ann_topk) — the sub-linear path.
+    - exact, Q * N <= ~5e6 -> broadcast-join + window (`knn_batch`):
+      all-JVM codegen, no Python workers, best at small scale.
+    - exact, larger -> ``knn_batch_twophase``: map-side BLAS top-k, shuffle
+      bounded by Q * k * partitions.
+
+    Row counts come from ``corpus_rows``/``query_rows`` when the caller
+    knows them (a catalog, a previous count) — otherwise one count() each
+    (cheap parquet-footer scans).
+    """
+    n = corpus_rows if corpus_rows is not None else vectors.count()
+    q = query_rows if query_rows is not None else queries.count()
+    if approx:
+        from hnsw_vector_db_spark.operators.similarity import lsh_ann_topk
+
+        dim = len(vectors.select(kw.get("vector_col", "embedding")).first()[0])
+        return lsh_ann_topk(queries, vectors, k=k, metric=metric, dim=dim, **kw)
+    if n * q <= 5_000_000:
+        return knn_batch(queries, vectors, k=k, metric=metric, **kw)
+    return knn_batch_twophase(queries, vectors, k=k, metric=metric, **kw)
+
+
 def knn_join(
     queries: DataFrame,
     vectors: DataFrame,

@@ -109,3 +109,31 @@ def test_hnsw_graph_stats_shape(spark, sf_dir):
     # determinism: same seed => identical stats
     stats2 = hnsw_graph_stats(hnsw_edges(assigned, m=4, ef_construction=16)).collect()
     assert [tuple(r) for r in stats] == [tuple(r) for r in stats2]
+
+
+def test_knn_twophase_equals_batch(spark, emb):
+    from hnsw_vector_db_spark.operators.knn import knn_auto, knn_batch, knn_batch_twophase
+
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    for metric in ("cosine", "euclidean", "manhattan", "dot_product"):
+        a = {
+            (r["query_id"], r["rank"]): (r["vec_id"], round(r["dist"], 6))
+            for r in knn_batch(queries, emb, k=5, metric=metric).collect()
+        }
+        b = {
+            (r["query_id"], r["rank"]): (r["vec_id"], round(r["dist"], 6))
+            for r in knn_batch_twophase(queries, emb, k=5, metric=metric).collect()
+        }
+        assert a == b, f"two-phase != batch for {metric}"
+    # auto picks the small path here but must produce identical results
+    cos = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in knn_batch(queries, emb, k=5, metric="cosine").collect()
+    }
+    c = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in knn_auto(queries, emb, k=5, metric="cosine").collect()
+    }
+    assert c == cos

@@ -62,6 +62,9 @@ def test_scan_prunes_columns(spark, qs):
 
 
 def test_filter_pushdown_reaches_scan(spark, qs):
+    # another test module may have .cache()d this table, which swaps the
+    # parquet scan for InMemoryTableScan and hides PushedFilters
+    spark.catalog.clearCache()
     plan = physical_plan(qs["knn_batch"](spark, SF))
     assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,5)" in plan
 
