@@ -323,6 +323,43 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup(_emb(spark, sf_dir), threshold=SIM_THRESHOLD)
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form (label, dim_idx, value, n): scalar rows hash-compare
+    robustly where a raw array column would be formatting-sensitive."""
+    from hnsw_vector_db_spark.operators.stats import label_centroids
+
+    out = label_centroids(_emb(spark, sf_dir))
+    return out.select(
+        "label", "n", F.posexplode("centroid").alias("dim_idx", "value")
+    ).select(
+        "label",
+        (F.col("dim_idx") + 1).cast("int").alias("dim_idx"),
+        F.col("value"),
+        "n",
+    )
+
+
+def q_sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL surface: the same engine via spark.sql over registered
+    views (TPC-H Q5 shape) — the oracle runs the identical text."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_REVENUE_BY_NATION_SQL)
+
+
+_REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+""".strip()
+
+
 # ---- rows-only entries (approximate / non-SQL-expressible) ----------------
 
 def q_hnsw_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,6 +448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_cube": q_customer_cube,
         "assign_ids": q_assign_ids,
         "embedding_neardup": q_embedding_neardup,
+        "label_centroids": q_label_centroids,
+        "sql_revenue_by_nation": q_sql_revenue_by_nation,
         "hnsw_graph_stats": q_hnsw_graph_stats,
         "ivf_ann": q_ivf_ann,
         "hnsw_ann": q_hnsw_ann,
@@ -691,6 +730,22 @@ SELECT e.vec_id,
        least(e.vec_id, coalesce(r.min_neigh, e.vec_id)) <> e.vec_id AS is_dup
 FROM embeddings e LEFT JOIN rep r ON e.vec_id = r.v
 """.strip()
+
+    sql["label_centroids"] = """
+WITH dims AS (
+  SELECT label, i::INTEGER AS dim_idx,
+         round(avg(embedding[i]::DOUBLE), 6) + 0 AS value
+  FROM embeddings, range(1, 65) t(i)
+  GROUP BY 1, 2
+),
+cnt AS (SELECT label, count(*)::BIGINT AS n FROM embeddings GROUP BY label)
+SELECT label, dim_idx, value, n FROM dims JOIN cnt USING (label)
+""".strip()
+
+    sql["sql_revenue_by_nation"] = _REVENUE_BY_NATION_SQL.replace(
+        "count(DISTINCT o_orderkey) AS n_orders",
+        "count(DISTINCT o_orderkey)::BIGINT AS n_orders",
+    )
 
     sql["lsh_ann"] = _lsh_ann_sql(5, LSH_PLANES)
 

@@ -34,6 +34,52 @@ def index_stats(
     )
 
 
+def label_centroids(
+    vectors: DataFrame,
+    key: str = "label",
+    vector_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group mean vector via a pandas UDAF (grouped-agg pandas_udf) —
+    the engine's user-defined-aggregate surface. Arrow ships each group's
+    vectors as one batch; numpy reduces columnwise. Partial aggregation
+    doesn't apply to UDAFs, so the shuffle moves full vectors — at 100 TB
+    prefer the builtin equivalent (posexplode + avg per position) which
+    combines map-side; this form exists for custom aggregates the builtins
+    can't express (trimmed means, medoids, ...).
+
+    Output: (<key>, centroid array<double>, n).
+    """
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(vectors.sparkSession)
+
+    # functionType is explicit: the grouped-agg signature (Series -> array)
+    # isn't expressible through type hints
+    @pandas_udf("array<double>", PandasUDFType.GROUPED_AGG)
+    def _centroid(v):
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        return [float(x) for x in np.round(X.mean(axis=0), round_dp)]
+
+    # Spark disallows mixing pandas and JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the count rides the same UDF lane
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def _count(v):
+        return len(v)
+
+    return (
+        vectors.groupBy(key)
+        .agg(
+            _centroid(F.col(vector_col)).alias("centroid"),
+            _count(F.col(vector_col)).alias("n"),
+        )
+        .orderBy(key)
+    )
+
+
 def group_stats(
     vectors: DataFrame,
     key: str = "label",

@@ -79,3 +79,21 @@ def test_attach_metadata_left_join(spark, base):
     out = table.attach_metadata(base.select("vec_id"), meta)
     got = {r["vec_id"]: r["meta"] for r in out.collect()}
     assert got[0] == "m0" and got[5] is None  # .get(id, {}) semantics
+
+
+def test_label_centroids_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from hnsw_vector_db_spark.operators.stats import label_centroids
+    from hnsw_vector_db_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {r["label"]: (r["centroid"], r["n"]) for r in label_centroids(emb).collect()}
+    rows = emb.collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(np.asarray(r["embedding"], dtype=np.float64))
+    for label, vecs in by_label.items():
+        cent, n = got[label]
+        assert n == len(vecs)
+        assert np.allclose(cent, np.round(np.mean(vecs, axis=0), 6), atol=1e-9)
