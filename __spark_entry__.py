@@ -323,6 +323,14 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup(_emb(spark, sf_dir), threshold=SIM_THRESHOLD)
 
 
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the cosine near-dup relation (iterative
+    min-label propagation; oracle = recursive CTE)."""
+    emb = _emb(spark, sf_dir)
+    pairs = similarity.similarity_join(emb, threshold=SIM_THRESHOLD)
+    return dedup.neardup_components(emb, pairs)
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form (label, dim_idx, value, n): scalar rows hash-compare
     robustly where a raw array column would be formatting-sensitive."""
@@ -449,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_ids": q_assign_ids,
         "embedding_neardup": q_embedding_neardup,
         "label_centroids": q_label_centroids,
+        "neardup_components": q_neardup_components,
         "sql_revenue_by_nation": q_sql_revenue_by_nation,
         "hnsw_graph_stats": q_hnsw_graph_stats,
         "ivf_ann": q_ivf_ann,
@@ -729,6 +738,26 @@ SELECT e.vec_id,
        least(e.vec_id, coalesce(r.min_neigh, e.vec_id)) AS rep_id,
        least(e.vec_id, coalesce(r.min_neigh, e.vec_id)) <> e.vec_id AS is_dup
 FROM embeddings e LEFT JOIN rep r ON e.vec_id = r.v
+""".strip()
+
+    sql["neardup_components"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round({cos_sim_ab}, 6) >= {SIM_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+)
+SELECT node AS vec_id, min(r) AS rep_id, min(r) <> node AS is_dup
+FROM reach GROUP BY node
 """.strip()
 
     sql["label_centroids"] = """

@@ -279,6 +279,74 @@ def embedding_neardup(
     )
 
 
+def neardup_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected-components closure over near-dup pairs: every node gets
+    the MIN id of its whole component as ``rep_id`` — the transitive
+    completion of :func:`embedding_neardup`'s one-pass star rule (chains
+    a~b, b~c collapse to one cluster).
+
+    Iterative min-label propagation: each round, a node's label becomes
+    the min of its own and its neighbors' labels; converges in
+    O(component diameter) rounds, checked by an aggregate count of
+    changed labels. Each round is one equi-join on the edge key + one
+    groupBy — both shuffle-partitioned by id, the standard Spark CC shape
+    (the two-phase large-star/small-star refinement drops rounds to
+    O(log d); plain propagation keeps the oracle-checkable semantics and
+    near-dup components are shallow). ``localCheckpoint`` truncates the
+    growing lineage so round N doesn't re-execute rounds 1..N-1.
+
+    ``nodes``: (id_col, ...); ``pairs``: (doc_a/id pairs as produced by
+    the near-dup operators, any two-column prefix). Output:
+    (id_col, rep_id, is_dup).
+    """
+    a, b = pairs.columns[0], pairs.columns[1]
+    # symmetric edge list, shuffle-keyed on src
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionAll(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("rep")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("rep")).first()[0]
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("rep").alias("nrep"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.node == neigh_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))
+                ).alias("rep"),
+            )
+            .localCheckpoint()
+        )
+        # labels only ever decrease, so sum(rep) is a strictly-decreasing
+        # convergence witness — one cheap aggregate instead of a
+        # change-count join per round
+        cur_sum = new_labels.agg(F.sum("rep")).first()[0]
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("rep").alias("rep_id"),
+        (F.col("rep") != F.col("node")).alias("is_dup"),
+    )
+
+
 SIMHASH_BITS = 61  # fits in a positive BIGINT in every engine
 
 

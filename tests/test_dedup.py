@@ -116,3 +116,32 @@ def test_embedding_neardup_covers_all_rows(spark, sf_dir):
         assert r["rep_id"] in ids
         assert r["is_dup"] == (r["rep_id"] != r["vec_id"])
     assert any(r["is_dup"] for r in rows)  # testdata has near-dups at 0.35
+
+
+def test_neardup_components_closes_chains(spark):
+    # chain 1-2, 2-3 plus isolated 4: one component {1,2,3}, rep=1
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], "vec_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    got = {
+        r["vec_id"]: (r["rep_id"], r["is_dup"])
+        for r in dedup.neardup_components(nodes, pairs).collect()
+    }
+    assert got == {1: (1, False), 2: (1, True), 3: (1, True), 4: (4, False)}
+
+
+def test_neardup_components_refines_star(spark, sf_dir):
+    """Component closure must be a coarsening of the one-pass star rule:
+    same or smaller rep for every node, identical where stars already
+    closed."""
+    from hnsw_vector_db_spark.operators.similarity import similarity_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity_join(emb, threshold=0.35)
+    star = {r["vec_id"]: r["rep_id"] for r in dedup.embedding_neardup(emb, 0.35).collect()}
+    comp = {
+        r["vec_id"]: r["rep_id"]
+        for r in dedup.neardup_components(emb, pairs).collect()
+    }
+    assert set(star) == set(comp)
+    for v, rep in comp.items():
+        assert rep <= star[v]
