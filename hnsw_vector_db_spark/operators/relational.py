@@ -165,3 +165,41 @@ def user_set_ops(events: DataFrame, value_cut: float = 150.0) -> DataFrame:
     purch = high.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     err = high.filter(F.col("event_type") == "error").select("user_id").distinct()
     return purch.exceptAll(err).select("user_id").orderBy("user_id")
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Two-phase (salted) aggregation for skew-prone keys: phase 1 groups
+    by (key, salt) so one hot key spreads over ``salt_buckets`` reducers,
+    phase 2 re-combines per key. Only decomposable aggregates survive the
+    split; this canonical form carries count and sum(value) — extend with
+    min/max the same way.
+
+    AQE's skew-join splitting does not help *aggregations* (it only splits
+    join partitions), so salting is still the tool when one key holds >>
+    1/parallelism of the rows — the GROUP BY analog of the reference's
+    single hot entry point (`core/hnsw/graph.py:67`: every search funnels
+    through one node).
+
+    ``salt_on``: column whose hash spreads rows (default: a per-row
+    deterministic spread from all columns is NOT possible without an id —
+    pass a high-cardinality column like an event/row id for deterministic
+    results).
+    """
+    salt_src = F.col(salt_on) if salt_on else F.monotonically_increasing_id()
+    salted = df.withColumn("_salt", F.pmod(F.hash(salt_src), F.lit(salt_buckets)))
+    partial = salted.groupBy(key, "_salt").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum("value").alias("_sum"),
+    )
+    return (
+        partial.groupBy(key)
+        .agg(
+            F.sum("_cnt").alias("n"),
+            F.round(F.sum("_sum"), 6).alias("sum_value"),
+        )
+    )

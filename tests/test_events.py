@@ -76,3 +76,28 @@ def test_windowed_agg_buckets(spark):
     out = E.windowed_agg(df, "15 minutes").orderBy("window_start").collect()
     assert [r["n_events"] for r in out] == [2, 1]
     assert out[0]["sum_value"] == 3.0
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    from hnsw_vector_db_spark.operators.relational import salted_agg
+    from hnsw_vector_db_spark.sources.parquet import load_events
+
+    ev = load_events(spark, sf_dir)
+    plain = {
+        r["event_type"]: (r["n"], r["sum_value"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (r["n"], r["sum_value"])
+        for r in salted_agg(ev, "event_type", salt_buckets=8, salt_on="event_id").collect()
+    }
+    assert salted == plain
+    # the partial phase must actually spread the hot key across buckets
+    from hnsw_vector_db_spark.plans.explain import shuffle_count
+
+    assert shuffle_count(salted_agg(ev, "event_type", salt_on="event_id")) >= 2

@@ -131,3 +131,50 @@ def test_watermark_drops_late_event(spark, tmp_path):
     )
     by_window = {r.window_start: (r.n_events, r.sum_value) for r in rows}
     assert by_window[_min(0)] == (2, 2.0)  # late row NOT counted
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    from hnsw_vector_db_spark.streaming.dedup import stream_dedup_exact
+
+    batch1 = [(1, _min(0), 1.0), (1, _min(5), 2.0), (2, _min(3), 3.0)]
+    batch2 = [(1, _min(8), 4.0), (3, _min(9), 5.0)]  # user 1 still duplicate
+    rows = _run_files_stream(
+        spark,
+        tmp_path,
+        [batch1, batch2],
+        lambda s: stream_dedup_exact(s, ["user_id"], watermark="30 minutes"),
+    )
+    got = {(r.user_id, r.value) for r in rows}
+    # first row per user wins, across micro-batches
+    assert got == {(1, 1.0), (2, 3.0), (3, 5.0)}
+
+
+def test_stream_dedup_by_fingerprint(spark, tmp_path):
+    import pyspark.sql.functions as SF
+
+    from hnsw_vector_db_spark.streaming.dedup import stream_dedup_by_fingerprint
+
+    src = str(tmp_path / "docs_src")
+    docs = [
+        (1, _min(0), "hello world"),
+        (2, _min(1), "something else"),
+        (3, _min(2), "hello world"),   # content dup of 1, different id
+    ]
+    spark.createDataFrame(docs, "doc_id long, ts timestamp, text string").coalesce(
+        1
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(src)
+    out = stream_dedup_by_fingerprint(stream, watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fp_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept = {r.doc_id for r in spark.table("fp_dedup").collect()}
+    assert 2 in kept
+    assert len(kept & {1, 3}) == 1  # exactly one copy of the duplicate text
+    assert set(spark.table("fp_dedup").columns) == {"doc_id", "ts", "text"}
