@@ -323,6 +323,20 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup(_emb(spark, sf_dir), threshold=SIM_THRESHOLD)
 
 
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (cube/rollup's general form)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the cosine near-dup relation (iterative
     min-label propagation; oracle = recursive CTE)."""
@@ -458,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "label_centroids": q_label_centroids,
         "neardup_components": q_neardup_components,
+        "orders_grouping_sets": q_orders_grouping_sets,
         "sql_revenue_by_nation": q_sql_revenue_by_nation,
         "hnsw_graph_stats": q_hnsw_graph_stats,
         "ivf_ann": q_ivf_ann,
@@ -738,6 +753,14 @@ SELECT e.vec_id,
        least(e.vec_id, coalesce(r.min_neigh, e.vec_id)) AS rep_id,
        least(e.vec_id, coalesce(r.min_neigh, e.vec_id)) <> e.vec_id AS is_dup
 FROM embeddings e LEFT JOIN rep r ON e.vec_id = r.v
+""".strip()
+
+    sql["orders_grouping_sets"] = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """.strip()
 
     sql["neardup_components"] = f"""

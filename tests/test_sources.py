@@ -48,3 +48,39 @@ def test_ivf_snapshot_partition_pruning(spark, sf_dir, tmp_path):
     per_cell = {r["cell"]: r["n"] for r in table.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert pruned == per_cell.get(0, 0) + per_cell.get(1, 0)
     assert pruned < full
+
+
+def test_bucketed_join_elides_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must join with ZERO exchanges
+    (the 100 TB co-location story); the same join on plain tables
+    shuffles both sides."""
+    from hnsw_vector_db_spark.plans.explain import physical_plan, shuffle_count
+    from hnsw_vector_db_spark.sources.bucketed import (
+        colocated_join,
+        save_bucketed,
+    )
+
+    # spark.sql.warehouse.dir is static config — managed tables land in the
+    # session default; DROP TABLE below removes their data
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    save_bucketed(emb, "emb_b", "vec_id", n_buckets=8, sort_col="vec_id")
+    save_bucketed(docs, "docs_b", "vec_id", n_buckets=8, sort_col="vec_id")
+    # force the sort-merge path so the assertion is about bucketing, not
+    # about the broadcast threshold hiding the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(spark, "emb_b", "docs_b", "vec_id")
+        assert shuffle_count(joined) == 0, physical_plan(joined)
+        plain = emb.join(docs, "vec_id")
+        assert shuffle_count(plain) >= 2
+        # and the result is the same either way
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS emb_b")
+        spark.sql("DROP TABLE IF EXISTS docs_b")
