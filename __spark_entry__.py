@@ -323,6 +323,37 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup(_emb(spark, sf_dir), threshold=SIM_THRESHOLD)
 
 
+def q_stream_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming run to completion over the events table (file
+    source -> watermarked tumbling windows -> memory sink); the oracle is
+    the BATCH windowed aggregation SQL — proving stream == batch on the
+    same rows (the reference's Raft apply loop has no such equivalence to
+    prove; SURVEY.md §2.2 'Streaming')."""
+    import tempfile
+
+    from hnsw_vector_db_spark.streaming.windows import (
+        run_stream_as_batch,
+        stream_windowed_counts,
+    )
+
+    ev = _events(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="stream_ev_")
+    src = f"{work}/src"
+    ev.select("ts", "event_type", "value").write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(src)
+    out = run_stream_as_batch(
+        stream_windowed_counts(stream, "15 minutes", "30 minutes"),
+        f"{work}/ckpt",
+        name="stream_events_window_result",
+    )
+    return out.select(
+        F.date_format("window_start", TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (cube/rollup's general form)."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
@@ -473,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "neardup_components": q_neardup_components,
         "orders_grouping_sets": q_orders_grouping_sets,
+        "stream_events_window": q_stream_events_window,
         "sql_revenue_by_nation": q_sql_revenue_by_nation,
         "hnsw_graph_stats": q_hnsw_graph_stats,
         "ivf_ann": q_ivf_ann,
@@ -753,6 +785,14 @@ SELECT e.vec_id,
        least(e.vec_id, coalesce(r.min_neigh, e.vec_id)) AS rep_id,
        least(e.vec_id, coalesce(r.min_neigh, e.vec_id)) <> e.vec_id AS is_dup
 FROM embeddings e LEFT JOIN rep r ON e.vec_id = r.v
+""".strip()
+
+    sql["stream_events_window"] = f"""
+SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '{TS_FMT_DUCK}') AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
 """.strip()
 
     sql["orders_grouping_sets"] = """

@@ -62,17 +62,22 @@ def stream_sliding_avg(
     )
 
 
-def run_stream_as_batch(stream_df: DataFrame, tmp_dir: str) -> DataFrame:
+def run_stream_as_batch(
+    stream_df: DataFrame,
+    tmp_dir: str,
+    name: str = "stream_result",
+    output_mode: str = "complete",
+) -> DataFrame:
     """Execute a streaming aggregation to completion (availableNow) and
     return the final result as a batch DataFrame — the harness used to
     assert stream == batch-twin."""
     q = (
         stream_df.writeStream.format("memory")
-        .queryName("stream_result")
-        .outputMode("complete")
+        .queryName(name)
+        .outputMode(output_mode)
         .option("checkpointLocation", tmp_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.table("stream_result")
+    return stream_df.sparkSession.table(name)
