@@ -323,6 +323,24 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup(_emb(spark, sf_dir), threshold=SIM_THRESHOLD)
 
 
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star composite: a training-data cleaning pipeline built
+    by composing the engine's operators — exact dedup -> quality scoring
+    -> language filter -> token accounting. One declarative plan end to
+    end (Catalyst fuses the three operator joins); at 100 TB each stage
+    is the same linear groupBy/join shape it is standalone."""
+    docs = _docs(spark, sf_dir)
+    kept = dedup.exact_dedup(docs)
+    quality = text_analysis.quality_score(kept).select("doc_id", "n_tokens", "quality")
+    lang = text_analysis.language_id(kept)
+    return (
+        kept.join(quality, "doc_id")
+        .join(lang.filter(F.col("pred_lang") == "en").select("doc_id"), "doc_id", "left_semi")
+        .filter(F.col("quality") >= 0.5)
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
 def q_stream_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming run to completion over the events table (file
     source -> watermarked tumbling windows -> memory sink); the oracle is
@@ -505,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_components": q_neardup_components,
         "orders_grouping_sets": q_orders_grouping_sets,
         "stream_events_window": q_stream_events_window,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "sql_revenue_by_nation": q_sql_revenue_by_nation,
         "hnsw_graph_stats": q_hnsw_graph_stats,
         "ivf_ann": q_ivf_ann,
@@ -928,6 +947,53 @@ SELECT doc_id,
     ELSE 'und'
   END AS pred_lang
 FROM documents
+""".strip()
+
+    sql["pipeline_clean_corpus"] = f"""
+WITH kept AS (
+  SELECT min(doc_id)::BIGINT AS doc_id, text FROM documents GROUP BY text
+),
+t AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+         length(text) AS n_chars
+  FROM kept
+),
+feat AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+         len(list_filter(toks, w -> list_contains([{stop_list}], lower(w))))::DOUBLE
+           / greatest(len(toks), 1) AS stop_ratio,
+         len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1) AS distinct_ratio
+  FROM t
+),
+scored AS (
+  SELECT doc_id, n_tok::INTEGER AS n_tokens,
+         round(0.4 * (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * distinct_ratio
+             + 0.2 * (1.0 - least(punct_ratio * 5, 1.0))
+             + 0.1 * least(stop_ratio * 5, 1.0), 6) AS quality
+  FROM feat
+),
+lang AS (
+  SELECT doc_id,
+    CASE
+      WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+      WHEN regexp_matches(text, '[\\x{{0400}}-\\x{{04ff}}]') THEN 'ru'
+      WHEN regexp_matches(text, '[\\x{{0370}}-\\x{{03ff}}]') THEN 'el'
+      WHEN regexp_matches(text, '[\\x{{3040}}-\\x{{30ff}}]') THEN 'ja'
+      WHEN {marker_hits("es")} > {marker_hits("en")} THEN 'es'
+      WHEN {marker_hits("fr")} > {marker_hits("en")} THEN 'fr'
+      WHEN {marker_hits("de")} > {marker_hits("en")} THEN 'de'
+      WHEN {marker_hits("en")} > 0 THEN 'en'
+      ELSE 'und'
+    END AS pred_lang
+  FROM t
+)
+SELECT s.doc_id, s.n_tokens, s.quality
+FROM scored s JOIN lang l USING (doc_id)
+WHERE l.pred_lang = 'en' AND s.quality >= 0.5
 """.strip()
 
     sql["events_window"] = f"""

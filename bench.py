@@ -37,6 +37,7 @@ HEADLINE = [
     "token_stats",
     "quality_score",
     "tfidf_top_terms",
+    "pipeline_clean_corpus",
     "pricing_summary",
     "top_orders",
     "order_ranks",
