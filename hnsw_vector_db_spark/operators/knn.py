@@ -144,6 +144,10 @@ def knn_batch_twophase(
 
     ensure_package_shipped(vectors.sparkSession)
     qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        return vectors.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, dist double, rank int"
+        )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     if metric == "cosine":
