@@ -29,7 +29,7 @@ SIM_THRESHOLD = 0.35      # embedding near-dup cosine similarity
 JACCARD_THRESHOLD = 0.5   # n-gram near-dup
 MINHASH_K = 8
 LSH_K, LSH_BANDS = 16, 4
-SIMHASH_MAX_HAMMING = 4
+SIMHASH_MAX_HAMMING = 2  # of 31 fingerprint bits (was 4 when the print was 61-bit)
 LSH_PLANES = 6
 LSH_PROBE_HAMMING = 1
 

@@ -347,7 +347,14 @@ def neardup_components(
     )
 
 
-SIMHASH_BITS = 61  # fits in a positive BIGINT in every engine
+# Width MUST match the token-hash range: poly_hash is mod 2^31-1, so token
+# hashes never set bits >= 31 — the per-bit vote for any higher bit is
+# always -n_tokens and that fingerprint bit is always 0. A wider
+# fingerprint (an earlier draft used 61) yields identical integers BUT
+# poisons the pigeonhole candidate join: the all-zero high chunks collide
+# for EVERY document pair, silently degrading candidate generation to a
+# quadratic scan. 31 bits keeps every chunk informative.
+SIMHASH_BITS = 31
 
 
 def simhash_fingerprint(

@@ -57,7 +57,7 @@ def test_minhash_lsh_finds_near_dups(docs):
 def test_simhash_identical_docs_equal(docs):
     fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprint(docs).collect()}
     assert fp[0] == fp[3]
-    assert 0 <= fp[0] < (1 << 61)
+    assert 0 <= fp[0] < (1 << dedup.SIMHASH_BITS)
 
 
 def test_simhash_neardup_includes_exact_dups(docs):
