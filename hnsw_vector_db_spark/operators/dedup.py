@@ -24,7 +24,7 @@ Scale design notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hnsw_vector_db_spark.functions.text import (

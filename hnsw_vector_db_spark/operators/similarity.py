@@ -179,7 +179,7 @@ def ivf_fit(
     partitions exactly like the reference's layer descent prunes the graph.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feat = vectors.withColumn("_feat", array_to_vector(F.col(vector_col).cast("array<double>")))
     km = KMeans(

@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from hnsw_vector_db_spark.operators import dedup
 from hnsw_vector_db_spark.sources.parquet import load_table

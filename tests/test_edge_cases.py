@@ -7,7 +7,6 @@ index IndexErrors at the entry-point lookup)."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from hnsw_vector_db_spark.operators import dedup, text_analysis
 from hnsw_vector_db_spark.operators.knn import knn_batch, knn_batch_twophase, knn_point

@@ -150,8 +150,6 @@ def test_stream_dedup_exact(spark, tmp_path):
 
 
 def test_stream_dedup_by_fingerprint(spark, tmp_path):
-    import pyspark.sql.functions as SF
-
     from hnsw_vector_db_spark.streaming.dedup import stream_dedup_by_fingerprint
 
     src = str(tmp_path / "docs_src")
