@@ -323,6 +323,17 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup(_emb(spark, sf_dir), threshold=SIM_THRESHOLD)
 
 
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-quantizer cell assignment against fixed seed centroids
+    (vec_id < 8) — the incremental index-maintenance path, exactly
+    checkable because the seeds are data, not a KMeans fit."""
+    emb = _emb(spark, sf_dir)
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
+    )
+    return similarity.assign_to_centroids(emb, seeds, metric="euclidean")
+
+
 def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star composite: a training-data cleaning pipeline built
     by composing the engine's operators — exact dedup -> quality scoring
@@ -524,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_grouping_sets": q_orders_grouping_sets,
         "stream_events_window": q_stream_events_window,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "ivf_assign": q_ivf_assign,
         "sql_revenue_by_nation": q_sql_revenue_by_nation,
         "hnsw_graph_stats": q_hnsw_graph_stats,
         "ivf_ann": q_ivf_ann,
@@ -812,6 +824,23 @@ SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '{TS_FMT_DUCK}') AS wind
        count(*)::BIGINT AS n_events,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
+""".strip()
+
+    d_seed = _metric_sql("euclidean", "e.embedding", "s.semb")
+    sql["ivf_assign"] = f"""
+WITH seeds AS (
+  SELECT vec_id AS seed_id, embedding AS semb FROM embeddings WHERE vec_id < 8
+),
+d AS (
+  SELECT e.vec_id, s.seed_id, {d_seed} AS dist
+  FROM embeddings e CROSS JOIN seeds s
+),
+r AS (
+  SELECT vec_id, seed_id, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, seed_id) AS rn
+  FROM d
+)
+SELECT vec_id, seed_id AS cell, round(dist, 6) + 0 AS dist FROM r WHERE rn = 1
 """.strip()
 
     sql["orders_grouping_sets"] = """

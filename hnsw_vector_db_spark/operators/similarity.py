@@ -164,6 +164,46 @@ def lsh_ann_topk(
     )
 
 
+def assign_to_centroids(
+    vectors: DataFrame,
+    seeds: DataFrame,
+    metric: str = "euclidean",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    seed_id_col: str = "seed_id",
+    seed_vec_col: str = "seed_vec",
+) -> DataFrame:
+    """Assign every vector to its nearest seed/centroid — the coarse
+    quantizer step as a standalone, exactly-checkable operator, and the
+    INCREMENTAL index-maintenance path: new rows get a cell from the
+    existing centroids with one broadcast join + argmin, no K-Means refit
+    and no index rebuild (the reference re-runs its whole O(ef) insert
+    machinery per new vector under the global lock,
+    `core/hnsw/graph.py:127-173`).
+
+    Plan: broadcast the (tiny) seed set, score |V| x |S| distances in
+    codegen, per-vector argmin via one min(struct(dist, seed_id)) partial
+    aggregate — no window, no extra shuffle beyond the final groupBy.
+    Ties break on seed id. Output: (vec_id, cell, dist).
+    """
+    scored = vectors.join(F.broadcast(seeds)).withColumn(
+        "_d", distance(F.col(vector_col), F.col(seed_vec_col), metric)
+    )
+    best = (
+        scored.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(F.col("_d").alias("d"), F.col(seed_id_col).alias("s"))
+            ).alias("_best")
+        )
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("_best.s").alias("cell"),
+        F.round("_best.d", 6).alias("dist"),
+    )
+
+
 def ivf_fit(
     vectors: DataFrame,
     n_cells: int = 16,

@@ -115,3 +115,24 @@ def test_similarity_join_symmetric_threshold(spark, emb):
     pairs = similarity.similarity_join(emb.limit(100), threshold=0.2).collect()
     assert all(r["id_a"] < r["id_b"] for r in pairs)
     assert all(r["sim"] >= 0.2 for r in pairs)
+
+
+def test_assign_to_centroids_matches_numpy(spark, emb):
+    from pyspark.sql import functions as SF
+
+    from hnsw_vector_db_spark.operators.similarity import assign_to_centroids
+
+    seeds = emb.filter(SF.col("vec_id") < 8).select(
+        SF.col("vec_id").alias("seed_id"), SF.col("embedding").alias("seed_vec")
+    )
+    got = {r["vec_id"]: r["cell"] for r in assign_to_centroids(emb, seeds).collect()}
+    X = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    S = {i: X[i] for i in range(8)}
+    for vid, x in X.items():
+        dists = {sid: float(np.linalg.norm(x - sv)) for sid, sv in S.items()}
+        best = min(dists, key=lambda s: (dists[s], s))
+        assert got[vid] == best
+    # incremental property: assigning a subset gives the same cells
+    sub = emb.filter(SF.col("vec_id") % 3 == 0)
+    inc = {r["vec_id"]: r["cell"] for r in assign_to_centroids(sub, seeds).collect()}
+    assert all(got[v] == c for v, c in inc.items())
