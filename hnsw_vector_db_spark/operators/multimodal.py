@@ -85,6 +85,53 @@ def decode_features(
     return media.mapInPandas(run, schema)
 
 
+def resize_media(
+    media: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize plumbing: payload -> resized payload + output dims, as an
+    Arrow-batched mapInPandas stage. The pixel transform is STUBBED (no
+    PIL in this container): the fake 'resize' deterministically truncates/
+    cycles the byte stream to w*h bytes so output sizes are exact and
+    testable; a real decoder swaps ``_resize_one`` only. The contract that
+    matters at scale is intact: binary in/binary out, per-batch Python
+    cost, output size metadata as typed columns for downstream pruning."""
+    import pandas as pd
+
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+    n_bytes = target_w * target_h
+
+    def _resize_one(payload: bytes) -> bytes:
+        if payload is None:
+            return b""
+        reps = -(-n_bytes // max(len(payload), 1))
+        return (payload * reps)[:n_bytes]
+
+    def run(batches):
+        for pdf in batches:
+            out = [_resize_one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    payload_col: out,
+                    "width": target_w,
+                    "height": target_h,
+                    "payload_bytes": [len(b) for b in out],
+                }
+            )
+
+    schema = (
+        f"{id_col} long, {payload_col} binary, width int, height int, "
+        "payload_bytes long"
+    )
+    return media.mapInPandas(run, schema)
+
+
 def frame_sample_plan(
     media: DataFrame,
     every_n: int = 10,

@@ -55,3 +55,19 @@ def test_frame_sample_fanout(spark, sf_dir):
         expected = (sizes[doc_id] // 50) // 10 + 1
         assert n == expected
     assert set(per_doc) == set(sizes)
+
+
+def test_resize_media_shapes(spark, sf_dir):
+    from hnsw_vector_db_spark.operators.multimodal import resize_media
+
+    media = attach_payload(load_table(spark, sf_dir, "documents")).limit(20)
+    out = resize_media(media, target_w=16, target_h=8)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["payload_bytes"] == 16 * 8
+        assert len(bytes(r["payload"])) == 16 * 8
+        assert (r["width"], r["height"]) == (16, 8)
+    # deterministic: same input bytes -> same output bytes
+    again = {r["doc_id"]: bytes(r["payload"]) for r in resize_media(media, 16, 8).collect()}
+    assert all(bytes(r["payload"]) == again[r["doc_id"]] for r in rows)
