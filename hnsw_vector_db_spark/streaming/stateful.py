@@ -76,7 +76,12 @@ def _session_fn(gap_us: int):
                     emit(start, last, n, s)
                     start, last, n, s = t, t, 1, float(v)
                 else:
-                    last, n, s = t, n + 1, float(s + v)
+                    # a late-but-in-watermark event from a later micro-batch
+                    # can precede the open session: widen the bounds instead
+                    # of rewinding `last` (which would corrupt later gap
+                    # decisions) — matches the batch twin's global sort
+                    start, last = min(start, t), max(last, t)
+                    n, s = n + 1, float(s + v)
             state.update((start, last, n, s))
             # close the open session once event time passes last + gap
             state.setTimeoutTimestamp((last + gap_us) // 1000)  # ms

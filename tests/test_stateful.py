@@ -176,3 +176,24 @@ def test_stream_dedup_by_fingerprint(spark, tmp_path):
     assert 2 in kept
     assert len(kept & {1, 3}) == 1  # exactly one copy of the duplicate text
     assert set(spark.table("fp_dedup").columns) == {"doc_id", "ts", "text"}
+
+
+def test_stream_sessionize_late_in_watermark_event(spark, tmp_path):
+    """A late event (within the watermark) arriving in a later micro-batch
+    must widen the open session, not rewind it: final session is
+    [2min, 20min] with all 4 events."""
+    batch1 = [(1, _min(10), 1.0), (1, _min(20), 2.0)]
+    late = [(1, _min(2), 4.0)]  # before the open session's start
+    flush = [(9, _min(10_000), 0.0)]
+    rows = _run_files_stream(
+        spark,
+        tmp_path,
+        [batch1, late, flush],
+        lambda s: stream_sessionize(s, gap="30 minutes", watermark="2 hours"),
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in rows
+        if r.user_id == 1
+    }
+    assert got == {(1, _min(2), _min(20), 3, 7.0)}
