@@ -72,9 +72,12 @@ class LocalHNSW:
         dists = self._dist(q, np.array(entries))
         frontier = [(d, n) for d, n in zip(dists, entries)]
         heapq.heapify(frontier)
-        best: list[tuple[float, int]] = [(-d, n) for d, n in frontier]
-        heapq.heapify(best)
-        best = heapq.nsmallest(ef, best)
+        # keep the ef SMALLEST distances = the ef LARGEST negated keys
+        # (nsmallest here would seed the beam with the worst candidates —
+        # latent only, since callers pass <= ef entry points, but wrong)
+        best: list[tuple[float, int]] = heapq.nlargest(
+            ef, ((-d, n) for d, n in frontier)
+        )
         heapq.heapify(best)
         graph = self.adj[level]
         while frontier:
