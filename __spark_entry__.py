@@ -323,6 +323,22 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup(_emb(spark, sf_dir), threshold=SIM_THRESHOLD)
 
 
+_ORDERS_ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders o
+WHERE o_totalprice > 1.5 * (
+  SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+""".strip()
+
+
+def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates it into an
+    aggregate + join — check .explain: no per-row re-execution)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_ORDERS_ABOVE_AVG_SQL)
+
+
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coarse-quantizer cell assignment against fixed seed centroids
     (vec_id < 8) — the incremental index-maintenance path, exactly
@@ -536,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_window": q_stream_events_window,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "ivf_assign": q_ivf_assign,
+        "orders_above_avg": q_orders_above_avg,
         "sql_revenue_by_nation": q_sql_revenue_by_nation,
         "hnsw_graph_stats": q_hnsw_graph_stats,
         "ivf_ann": q_ivf_ann,
@@ -825,6 +842,8 @@ SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '{TS_FMT_DUCK}') AS wind
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
 """.strip()
+
+    sql["orders_above_avg"] = _ORDERS_ABOVE_AVG_SQL
 
     d_seed = _metric_sql("euclidean", "e.embedding", "s.semb")
     sql["ivf_assign"] = f"""
