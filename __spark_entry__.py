@@ -323,6 +323,14 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup(_emb(spark, sf_dir), threshold=SIM_THRESHOLD)
 
 
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.interarrival_stats(_events(spark, sf_dir))
+
+
+def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_orders_per_customer(load_table(spark, sf_dir, "orders"), k=3)
+
+
 _ORDERS_ABOVE_AVG_SQL = """
 SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
 FROM orders o
@@ -553,6 +561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "ivf_assign": q_ivf_assign,
         "orders_above_avg": q_orders_above_avg,
+        "interarrival_stats": q_interarrival,
+        "top_orders_per_cust": q_top_orders_per_cust,
         "sql_revenue_by_nation": q_sql_revenue_by_nation,
         "hnsw_graph_stats": q_hnsw_graph_stats,
         "ivf_ann": q_ivf_ann,
@@ -844,6 +854,30 @@ FROM events GROUP BY 1, 2
 """.strip()
 
     sql["orders_above_avg"] = _ORDERS_ABOVE_AVG_SQL
+
+    sql["interarrival_stats"] = """
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) // 1000000) - lag(epoch_us(ts) // 1000000)
+           OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       round(avg(gap), 6) AS avg_gap_s, max(gap) AS max_gap_s
+FROM g GROUP BY user_id
+""".strip()
+
+    sql["top_orders_per_cust"] = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       rnk::INTEGER AS rnk
+FROM r WHERE rnk <= 3
+""".strip()
 
     d_seed = _metric_sql("euclidean", "e.embedding", "s.semb")
     sql["ivf_assign"] = f"""

@@ -219,3 +219,26 @@ def json_props_stats(
             F.max("_k").alias("max_k"),
         )
     )
+
+
+def interarrival_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-user inter-event gap statistics via lag windows — one shuffle
+    on the key, then plain aggregation of the per-row deltas. Output
+    (user_id, n_events, avg_gap_s, max_gap_s)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gaps = events.withColumn(
+        "_gap",
+        F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w),
+    )
+    return (
+        gaps.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("_gap"), 6).alias("avg_gap_s"),
+            F.max("_gap").alias("max_gap_s"),
+        )
+    )

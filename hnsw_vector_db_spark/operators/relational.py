@@ -203,3 +203,24 @@ def salted_agg(
             F.round(F.sum("_sum"), 6).alias("sum_value"),
         )
     )
+
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Per-group top-k (k most expensive orders per customer). Spark 4
+    plans the rank filter as WindowGroupLimit pushed BELOW the exchange —
+    each map task pre-prunes to its local top-k per key, so the shuffle
+    carries ~k rows per (key, input partition), not the whole table.
+    Output (o_custkey, o_orderkey, o_totalprice, rnk)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "rnk",
+        )
+    )

@@ -76,3 +76,14 @@ def test_dedup_pair_joins_are_hash_joins(spark, qs):
         plan = physical_plan(qs[name](spark, SF))
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_group_topk_rank_pushes_below_exchange(spark, qs):
+    """row_number()<=k must plan WindowGroupLimit BELOW the exchange: map
+    tasks pre-prune to local top-k per key before shuffling."""
+    plan = physical_plan(qs["top_orders_per_cust"](spark, SF))
+    lines = plan.splitlines()
+    wgl = [i for i, ln in enumerate(lines) if "WindowGroupLimit" in ln]
+    exch = [i for i, ln in enumerate(lines) if "Exchange" in ln]
+    assert wgl and exch
+    assert max(wgl) > min(exch), plan  # a WindowGroupLimit sits below the shuffle
