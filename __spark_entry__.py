@@ -323,6 +323,24 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup(_emb(spark, sf_dir), threshold=SIM_THRESHOLD)
 
 
+def q_user_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: per-user map<event_type, count> built with
+    map_from_entries(collect_list(struct)), then exploded back to rows —
+    the map-column surface (reference metadata is a per-row dict,
+    `api/rest/server.py:75`; this is its columnar form). Oracle: the
+    explode of the map must equal the plain two-key group-by."""
+    ev = _events(spark, sf_dir)
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("type_counts")
+    )
+    return maps.select(
+        "user_id", F.explode("type_counts").alias("event_type", "n_events")
+    )
+
+
 def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.interarrival_stats(_events(spark, sf_dir))
 
@@ -562,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "orders_above_avg": q_orders_above_avg,
         "interarrival_stats": q_interarrival,
+        "user_type_map": q_user_type_map,
         "top_orders_per_cust": q_top_orders_per_cust,
         "sql_revenue_by_nation": q_sql_revenue_by_nation,
         "hnsw_graph_stats": q_hnsw_graph_stats,
@@ -854,6 +873,11 @@ FROM events GROUP BY 1, 2
 """.strip()
 
     sql["orders_above_avg"] = _ORDERS_ABOVE_AVG_SQL
+
+    sql["user_type_map"] = """
+SELECT user_id, event_type, count(*)::BIGINT AS n_events
+FROM events GROUP BY 1, 2
+""".strip()
 
     sql["interarrival_stats"] = """
 WITH g AS (
