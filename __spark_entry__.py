@@ -323,6 +323,15 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup(_emb(spark, sf_dir), threshold=SIM_THRESHOLD)
 
 
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (8 subspaces, seed-vector codebooks)."""
+    emb = _emb(spark, sf_dir)
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
+    )
+    return similarity.pq_encode(emb, seeds, n_subspaces=8, dim=64)
+
+
 def q_user_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType round-trip: per-user map<event_type, count> built with
     map_from_entries(collect_list(struct)), then exploded back to rows —
@@ -581,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_above_avg": q_orders_above_avg,
         "interarrival_stats": q_interarrival,
         "user_type_map": q_user_type_map,
+        "pq_encode": q_pq_encode,
         "top_orders_per_cust": q_top_orders_per_cust,
         "sql_revenue_by_nation": q_sql_revenue_by_nation,
         "hnsw_graph_stats": q_hnsw_graph_stats,
@@ -873,6 +883,27 @@ FROM events GROUP BY 1, 2
 """.strip()
 
     sql["orders_above_avg"] = _ORDERS_ABOVE_AVG_SQL
+
+    d_blk = (
+        "sqrt(list_sum(list_transform("
+        "list_zip(e.embedding[m*8+1 : m*8+8]::DOUBLE[], s.semb[m*8+1 : m*8+8]::DOUBLE[]),"
+        " x -> (x[1]-x[2])*(x[1]-x[2]))))"
+    )
+    sql["pq_encode"] = f"""
+WITH seeds AS (
+  SELECT vec_id AS seed_id, embedding AS semb FROM embeddings WHERE vec_id < 8
+),
+d AS (
+  SELECT e.vec_id, t.m::INTEGER AS m, s.seed_id, {d_blk} AS dist
+  FROM embeddings e CROSS JOIN range(0, 8) t(m) CROSS JOIN seeds s
+),
+r AS (
+  SELECT vec_id, m, seed_id, dist,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, seed_id) AS rn
+  FROM d
+)
+SELECT vec_id, m, seed_id AS code, round(dist, 6) + 0 AS dist FROM r WHERE rn = 1
+""".strip()
 
     sql["user_type_map"] = """
 SELECT user_id, event_type, count(*)::BIGINT AS n_events

@@ -261,3 +261,94 @@ def ivf_topk(
         .orderBy(F.col("dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    seeds: DataFrame,
+    n_subspaces: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    seed_id_col: str = "seed_id",
+    seed_vec_col: str = "seed_vec",
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into
+    ``n_subspaces`` contiguous blocks and store, per block, the id of the
+    nearest codebook entry — compressing dim floats to n_subspaces small
+    ints (the memory trick every large-scale ANN system ships; Jégou et
+    al., TPAMI 2011, public). Codebooks here are the seed rows' own
+    subvectors (data, not a KMeans fit), which keeps encoding exactly
+    reproducible in SQL.
+
+    Plan: explode the (tiny) seeds x subspace grid, broadcast it, compute
+    per-block distances in codegen, argmin via one min(struct) aggregate
+    — one shuffle on (id, m). Long-form output (vec_id, m, code, dist)
+    so the oracle hash-compares scalar rows.
+    """
+    width = dim // n_subspaces
+    sub = F.array(*[F.lit(m) for m in range(n_subspaces)])
+    v = vectors.select(
+        F.col(id_col), F.explode(sub).alias("m"), F.col(vector_col)
+    ).withColumn(
+        "_block", F.slice(F.col(vector_col), F.col("m") * width + 1, width)
+    ).drop(vector_col)
+    s = seeds.select(
+        F.col(seed_id_col), F.explode(sub).alias("m"), F.col(seed_vec_col)
+    ).withColumn(
+        "_sblock", F.slice(F.col(seed_vec_col), F.col("m") * width + 1, width)
+    ).drop(seed_vec_col)
+    scored = v.join(F.broadcast(s), "m").withColumn(
+        "_d", distance(F.col("_block"), F.col("_sblock"), "euclidean")
+    )
+    best = scored.groupBy(id_col, "m").agg(
+        F.min(
+            F.struct(F.col("_d").alias("d"), F.col(seed_id_col).alias("s"))
+        ).alias("_best")
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("m").cast("int"),
+        F.col("_best.s").alias("code"),
+        F.round("_best.d", 6).alias("dist"),
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    seeds: DataFrame,
+    query,
+    k: int = 10,
+    n_subspaces: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    seed_id_col: str = "seed_id",
+    seed_vec_col: str = "seed_vec",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    exact; each encoded vector's distance is approximated by summing the
+    per-block distances query-block -> codebook-entry, looked up from a
+    tiny broadcast table. The corpus scan touches only (id, m, code) —
+    the 100 TB read shrinks by ~dim*4/n_subspaces x. Exact re-rank of
+    the top candidates restores precision (standard PQ practice)."""
+    import numpy as np
+
+    width = dim // n_subspaces
+    q = np.asarray(list(query), dtype=np.float64)
+    srows = seeds.select(seed_id_col, seed_vec_col).collect()
+    lut = []  # (m, code, partial_dist^2)
+    for r in srows:
+        sv = np.asarray(list(r[seed_vec_col]), dtype=np.float64)
+        for m in range(n_subspaces):
+            dd = q[m * width : (m + 1) * width] - sv[m * width : (m + 1) * width]
+            lut.append((m, int(r[seed_id_col]), float((dd * dd).sum())))
+    lut_df = codes.sparkSession.createDataFrame(
+        lut, "m int, code long, psq double"
+    )
+    return (
+        codes.join(F.broadcast(lut_df), ["m", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sqrt(F.sum("psq")), 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

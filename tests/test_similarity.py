@@ -136,3 +136,33 @@ def test_assign_to_centroids_matches_numpy(spark, emb):
     sub = emb.filter(SF.col("vec_id") % 3 == 0)
     inc = {r["vec_id"]: r["cell"] for r in assign_to_centroids(sub, seeds).collect()}
     assert all(got[v] == c for v, c in inc.items())
+
+
+def test_pq_adc_recall(spark, emb, ground_truth):
+    """ADC over PQ codes is a coarse approximation; with 8 seed codebooks
+    its top-30 should still catch most of the exact top-10 — and exact
+    re-rank of those candidates restores precision."""
+    from pyspark.sql import functions as SF
+
+    from hnsw_vector_db_spark.operators.knn import knn_point
+    from hnsw_vector_db_spark.operators.similarity import pq_adc_topk, pq_encode
+
+    seeds = emb.filter(SF.col("vec_id") < 8).select(
+        SF.col("vec_id").alias("seed_id"), SF.col("embedding").alias("seed_vec")
+    )
+    codes = pq_encode(emb, seeds).cache()
+    qv = emb.filter(SF.col("vec_id") == 0).first()["embedding"]
+    exact = {
+        r["vec_id"]
+        for r in knn_point(emb, qv, k=10, metric="euclidean").collect()
+    }
+    adc = [r["vec_id"] for r in pq_adc_topk(codes, seeds, qv, k=30).collect()]
+    assert len(adc) == 30
+    # candidate recall: most exact neighbors inside the ADC shortlist
+    assert len(exact & set(adc)) >= 5
+    # exact re-rank of the shortlist must rank the true NN (itself) first
+    shortlist = emb.join(
+        spark.createDataFrame([(v,) for v in adc], "vec_id long"), "vec_id"
+    )
+    rer = knn_point(shortlist, qv, k=1, metric="euclidean").first()
+    assert rer["vec_id"] == 0
