@@ -503,6 +503,18 @@ def q_hnsw_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hnsw_graph_stats(hnsw_edges(assigned))
 
 
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC shortlist over PQ codes (rows-only: approximate by design;
+    recall measured in tests/test_similarity.py)."""
+    emb = _emb(spark, sf_dir)
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
+    )
+    codes = similarity.pq_encode(emb, seeds, n_subspaces=8, dim=64)
+    qv = _query_vec(spark, sf_dir)
+    return similarity.pq_adc_topk(codes, seeds, qv, k=20)
+
+
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     assigned, centroids = similarity.ivf_fit(emb, n_cells=8)
@@ -595,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_revenue_by_nation": q_sql_revenue_by_nation,
         "hnsw_graph_stats": q_hnsw_graph_stats,
         "ivf_ann": q_ivf_ann,
+        "pq_adc": q_pq_adc,
         "hnsw_ann": q_hnsw_ann,
         "multimodal_features": q_multimodal_features,
     }

@@ -33,6 +33,7 @@ def test_oracle_keys_subset_of_queries():
         "hnsw_ann",
         "multimodal_features",
         "hnsw_graph_stats",
+        "pq_adc",
     }
 
 
