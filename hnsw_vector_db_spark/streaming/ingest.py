@@ -87,11 +87,14 @@ def start_ingest(
         sp = batch_df.sparkSession
         if os.path.exists(table_dir):
             table = sp.read.parquet(table_dir)
-            new = apply_commands_batch(table, batch_df)
         else:
-            new = batch_df.filter(F.col("op") == "insert").select(
-                "vec_id", "embedding", "label"
+            # bootstrap through the SAME fold as every other batch: a raw
+            # "keep the inserts" shortcut would mishandle a first batch
+            # holding duplicate ids or insert-then-delete sequences
+            table = sp.createDataFrame(
+                [], "vec_id long, embedding array<float>, label string"
             )
+        new = apply_commands_batch(table, batch_df)
         # localCheckpoint materializes before overwriting the input path
         new.localCheckpoint(eager=True).write.mode("overwrite").parquet(table_dir)
 

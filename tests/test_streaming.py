@@ -90,3 +90,26 @@ def test_stream_window_equals_batch(spark, sf_dir, tmp_path):
         for r in result.collect()
     }
     assert b == s
+
+
+def test_streaming_ingest_bootstrap_batch_folds_commands(spark, tmp_path):
+    """The FIRST micro-batch must apply last-per-id + delete semantics,
+    not just keep every insert row."""
+    log_dir = str(tmp_path / "log0")
+    table_dir = str(tmp_path / "table0")
+    ckpt = str(tmp_path / "ckpt0")
+    os.makedirs(log_dir)
+    batch = spark.createDataFrame(
+        [
+            ("insert", 1, [1.0], "a", 1),
+            ("insert", 1, [9.0], "a2", 2),   # same-id update in same batch
+            ("insert", 2, [2.0], "b", 3),
+            ("delete", 2, None, None, 4),    # insert-then-delete in same batch
+        ],
+        COMMAND_SCHEMA,
+    )
+    batch.coalesce(1).write.mode("append").parquet(log_dir)
+    q = start_ingest(spark, log_dir, table_dir, ckpt)
+    q.awaitTermination()
+    got = {r["vec_id"]: r["label"] for r in spark.read.parquet(table_dir).collect()}
+    assert got == {1: "a2"}
