@@ -323,6 +323,11 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup(_emb(spark, sf_dir), threshold=SIM_THRESHOLD)
 
 
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return table.train_val_split(docs, val_pct=10)
+
+
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes (8 subspaces, seed-vector codebooks)."""
     emb = _emb(spark, sf_dir)
@@ -603,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_stats": q_interarrival,
         "user_type_map": q_user_type_map,
         "pq_encode": q_pq_encode,
+        "train_val_split": q_train_val_split,
         "top_orders_per_cust": q_top_orders_per_cust,
         "sql_revenue_by_nation": q_sql_revenue_by_nation,
         "hnsw_graph_stats": q_hnsw_graph_stats,
@@ -896,6 +902,13 @@ FROM events GROUP BY 1, 2
 """.strip()
 
     sql["orders_above_avg"] = _ORDERS_ABOVE_AVG_SQL
+
+    sql["train_val_split"] = f"""
+SELECT doc_id,
+       CASE WHEN ({_poly_sql("doc_id::VARCHAR")}) % 100 < 10
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+""".strip()
 
     d_blk = (
         "sqrt(list_sum(list_transform("

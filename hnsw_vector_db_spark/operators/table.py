@@ -103,3 +103,24 @@ def attach_metadata(
     broadcast hash join). Left join: hits without metadata keep nulls, as
     the reference's ``.get(id, {})`` does."""
     return results.join(F.broadcast(metadata), id_col, "left")
+
+
+def train_val_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val split by portable hash of the id: row ->
+    'val' iff poly_hash(str(id)) % 100 < val_pct. Pure codegen projection,
+    no shuffle, and the SAME rows land in 'val' on any cluster, any
+    partitioning, any engine that reproduces the hash (the property random
+    splits lose the moment data moves). The assignment also survives
+    appends — new rows don't reshuffle old ones, unlike randomSplit.
+    """
+    from hnsw_vector_db_spark.functions.text import poly_hash
+
+    bucket = poly_hash(F.col(id_col).cast("string")) % 100
+    return df.withColumn(
+        split_col, F.when(bucket < val_pct, F.lit("val")).otherwise(F.lit("train"))
+    )

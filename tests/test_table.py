@@ -97,3 +97,18 @@ def test_label_centroids_matches_numpy(spark, sf_dir):
         cent, n = got[label]
         assert n == len(vecs)
         assert np.allclose(cent, np.round(np.mean(vecs, axis=0), 6), atol=1e-9)
+
+
+def test_train_val_split_deterministic_and_append_stable(spark, sf_dir):
+    from hnsw_vector_db_spark.operators.table import train_val_split
+    from hnsw_vector_db_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    full = {r["doc_id"]: r["split"] for r in train_val_split(docs, val_pct=10).collect()}
+    assert set(full.values()) == {"train", "val"}
+    frac = sum(1 for v in full.values() if v == "val") / len(full)
+    assert 0.03 < frac < 0.25  # ~10% with hash noise at 500 rows
+    # append-stability: splitting any subset gives identical assignments
+    sub = docs.filter("doc_id % 2 = 0")
+    sub_split = {r["doc_id"]: r["split"] for r in train_val_split(sub, val_pct=10).collect()}
+    assert all(full[k] == v for k, v in sub_split.items())
