@@ -323,6 +323,38 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup(_emb(spark, sf_dir), threshold=SIM_THRESHOLD)
 
 
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN: top-k restricted to a metadata predicate (label in
+    (1,2,3)) — the reference cannot filter on metadata at all
+    (`api/rest/server.py:174` only echoes it). The filter composes BELOW
+    the top-k, so the scan prunes first and the heap sees only matching
+    rows."""
+    qv = _query_vec(spark, sf_dir)
+    emb = _emb(spark, sf_dir).filter(F.col("label").isin(1, 2, 3))
+    res = knn_point(emb, qv, k=10, metric="cosine")
+    return res.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
+def q_lang_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table join: documents x embeddings on shared ids, avg vector
+    norm per language — the doc-metadata-to-vector bridge every multimodal
+    corpus query needs."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    emb = _emb(spark, sf_dir)
+    from hnsw_vector_db_spark.functions.distance import norm
+
+    return (
+        emb.join(docs, "vec_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(norm("embedding")), 6).alias("avg_norm"),
+        )
+    )
+
+
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id")
     return table.train_val_split(docs, val_pct=10)
@@ -609,6 +641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_type_map": q_user_type_map,
         "pq_encode": q_pq_encode,
         "train_val_split": q_train_val_split,
+        "knn_filtered": q_knn_filtered,
+        "lang_embedding_norms": q_lang_embedding_norms,
         "top_orders_per_cust": q_top_orders_per_cust,
         "sql_revenue_by_nation": q_sql_revenue_by_nation,
         "hnsw_graph_stats": q_hnsw_graph_stats,
@@ -902,6 +936,23 @@ FROM events GROUP BY 1, 2
 """.strip()
 
     sql["orders_above_avg"] = _ORDERS_ABOVE_AVG_SQL
+
+    d_cosq = _metric_sql("cosine", "e.embedding", "q.embedding")
+    sql["knn_filtered"] = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({d_cosq}, 6) + 0 AS dist
+FROM embeddings e, q
+WHERE e.label IN (1, 2, 3)
+ORDER BY {d_cosq}, e.vec_id
+LIMIT 10
+""".strip()
+
+    sql["lang_embedding_norms"] = """
+SELECT d.lang, count(*)::BIGINT AS n,
+       round(avg(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS avg_norm
+FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+GROUP BY d.lang
+""".strip()
 
     sql["train_val_split"] = f"""
 SELECT doc_id,
