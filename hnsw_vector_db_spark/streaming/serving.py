@@ -1,0 +1,56 @@
+"""Streaming ANN serving — continuous top-k answering over a query stream.
+
+The reference serves point queries over REST, one request at a time under
+the index lock (`api/rest/server.py:159-186`, `core/hnsw/graph.py:70`).
+The Spark-native serving shape is micro-batch: a stream of query vectors
+(file drop / Kafka topic) is answered per trigger with the set-oriented
+kNN operators against a static (periodically refreshed) corpus, results
+appended to a sink. Latency is trigger-bound (seconds, not ms — this is
+the near-line tier; see README limitations), but throughput scales with
+executors and a 10^5-query burst costs the same plan as 10 queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERY_SCHEMA = "query_id long, query_vec array<float>"
+
+
+def read_query_stream(spark: SparkSession, query_dir: str) -> DataFrame:
+    return spark.readStream.schema(QUERY_SCHEMA).parquet(query_dir)
+
+
+def start_knn_serving(
+    spark: SparkSession,
+    query_dir: str,
+    corpus: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    metric: str = "cosine",
+):
+    """Answer each micro-batch of queries with exact batch kNN against the
+    (cached) corpus and append (query_id, vec_id, dist, rank) to a parquet
+    sink. Exactly-once per query batch via the checkpoint. At 100 TB the
+    corpus side would be the bucketed/IVF-partitioned table and the
+    per-batch operator an approximate path (knn_auto handles the switch).
+    """
+    from hnsw_vector_db_spark.operators.knn import knn_auto
+
+    corpus = corpus.cache()
+    corpus.count()  # materialize once; every micro-batch reuses it
+
+    def _answer(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = knn_auto(batch_df, corpus, k=k, metric=metric)
+        res.write.mode("append").parquet(out_dir)
+
+    return (
+        read_query_stream(spark, query_dir)
+        .writeStream.foreachBatch(_answer)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -113,3 +113,32 @@ def test_streaming_ingest_bootstrap_batch_folds_commands(spark, tmp_path):
     q.awaitTermination()
     got = {r["vec_id"]: r["label"] for r in spark.read.parquet(table_dir).collect()}
     assert got == {1: "a2"}
+
+
+def test_streaming_knn_serving_matches_batch(spark, sf_dir, tmp_path):
+    """Queries streamed in two micro-batches get the same answers as one
+    batch knn over the union."""
+    from pyspark.sql import functions as SF
+
+    from hnsw_vector_db_spark.operators.knn import knn_batch
+    from hnsw_vector_db_spark.sources.parquet import load_table
+    from hnsw_vector_db_spark.streaming.serving import start_knn_serving
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(SF.col("vec_id") < 6).select(
+        SF.col("vec_id").alias("query_id"), SF.col("embedding").alias("query_vec")
+    )
+    qdir, out, ckpt = (str(tmp_path / d) for d in ("q", "out", "ckpt"))
+    queries.filter("query_id < 3").coalesce(1).write.mode("append").parquet(qdir)
+    queries.filter("query_id >= 3").coalesce(1).write.mode("append").parquet(qdir)
+    q = start_knn_serving(spark, qdir, emb, out, ckpt, k=5)
+    q.awaitTermination()
+    served = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in knn_batch(queries, emb, k=5).collect()
+    }
+    assert served == batch
