@@ -307,14 +307,13 @@ def q_customer_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select("doc_id", "lang")
-    out = table.assign_ids(docs, start=1000, id_col="new_id", order_col=None)
     # deterministic order: by (lang, doc_id) via explicit order col
-    from hnsw_vector_db_spark.operators.table import assign_ids as _aid
-    import pyspark.sql.functions as _F
-
-    docs2 = docs.withColumn("_ord", _F.concat_ws("|", "lang", _F.lpad(_F.col("doc_id").cast("string"), 10, "0")))
-    return _aid(docs2, start=1000, id_col="new_id", order_col="_ord").select(
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    docs2 = docs.withColumn(
+        "_ord",
+        F.concat_ws("|", "lang", F.lpad(F.col("doc_id").cast("string"), 10, "0")),
+    )
+    return table.assign_ids(docs2, start=1000, id_col="new_id", order_col="_ord").select(
         "new_id", "doc_id", "lang"
     )
 
@@ -398,15 +397,18 @@ def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORDERS_ABOVE_AVG_SQL = """
 SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
 FROM orders o
-WHERE o_totalprice > 1.5 * (
+WHERE round(o_totalprice, 2) > round(1.5 * (
   SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
-)
+), 2)
 """.strip()
 
 
 def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (Catalyst decorrelates it into an
-    aggregate + join — check .explain: no per-row re-execution)."""
+    aggregate + join — check .explain: no per-row re-execution). Both
+    sides of the threshold predicate are rounded to 2dp so Spark's and
+    DuckDB's different float summation orders cannot flip a borderline
+    row's membership."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_ORDERS_ABOVE_AVG_SQL)
 

@@ -362,8 +362,8 @@ def simhash_fingerprint(
 ) -> DataFrame:
     """SimHash: per-token poly hash; fingerprint bit b is 1 iff the sum of
     (+1/-1 for token-hash bit b) over all tokens is positive. Output
-    (id, simhash BIGINT). One explode + one groupBy with 61 conditional-sum
-    aggregates — linear, one shuffle on id.
+    (id, simhash BIGINT). One explode + one groupBy with SIMHASH_BITS
+    conditional-sum aggregates — linear, one shuffle on id.
     """
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     tok = (
@@ -392,8 +392,8 @@ def simhash_near_dup(
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Candidate generation is the pigeonhole chunk trick: split the 61-bit
-    fingerprint into max_hamming+1 chunks; any pair within the hamming
+    Candidate generation is the pigeonhole chunk trick: split the
+    SIMHASH_BITS-bit fingerprint into max_hamming+1 chunks; any pair within the hamming
     budget must agree exactly on >= 1 chunk, so candidates come from
     equi-joins on (chunk_id, chunk_value) — no quadratic scan. Output:
     (doc_a, doc_b, hamming).

@@ -131,11 +131,14 @@ def knn_batch_twophase(
     Phase 1 (mapInPandas over the corpus, queries broadcast as a dense
     matrix): each Arrow batch computes the full Q x B distance block with
     one BLAS matmul and keeps only the per-query top-k of that batch —
-    so the shuffle carries at most Q * k * num_partitions candidate rows
+    so the shuffle carries at most ~Q * k * num_partitions candidate rows
     instead of Q * N. Phase 2: one window rank over that small candidate
     set. Same exact semantics as ``knn_batch`` (same distances, same id
-    tiebreak); the plan trades the JVM-codegen distance for numpy's BLAS,
-    which wins from a few hundred queries upward.
+    tiebreak): the per-batch shortlist keeps EVERY candidate tied at the
+    k-th distance (argpartition alone could drop a tied lower-id row), so
+    the final window's (dist, id) ordering sees all tie contenders. The
+    plan trades the JVM-codegen distance for numpy's BLAS, which wins from
+    a few hundred queries upward.
     """
     import numpy as np
     import pandas as pd
@@ -178,13 +181,18 @@ def knn_batch_twophase(
                     )
                 )
             kk = min(k, D.shape[0])
-            part = np.argpartition(D, kk - 1, axis=0)[:kk]  # (kk, Q)
+            part = np.argpartition(D, kk - 1, axis=0)  # (B, Q), first kk smallest
             out_qid, out_id, out_dist = [], [], []
             for j in range(D.shape[1]):
-                rows = part[:, j]
+                col = D[:, j]
+                # tie-expand: include everything <= the kk-th smallest
+                # distance, so ties at the boundary survive to the final
+                # (dist, id) window rank — exact id-tiebreak semantics
+                kth = col[part[kk - 1, j]]
+                rows = np.flatnonzero(col <= kth)
                 out_qid.extend([qids[j]] * len(rows))
                 out_id.extend(ids[rows])
-                out_dist.extend(D[rows, j])
+                out_dist.extend(col[rows])
             yield pd.DataFrame(
                 {query_id_col: out_qid, id_col: out_id, "dist": out_dist}
             )

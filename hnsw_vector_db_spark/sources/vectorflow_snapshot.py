@@ -296,7 +296,17 @@ def write_snapshot(
     """Export a vectors table (id, vector[, level][, metadata]) back into
     the reference's exact three-file layout so a VectorFlow node can load
     it (`engine.py:70-115`). Collects to the driver — bounded by the
-    reference's own 1M-vector capacity, this is a migration sink."""
+    reference's own 1M-vector capacity, this is a migration sink.
+
+    With ``edges=None`` every node is written with empty connections; the
+    reference loads such a snapshot but its search can only ever reach the
+    entry point, so we warn loudly — pass the ``hnsw_edges`` output (or
+    ``read_snapshot_edges`` of another snapshot) for a searchable export.
+    The entry point defaults to the reference's invariant choice — a node
+    of MAXIMUM level (`core/hnsw/graph.py:170-173` moves entry_point up
+    whenever a higher-level node is inserted) — with min-id tiebreak."""
+    import warnings
+
     os.makedirs(path, exist_ok=True)
     cols = vectors.columns
     data = vectors.orderBy("id").collect()
@@ -306,7 +316,25 @@ def write_snapshot(
             adj.setdefault(int(r["src"]), {}).setdefault(int(r["layer"]), []).append(
                 int(r["dst"])
             )
+    else:
+        warnings.warn(
+            "write_snapshot called with edges=None: the exported graph has no "
+            "connections, so a VectorFlow node loading it will only ever find "
+            "the entry point. Pass hnsw_edges(...) output for a searchable "
+            "snapshot.",
+            stacklevel=2,
+        )
     dim = len(data[0]["vector"]) if data else 0
+
+    def _level(r) -> int:
+        return int(r["level"]) if "level" in cols and r["level"] is not None else 0
+
+    # reference invariant: entry_point is a max-level node (graph.py:170-173)
+    entry = (
+        min((r for r in data), key=lambda r: (-_level(r), int(r["id"])))
+        if data
+        else None
+    )
     p = {
         "dim": dim,
         "M": 16,
@@ -314,7 +342,7 @@ def write_snapshot(
         "ef_search": 50,
         "ml": 1.4426950408889634,
         "max_elements": 1_000_000,
-        "entry_point": int(data[0]["id"]) if data else None,
+        "entry_point": int(entry["id"]) if entry is not None else None,
         "current_id": (max(int(r["id"]) for r in data) + 1) if data else 0,
         **(params or {}),
     }

@@ -31,21 +31,27 @@ def start_knn_serving(
     metric: str = "cosine",
 ):
     """Answer each micro-batch of queries with exact batch kNN against the
-    (cached) corpus and append (query_id, vec_id, dist, rank) to a parquet
-    sink. Exactly-once per query batch via the checkpoint. At 100 TB the
-    corpus side would be the bucketed/IVF-partitioned table and the
-    per-batch operator an approximate path (knn_auto handles the switch).
+    (cached) corpus and write (query_id, vec_id, dist, rank) to a parquet
+    sink, one hive-partition directory per micro-batch. foreachBatch alone
+    is at-least-once (a crash between the write and the checkpoint commit
+    replays the batch), so each batch OVERWRITES its own
+    ``batch_id=<id>`` directory — the replay is idempotent, restoring
+    effective exactly-once output. At 100 TB the corpus side would be the
+    bucketed/IVF-partitioned table and the per-batch operator an
+    approximate path (knn_auto handles the switch).
     """
     from hnsw_vector_db_spark.operators.knn import knn_auto
 
     corpus = corpus.cache()
-    corpus.count()  # materialize once; every micro-batch reuses it
+    n_corpus = corpus.count()  # materialize once; every micro-batch reuses it
 
     def _answer(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        res = knn_auto(batch_df, corpus, k=k, metric=metric)
-        res.write.mode("append").parquet(out_dir)
+        res = knn_auto(batch_df, corpus, k=k, metric=metric, corpus_rows=n_corpus)
+        # batch_id-derived path + overwrite => replaying a failed batch
+        # rewrites the same files instead of appending duplicates
+        res.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     return (
         read_query_stream(spark, query_dir)
