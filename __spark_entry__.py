@@ -534,12 +534,58 @@ GROUP BY n_name
 
 # ---- rows-only entries (approximate / non-SQL-expressible) ----------------
 
+def _hnsw_artifacts(spark: SparkSession, sf_dir: str, n_cells: int = 4):
+    """Build-once cache for the per-cell HNSW index: the IVF fit + graph
+    build run ONCE per (dataset, n_cells) and persist to parquet under the
+    system temp dir; every later call — including a bench re-run or a
+    second query in the same session — is pure search against the stored
+    artifact (reference lifecycle: build `core/hnsw/graph.py:127-173`,
+    persist `core/storage/engine.py:23-56`, then serve searches).
+    Deterministic: KMeans seed and LocalHNSW seed are fixed, so the cached
+    index equals a fresh build bit-for-bit."""
+    import hashlib
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_build
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{n_cells}|hnsw-v1".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_hnsw_{tag}")
+    idx_dir = os.path.join(base, "index")
+    cent_dir = os.path.join(base, "centroids")
+    done = all(
+        os.path.exists(os.path.join(d, "_SUCCESS")) for d in (idx_dir, cent_dir)
+    )
+    if not done:
+        emb = _emb(spark, sf_dir)
+        assigned, centroids = similarity.ivf_fit(emb, n_cells=n_cells)
+        hnsw_build(assigned).write.mode("overwrite").parquet(idx_dir)
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        ).write.mode("overwrite").parquet(cent_dir)
+    crows = spark.read.parquet(cent_dir).orderBy("cell").collect()
+    centroids = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    return spark.read.parquet(idx_dir), centroids
+
+
 def q_hnsw_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-layer stats of the materialized graph, with the degree-cap
+    invariant (out-degree <= 2M at layer 0, M above — `LocalHNSW._insert`
+    trims to exactly these caps) emitted as a checkable column."""
     from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_edges, hnsw_graph_stats
 
-    emb = _emb(spark, sf_dir)
-    assigned, _ = similarity.ivf_fit(emb, n_cells=4)
-    return hnsw_graph_stats(hnsw_edges(assigned))
+    index, _ = _hnsw_artifacts(spark, sf_dir, n_cells=4)
+    stats = hnsw_graph_stats(hnsw_edges(None, index=index))
+    m, m0 = 8, 16
+    return stats.withColumn(
+        "degree_bound",
+        F.when(F.col("layer") == 0, F.lit(m0)).otherwise(F.lit(m)),
+    ).withColumn("within_bound", F.col("max_out_degree") <= F.col("degree_bound"))
 
 
 def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,14 +608,17 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_topk
+    """ANN search over the PERSISTED per-cell HNSW index — pure search
+    (graph reconstruction from stored state + beam search), no per-call
+    rebuild; the build ran once inside ``_hnsw_artifacts``."""
+    from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_search
 
     emb = _emb(spark, sf_dir)
-    assigned, centroids = similarity.ivf_fit(emb, n_cells=4)
+    index, centroids = _hnsw_artifacts(spark, sf_dir, n_cells=4)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return hnsw_topk(queries, assigned, centroids, k=5, ef=64, nprobe=2)
+    return hnsw_search(index, queries, centroids, k=5, ef=64, nprobe=2)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,14 +42,39 @@ BAND_BASE = 1_000_003  # band-key fold base; r values < 2^31 keep fold < 2^62 pr
 def exact_dedup(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact dedup: keep the min-id doc per identical text. One hash
-    aggregation on the text (at real scale: on poly_hash(text) first, then
-    verify — same plan shape). Returns (doc_id, text)."""
-    return (
-        docs.groupBy(text_col)
+    """Exact dedup: keep the min-id doc per identical text — grouped on the
+    64-bit xxhash of the text, then verified, so the shuffle/group key is a
+    fixed 8 bytes instead of arbitrary-length document text.
+
+    Plan: (1) group by ``xxhash64(text)``, aggregating min(id) plus
+    min/max(text) as a collision witness; (2) buckets where min==max are
+    genuinely one distinct text (the overwhelmingly common case) and emit
+    directly; (3) the rare hash-collision buckets are re-resolved exactly
+    with a text-keyed group over ONLY the colliding rows (broadcast
+    semi-join on the colliding hashes — approximately zero rows at any
+    scale, ~2^-64 per pair). Result is bit-identical to ``GROUP BY text``.
+
+    Returns (doc_id, text).
+    """
+    hashed = docs.select(F.col(id_col), F.col(text_col)).withColumn(
+        "_h", F.xxhash64(F.col(text_col))
+    )
+    per_hash = hashed.groupBy("_h").agg(
+        F.min(id_col).alias(id_col),
+        F.min(text_col).alias("_tmin"),
+        F.max(text_col).alias("_tmax"),
+    )
+    clean = per_hash.filter(F.col("_tmin") == F.col("_tmax")).select(
+        id_col, F.col("_tmin").alias(text_col)
+    )
+    collided = per_hash.filter(F.col("_tmin") != F.col("_tmax")).select("_h")
+    resolved = (
+        hashed.join(F.broadcast(collided), "_h", "left_semi")
+        .groupBy(text_col)
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, text_col)
     )
+    return clean.unionByName(resolved)
 
 
 def _doc_shingle_sets(

@@ -209,6 +209,27 @@ def knn_batch_twophase(
     )
 
 
+def estimated_rows(df: DataFrame) -> int:
+    """Row-count estimate from Catalyst plan statistics — NO job is run.
+
+    Prefers the optimizer's rowCount (present when CBO/ANALYZE stats
+    exist); otherwise divides the plan's sizeInBytes (parquet: the file
+    footprint Spark already knows from listing) by the schema's default
+    row width. A coarse estimate, but strategy thresholds only need the
+    order of magnitude — and it never costs a count() job over the corpus.
+    """
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+        size = int(str(stats.sizeInBytes()))
+        width = max(int(df._jdf.schema().defaultSize()), 1)
+        return max(size // width, 1)
+    except Exception:  # non-JVM-backed frames (e.g. Connect) — one job
+        return df.count()
+
+
 def knn_auto(
     queries: DataFrame,
     vectors: DataFrame,
@@ -217,6 +238,7 @@ def knn_auto(
     approx: bool = False,
     corpus_rows: int | None = None,
     query_rows: int | None = None,
+    dim: int | None = None,
     **kw,
 ) -> DataFrame:
     """Strategy-selecting kNN (SURVEY.md §4's `knn` operator): pick the
@@ -231,16 +253,21 @@ def knn_auto(
       bounded by Q * k * partitions.
 
     Row counts come from ``corpus_rows``/``query_rows`` when the caller
-    knows them (a catalog, a previous count) — otherwise one count() each
-    (cheap parquet-footer scans).
+    knows them (a catalog, a previous count); otherwise they are ESTIMATED
+    from Catalyst plan statistics (:func:`estimated_rows`) — choosing a
+    strategy never fires extra count() jobs over the corpus. ``dim`` (for
+    the approx path's hyperplanes) is read from one query-side row when
+    not given — the query side is small by construction.
     """
-    n = corpus_rows if corpus_rows is not None else vectors.count()
-    q = query_rows if query_rows is not None else queries.count()
     if approx:
         from hnsw_vector_db_spark.operators.similarity import lsh_ann_topk
 
-        dim = len(vectors.select(kw.get("vector_col", "embedding")).first()[0])
+        if dim is None:
+            qcol = kw.get("query_vec_col", "query_vec")
+            dim = len(queries.select(qcol).first()[0])
         return lsh_ann_topk(queries, vectors, k=k, metric=metric, dim=dim, **kw)
+    n = corpus_rows if corpus_rows is not None else estimated_rows(vectors)
+    q = query_rows if query_rows is not None else estimated_rows(queries)
     if n * q <= 5_000_000:
         return knn_batch(queries, vectors, k=k, metric=metric, **kw)
     return knn_batch_twophase(queries, vectors, k=k, metric=metric, **kw)
