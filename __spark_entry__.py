@@ -589,8 +589,11 @@ def q_hnsw_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADC shortlist over PQ codes (rows-only: approximate by design;
-    recall measured in tests/test_similarity.py)."""
+    """ADC shortlist over PQ codes. Approximate as a SEARCH (distances are
+    codebook reconstructions), but fully deterministic given the seed
+    codebook — so the whole pipeline (encode -> LUT -> ADC top-k) is
+    oracle-checked in SQL, not rows-only. Recall vs exact is measured in
+    tests/test_similarity.py and the pq_recall driver entry."""
     emb = _emb(spark, sf_dir)
     seeds = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
@@ -598,6 +601,43 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = similarity.pq_encode(emb, seeds, n_subspaces=8, dim=64)
     qv = _query_vec(spark, sf_dir)
     return similarity.pq_adc_topk(codes, seeds, qv, k=20)
+
+
+def q_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full persistence round-trip through the reference's on-disk layout
+    (index.msgpack + vectors.bin + metadata.json, `core/storage/engine.py:
+    23-126`): export the embeddings table WITH the materialized HNSW
+    topology and per-node JSON metadata, read it back, and emit one
+    hash-comparable row per vector (id, dim, norm, label) — the oracle
+    computes the same from the source table, so any fidelity loss in the
+    codec (float truncation, dropped node, metadata corruption) breaks
+    the hash. Closes SURVEY §2.1 #14/#15 as a driver-visible check."""
+    import tempfile
+
+    from hnsw_vector_db_spark.functions.distance import norm
+    from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_edges
+    from hnsw_vector_db_spark.sources.vectorflow_snapshot import (
+        read_snapshot_vectors,
+        write_snapshot,
+    )
+
+    emb = _emb(spark, sf_dir)
+    vectors = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+        F.to_json(F.struct("label")).alias("metadata"),
+    )
+    index, _ = _hnsw_artifacts(spark, sf_dir, n_cells=4)
+    edges = hnsw_edges(None, index=index).select("src", "dst", "layer")
+    work = tempfile.mkdtemp(prefix="snap_roundtrip_")
+    write_snapshot(work, vectors, edges=edges)
+    back = read_snapshot_vectors(spark, work)
+    return back.select(
+        F.col("id").alias("vec_id"),
+        F.size("vector").alias("dim"),
+        F.round(norm("vector"), 6).alias("norm"),
+        F.get_json_object("metadata", "$.label").cast("int").alias("label"),
+    )
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,6 +668,199 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(media).select(
         "doc_id", F.round("feature_norm", 6).alias("feature_norm")
     )
+
+
+def q_lsh_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ef-style accuracy knob (#18, reference `core/hnsw/graph.py:
+    180-181`) as an ORACLE-CHECKED contract: recall@5 of multi-probe LSH
+    vs exact kNN for probe_hamming 0/1/2. Probed buckets are supersets as
+    the radius grows, and exact re-rank preserves any true-top-k member of
+    the candidate set, so recall is provably non-decreasing — emitted as
+    a checkable column, verified bit-for-bit by the DuckDB oracle."""
+    from functools import reduce
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_batch(queries, emb, k=5, metric="cosine").select("query_id", "vec_id")
+    parts = []
+    for h in (0, 1, 2):
+        approx = similarity.lsh_ann_topk(
+            queries, emb, k=5, n_planes=LSH_PLANES, dim=64, metric="cosine",
+            probe_hamming=h,
+        ).select("query_id", "vec_id")
+        parts.append(
+            approx.join(exact, ["query_id", "vec_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(h).alias("probe_hamming"), "n_hits")
+        )
+    hits = reduce(lambda a, b: a.unionByName(b), parts)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("probe_hamming")
+    return hits.select(
+        "probe_hamming",
+        "n_hits",
+        F.round(F.col("n_hits") / 25.0, 6).alias("recall"),  # 5 queries * k=5
+        (F.col("n_hits") >= F.coalesce(F.lag("n_hits").over(w), F.lit(0))).alias(
+            "non_decreasing"
+        ),
+    )
+
+
+# ---- contract entries for the approximate paths (deterministic checks) ----
+
+def q_hnsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the persisted-index HNSW path vs exact kNN, emitted as
+    one checkable row with its target. Deterministic (fixed KMeans/HNSW
+    seeds) but not SQL-expressible -> rows-only with the assertion IN the
+    row. nprobe=3 of 4 cells bounds recall near the probed fraction on
+    the unclustered testdata (see tests/test_similarity.py)."""
+    from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_search
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_batch(queries, emb, k=10, metric="cosine").select("query_id", "vec_id")
+    index, centroids = _hnsw_artifacts(spark, sf_dir, n_cells=4)
+    approx = hnsw_search(index, queries, centroids, k=10, ef=96, nprobe=3).select(
+        "query_id", "vec_id"
+    )
+    hits = approx.join(exact, ["query_id", "vec_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return hits.select(
+        F.lit(10).alias("k"),
+        F.lit(5).alias("n_queries"),
+        "n_hits",
+        F.round(F.col("n_hits") / 50.0, 6).alias("recall"),
+        (F.col("n_hits") / 50.0 >= 0.65).alias("meets_target"),
+    )
+
+
+def q_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nprobe sweep for IVF (#18's knob on the coarse quantizer): probed
+    cells are argsort PREFIXES, so candidates are supersets and recall@10
+    is provably non-decreasing in nprobe — emitted per nprobe with the
+    monotonicity flag. Rows-only (KMeans centroids aren't SQL)."""
+    from functools import reduce
+
+    from hnsw_vector_db_spark.operators.knn import knn_point
+
+    emb = _emb(spark, sf_dir)
+    assigned, centroids = similarity.ivf_fit(emb, n_cells=8)
+    assigned = assigned.cache()
+    qv = _query_vec(spark, sf_dir)
+    exact = knn_point(emb, qv, k=10, metric="cosine").select("vec_id")
+    parts = []
+    for nprobe in (1, 2, 4, 8):
+        approx = similarity.ivf_topk(
+            assigned, centroids, qv, k=10, nprobe=nprobe, metric="cosine"
+        ).select("vec_id")
+        parts.append(
+            approx.join(exact, ["vec_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(nprobe).alias("nprobe"), "n_hits")
+        )
+    hits = reduce(lambda a, b: a.unionByName(b), parts)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("nprobe")
+    return hits.select(
+        "nprobe",
+        "n_hits",
+        F.round(F.col("n_hits") / 10.0, 6).alias("recall"),
+        (F.col("n_hits") >= F.coalesce(F.lag("n_hits").over(w), F.lit(0))).alias(
+            "non_decreasing"
+        ),
+    )
+
+
+def q_hnsw_ef_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ef sweep over the persisted HNSW index (#18, `graph.py:180-181`):
+    wider beams explore more of each cell's graph; recall@10 at ef 8/32/96
+    with the non-decreasing flag (deterministic for the fixed seeds)."""
+    from functools import reduce
+
+    from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_search
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_batch(queries, emb, k=10, metric="cosine").select("query_id", "vec_id")
+    index, centroids = _hnsw_artifacts(spark, sf_dir, n_cells=4)
+    parts = []
+    for ef in (8, 32, 96):
+        approx = hnsw_search(index, queries, centroids, k=10, ef=ef, nprobe=3).select(
+            "query_id", "vec_id"
+        )
+        parts.append(
+            approx.join(exact, ["query_id", "vec_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(ef).alias("ef"), "n_hits")
+        )
+    hits = reduce(lambda a, b: a.unionByName(b), parts)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("ef")
+    return hits.select(
+        "ef",
+        "n_hits",
+        F.round(F.col("n_hits") / 50.0, 6).alias("recall"),
+        (F.col("n_hits") >= F.coalesce(F.lag("n_hits").over(w), F.lit(0))).alias(
+            "non_decreasing"
+        ),
+    )
+
+
+def q_hnsw_neighbor_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-selection invariants (#9, `graph.py`'s select heuristic +
+    `_insert` trim): per layer, out-degree never exceeds the cap (2M at
+    layer 0, M above), no self-loops, no duplicate edges — each emitted
+    as a checkable count/flag over the materialized topology."""
+    from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_edges
+
+    index, _ = _hnsw_artifacts(spark, sf_dir, n_cells=4)
+    edges = hnsw_edges(None, index=index)
+    m, m0 = 8, 16
+    deg = edges.groupBy("layer", "cell", "src").agg(F.count(F.lit(1)).alias("deg"))
+    dup = (
+        edges.groupBy("layer", "cell", "src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .groupBy("layer")
+        .agg(F.count(F.lit(1)).alias("dup_edges"))
+    )
+    loops = (
+        edges.filter(F.col("src") == F.col("dst"))
+        .groupBy("layer")
+        .agg(F.count(F.lit(1)).alias("self_loops"))
+    )
+    per_layer = deg.groupBy("layer").agg(F.max("deg").alias("max_out_degree"))
+    out = (
+        per_layer.join(dup, "layer", "left")
+        .join(loops, "layer", "left")
+        .fillna(0, ["dup_edges", "self_loops"])
+        .withColumn(
+            "degree_bound",
+            F.when(F.col("layer") == 0, F.lit(m0)).otherwise(F.lit(m)),
+        )
+    )
+    return out.select(
+        "layer",
+        "max_out_degree",
+        "degree_bound",
+        "dup_edges",
+        "self_loops",
+        (
+            (F.col("max_out_degree") <= F.col("degree_bound"))
+            & (F.col("dup_edges") == 0)
+            & (F.col("self_loops") == 0)
+        ).alias("ok"),
+    ).orderBy("layer")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -701,6 +934,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc": q_pq_adc,
         "hnsw_ann": q_hnsw_ann,
         "multimodal_features": q_multimodal_features,
+        "snapshot_roundtrip": q_snapshot_roundtrip,
+        "lsh_probe_recall": q_lsh_probe_recall,
+        "hnsw_recall": q_hnsw_recall,
+        "ivf_probe_recall": q_ivf_probe_recall,
+        "hnsw_ef_sweep": q_hnsw_ef_sweep,
+        "hnsw_neighbor_invariant": q_hnsw_neighbor_invariant,
     }
 
 
@@ -858,7 +1097,7 @@ simsig AS (SELECT doc_id, ({fp})::BIGINT AS simhash FROM sums)
 """.strip()
 
 
-def _lsh_ann_sql(k: int, n_planes: int) -> str:
+def _lsh_bucket_sql(n_planes: int) -> str:
     planes = similarity.hyperplanes(n_planes, 64)
     terms = []
     for i, p in enumerate(planes):
@@ -867,7 +1106,52 @@ def _lsh_ann_sql(k: int, n_planes: int) -> str:
             f"CASE WHEN list_dot_product({_dd('embedding')}, [{lits}]::DOUBLE[]) >= 0 "
             f"THEN {1 << i} ELSE 0 END"
         )
-    bucket = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _lsh_probe_recall_sql(k: int, n_planes: int, hs=(0, 1, 2)) -> str:
+    """Recall@k of multi-probe LSH vs exact kNN per probe radius — the
+    identical computation q_lsh_probe_recall runs, in DuckDB."""
+    bucket = _lsh_bucket_sql(n_planes)
+    d = _cos_dist("v.embedding", "q.embedding")
+    ctes = [
+        f"bucketed AS (SELECT vec_id, embedding, ({bucket})::BIGINT AS bucket FROM embeddings)",
+        "q AS (SELECT vec_id AS query_id, embedding, bucket FROM bucketed WHERE vec_id < 5)",
+        f"""exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, v.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {d}, v.vec_id) AS rank
+    FROM bucketed v CROSS JOIN q)
+  WHERE rank <= {k})""",
+    ]
+    hit_selects = []
+    for h in hs:
+        ctes.append(
+            f"""lsh{h} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, v.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {d}, v.vec_id) AS rank
+    FROM bucketed v JOIN q ON bit_count(xor(v.bucket, q.bucket)) <= {h})
+  WHERE rank <= {k})"""
+        )
+        hit_selects.append(
+            f"SELECT {h} AS probe_hamming, count(*) AS n_hits "
+            f"FROM lsh{h} JOIN exact USING (query_id, vec_id)"
+        )
+    hits = "\nUNION ALL\n".join(hit_selects)
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {cte_block},
+hits AS ({hits})
+SELECT probe_hamming, n_hits::BIGINT AS n_hits,
+       round(n_hits / 25.0, 6) AS recall,
+       (n_hits >= coalesce(lag(n_hits) OVER (ORDER BY probe_hamming), 0)) AS non_decreasing
+FROM hits
+""".strip()
+
+
+def _lsh_ann_sql(k: int, n_planes: int) -> str:
+    bucket = _lsh_bucket_sql(n_planes)
     d = _cos_dist("v.embedding", "q.embedding")
     return f"""
 WITH bucketed AS (
@@ -1033,6 +1317,47 @@ r AS (
 SELECT vec_id, m, seed_id AS code, round(dist, 6) + 0 AS dist FROM r WHERE rn = 1
 """.strip()
 
+    sql["snapshot_roundtrip"] = """
+SELECT vec_id, len(embedding)::INTEGER AS dim,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) + 0 AS norm,
+       label::INTEGER AS label
+FROM embeddings
+""".strip()
+
+    # ADC over the seed codebook is deterministic end to end: same codes
+    # (pq_encode CTE), same per-(m, code) query-block LUT, same sqrt-sum.
+    q_blk = (
+        "list_sum(list_transform("
+        "list_zip(q.qv[t.m*8+1 : t.m*8+8]::DOUBLE[], s.semb[t.m*8+1 : t.m*8+8]::DOUBLE[]),"
+        " x -> (x[1]-x[2])*(x[1]-x[2])))"
+    )
+    sql["pq_adc"] = f"""
+WITH seeds AS (
+  SELECT vec_id AS seed_id, embedding AS semb FROM embeddings WHERE vec_id < 8
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id, t.m::INTEGER AS m, s.seed_id, {d_blk} AS dist
+  FROM embeddings e CROSS JOIN range(0, 8) t(m) CROSS JOIN seeds s
+),
+r AS (
+  SELECT vec_id, m, seed_id,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, seed_id) AS rn
+  FROM d
+),
+codes AS (SELECT vec_id, m, seed_id AS code FROM r WHERE rn = 1),
+lut AS (
+  SELECT t.m::INTEGER AS m, s.seed_id AS code, {q_blk} AS psq
+  FROM seeds s CROSS JOIN range(0, 8) t(m) CROSS JOIN q
+),
+adc AS (
+  SELECT c.vec_id, round(sqrt(sum(l.psq)), 6) + 0 AS adc_dist
+  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+  GROUP BY c.vec_id
+)
+SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 20
+""".strip()
+
     sql["user_type_map"] = """
 SELECT user_id, event_type, count(*)::BIGINT AS n_events
 FROM events GROUP BY 1, 2
@@ -1124,6 +1449,7 @@ SELECT label, dim_idx, value, n FROM dims JOIN cnt USING (label)
     )
 
     sql["lsh_ann"] = _lsh_ann_sql(5, LSH_PLANES)
+    sql["lsh_probe_recall"] = _lsh_probe_recall_sql(5, LSH_PLANES)
 
     sql["jaccard_pairs"] = (
         f"WITH {_SHINGLES_CTE},\n{_jaccard_tail(JACCARD_THRESHOLD)}\n"

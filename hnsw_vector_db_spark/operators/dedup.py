@@ -262,31 +262,114 @@ def minhash_lsh_near_dup(
     )
 
 
+def embedding_lsh_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    dim: int = 64,
+    probe_hamming: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Candidate-generation near-dup pairs for embeddings: sign-bit LSH
+    buckets -> multi-probe self equi-join on bucket id -> EXACT cosine
+    verify of only the colliding pairs. The 100 TB path: pair generation
+    is a hash join on a derived key (never all-pairs), cost is
+    sum-of-bucket-size^2 times the probe fanout, and every emitted pair
+    is exactly verified (precision 1.0; recall is the LSH collision
+    probability — raise ``probe_hamming``/lower ``n_planes`` to trade
+    compute for recall, the ef-style knob).
+
+    Output (id_a, id_b, sim) — same shape as ``similarity_join``, always
+    a subset of it.
+    """
+    from hnsw_vector_db_spark.functions.distance import dot_raw, normalize
+    from hnsw_vector_db_spark.operators.similarity import (
+        _probe_masks,
+        hyperplanes,
+        signbit_bucket,
+    )
+
+    planes = hyperplanes(n_planes, dim, seed)
+    masks = _probe_masks(n_planes, probe_hamming)
+    base = vectors.select(
+        F.col(id_col), normalize(vector_col).alias("_v")
+    ).withColumn("_bkt", signbit_bucket(F.col("_v"), planes))
+    # multi-probe: explode ONE side by the <=probe_hamming-bit-flip masks;
+    # pairs colliding in any probed bucket meet in the equi-join
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.explode(
+            F.array(*[F.col("_bkt").bitwiseXOR(F.lit(m)).cast("long") for m in masks])
+        ).alias("bucket"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_bkt").alias("bucket"),
+    )
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("sim", F.round(dot_raw(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def embedding_neardup(
     vectors: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     pairs: DataFrame | None = None,
+    method: str = "auto",
+    brute_threshold: int = 100_000,
+    dim: int = 64,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-dup: star-assign every vector to the minimum
     id in its cosine neighborhood (sim >= threshold), the single-pass
     representative rule most training-data pipelines use before a full
     connected-components pass.
 
-    ``pairs`` (id_a, id_b[, sim]) lets callers swap in the LSH/IVF
-    candidate path at scale; default is the exact ``similarity_join``.
-    The assignment itself is one symmetric explode + min-groupBy + left
-    join — linear in pairs, one shuffle on vector id.
+    Pair generation scales with the corpus: ``method='auto'`` (default)
+    uses the exact ``similarity_join`` only while the estimated corpus is
+    under ``brute_threshold`` rows and switches to the LSH
+    candidate path (:func:`embedding_lsh_pairs` — bucket equi-join, no
+    quadratic scan, no BroadcastNestedLoopJoin) above it; ``'brute'`` /
+    ``'lsh'`` force a path (brute stays the oracle baseline). ``pairs``
+    (id_a, id_b[, sim]) overrides generation entirely. The assignment
+    itself is one symmetric explode + min-groupBy + left join — linear in
+    pairs, one shuffle on vector id.
 
     Output: (vec_id, rep_id, is_dup) for every input vector.
     """
     from hnsw_vector_db_spark.operators.similarity import similarity_join
 
     if pairs is None:
-        pairs = similarity_join(
-            vectors, threshold=threshold, id_col=id_col, vector_col=vector_col
-        )
+        if method == "auto":
+            from hnsw_vector_db_spark.operators.knn import estimated_rows
+
+            method = "brute" if estimated_rows(vectors) <= brute_threshold else "lsh"
+        if method == "brute":
+            pairs = similarity_join(
+                vectors, threshold=threshold, id_col=id_col, vector_col=vector_col
+            )
+        elif method == "lsh":
+            pairs = embedding_lsh_pairs(
+                vectors, threshold=threshold, n_planes=n_planes, dim=dim,
+                probe_hamming=probe_hamming, id_col=id_col, vector_col=vector_col,
+            )
+        else:
+            raise ValueError(f"unknown method {method!r}")
     neigh = pairs.select(
         F.col("id_a").alias("_v"), F.col("id_b").alias("_u")
     ).unionAll(pairs.select(F.col("id_b").alias("_v"), F.col("id_a").alias("_u")))

@@ -117,6 +117,44 @@ def test_embedding_neardup_covers_all_rows(spark, sf_dir):
     assert any(r["is_dup"] for r in rows)  # testdata has near-dups at 0.35
 
 
+def test_embedding_lsh_pairs_subset_of_brute(spark, sf_dir):
+    """Every LSH-candidate pair is exactly verified, so the LSH path is a
+    strict subset of the brute similarity_join with identical sims; at a
+    generous probe budget it recovers most of them."""
+    from hnsw_vector_db_spark.operators.similarity import similarity_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in similarity_join(emb, threshold=0.35).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in dedup.embedding_lsh_pairs(
+            emb, threshold=0.35, n_planes=6, probe_hamming=2
+        ).collect()
+    }
+    assert lsh, "no candidate pairs found"
+    for pair, sim in lsh.items():
+        assert pair in brute and brute[pair] == sim
+    recall = len(lsh) / len(brute)
+    assert recall >= 0.5, f"LSH pair recall {recall}"
+
+
+def test_embedding_neardup_methods_agree_on_dups(spark, sf_dir):
+    """method='lsh' assigns the same representatives for every pair its
+    candidates recover; every lsh-flagged dup is a brute-flagged dup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = {r["vec_id"]: r["rep_id"] for r in dedup.embedding_neardup(
+        emb, threshold=0.35, method="brute").collect()}
+    lsh = {r["vec_id"]: r["rep_id"] for r in dedup.embedding_neardup(
+        emb, threshold=0.35, method="lsh", n_planes=6, probe_hamming=2).collect()}
+    assert set(lsh) == set(brute)  # covers every row either way
+    for vid, rep in lsh.items():
+        if rep != vid:  # a dup found by LSH must have rep >= brute's rep
+            assert brute[vid] <= rep < vid or brute[vid] == rep
+
+
 def test_neardup_components_closes_chains(spark):
     # chain 1-2, 2-3 plus isolated 4: one component {1,2,3}, rep=1
     nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], "vec_id long")

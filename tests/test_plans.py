@@ -78,6 +78,19 @@ def test_dedup_pair_joins_are_hash_joins(spark, qs):
         assert "CartesianProduct" not in plan
 
 
+def test_embedding_neardup_lsh_path_no_nested_loop(spark):
+    """The at-scale default for embedding near-dup must be a bucket
+    equi-join — never the brute BroadcastNestedLoopJoin pair scan."""
+    from hnsw_vector_db_spark.operators.dedup import embedding_neardup
+    from hnsw_vector_db_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    out = embedding_neardup(emb, threshold=0.3, method="lsh", n_planes=6)
+    plan = physical_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_group_topk_rank_pushes_below_exchange(spark, qs):
     """row_number()<=k must plan WindowGroupLimit BELOW the exchange: map
     tasks pre-prune to local top-k per key before shuffling."""
