@@ -27,13 +27,19 @@ def test_oracle_keys_subset_of_queries():
     o = set(entry_mod.oracle_sql())
     assert o <= q, f"oracle without query: {o - q}"
     rows_only = q - o
-    # approximate/non-SQL ops are the only permitted rows-only entries
+    # approximate/non-SQL ops (KMeans centroids, HNSW traversal, stubbed
+    # codecs) are the only permitted rows-only entries; each carries its
+    # own deterministic check columns (recall targets, monotonicity
+    # flags, structural invariants)
     assert rows_only <= {
         "ivf_ann",
         "hnsw_ann",
         "multimodal_features",
         "hnsw_graph_stats",
-        "pq_adc",
+        "hnsw_recall",
+        "hnsw_ef_sweep",
+        "hnsw_neighbor_invariant",
+        "ivf_probe_recall",
     }
 
 
