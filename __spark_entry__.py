@@ -816,6 +816,50 @@ def q_hnsw_ef_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-codebook PQ serving check: per-subspace k-means codebooks
+    (pq_fit_codebooks — real PQ training, vs the oracle-reproducible seed
+    codebook of pq_encode), ADC shortlist over the compressed codes, ONE
+    exact re-rank pass, recall@10 vs exact euclidean kNN per query with
+    the >=0.9 target in-row. Rows-only: k-means centers aren't SQL, but
+    every seed is fixed so the row is deterministic."""
+    from functools import reduce
+
+    from hnsw_vector_db_spark.operators.knn import knn_point
+
+    # 16 subspaces x 32 codes: 64 floats (256 B) -> 16 one-byte codes
+    # (16x compression); shortlist=200 then exact re-rank. Unclustered
+    # gaussian testdata is PQ's worst case — these settings hold
+    # recall@10 = 1.0 at sf0.1 (BASELINE.md r2).
+    emb = _emb(spark, sf_dir)
+    codebook = similarity.pq_fit_codebooks(
+        emb, n_subspaces=16, n_codes=32, dim=64
+    ).cache()
+    codes = similarity.pq_encode_codebook(emb, codebook, n_subspaces=16).select(
+        "vec_id", "m", "code"
+    ).cache()
+    parts = []
+    for qid in (0, 1, 2):
+        qv = _query_vec(spark, sf_dir, qid)
+        approx = similarity.pq_adc_rerank(
+            emb, codebook, qv, k=10, shortlist=200, metric="euclidean",
+            codes=codes, n_subspaces=16,
+        ).select("vec_id")
+        exact = knn_point(emb, qv, k=10, metric="euclidean").select("vec_id")
+        parts.append(
+            approx.join(exact, ["vec_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(qid).alias("query_id"), "n_hits")
+        )
+    hits = reduce(lambda a, b: a.unionByName(b), parts)
+    return hits.select(
+        "query_id",
+        "n_hits",
+        F.round(F.col("n_hits") / 10.0, 6).alias("recall"),
+        (F.col("n_hits") / 10.0 >= 0.9).alias("meets_target"),
+    )
+
+
 def q_hnsw_neighbor_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbor-selection invariants (#9, `graph.py`'s select heuristic +
     `_insert` trim): per layer, out-degree never exceeds the cap (2M at
@@ -940,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_probe_recall": q_ivf_probe_recall,
         "hnsw_ef_sweep": q_hnsw_ef_sweep,
         "hnsw_neighbor_invariant": q_hnsw_neighbor_invariant,
+        "pq_recall": q_pq_recall,
     }
 
 

@@ -314,6 +314,158 @@ def pq_encode(
     )
 
 
+def _kmeans_lloyd(X: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:
+    """Deterministic Lloyd's k-means (random distinct init, fixed seed) —
+    small and dependency-free; runs driver-side on a bounded sample."""
+    rng = np.random.RandomState(seed)
+    k = min(k, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].astype(np.float64).copy()
+    for _ in range(iters):
+        D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # (n, k)
+        assign = D.argmin(axis=1)
+        for j in range(k):
+            pts = X[assign == j]
+            if len(pts):
+                C[j] = pts.mean(axis=0)
+    return C
+
+
+def pq_fit_codebooks(
+    vectors: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    sample_rows: int = 10_000,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """REAL product-quantization training: per-subspace k-means codebooks
+    (Jégou et al., TPAMI 2011) — the learned upgrade over the seed-row
+    codebook ``pq_encode`` keeps for oracle reproducibility. The fit runs
+    driver-side Lloyd's on a DETERMINISTIC sample (orderBy(id).limit —
+    same rows on any cluster/partitioning), which is the standard PQ
+    recipe: codebooks need ~10^4 training points regardless of corpus
+    size, so the fit cost is constant while ENCODING stays fully
+    distributed. Output: long-form (m, code, cblock) for
+    :func:`pq_encode_codebook` / :func:`pq_adc_topk_codebook`.
+    """
+    width = dim // n_subspaces
+    sample = (
+        vectors.orderBy(id_col).limit(sample_rows).select(vector_col).collect()
+    )
+    X = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    rows = []
+    for m in range(n_subspaces):
+        sub = np.ascontiguousarray(X[:, m * width : (m + 1) * width])
+        C = _kmeans_lloyd(sub, n_codes, seed=seed + m)
+        for c in range(C.shape[0]):
+            rows.append((m, c, [float(x) for x in C[c]]))
+    return vectors.sparkSession.createDataFrame(
+        rows, "m int, code int, cblock array<double>"
+    )
+
+
+def pq_encode_codebook(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    n_subspaces: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Encode against a long-form (m, code, cblock) codebook — same plan
+    as ``pq_encode`` (explode subspaces, broadcast the tiny codebook,
+    min(struct) argmin; one shuffle on (id, m)), but the codebook can be
+    anything: learned k-means centers or seed rows. Output
+    (vec_id, m, code, dist)."""
+    width = dim // n_subspaces
+    sub = F.array(*[F.lit(m) for m in range(n_subspaces)])
+    v = vectors.select(
+        F.col(id_col), F.explode(sub).alias("m"), F.col(vector_col)
+    ).withColumn(
+        "_block", F.slice(F.col(vector_col), F.col("m") * width + 1, width)
+    ).drop(vector_col)
+    scored = v.join(F.broadcast(codebook), "m").withColumn(
+        "_d", distance(F.col("_block"), F.col("cblock"), "euclidean")
+    )
+    best = scored.groupBy(id_col, "m").agg(
+        F.min(F.struct(F.col("_d").alias("d"), F.col("code").alias("c"))).alias("_best")
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("m").cast("int"),
+        F.col("_best.c").alias("code"),
+        F.round("_best.d", 6).alias("dist"),
+    )
+
+
+def pq_adc_topk_codebook(
+    codes: DataFrame,
+    codebook: DataFrame,
+    query,
+    k: int = 10,
+    n_subspaces: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k against a learned codebook: LUT of per-(m, code) partial
+    squared distances from the collected (tiny) codebook, broadcast-joined
+    to the codes — the corpus side touches only (id, m, code)."""
+    width = dim // n_subspaces
+    q = np.asarray(list(query), dtype=np.float64)
+    lut = []
+    for r in codebook.select("m", "code", "cblock").collect():
+        m = int(r["m"])
+        dd = q[m * width : (m + 1) * width] - np.asarray(r["cblock"], dtype=np.float64)
+        lut.append((m, int(r["code"]), float((dd * dd).sum())))
+    lut_df = codes.sparkSession.createDataFrame(lut, "m int, code int, psq double")
+    return (
+        codes.join(F.broadcast(lut_df), ["m", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sqrt(F.sum("psq")), 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pq_adc_rerank(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    query,
+    k: int = 10,
+    shortlist: int = 50,
+    n_subspaces: int = 8,
+    dim: int = 64,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Standard PQ serving shape: ADC over the compressed codes produces a
+    ``shortlist`` of candidates (reading only the tiny code columns), then
+    ONE exact-distance pass over just those rows restores precision.
+    At 100 TB the exact pass is a broadcast semi-join touching
+    shortlist/N of the corpus. Output (vec_id, dist) exact top-k of the
+    shortlist."""
+    if codes is None:
+        codes = pq_encode_codebook(
+            vectors, codebook, n_subspaces, dim, id_col, vector_col
+        ).select(id_col, "m", "code")
+    short = pq_adc_topk_codebook(
+        codes, codebook, query, k=shortlist, n_subspaces=n_subspaces,
+        dim=dim, id_col=id_col,
+    ).select(id_col)
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        vectors.join(F.broadcast(short), id_col, "left_semi")
+        .withColumn("dist", F.round(distance(F.col(vector_col), qarr, metric), 6))
+        .select(id_col, "dist")
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def pq_adc_topk(
     codes: DataFrame,
     seeds: DataFrame,

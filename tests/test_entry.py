@@ -40,6 +40,7 @@ def test_oracle_keys_subset_of_queries():
         "hnsw_ef_sweep",
         "hnsw_neighbor_invariant",
         "ivf_probe_recall",
+        "pq_recall",
     }
 
 
