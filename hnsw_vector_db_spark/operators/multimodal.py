@@ -6,10 +6,14 @@ moves image/audio/video bytes. The Spark-side contract that matters at
 100 TB is here and real: binary columns stay opaque (never interpreted by
 the JVM), metadata is typed columns for pruning/filtering, and the decode
 step is an Arrow-batched Python stage whose cost scales with bytes, not
-rows. The actual codec call is STUBBED (no PIL/ffmpeg in this container):
-``decode_features`` computes a deterministic fake feature vector from the
-bytes, clearly marked; swap ``_decode_one`` for a real decoder in
-production.
+rows.
+
+Codec status: binary PPM (P6) images decode and resize FOR REAL (pure
+numpy — header parse, pixel stats, nearest-neighbor resample; golden-byte
+tests in tests/test_multimodal.py). Every other format falls through to a
+deterministic hash stub at the single documented swap point
+(``_decode_one`` / ``_resize_one``) where a production build plugs
+PIL/torchaudio/ffmpeg; the Spark plumbing is identical either way.
 """
 
 from __future__ import annotations
@@ -21,15 +25,70 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FEATURE_DIM = 8
+_WS = (b" ", b"\t", b"\r", b"\n")
+
+
+def parse_ppm(payload: bytes) -> np.ndarray | None:
+    """Pure-numpy decoder for binary PPM (P6) — a real raster decode with
+    zero imaging dependencies (netpbm format, public spec). Handles
+    whitespace/comment-tolerant headers; returns an (H, W, 3) uint8 array
+    or None when the payload is not a well-formed 8-bit P6 image."""
+    if not payload or not payload.startswith(b"P6"):
+        return None
+    pos, n, tokens = 2, len(payload), []
+    while len(tokens) < 3 and pos < n:
+        c = payload[pos : pos + 1]
+        if c in _WS:
+            pos += 1
+            continue
+        if c == b"#":  # comment runs to end of line
+            while pos < n and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < n and payload[pos : pos + 1] not in _WS and payload[pos : pos + 1] != b"#":
+            pos += 1
+        tokens.append(payload[start:pos])
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or maxval != 255:
+        return None
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    if n - pos < 3 * w * h:
+        return None
+    return np.frombuffer(payload, dtype=np.uint8, count=3 * w * h, offset=pos).reshape(
+        h, w, 3
+    )
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> binary PPM (P6) bytes."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8
+    ).tobytes()
 
 
 def _decode_one(payload: bytes, modality: str) -> np.ndarray:
-    """STUB decoder: deterministic pseudo-features from a SHA-256 of the
-    bytes. A real implementation decodes the media (PIL/torchaudio/ffmpeg)
-    and pools features; the Spark plumbing around this call is identical.
+    """Feature extraction. PPM (P6) payloads decode FOR REAL: per-channel
+    mean and std, aspect ratio, and Rec.601 luma pooled into FEATURE_DIM
+    floats — actual pixel math, golden-tested. Anything else hits the
+    deterministic SHA-256 stub below: THIS is the swap point where a
+    production build calls PIL/torchaudio/ffmpeg for jpeg/png/audio/video.
     """
     if payload is None:
         return np.zeros(FEATURE_DIM, dtype=np.float32)
+    img = parse_ppm(payload)
+    if img is not None:
+        px = img.astype(np.float64) / 255.0
+        mean = px.mean(axis=(0, 1))
+        std = px.std(axis=(0, 1))
+        luma = 0.299 * mean[0] + 0.587 * mean[1] + 0.114 * mean[2]
+        aspect = img.shape[0] / img.shape[1]
+        return np.array([*mean, *std, aspect, luma], dtype=np.float32)
+    # non-decodable formats: deterministic pseudo-features from SHA-256
     digest = hashlib.sha256(payload).digest()
     raw = np.frombuffer(digest[: FEATURE_DIM * 4], dtype=np.uint32)
     return (raw / np.float64(2**32)).astype(np.float32)
@@ -92,13 +151,14 @@ def resize_media(
     id_col: str = "doc_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Resize plumbing: payload -> resized payload + output dims, as an
-    Arrow-batched mapInPandas stage. The pixel transform is STUBBED (no
-    PIL in this container): the fake 'resize' deterministically truncates/
-    cycles the byte stream to w*h bytes so output sizes are exact and
-    testable; a real decoder swaps ``_resize_one`` only. The contract that
-    matters at scale is intact: binary in/binary out, per-batch Python
-    cost, output size metadata as typed columns for downstream pruning."""
+    """Resize: payload -> resized payload + output dims, as an
+    Arrow-batched mapInPandas stage. PPM (P6) payloads get a REAL
+    nearest-neighbor resample (numpy index sampling, re-encoded as P6);
+    other formats hit the deterministic byte-cycling stub — the same
+    ``_resize_one`` swap point a production build replaces with PIL. The
+    contract that matters at scale is intact either way: binary in/binary
+    out, per-batch Python cost, output size metadata as typed columns for
+    downstream pruning."""
     import pandas as pd
 
     from hnsw_vector_db_spark.session import ensure_package_shipped
@@ -109,6 +169,12 @@ def resize_media(
     def _resize_one(payload: bytes) -> bytes:
         if payload is None:
             return b""
+        img = parse_ppm(payload)
+        if img is not None:
+            h, w = img.shape[:2]
+            rows = (np.arange(target_h) * h) // target_h
+            cols = (np.arange(target_w) * w) // target_w
+            return encode_ppm(img[rows][:, cols])
         reps = -(-n_bytes // max(len(payload), 1))
         return (payload * reps)[:n_bytes]
 

@@ -71,3 +71,67 @@ def test_resize_media_shapes(spark, sf_dir):
     # deterministic: same input bytes -> same output bytes
     again = {r["doc_id"]: bytes(r["payload"]) for r in resize_media(media, 16, 8).collect()}
     assert all(bytes(r["payload"]) == again[r["doc_id"]] for r in rows)
+
+
+# ---- golden-bytes contract for the REAL codec path (PPM/P6) ---------------
+
+# 2x1 image: pure red pixel, pure blue pixel
+_GOLDEN_PPM = b"P6\n2 1\n255\n" + bytes([255, 0, 0, 0, 0, 255])
+
+
+def test_ppm_decode_golden_bytes():
+    """Exact feature values from known pixels — real pixel math, not the
+    hash stub. mean=(.5,0,.5), std=(.5,0,.5), aspect=h/w=0.5,
+    luma=.299*.5+.114*.5."""
+    from hnsw_vector_db_spark.operators.multimodal import parse_ppm
+
+    img = parse_ppm(_GOLDEN_PPM)
+    assert img.shape == (1, 2, 3)
+    assert img.tolist() == [[[255, 0, 0], [0, 0, 255]]]
+    feats = _decode_one(_GOLDEN_PPM, "image")
+    expected = np.array(
+        [0.5, 0.0, 0.5, 0.5, 0.0, 0.5, 0.5, 0.299 * 0.5 + 0.114 * 0.5],
+        dtype=np.float32,
+    )
+    assert np.allclose(feats, expected, atol=1e-7), feats
+
+
+def test_ppm_header_tolerance_and_rejects():
+    from hnsw_vector_db_spark.operators.multimodal import parse_ppm
+
+    # comments + extra whitespace in header are legal netpbm
+    commented = b"P6 # comment\n 2 # w\n1\t255\n" + bytes([255, 0, 0, 0, 0, 255])
+    assert parse_ppm(commented).tolist() == [[[255, 0, 0], [0, 0, 255]]]
+    assert parse_ppm(b"not an image") is None          # non-P6 -> stub path
+    assert parse_ppm(b"P6\n2 1\n255\n\xff") is None    # truncated raster
+    assert parse_ppm(b"P6\n2 1\n65535\n" + b"\0" * 12) is None  # 16-bit depth
+
+
+def test_ppm_resize_golden_bytes(spark):
+    """Nearest-neighbor resample of the golden image to 2x2: rows repeat,
+    cols map [0,1] -> exact output bytes."""
+    from hnsw_vector_db_spark.operators.multimodal import resize_media
+
+    media = spark.createDataFrame(
+        [(1, bytearray(_GOLDEN_PPM), "image", len(_GOLDEN_PPM))],
+        "doc_id long, payload binary, modality string, payload_bytes long",
+    )
+    out = resize_media(media, target_w=2, target_h=2).first()
+    expected = b"P6\n2 2\n255\n" + bytes(
+        [255, 0, 0, 0, 0, 255] * 2
+    )
+    assert bytes(out["payload"]) == expected
+
+
+def test_ppm_roundtrip_through_spark_decode(spark):
+    """The real codec path survives the Arrow binary round-trip: Spark-side
+    decode_features of a PPM payload equals the local golden decode."""
+    media = spark.createDataFrame(
+        [(7, bytearray(_GOLDEN_PPM), "image", len(_GOLDEN_PPM))],
+        "doc_id long, payload binary, modality string, payload_bytes long",
+    )
+    row = decode_features(media).first()
+    assert np.allclose(
+        np.array(row["features"], dtype=np.float32),
+        _decode_one(_GOLDEN_PPM, "image"),
+    )
