@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hnsw_vector_db_spark.functions.text import HASH_MOD, minhash_params
+from hnsw_vector_db_spark.functions.text import HASH_MOD, minhash_params, poly_hash
 from hnsw_vector_db_spark.operators import dedup, events, relational, similarity, table, text_analysis
 from hnsw_vector_db_spark.operators.knn import knn_batch, knn_point
 from hnsw_vector_db_spark.operators.stats import group_stats, index_stats
@@ -907,6 +907,83 @@ def q_hnsw_neighbor_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("layer")
 
 
+# --------------------------------------------------------------------------
+# Corpus pipeline (training-data prep) — operators/corpus.py
+# --------------------------------------------------------------------------
+
+CHUNK_CHARS, CHUNK_OVERLAP = 200, 40   # stride 160
+PACK_BUDGET, PACK_SHARDS = 64, 4
+SHUFFLE_SHARDS = 8
+
+
+def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnsw_vector_db_spark.operators import corpus
+
+    return corpus.chunk_documents(
+        _docs(spark, sf_dir), chunk_chars=CHUNK_CHARS, overlap=CHUNK_OVERLAP
+    )
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width overlapping chunking — narrow map stage, no shuffle."""
+    return _chunks(spark, sf_dir)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-pack the chunk stream into token-budget sequences per shard."""
+    from hnsw_vector_db_spark.operators import corpus
+
+    return corpus.pack_sequences(
+        _chunks(spark, sf_dir), budget_tokens=PACK_BUDGET, n_shards=PACK_SHARDS
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over text seeded with synthetic email/IP/phone (the
+    raw corpus is PII-free, so the entry plants one of each per doc to
+    prove the redaction actually fires)."""
+    from hnsw_vector_db_spark.operators import corpus
+
+    docs = _docs(spark, sf_dir)
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("mail "),
+            F.col("source"),
+            F.lit("@ex.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +1-555-123-4567 "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return corpus.pii_redact(staged)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain mixing: per-source keep fraction in
+    {1/16..5/16} (exact binary fractions — float-safe across engines),
+    membership a pure hash of doc_id."""
+    from hnsw_vector_db_spark.operators import corpus
+
+    docs = _docs(spark, sf_dir)
+    weights = docs.select("source").distinct().select(
+        "source",
+        (
+            (F.pmod(poly_hash(F.concat(F.col("source"), F.lit("#w"))), F.lit(5)) + 1)
+            / 16.0
+        ).alias("frac"),
+    )
+    return corpus.stratified_sample(docs, weights).select("doc_id", "source")
+
+
+def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards (hash shard +
+    within-shard hash order)."""
+    from hnsw_vector_db_spark.operators import corpus
+
+    return corpus.shard_shuffle(_docs(spark, sf_dir), n_shards=SHUFFLE_SHARDS)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cosine top-10 with metadata enrichment on sf0.001 —
     the reference's POST /search end-to-end (SURVEY.md §3.1)."""
@@ -985,6 +1062,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_ef_sweep": q_hnsw_ef_sweep,
         "hnsw_neighbor_invariant": q_hnsw_neighbor_invariant,
         "pq_recall": q_pq_recall,
+        "chunk_docs": q_chunk_docs,
+        "pack_sequences": q_pack_sequences,
+        "pii_redact": q_pii_redact,
+        "stratified_sample": q_stratified_sample,
+        "shard_shuffle": q_shard_shuffle,
     }
 
 
@@ -1811,6 +1893,89 @@ GROUP BY CUBE (c_mktsegment, n_name)
 SELECT (row_number() OVER (ORDER BY lang || '|' || lpad(doc_id::VARCHAR, 10, '0')) + 999)::BIGINT AS new_id,
        doc_id, lang
 FROM documents
+""".strip()
+
+    # ---- corpus pipeline (operators/corpus.py) ----
+    stride = CHUNK_CHARS - CHUNK_OVERLAP
+    chunk_cte = f"""
+c AS (
+  SELECT doc_id,
+         unnest(generate_series(0, greatest((length(text) - 1) // {stride}, 0)))::INTEGER AS chunk_id,
+         text
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         substr(text, chunk_id * {stride} + 1, {CHUNK_CHARS}) AS chunk_text
+  FROM c
+)
+""".strip()
+
+    sql["chunk_docs"] = f"""
+WITH {chunk_cte}
+SELECT doc_id, chunk_id, chunk_text, length(chunk_text)::INTEGER AS chunk_len
+FROM chunks
+""".strip()
+
+    pack_toks = "list_filter(string_split_regex(chunk_text, '\\s+'), t -> t <> '')"
+    sql["pack_sequences"] = f"""
+WITH {chunk_cte},
+toks AS (
+  SELECT doc_id, chunk_id, (doc_id % {PACK_SHARDS})::INTEGER AS shard,
+         len({pack_toks})::INTEGER AS n_tok
+  FROM chunks
+),
+cum AS (
+  SELECT shard, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT shard, ((cum - n_tok) // {PACK_BUDGET})::BIGINT AS seq_id,
+       count(*)::BIGINT AS n_chunks,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS total_tokens
+FROM cum GROUP BY 1, 2
+""".strip()
+
+    from hnsw_vector_db_spark.operators.corpus import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    pii_text = (
+        "'mail ' || source || '@ex.com ip 10.0.' || (doc_id % 256)::VARCHAR"
+        " || '.7 tel +1-555-123-4567 ' || text"
+    )
+    sql["pii_redact"] = f"""
+WITH staged AS (SELECT doc_id, {pii_text} AS text FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{EMAIL_RE}', '<EMAIL>', 'g'),
+         '{IPV4_RE}', '<IP>', 'g'),
+         '{PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       len(regexp_extract_all(text, '{EMAIL_RE}'))::INTEGER AS n_emails,
+       len(regexp_extract_all(text, '{IPV4_RE}'))::INTEGER AS n_ips,
+       len(regexp_extract_all(text, '{PHONE_RE}'))::INTEGER AS n_phones
+FROM staged
+""".strip()
+
+    sql["stratified_sample"] = f"""
+WITH w AS (
+  SELECT source,
+         (({_poly_sql("source || '#w'")} % 5) + 1) / 16.0 AS frac
+  FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN w ON d.source = w.source
+WHERE ({_poly_sql("d.doc_id::VARCHAR || '#strat1'")} % 10000) < frac * 10000
+""".strip()
+
+    sql["shard_shuffle"] = f"""
+WITH h AS (
+  SELECT doc_id, {_poly_sql("doc_id::VARCHAR || '#shuffle1'")} AS h
+  FROM documents
+)
+SELECT doc_id, (h % {SHUFFLE_SHARDS})::INTEGER AS shard,
+       (row_number() OVER (PARTITION BY h % {SHUFFLE_SHARDS} ORDER BY h, doc_id) - 1)::INTEGER AS pos
+FROM h
 """.strip()
 
     return sql

@@ -1,0 +1,239 @@
+"""Training-corpus preparation operators — the pipeline stages a
+large-scale LLM-data build needs between "raw documents" and "training
+shards": chunking, sequence packing, PII redaction, weighted stratified
+sampling, and deterministic shard shuffling.
+
+All five are pure DataFrame expression code (whole-stage codegen, no
+Python in the hot path) with engine-portable semantics so each has a
+DuckDB oracle twin. Determinism comes from the same polynomial hash used
+by the dedup family (functions/text.py poly_hash), never from rand().
+
+Scale notes (100 TB):
+- ``chunk_documents`` is a narrow transformation — zero shuffle; output
+  size ~= input size * (1 + overlap/stride).
+- ``pack_sequences`` windows per *shard*, not globally — the global-order
+  variant would funnel the corpus through one partition; the per-shard
+  variant is embarrassingly parallel and is how real packers run.
+- ``stratified_sample`` broadcasts the (tiny) weights dim and filters on a
+  hash inequality — predicate evaluated at scan, no shuffle, no count().
+- ``shard_shuffle`` is one hash-partitioned window — the standard
+  "deterministic global shuffle" for training-data ordering: within-shard
+  order is hash-random, shard assignment is hash-uniform, and the whole
+  thing is reproducible from the salt alone.
+
+The reference engine has no corpus tooling (it stores vectors only —
+/root/reference/core/store.py); these operators are the prompt-mandated
+training-pipeline extensions around it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from hnsw_vector_db_spark.functions.text import poly_hash, tokens
+
+# Denominator for hash-based sampling decisions: pmod(hash, GRAIN)/GRAIN
+# approximates Uniform[0,1) with 1e-4 resolution, exactly reproducible in
+# any engine with 64-bit integer arithmetic.
+SAMPLE_GRAIN = 10_000
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 400,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split each document into fixed-width character chunks with overlap.
+
+    Chunk i covers ``[i*stride, i*stride + chunk_chars)`` (0-based) where
+    ``stride = chunk_chars - overlap``; chunks are emitted while their
+    start is inside the text, so every character lands in >=1 chunk and
+    consecutive chunks share ``overlap`` characters. The last chunk is
+    short rather than padded.
+
+    Narrow transformation: explode(sequence(...)) + substring — no
+    shuffle, stays in whole-stage codegen. At 100 TB this is a pure map
+    stage whose output feeds pack_sequences.
+
+    DuckDB twin: unnest(generate_series(0, (len-1)//stride)) + substr.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+    n_last = F.floor((F.length(text_col) - 1) / stride).cast("int")
+    out = docs.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.greatest(n_last, F.lit(0)))).alias("chunk_id"),
+        F.col(text_col),
+    )
+    chunk_text = F.substring(
+        F.col(text_col), F.col("chunk_id") * stride + 1, chunk_chars
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        chunk_text.alias("chunk_text"),
+        F.length(chunk_text).alias("chunk_len"),
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "chunk_id",
+    text_col: str = "chunk_text",
+    budget_tokens: int = 128,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Pack a chunk stream into fixed token-budget training sequences.
+
+    Span-packing semantics: within a shard, chunks are laid end-to-end in
+    (doc_id, chunk_id) order and the token stream is cut into contiguous
+    ``budget_tokens``-sized spans; a chunk belongs to the span containing
+    its first token. Deterministic, order-stable, and exactly expressible
+    as one cumulative-sum window in any engine — unlike first-fit bin
+    packing, which needs sequential state. A span can overflow by at most
+    one chunk (the standard "document packing" trade-off; real packers
+    truncate or pad at the boundary).
+
+    Shard = doc_id mod n_shards, so the window is PARTITIONED — each shard
+    packs independently in parallel. At 1000 executors you'd set n_shards
+    to O(output files); the plan is one hash shuffle on shard, then a
+    sorted window per partition.
+
+    Returns one row per (shard, seq_id): n_chunks, n_docs, total_tokens.
+
+    DuckDB twin: sum(...) over (partition by shard order by doc, chunk
+    rows unbounded preceding) with the same floor((cum-tok)/budget).
+    """
+    tok = F.size(tokens(text_col))
+    shard = (F.col(id_col) % n_shards).cast("int")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = chunks.select(
+        F.col(id_col), F.col(order_col), shard.alias("shard"), tok.alias("n_tok")
+    )
+    cum = F.sum("n_tok").over(w)
+    seq = staged.select(
+        "shard",
+        id_col,
+        "n_tok",
+        F.floor((cum - F.col("n_tok")) / budget_tokens).cast("long").alias("seq_id"),
+    )
+    return seq.groupBy("shard", "seq_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct(id_col).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+
+
+# Engine-portable PII patterns: plain character classes only — identical
+# semantics under Java regex (Spark) and RE2 (DuckDB). No lookaround, no
+# backrefs, no possessive quantifiers.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_redact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and +CC-ddd-ddd-dddd phone numbers,
+    reporting per-document hit counts.
+
+    Three chained regexp_replace calls (email first, so an IP-looking
+    hostname inside an email is consumed by <EMAIL> before the IP pass —
+    the order is part of the contract) plus regexp_extract_all counts on
+    the ORIGINAL text. All codegen'd JVM regex — a pure map stage; the
+    regex set is the extension point for a production PII pass.
+
+    DuckDB twin: regexp_replace(..., 'g') and len(regexp_extract_all).
+    """
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    n_ip = F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+    clean = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(clean, IPV4_RE, "<IP>")
+    clean = F.regexp_replace(clean, PHONE_RE, "<PHONE>")
+    return docs.select(
+        id_col,
+        clean.alias("clean_text"),
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        n_phone.alias("n_phones"),
+    )
+
+
+def _sample_u(key: Column) -> Column:
+    """Deterministic Uniform{0..GRAIN-1} from a string key."""
+    return F.pmod(poly_hash(key), F.lit(SAMPLE_GRAIN))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    weights: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "strat1",
+) -> DataFrame:
+    """Deterministic weighted sampling per stratum (domain mixing).
+
+    ``weights`` is a tiny dim table (strata_col, frac in [0,1]) — e.g. the
+    per-source mixing proportions of a training recipe. A row survives iff
+    hash(id || '#' || salt) mod GRAIN < frac*GRAIN, so:
+      - membership is a pure function of (id, salt): append-stable, a
+        re-run on grown data keeps every previously sampled row;
+      - raising a source's frac only ADDS documents (nested samples);
+      - no rand(), no count(), no per-stratum pass.
+
+    The weights join is broadcast (explicit hint) — the filter runs at the
+    scan with zero shuffle of the corpus. Strata with no weight row are
+    dropped (inner join), matching "sources not in the recipe are
+    excluded".
+    """
+    u = _sample_u(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt)))
+    return (
+        docs.join(F.broadcast(weights), on=strata_col, how="inner")
+        .filter(u < F.col("frac") * SAMPLE_GRAIN)
+        .drop("frac")
+    )
+
+
+def shard_shuffle(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shuffle1",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards.
+
+    shard = hash(id||salt) mod n_shards; pos = rank of hash within the
+    shard (id tiebreak). Reading shards 0..n-1 each in pos order yields a
+    reproducible pseudo-random permutation of the corpus — the standard
+    way to randomize training order without rand() or a global sort.
+
+    One hash-partitioned window (shuffle on shard only). Changing the salt
+    re-deals the permutation; changing n_shards only re-buckets it.
+    """
+    from pyspark.sql.window import Window
+
+    h = poly_hash(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt)))
+    staged = docs.select(
+        F.col(id_col),
+        h.alias("h"),
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return staged.select(
+        id_col, "shard", (F.row_number().over(w) - 1).alias("pos")
+    )

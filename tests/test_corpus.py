@@ -1,0 +1,213 @@
+"""Corpus-pipeline operators (operators/corpus.py): chunking, packing,
+PII redaction, stratified sampling, shard shuffle — semantics plus the
+plan shapes that make them 100 TB-safe (no shuffle where none is needed,
+broadcast weights join, partitioned windows only)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from hnsw_vector_db_spark.operators import corpus
+from hnsw_vector_db_spark.plans.explain import broadcast_join_count, physical_plan
+from hnsw_vector_db_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+# ---- chunk_documents -----------------------------------------------------
+
+def test_chunks_cover_text_with_overlap(spark):
+    text = "a" * 1000
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    out = corpus.chunk_documents(df, chunk_chars=400, overlap=100).collect()
+    # stride 300 -> starts 0,300,600,900 -> 4 chunks
+    assert [r.chunk_id for r in sorted(out, key=lambda r: r.chunk_id)] == [0, 1, 2, 3]
+    lens = {r.chunk_id: r.chunk_len for r in out}
+    assert lens[0] == lens[1] == lens[2] == 400
+    assert lens[3] == 100  # tail chunk is short, not padded
+    # coverage: stride * n_full + last start + last len == end of text
+    assert 3 * 300 + lens[3] == 1000
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="short")])
+    out = corpus.chunk_documents(df, chunk_chars=400, overlap=100).collect()
+    assert len(out) == 1 and out[0].chunk_text == "short"
+
+
+def test_chunk_overlap_is_shared_suffix_prefix(spark):
+    text = "".join(chr(ord("a") + i % 26) for i in range(500))
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    rows = sorted(
+        corpus.chunk_documents(df, chunk_chars=200, overlap=50).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert rows[0].chunk_text[-50:] == rows[1].chunk_text[:50]
+
+
+def test_chunk_rejects_bad_overlap(spark, docs):
+    with pytest.raises(ValueError):
+        corpus.chunk_documents(docs, chunk_chars=100, overlap=100)
+
+
+def test_chunk_plan_has_no_shuffle(spark, docs):
+    plan = physical_plan(corpus.chunk_documents(docs))
+    assert "Exchange" not in plan  # narrow map stage: explode + substring
+
+
+# ---- pack_sequences ------------------------------------------------------
+
+def test_pack_span_semantics(spark):
+    # 6 chunks of 10 tokens each, one shard, budget 25:
+    # cum-exclusive 0,10,20,30,40,50 -> seq floor(x/25) = 0,0,0,1,1,2
+    rows = [
+        Row(doc_id=8 * i, chunk_id=0, chunk_text=" ".join(["t"] * 10))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows)
+    out = corpus.pack_sequences(df, budget_tokens=25, n_shards=8).collect()
+    by_seq = {r.seq_id: r for r in out}
+    assert {r.shard for r in out} == {0}
+    assert [by_seq[s].n_chunks for s in (0, 1, 2)] == [3, 2, 1]
+    assert sum(r.total_tokens for r in out) == 60
+
+
+def test_pack_shards_are_independent(spark):
+    rows = [
+        Row(doc_id=i, chunk_id=0, chunk_text=" ".join(["t"] * 10)) for i in range(8)
+    ]
+    out = corpus.pack_sequences(
+        spark.createDataFrame(rows), budget_tokens=1000, n_shards=4
+    ).collect()
+    # 4 shards x 2 docs, everything fits in seq 0 of its own shard
+    assert sorted((r.shard, r.seq_id, r.n_docs) for r in out) == [
+        (s, 0, 2) for s in range(4)
+    ]
+
+
+def test_pack_window_is_partitioned(spark, docs):
+    # the cumsum window must be hash-partitioned by shard, never a single
+    # global sort partition (the 100 TB failure mode)
+    plan = physical_plan(corpus.pack_sequences(corpus.chunk_documents(docs)))
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+
+
+# ---- pii_redact ----------------------------------------------------------
+
+def test_pii_redact_all_three_kinds(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                doc_id=1,
+                text="write bob.smith+x@corp.example.org from 192.168.1.77 "
+                "or call +44-207-946-0958 now",
+            )
+        ]
+    )
+    r = corpus.pii_redact(df).collect()[0]
+    assert r.clean_text == "write <EMAIL> from <IP> or call <PHONE> now"
+    assert (r.n_emails, r.n_ips, r.n_phones) == (1, 1, 1)
+
+
+def test_pii_redact_email_wins_over_ip_in_hostname(spark):
+    # documented contract: email pass runs first, so an IP-shaped
+    # hostname inside an email address is consumed by <EMAIL>
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="x user@10.0.0.1.example.com y")]
+    )
+    r = corpus.pii_redact(df).collect()[0]
+    assert r.clean_text == "x <EMAIL> y"
+    assert "<IP>" not in r.clean_text
+
+
+def test_pii_clean_text_idempotent(spark, docs):
+    once = corpus.pii_redact(docs)
+    twice = corpus.pii_redact(
+        once.select("doc_id", F.col("clean_text").alias("text"))
+    )
+    assert twice.agg(F.sum("n_emails"), F.sum("n_ips"), F.sum("n_phones")).collect()[
+        0
+    ] == Row(**{"sum(n_emails)": 0, "sum(n_ips)": 0, "sum(n_phones)": 0})
+
+
+# ---- stratified_sample ---------------------------------------------------
+
+@pytest.fixture(scope="module")
+def weights(spark, docs):
+    from hnsw_vector_db_spark.functions.text import poly_hash
+
+    return docs.select("source").distinct().select(
+        "source",
+        ((F.pmod(poly_hash(F.concat("source", F.lit("#w"))), F.lit(5)) + 1) / 16.0).alias(
+            "frac"
+        ),
+    )
+
+
+def test_sample_is_deterministic_and_nested(spark, docs, weights):
+    a = {r.doc_id for r in corpus.stratified_sample(docs, weights).collect()}
+    b = {r.doc_id for r in corpus.stratified_sample(docs, weights).collect()}
+    assert a == b
+    # doubling every frac only ADDS rows (nested-sample property)
+    w2 = weights.select("source", (F.col("frac") * 2).alias("frac"))
+    c = {r.doc_id for r in corpus.stratified_sample(docs, w2).collect()}
+    assert a <= c and len(c) > len(a)
+
+
+def test_sample_rate_tracks_weight(spark, docs, weights):
+    got = (
+        corpus.stratified_sample(docs, weights)
+        .groupBy("source")
+        .count()
+        .join(docs.groupBy("source").count().withColumnRenamed("count", "total"), "source")
+        .join(weights, "source")
+        .collect()
+    )
+    for r in got:
+        # 4-sigma binomial bound — sf0.001 strata have only ~25 docs
+        bound = 4 * (r.frac * (1 - r.frac) / r.total) ** 0.5
+        assert abs(r["count"] / r.total - r.frac) < bound
+
+
+def test_sample_weights_join_is_broadcast(spark, docs, weights):
+    out = corpus.stratified_sample(docs, weights)
+    assert broadcast_join_count(out) >= 1
+    assert "SortMergeJoin" not in physical_plan(out)
+
+
+# ---- shard_shuffle -------------------------------------------------------
+
+def test_shard_shuffle_is_a_permutation(spark, docs):
+    out = corpus.shard_shuffle(docs, n_shards=8).collect()
+    n = docs.count()
+    assert len(out) == n and len({r.doc_id for r in out}) == n
+    # positions are dense 0..count-1 within each shard
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+
+
+def test_shard_shuffle_salt_changes_order(spark, docs):
+    a = {(r.doc_id, r.shard, r.pos) for r in corpus.shard_shuffle(docs).collect()}
+    b = {
+        (r.doc_id, r.shard, r.pos)
+        for r in corpus.shard_shuffle(docs, salt="other").collect()
+    }
+    assert a != b  # re-dealt
+    assert {t[0] for t in a} == {t[0] for t in b}  # same corpus
+
+
+def test_shard_shuffle_no_global_sort(spark, docs):
+    plan = physical_plan(corpus.shard_shuffle(docs))
+    assert "rangepartitioning" not in plan.lower()  # no global ORDER BY
+    assert "hashpartitioning(shard" in plan
