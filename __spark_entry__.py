@@ -860,6 +860,45 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index (similarity.ivf_pq_fit/topk — residual PQ
+    under a KMeans coarse quantizer, the FAISS IVFPQ shape): ADC with
+    per-cell residual LUTs over only the nprobe probed cells, exact
+    re-rank of the shortlist. Recall@10 vs exact euclidean kNN per query
+    with the >=0.9 target in-row. Rows-only (KMeans centers aren't SQL)
+    but fully seed-deterministic."""
+    from functools import reduce
+
+    from hnsw_vector_db_spark.operators.knn import knn_point
+
+    emb = _emb(spark, sf_dir)
+    codes, centroids, codebook = similarity.ivf_pq_fit(
+        emb, n_cells=8, n_subspaces=16, n_codes=32
+    )
+    codes = codes.cache()
+    codebook = codebook.cache()
+    parts = []
+    for qid in (0, 1, 2):
+        qv = _query_vec(spark, sf_dir, qid)
+        approx = similarity.ivf_pq_topk(
+            emb, codes, centroids, codebook, qv, k=10, nprobe=4,
+            shortlist=200, n_subspaces=16,
+        ).select("vec_id")
+        exact = knn_point(emb, qv, k=10, metric="euclidean").select("vec_id")
+        parts.append(
+            approx.join(exact, ["vec_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(qid).alias("query_id"), "n_hits")
+        )
+    hits = reduce(lambda a, b: a.unionByName(b), parts)
+    return hits.select(
+        "query_id",
+        "n_hits",
+        F.round(F.col("n_hits") / 10.0, 6).alias("recall"),
+        (F.col("n_hits") / 10.0 >= 0.9).alias("meets_target"),
+    )
+
+
 def q_hnsw_neighbor_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbor-selection invariants (#9, `graph.py`'s select heuristic +
     `_insert` trim): per layer, out-degree never exceeds the cap (2M at
@@ -1062,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_ef_sweep": q_hnsw_ef_sweep,
         "hnsw_neighbor_invariant": q_hnsw_neighbor_invariant,
         "pq_recall": q_pq_recall,
+        "ivf_pq_recall": q_ivf_pq_recall,
         "chunk_docs": q_chunk_docs,
         "pack_sequences": q_pack_sequences,
         "pii_redact": q_pii_redact,

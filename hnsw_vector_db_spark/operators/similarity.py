@@ -504,3 +504,121 @@ def pq_adc_topk(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_pq_fit(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    n_subspaces: int = 8,
+    n_codes: int = 32,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+):
+    """IVF-PQ build — the composed coarse+fine index (Jegou et al., TPAMI
+    2011 §IV; the FAISS ``IVFPQ`` shape): a KMeans coarse quantizer
+    routes vectors to cells, and PQ encodes the RESIDUAL
+    (vector - centroid[cell]) — residuals have much lower energy than raw
+    vectors, so the same code budget quantizes them far more precisely.
+
+    Returns (codes, centroids, codebook): ``codes`` is the compressed
+    corpus (id, cell, m, code) — at scale it is written partitioned BY
+    CELL so a search scans only nprobe/n_cells of an already ~16x-smaller
+    table; ``codebook`` is the tiny long-form (m, code, cblock) residual
+    codebook (broadcast at query time).
+
+    Spark-first shape: centroid subtraction is one broadcast join +
+    zip_with (codegen), PQ training is constant-cost on a deterministic
+    sample, encoding is fully distributed (pq_encode_codebook's
+    explode/broadcast/argmin plan).
+    """
+    assigned, centroids = ivf_fit(
+        vectors, n_cells=n_cells, seed=seed, id_col=id_col, vector_col=vector_col
+    )
+    cent_df = assigned.sparkSession.createDataFrame(
+        [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))],
+        "cell int, cvec array<double>",
+    )
+    resid = assigned.join(F.broadcast(cent_df), "cell").withColumn(
+        "resid",
+        F.zip_with(
+            F.col(vector_col).cast("array<double>"), F.col("cvec"), lambda a, b: a - b
+        ),
+    )
+    codebook = pq_fit_codebooks(
+        resid, n_subspaces=n_subspaces, n_codes=n_codes, dim=dim, seed=seed,
+        id_col=id_col, vector_col="resid",
+    )
+    codes = (
+        pq_encode_codebook(
+            resid, codebook, n_subspaces=n_subspaces, dim=dim,
+            id_col=id_col, vector_col="resid",
+        )
+        .select(id_col, "m", "code")
+        .join(assigned.select(id_col, "cell"), id_col)
+    )
+    return codes, centroids, codebook
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    codes: DataFrame,
+    centroids: np.ndarray,
+    codebook: DataFrame,
+    query,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 100,
+    n_subspaces: int = 8,
+    dim: int = 64,
+    metric: str = "euclidean",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search: probe the nprobe nearest cells, ADC over residual
+    codes with a PER-CELL lookup table (the query's residual differs per
+    cell), exact re-rank of the shortlist.
+
+    The LUT is nprobe * n_subspaces * n_codes rows — hundreds — built
+    driver-side from the collected codebook and broadcast; the inner join
+    on (cell, m, code) both scores candidates AND prunes every unprobed
+    cell at the scan (partition pruning when codes are stored partitioned
+    by cell). The corpus-side exact pass touches only the shortlist via
+    broadcast semi-join — same serving shape as the reference's
+    coarse-to-fine descent (core/hnsw/graph.py:184-186) with partition
+    pruning playing the role of layer descent.
+    """
+    width = dim // n_subspaces
+    q = np.asarray(list(query), dtype=np.float64)
+    order = np.argsort(np.linalg.norm(centroids - q, axis=1))
+    cells = [int(c) for c in order[:nprobe]]
+    cb = codebook.select("m", "code", "cblock").collect()
+    lut = []
+    for cell in cells:
+        r = q - centroids[cell]
+        for row in cb:
+            m = int(row["m"])
+            dd = r[m * width : (m + 1) * width] - np.asarray(
+                row["cblock"], dtype=np.float64
+            )
+            lut.append((cell, m, int(row["code"]), float((dd * dd).sum())))
+    lut_df = codes.sparkSession.createDataFrame(
+        lut, "cell int, m int, code int, psq double"
+    )
+    short = (
+        codes.join(F.broadcast(lut_df), ["cell", "m", "code"])
+        .groupBy(id_col)
+        .agg(F.sqrt(F.sum("psq")).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+        .select(id_col)
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        vectors.join(F.broadcast(short), id_col, "left_semi")
+        .withColumn("dist", F.round(distance(F.col(vector_col), qarr, metric), 6))
+        .select(id_col, "dist")
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

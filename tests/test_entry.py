@@ -41,6 +41,7 @@ def test_oracle_keys_subset_of_queries():
         "hnsw_neighbor_invariant",
         "ivf_probe_recall",
         "pq_recall",
+        "ivf_pq_recall",
     }
 
 

@@ -211,3 +211,35 @@ def test_pq_learned_codebooks_beat_seed_codebooks(spark, emb):
         }
         recalls.append(len(approx & exact) / 10)
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ivf_pq_composed_index(spark, emb):
+    """IVF-PQ (residual PQ under a coarse quantizer): recall@10 >= 0.9
+    with nprobe=half the cells, and the ADC join scans ONLY probed
+    cells (inner join on the per-cell LUT prunes the rest)."""
+    from hnsw_vector_db_spark.operators.knn import knn_point
+    from hnsw_vector_db_spark.operators.similarity import ivf_pq_fit, ivf_pq_topk
+
+    from pyspark.sql import functions as SF
+
+    codes, centroids, codebook = ivf_pq_fit(emb, n_cells=8, n_subspaces=16, n_codes=32)
+    codes = codes.cache()
+    codebook = codebook.cache()
+    recalls = []
+    for qid in range(3):
+        qv = emb.filter(SF.col("vec_id") == qid).first()["embedding"]
+        out = ivf_pq_topk(
+            emb, codes, centroids, codebook, qv, k=10, nprobe=4,
+            shortlist=200, n_subspaces=16,
+        )
+        approx = {r["vec_id"] for r in out.collect()}
+        exact = {
+            r["vec_id"] for r in knn_point(emb, qv, k=10, metric="euclidean").collect()
+        }
+        recalls.append(len(approx & exact) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+    # determinism: same fit twice -> identical codes (seeded KMeans + Lloyd's)
+    codes2, _, _ = ivf_pq_fit(emb, n_cells=8, n_subspaces=16, n_codes=32)
+    assert codes.exceptAll(codes2).count() == 0
+    assert codes2.exceptAll(codes).count() == 0
