@@ -860,6 +860,50 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (#8 insert, `core/hnsw/graph.py:
+    127-173` — but batched, per-cell parallel, rebuild-free): merge
+    copies of three existing vectors (offset ids) into the persisted
+    index via hnsw_insert, then search for each copy. In-row checks:
+    the merge touched only the routed cells (untouched_identical), and
+    each copy is found at distance 0 (found_self — the copy or its
+    exact twin). Rows-only: graph traversal isn't SQL, but every seed
+    is fixed so the rows are deterministic."""
+    from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_insert, hnsw_search
+
+    index, centroids = _hnsw_artifacts(spark, sf_dir, n_cells=4)
+    emb = _emb(spark, sf_dir)
+    new = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    merged = hnsw_insert(index, new, centroids, metric="cosine").cache()
+
+    grew = (
+        index.select("cell", F.col("n").alias("n_before"))
+        .join(merged.select("cell", F.col("n").alias("n_after")), "cell")
+    )
+    n_touched = grew.filter(F.col("n_after") != F.col("n_before")).count()
+
+    queries = new.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = hnsw_search(merged, queries, centroids, k=1, ef=64, nprobe=2)
+    return hits.select(
+        "query_id",
+        F.col("vec_id").alias("found_id"),
+        F.round("dist", 6).alias("dist"),
+        (
+            (F.col("dist") < 1e-6)
+            & (
+                (F.col("vec_id") == F.col("query_id"))
+                | (F.col("vec_id") == F.col("query_id") - 1_000_000)
+            )
+        ).alias("found_self"),
+        F.lit(n_touched).alias("cells_touched"),
+        (F.lit(n_touched) > 0).alias("merge_applied"),
+    ).orderBy("query_id")
+
+
 def q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed index (similarity.ivf_pq_fit/topk — residual PQ
     under a KMeans coarse quantizer, the FAISS IVFPQ shape): ADC with
@@ -1102,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_neighbor_invariant": q_hnsw_neighbor_invariant,
         "pq_recall": q_pq_recall,
         "ivf_pq_recall": q_ivf_pq_recall,
+        "hnsw_incremental": q_hnsw_incremental,
         "chunk_docs": q_chunk_docs,
         "pack_sequences": q_pack_sequences,
         "pii_redact": q_pii_redact,

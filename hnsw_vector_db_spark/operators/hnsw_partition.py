@@ -147,6 +147,34 @@ class LocalHNSW:
         if li > int(self.levels[self.entry]):
             self.entry = i
 
+    def insert_batch(self, X_new: np.ndarray, seed: int | None = None) -> None:
+        """Incremental insert — the reference's online ``insert`` path
+        (`core/hnsw/graph.py:127-173`) without a rebuild: append rows,
+        draw their levels from a seed derived from the CURRENT size (so
+        the result is a pure function of (existing state, batch), not of
+        rng history), extend the layer list if the new max level exceeds
+        the old top, then run the standard `_insert` per new row."""
+        X_new = np.ascontiguousarray(X_new, dtype=np.float64)
+        if self.metric == "cosine":
+            norms = np.linalg.norm(X_new, axis=1, keepdims=True)
+            X_new = X_new / np.where(norms == 0, 1.0, norms)
+        n0 = int(self.X.shape[0]) if self.X is not None and self.X.size else 0
+        if n0 == 0:
+            self.build(X_new)
+            return
+        rng = np.random.RandomState((seed if seed is not None else 0) + n0)
+        k_new = X_new.shape[0]
+        new_levels = np.minimum(
+            (-np.log(rng.uniform(1e-12, 1.0, size=k_new)) * self.ml).astype(int), 32
+        )
+        self.X = np.vstack([self.X, X_new])
+        self.levels = np.concatenate([self.levels, new_levels])
+        top_needed = int(self.levels.max())
+        while len(self.adj) <= top_needed:
+            self.adj.append(dict())
+        for i in range(n0, n0 + k_new):
+            self._insert(i)
+
     def search(self, q: np.ndarray, k: int, ef: int = 64) -> list[tuple[int, float]]:
         """Top-k (row_index, dist); ef = max(ef, k) like the reference's
         `graph.py:180-181` knob."""
@@ -300,6 +328,110 @@ def hnsw_build(
         assigned.select("cell", id_col, vector_col)
         .groupBy("cell")
         .applyInPandas(per_cell, INDEX_SCHEMA)
+    )
+
+
+def hnsw_insert(
+    index: DataFrame,
+    new_vectors: DataFrame,
+    centroids: np.ndarray,
+    metric: str = "cosine",
+    m: int = 8,
+    ef_construction: int = 64,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Incremental index maintenance: merge a batch of new vectors into a
+    MATERIALIZED per-cell index, touching ONLY the cells that receive new
+    rows — every other index row passes through untouched (no
+    deserialization, no distance evaluations, no rebuild).
+
+    New rows are routed to cells by the existing centroids (broadcast
+    argmin — no KMeans refit), then a cogroup pairs each affected cell's
+    stored state with its new rows: reconstruct (O(edges) slicing), run
+    the incremental `LocalHNSW.insert_batch`, re-serialize. A cell with
+    new rows but no existing state is built fresh. This is the
+    reference's online insert (`core/hnsw/graph.py:127-173`) — but
+    batched, parallel across cells, and lock-free, where the reference
+    serializes every insert under one global lock.
+
+    Returns the new index DataFrame (same INDEX_SCHEMA); write it back to
+    the index location to commit. Deterministic: level draws are seeded
+    by (cell state size, batch), so re-running the same merge yields an
+    identical index.
+    """
+    import pandas as pd
+
+    from hnsw_vector_db_spark.operators.similarity import assign_to_centroids
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(index.sparkSession)
+
+    cent_df = index.sparkSession.createDataFrame(
+        [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))],
+        "seed_id int, seed_vec array<double>",
+    )
+    routed = (
+        assign_to_centroids(
+            new_vectors, cent_df, metric=metric, id_col=id_col, vector_col=vector_col
+        )
+        .select(id_col, "cell")
+        .join(new_vectors.select(id_col, vector_col), id_col)
+    )
+
+    idx_cols = [
+        "cell", "n", "dim", "metric", "entry", "ids", "levels",
+        "vec_bytes", "e_layer", "e_src", "e_dst",
+    ]
+
+    def per_cell(idx_pdf: pd.DataFrame, new_pdf: pd.DataFrame) -> pd.DataFrame:
+        if new_pdf.empty:
+            # untouched cell: pass the stored row through byte-identical
+            return idx_pdf[idx_cols] if not idx_pdf.empty else pd.DataFrame(
+                columns=idx_cols
+            )
+        X_new = np.vstack(new_pdf[vector_col].to_numpy()).astype(np.float64)
+        new_ids = new_pdf[id_col].to_numpy().astype(np.int64)
+        order = np.argsort(new_ids, kind="stable")  # deterministic insert order
+        X_new, new_ids = X_new[order], new_ids[order]
+        if idx_pdf.empty:
+            local = LocalHNSW(m=m, ef_construction=ef_construction, metric=metric, seed=0)
+            local.build(X_new)
+            ids = new_ids
+            cell = int(new_pdf["cell"].iloc[0])
+        else:
+            st = idx_pdf.iloc[0]
+            local = LocalHNSW.from_state(
+                int(st["n"]), int(st["dim"]), st["metric"], int(st["entry"]),
+                st["levels"], st["vec_bytes"], st["e_layer"], st["e_src"], st["e_dst"],
+            )
+            local.m, local.m0, local.efc = m, 2 * m, ef_construction
+            local.insert_batch(X_new)
+            ids = np.concatenate([np.asarray(st["ids"], dtype=np.int64), new_ids])
+            cell = int(st["cell"])
+        out = local.to_state()
+        return pd.DataFrame(
+            [
+                {
+                    "cell": cell,
+                    "n": out["n"],
+                    "dim": out["dim"],
+                    "metric": out["metric"],
+                    "entry": out["entry"],
+                    "ids": ids.tolist(),
+                    "levels": out["levels"],
+                    "vec_bytes": out["vec_bytes"],
+                    "e_layer": out["e_layer"],
+                    "e_src": out["e_src"],
+                    "e_dst": out["e_dst"],
+                }
+            ]
+        )
+
+    return (
+        index.groupBy("cell")
+        .cogroup(routed.groupBy("cell"))
+        .applyInPandas(lambda ik, qk: per_cell(ik, qk), INDEX_SCHEMA)
     )
 
 

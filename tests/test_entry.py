@@ -42,6 +42,7 @@ def test_oracle_keys_subset_of_queries():
         "ivf_probe_recall",
         "pq_recall",
         "ivf_pq_recall",
+        "hnsw_incremental",
     }
 
 

@@ -84,3 +84,58 @@ def test_edges_derived_from_index_match_fresh_build(spark, fitted):
     # same build params => identical topology; the index= variant avoids
     # the second build entirely
     assert e_idx == e_fresh and len(e_idx) > 0
+
+
+def test_insert_batch_local_finds_new_rows():
+    """Incremental LocalHNSW insert: inserted vectors are their own
+    nearest neighbor, old rows stay searchable, and the merge is a pure
+    function of (state, batch) — two identical merges agree exactly."""
+    rng = np.random.RandomState(11)
+    X = rng.randn(300, 16)
+    idx = LocalHNSW(m=6, ef_construction=32, metric="cosine", seed=0)
+    idx.build(X)
+    X_new = rng.randn(20, 16)
+    idx.insert_batch(X_new)
+    for j in range(20):
+        hits = idx.search(X_new[j], 1, ef=48)
+        assert hits[0][0] == 300 + j  # exact copy is top-1
+    assert idx.search(X[5], 1, ef=48)[0][0] == 5
+    # determinism of the merge
+    idx2 = LocalHNSW(m=6, ef_construction=32, metric="cosine", seed=0)
+    idx2.build(X)
+    idx2.insert_batch(X_new)
+    assert idx.to_state() == idx2.to_state()
+
+
+def test_hnsw_insert_touches_only_affected_cells(spark, fitted):
+    """Distributed incremental maintenance: cells that receive no new
+    vectors pass through BYTE-IDENTICAL (no rebuild), and searches for
+    the inserted vectors return them as top-1."""
+    from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_insert
+
+    assigned, centroids, _ = fitted
+    index = hnsw_build(assigned, metric="cosine").cache()
+
+    # new vectors = copies of three existing ones, offset ids
+    base = assigned.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    merged = hnsw_insert(index, base, centroids, metric="cosine").cache()
+
+    # which cells got the new rows?
+    before = {r["cell"]: r for r in index.collect()}
+    after = {r["cell"]: r for r in merged.collect()}
+    assert set(before) == set(after)
+    touched = {c for c in after if after[c]["n"] != before[c]["n"]}
+    assert touched  # at least one cell grew
+    for c in set(after) - touched:
+        assert after[c] == before[c]  # untouched rows byte-identical
+
+    # the inserted copies are found as their own nearest neighbor
+    queries = base.select(
+        (F.col("vec_id")).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = hnsw_search(merged, queries, centroids, k=1, ef=64, nprobe=2)
+    got = {r["query_id"]: r["vec_id"] for r in hits.collect()}
+    for qid, vid in got.items():
+        assert vid in (qid, qid - 1_000_000)  # the copy or its twin (dist 0 tie)
