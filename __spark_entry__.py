@@ -990,6 +990,87 @@ def q_hnsw_neighbor_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("layer")
 
 
+def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority pivoted by status — Spark's
+    relational pivot (groupBy().pivot() with explicit values, so the
+    plan needs no extra distinct-scan pass and stays a single
+    aggregate). Oracle: FILTER-based conditional aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce("O", F.lit(0)).alias("n_open"),
+        F.coalesce("F", F.lit(0)).alias("n_filled"),
+        F.coalesce("P", F.lit(0)).alias("n_partial"),
+    )
+
+
+def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT via stack(): wide per-returnflag sums melted to long
+    (measure, value) rows — the inverse of the pivot, one projection
+    after the aggregate (no join, no union of re-scans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, 'sum_disc', sum_disc) AS (measure, value)",
+    )
+
+
+def q_nation_balance_fo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: nations' premium customers (acctbal > 7000) vs
+    debtor suppliers (s_acctbal < 0) — either side may be absent for a
+    nation, so the outer join + coalesce(0) is the semantics under
+    test."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cust.join(supp, "nationkey", "full_outer").select(
+        "nationkey",
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS correlated subquery (TPC-H Q22 shape) through the SQL
+    API — customers with no order in the first half-year of history.
+    Catalyst rewrites it to a left-anti hash join (never a per-row
+    subquery re-execution)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_customers,
+               round(avg(c_acctbal), 6) AS avg_acctbal
+        FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+        )
+        GROUP BY c_mktsegment
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # Corpus pipeline (training-data prep) — operators/corpus.py
 # --------------------------------------------------------------------------
@@ -1147,6 +1228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": q_pq_recall,
         "ivf_pq_recall": q_ivf_pq_recall,
         "hnsw_incremental": q_hnsw_incremental,
+        "orders_pivot": q_orders_pivot,
+        "lineitem_unpivot": q_lineitem_unpivot,
+        "nation_balance_fo": q_nation_balance_fo,
+        "customers_no_orders": q_customers_no_orders,
         "chunk_docs": q_chunk_docs,
         "pack_sequences": q_pack_sequences,
         "pii_redact": q_pii_redact,
@@ -1978,6 +2063,56 @@ GROUP BY CUBE (c_mktsegment, n_name)
 SELECT (row_number() OVER (ORDER BY lang || '|' || lpad(doc_id::VARCHAR, 10, '0')) + 999)::BIGINT AS new_id,
        doc_id, lang
 FROM documents
+""".strip()
+
+    sql["orders_pivot"] = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+FROM orders GROUP BY o_orderpriority
+""".strip()
+
+    sql["lineitem_unpivot"] = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(sum(l_discount), 2) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price', sum_price FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+""".strip()
+
+    sql["nation_balance_fo"] = """
+WITH cust AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_cust
+  FROM customer WHERE c_acctbal > 7000 GROUP BY 1
+),
+supp AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_supp
+  FROM supplier WHERE s_acctbal < 0 GROUP BY 1
+)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(n_cust, 0)::BIGINT AS n_cust,
+       coalesce(n_supp, 0)::BIGINT AS n_supp
+FROM cust c FULL OUTER JOIN supp s ON c.nationkey = s.nationkey
+""".strip()
+
+    sql["customers_no_orders"] = """
+SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+       round(avg(c_acctbal), 6) AS avg_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+)
+GROUP BY c_mktsegment
 """.strip()
 
     # ---- corpus pipeline (operators/corpus.py) ----

@@ -100,3 +100,25 @@ def test_group_topk_rank_pushes_below_exchange(spark, qs):
     exch = [i for i, ln in enumerate(lines) if "Exchange" in ln]
     assert wgl and exch
     assert max(wgl) > min(exch), plan  # a WindowGroupLimit sits below the shuffle
+
+
+def test_not_exists_plans_as_anti_join(spark, qs):
+    # NOT EXISTS must decorrelate to one hash anti-join — never a per-row
+    # subquery and never a nested loop
+    plan = physical_plan(qs["customers_no_orders"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_cartesian(qs["customers_no_orders"](spark, SF))
+
+
+def test_pivot_is_single_aggregate(spark, qs):
+    # pivot with explicit values = ONE aggregate pass over orders (no
+    # distinct-scan for values, no union of per-status re-scans)
+    plan = physical_plan(qs["orders_pivot"](spark, SF))
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_full_outer_is_hash_join(spark, qs):
+    plan = physical_plan(qs["nation_balance_fo"](spark, SF))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
