@@ -54,6 +54,16 @@ HEADLINE = [
     "hnsw_ann",
 ]
 
+# corpus-pipeline stages added in r2 — benched separately from the r1
+# set so totals stay comparable (BASELINE.md tracks the r1-subset total)
+HEADLINE += [
+    "chunk_docs",
+    "pack_sequences",
+    "pii_redact",
+    "stratified_sample",
+    "shard_shuffle",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
