@@ -318,6 +318,20 @@ def q_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_assign_ids_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same id contract as assign_ids (same oracle) through the two-phase
+    zipWithIndex-shaped path — partitioned window + offset table, no
+    single-partition stage, safe over the full corpus."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    docs2 = docs.withColumn(
+        "_ord",
+        F.concat_ws("|", "lang", F.lpad(F.col("doc_id").cast("string"), 10, "0")),
+    )
+    return table.assign_ids_scalable(
+        docs2, start=1000, id_col="new_id", order_col="_ord", num_partitions=8
+    ).select("new_id", "doc_id", "lang")
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup(_emb(spark, sf_dir), threshold=SIM_THRESHOLD)
 
@@ -990,6 +1004,15 @@ def q_hnsw_neighbor_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("layer")
 
 
+def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact distinct: per-event-type distinct user count via
+    value-space salting (relational.salted_distinct_count) — two
+    partial-combinable aggregations instead of one hot-key reducer."""
+    return relational.salted_distinct_count(
+        _events(spark, sf_dir), "event_type", "user_id", n_salts=16, out_col="n_users"
+    )
+
+
 def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: order counts per priority pivoted by status — Spark's
     relational pivot (groupBy().pivot() with explicit values, so the
@@ -1198,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_corr": q_lineitem_corr,
         "customer_cube": q_customer_cube,
         "assign_ids": q_assign_ids,
+        "assign_ids_scalable": q_assign_ids_scalable,
         "embedding_neardup": q_embedding_neardup,
         "label_centroids": q_label_centroids,
         "neardup_components": q_neardup_components,
@@ -1228,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": q_pq_recall,
         "ivf_pq_recall": q_ivf_pq_recall,
         "hnsw_incremental": q_hnsw_incremental,
+        "events_distinct_users": q_events_distinct_users,
         "orders_pivot": q_orders_pivot,
         "lineitem_unpivot": q_lineitem_unpivot,
         "nation_balance_fo": q_nation_balance_fo,
@@ -2063,6 +2088,14 @@ GROUP BY CUBE (c_mktsegment, n_name)
 SELECT (row_number() OVER (ORDER BY lang || '|' || lpad(doc_id::VARCHAR, 10, '0')) + 999)::BIGINT AS new_id,
        doc_id, lang
 FROM documents
+""".strip()
+
+    # same id contract, scalable plan -> same oracle
+    sql["assign_ids_scalable"] = sql["assign_ids"]
+
+    sql["events_distinct_users"] = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type
 """.strip()
 
     sql["orders_pivot"] = """

@@ -224,3 +224,32 @@ def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
             "rnk",
         )
     )
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    key_col: str,
+    dist_col: str,
+    n_salts: int = 16,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Skew-safe EXACT distinct count per key — the aggregation shape
+    that survives one dominant key at 100 TB.
+
+    A plain ``countDistinct`` per key funnels every row of a hot key
+    through one reducer (partial aggregation can't combine distincts).
+    Salting by ``hash(dist_col) % n_salts`` splits each key's DISTINCT
+    VALUE SPACE into disjoint classes — so per-(key, salt) distinct
+    counts are exact and their per-key sum is the exact global distinct
+    count. Two ordinary hash aggregations, both with map-side partial
+    combine, hot keys spread over ``n_salts`` reducers.
+
+    The salt must be a pure function of the distinct column (disjoint
+    classes), never a random number — randomness would double-count
+    values that land in two salts.
+    """
+    salt = F.pmod(F.xxhash64(F.col(dist_col)), F.lit(n_salts))
+    part = df.groupBy(F.col(key_col), salt.alias("_salt")).agg(
+        F.countDistinct(dist_col).alias("_c")
+    )
+    return part.groupBy(key_col).agg(F.sum("_c").alias(out_col))

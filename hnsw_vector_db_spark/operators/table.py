@@ -52,6 +52,52 @@ def assign_ids(
     return df.withColumn(id_col, F.row_number().over(w) + F.lit(start - 1))
 
 
+def assign_ids_scalable(
+    df: DataFrame,
+    start: int = 0,
+    id_col: str = "vec_id",
+    order_col: str = "_order",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous deterministic ids WITHOUT a single-partition window —
+    the any-size form of :func:`assign_ids`. Two phases, the classic
+    zipWithIndex shape expressed in DataFrame ops:
+
+    1. range-shuffle on the (unique, non-null) order key, local
+       row_number per partition — each partition ranks independently;
+    2. per-partition counts (P tiny rows) collected once to compute the
+       cumulative offset each partition adds — the same driver pass
+       ``RDD.zipWithIndex`` performs, O(partitions) not O(rows).
+
+    Global id = partition offset + local rank + start. Deterministic for
+    a unique order key: range partitioning puts equal-prefix runs in
+    order, and the offset table is a pure function of partition sizes.
+    The window in phase 1 is PARTITIONED — no stage funnels the corpus
+    through one task, so this holds at any scale (the reference's
+    counter, `core/hnsw/graph.py:131-136`, is a single mutex'd int).
+    """
+    P = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(P, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = {
+        r["_pid"]: r["c"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += counts[pid]
+    off_df = df.sparkSession.createDataFrame(offs, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(id_col, (F.col("_rn") + F.col("_off") + F.lit(start - 1)).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
 def insert_batch(
     base: DataFrame, new: DataFrame, dim: int, vector_col: str = "embedding"
 ) -> tuple[DataFrame, DataFrame]:

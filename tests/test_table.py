@@ -112,3 +112,45 @@ def test_train_val_split_deterministic_and_append_stable(spark, sf_dir):
     sub = docs.filter("doc_id % 2 = 0")
     sub_split = {r["doc_id"]: r["split"] for r in train_val_split(sub, val_pct=10).collect()}
     assert all(full[k] == v for k, v in sub_split.items())
+
+
+def test_assign_ids_scalable_matches_global_window(spark, sf_dir):
+    """Two-phase id assignment returns EXACTLY the ids of the
+    single-partition window form, with no single-partition stage."""
+    from pyspark.sql import functions as F
+
+    from hnsw_vector_db_spark.operators.table import assign_ids, assign_ids_scalable
+    from hnsw_vector_db_spark.plans.explain import physical_plan
+    from hnsw_vector_db_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs = docs.withColumn(
+        "_ord", F.concat_ws("|", "lang", F.lpad(F.col("doc_id").cast("string"), 10, "0"))
+    )
+    a = assign_ids(docs, start=50, id_col="nid", order_col="_ord")
+    b = assign_ids_scalable(docs, start=50, id_col="nid", order_col="_ord", num_partitions=8)
+    got_a = {(r["doc_id"], r["nid"]) for r in a.collect()}
+    got_b = {(r["doc_id"], r["nid"]) for r in b.collect()}
+    assert got_a == got_b
+    # the window runs per range partition, never on one global partition
+    assert "SinglePartition" not in physical_plan(b)
+
+
+def test_salted_distinct_count_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hnsw_vector_db_spark.operators.relational import salted_distinct_count
+    from hnsw_vector_db_spark.sources.parquet import load_events
+
+    ev = load_events(spark, sf_dir)
+    got = {
+        r["event_type"]: r["n_distinct"]
+        for r in salted_distinct_count(ev, "event_type", "user_id").collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
