@@ -1,0 +1,104 @@
+"""Streaming ANN-index maintenance — the reference's write path landing
+in the index, continuously.
+
+In the reference every insert mutates the HNSW graph inline under the
+global lock (`api/rest/server.py:202-230` -> `core/hnsw/graph.py:127-173`
+via the Raft log, `distributed/raft/node.py`). The Spark-native shape
+splits that into the stream half (this module) and the merge half
+(`operators/hnsw_partition.hnsw_insert`): a stream of new vectors is
+folded into the PERSISTED per-cell index once per micro-batch — cells
+that receive no vectors pass through untouched, so per-trigger work is
+O(touched cells + batch), not O(index).
+
+Crash safety: the merged index is written to a ``batch_id``-derived
+directory and a tiny ``_LATEST`` pointer file is swapped last — a replayed
+micro-batch (foreachBatch is at-least-once) rewrites the same directory
+and re-swaps the same pointer, so readers always load a complete index
+version. This is the streaming analog of the reference's
+snapshot-then-rename (`core/storage/engine.py:23-56`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+VECTOR_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def read_vector_stream(spark: SparkSession, vec_dir: str) -> DataFrame:
+    return spark.readStream.schema(VECTOR_SCHEMA).parquet(vec_dir)
+
+
+def latest_index_path(index_root: str) -> str:
+    """Resolve the current committed index version via the pointer file."""
+    import os
+
+    with open(os.path.join(index_root, "_LATEST")) as fh:
+        return os.path.join(index_root, fh.read().strip())
+
+
+def load_latest_index(spark: SparkSession, index_root: str) -> DataFrame:
+    return spark.read.parquet(latest_index_path(index_root))
+
+
+def start_index_maintenance(
+    spark: SparkSession,
+    vec_dir: str,
+    index_root: str,
+    centroids: np.ndarray,
+    checkpoint_dir: str,
+    metric: str = "cosine",
+    m: int = 8,
+    ef_construction: int = 64,
+):
+    """Fold each micro-batch of new vectors into the persisted index.
+
+    Per trigger: read the CURRENT index version, run the incremental
+    ``hnsw_insert`` (only routed cells deserialize/rebuild), write the
+    merged index to ``v<batch_id>/``, then swap the ``_LATEST`` pointer.
+    Searches (`hnsw_search`) always read a fully-written version through
+    :func:`load_latest_index`; a crash mid-write leaves the pointer on
+    the previous complete version.
+
+    The initial index (``v_init`` + pointer) must exist — create it with
+    ``hnsw_build`` + :func:`init_index_root`.
+    """
+    import os
+
+    from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_insert
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        current = load_latest_index(spark, index_root)
+        merged = hnsw_insert(
+            current, batch_df, centroids, metric=metric, m=m,
+            ef_construction=ef_construction,
+        )
+        version = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(os.path.join(index_root, version))
+        # pointer swap commits the version; replay re-swaps identically
+        tmp = os.path.join(index_root, "_LATEST.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, os.path.join(index_root, "_LATEST"))
+
+    return (
+        read_vector_stream(spark, vec_dir)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def init_index_root(index: DataFrame, index_root: str) -> None:
+    """Write the initial index version and commit the pointer."""
+    import os
+
+    index.write.mode("overwrite").parquet(os.path.join(index_root, "v_init"))
+    tmp = os.path.join(index_root, "_LATEST.tmp")
+    with open(tmp, "w") as fh:
+        fh.write("v_init")
+    os.replace(tmp, os.path.join(index_root, "_LATEST"))

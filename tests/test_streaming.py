@@ -142,3 +142,57 @@ def test_streaming_knn_serving_matches_batch(spark, sf_dir, tmp_path):
         for r in knn_batch(queries, emb, k=5).collect()
     }
     assert served == batch
+
+
+def test_streaming_index_maintenance(spark, sf_dir, tmp_path):
+    """Streamed vector batches fold into the persisted HNSW index via the
+    incremental merge; the committed version serves searches that find
+    every inserted vector at distance 0, and equals the same merge done
+    in batch (both are pure functions of state+batch)."""
+    from pyspark.sql import functions as F
+
+    from hnsw_vector_db_spark.operators.hnsw_partition import (
+        hnsw_build,
+        hnsw_insert,
+        hnsw_search,
+    )
+    from hnsw_vector_db_spark.operators.similarity import ivf_fit
+    from hnsw_vector_db_spark.sources.parquet import load_table
+    from hnsw_vector_db_spark.streaming.index_maintenance import (
+        init_index_root,
+        load_latest_index,
+        start_index_maintenance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_fit(emb, n_cells=4)
+    index_root = str(tmp_path / "index")
+    init_index_root(hnsw_build(assigned), index_root)
+
+    new = emb.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+    )
+    vec_dir = str(tmp_path / "incoming")
+    new.coalesce(1).write.mode("overwrite").parquet(vec_dir)
+
+    q = start_index_maintenance(
+        spark, vec_dir, index_root, centroids, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    latest = load_latest_index(spark, index_root)
+    # deterministic merge: streamed result == batch hnsw_insert result
+    batch_merged = hnsw_insert(
+        spark.read.parquet(index_root + "/v_init"), new, centroids
+    )
+    assert latest.exceptAll(batch_merged).count() == 0
+    assert batch_merged.exceptAll(latest).count() == 0
+
+    queries = new.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = hnsw_search(latest, queries, centroids, k=1, ef=64, nprobe=2)
+    for r in hits.collect():
+        assert r["dist"] < 1e-6
+        assert r["vec_id"] in (r["query_id"], r["query_id"] - 2_000_000)
