@@ -1004,6 +1004,12 @@ def q_hnsw_neighbor_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("layer")
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-3-gram ratio and
+    top-token frequency per document."""
+    return text_analysis.repetition_stats(_docs(spark, sf_dir))
+
+
 def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe exact distinct: per-event-type distinct user count via
     value-space salting (relational.salted_distinct_count) — two
@@ -1252,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": q_pq_recall,
         "ivf_pq_recall": q_ivf_pq_recall,
         "hnsw_incremental": q_hnsw_incremental,
+        "repetition_stats": q_repetition_stats,
         "events_distinct_users": q_events_distinct_users,
         "orders_pivot": q_orders_pivot,
         "lineitem_unpivot": q_lineitem_unpivot,
@@ -2092,6 +2099,32 @@ FROM documents
 
     # same id contract, scalable plan -> same oracle
     sql["assign_ids_scalable"] = sql["assign_ids"]
+
+    sql["repetition_stats"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+base AS (
+  SELECT doc_id, len(toks)::INTEGER AS n_tokens,
+         CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+         END AS grams
+  FROM t
+),
+dup AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN len(grams) > 0
+              THEN round(1.0 - len(list_distinct(grams)) / len(grams), 6) + 0
+              ELSE 0.0 END AS dup_3gram_ratio
+  FROM base
+),
+tc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2
+),
+agg AS (SELECT doc_id, max(c) AS topc, sum(c) AS total FROM tc GROUP BY 1)
+SELECT d.doc_id, d.n_tokens, d.dup_3gram_ratio,
+       coalesce(round(a.topc / a.total, 6) + 0, 0.0) AS top_token_ratio
+FROM dup d LEFT JOIN agg a USING (doc_id)
+""".strip()
 
     sql["events_distinct_users"] = """
 SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users

@@ -152,3 +152,59 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         poly_hash(F.col(text_col)).alias("fp"),
         poly_hash(norm).alias("fp_normalized"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition quality filters (the Gopher/MassiveText rules: drop
+    documents dominated by repeated n-grams or a single token).
+
+    Per document:
+      - ``n_tokens`` — whitespace token count;
+      - ``dup_3gram_ratio`` — 1 - distinct/total sliding word 3-grams
+        (0 for docs with < 3 tokens): boilerplate and template spam
+        score near 1;
+      - ``top_token_ratio`` — frequency of the most common token over
+        all tokens: keyword-stuffed docs score high.
+
+    The 3-gram ratio is a pure narrow expression (word_ngrams +
+    array_distinct, no shuffle); the token mode needs a per-doc count —
+    explode + two keyed aggregations on doc_id, then one join back.
+    Everything is keyed by doc_id, so the shuffles scale linearly and
+    no key is hotter than the longest single document.
+    """
+    from hnsw_vector_db_spark.functions.text import word_ngrams
+
+    toks = tokens(text_col)
+    grams = word_ngrams(toks, 3)
+    n_grams = F.size(grams)
+    dup_ratio = F.when(
+        n_grams > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / n_grams, 6),
+    ).otherwise(F.lit(0.0))
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        dup_ratio.alias("dup_3gram_ratio"),
+        toks.alias("_toks"),
+    )
+    tok_counts = (
+        base.select(id_col, F.explode("_toks").alias("_tok"))
+        .groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_total"))
+    )
+    return (
+        base.drop("_toks")
+        .join(tok_counts, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "dup_3gram_ratio",
+            F.coalesce(F.round(F.col("_top") / F.col("_total"), 6), F.lit(0.0)).alias(
+                "top_token_ratio"
+            ),
+        )
+    )

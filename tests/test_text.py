@@ -90,3 +90,25 @@ def test_fingerprint_normalization(spark):
     assert out[0]["fp"] != out[1]["fp"]
     assert out[0]["fp_normalized"] == out[1]["fp_normalized"]
     assert out[0]["fp_normalized"] != out[2]["fp_normalized"]
+
+
+def test_repetition_stats_flags_spam(spark):
+    """A doc that is one phrase repeated scores dup_3gram_ratio near 1
+    and top_token_ratio 1/3; diverse text scores near 0."""
+    from pyspark.sql import Row
+
+    from hnsw_vector_db_spark.operators.text_analysis import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="buy cheap now " * 50),
+            Row(doc_id=2, text="the quick brown fox jumps over a lazy dog today"),
+            Row(doc_id=3, text="xy"),  # < 3 tokens -> ratio 0 by contract
+        ]
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[1].dup_3gram_ratio > 0.95
+    assert abs(got[1].top_token_ratio - 1 / 3) < 1e-6
+    assert got[2].dup_3gram_ratio == 0.0
+    assert got[2].top_token_ratio < 0.2
+    assert got[3].dup_3gram_ratio == 0.0 and got[3].n_tokens == 1
