@@ -1004,6 +1004,16 @@ def q_hnsw_neighbor_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("layer")
 
 
+def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable sketches (HLL++ distinct, approx median) vs exact twins
+    with the <=5% error bound in-row — the 100 TB aggregation tier.
+    Rows-only: the sketch values are engine-specific by nature, so the
+    contract is the error flag, not cross-engine equality."""
+    from hnsw_vector_db_spark.operators.stats import sketch_accuracy
+
+    return sketch_accuracy(_events(spark, sf_dir))
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: duplicate-3-gram ratio and
     top-token frequency per document."""
@@ -1259,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_recall": q_ivf_pq_recall,
         "hnsw_incremental": q_hnsw_incremental,
         "repetition_stats": q_repetition_stats,
+        "sketch_accuracy": q_sketch_accuracy,
         "events_distinct_users": q_events_distinct_users,
         "orders_pivot": q_orders_pivot,
         "lineitem_unpivot": q_lineitem_unpivot,

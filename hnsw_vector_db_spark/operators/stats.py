@@ -98,3 +98,46 @@ def group_stats(
         )
         .orderBy(key)
     )
+
+
+def sketch_accuracy(
+    events: DataFrame,
+    key_col: str = "event_type",
+    dist_col: str = "user_id",
+    value_col: str = "value",
+    max_rel_err: float = 0.05,
+) -> DataFrame:
+    """Approximate sketches vs exact answers, with the error bound as a
+    checkable column — the aggregation tier that actually runs at 100 TB,
+    where exact distinct/percentile shuffles are unaffordable.
+
+    Per key: HyperLogLog++ distinct count (``approx_count_distinct``,
+    rsd=2%) and approximate median next to their exact twins, each with
+    its relative error and an ``ok`` flag (err <= max_rel_err). Both
+    sketches are mergeable partial aggregates — map-side combine, one
+    shuffle of sketch bytes per key, never a second pass — and
+    deterministic for fixed data, so the flags are stable contract
+    checks. The exact twins are computed here only to measure the error;
+    production keeps the sketch column alone.
+    """
+    approx = events.groupBy(key_col).agg(
+        F.approx_count_distinct(dist_col, rsd=0.02).alias("approx_users"),
+        F.percentile_approx(value_col, 0.5, 10_000).alias("approx_p50"),
+    )
+    exact = events.groupBy(key_col).agg(
+        F.countDistinct(dist_col).alias("exact_users"),
+        F.expr(f"percentile({value_col}, 0.5)").alias("exact_p50"),
+    )
+    j = approx.join(exact, key_col)
+    user_err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+    p50_err = F.abs(F.col("approx_p50") - F.col("exact_p50")) / F.abs(F.col("exact_p50"))
+    return j.select(
+        key_col,
+        "exact_users",
+        "approx_users",
+        F.round(user_err, 6).alias("users_rel_err"),
+        F.round("exact_p50", 6).alias("exact_p50"),
+        F.round("approx_p50", 6).alias("approx_p50"),
+        F.round(p50_err, 6).alias("p50_rel_err"),
+        ((user_err <= max_rel_err) & (p50_err <= max_rel_err)).alias("ok"),
+    ).orderBy(key_col)

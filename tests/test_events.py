@@ -101,3 +101,13 @@ def test_salted_agg_equals_plain(spark, sf_dir):
     from hnsw_vector_db_spark.plans.explain import shuffle_count
 
     assert shuffle_count(salted_agg(ev, "event_type", salt_on="event_id")) >= 2
+
+
+def test_sketch_accuracy_within_bound(spark, sf_dir):
+    from hnsw_vector_db_spark.operators.stats import sketch_accuracy
+    from hnsw_vector_db_spark.sources.parquet import load_events
+
+    rows = sketch_accuracy(load_events(spark, sf_dir)).collect()
+    assert rows and all(r["ok"] for r in rows)
+    # sketches must be real approximations of the exact values, not copies
+    assert all(r["users_rel_err"] <= 0.05 and r["p50_rel_err"] <= 0.05 for r in rows)
