@@ -1187,6 +1187,30 @@ def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.shard_shuffle(_docs(spark, sf_dir), n_shards=SHUFFLE_SHARDS)
 
 
+def q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the raw-documents-to-training-shards path
+    end to end: repetition/length quality gate (n_tokens >= 20 and
+    dup_3gram_ratio <= 0.2) -> overlapping chunking -> per-shard
+    token-budget packing. Output one row per packed sequence. The whole
+    chain is one declarative plan: the gate's narrow expressions fuse
+    into the scan stage, chunking adds no shuffle, and packing's only
+    shuffle is the per-shard window."""
+    from hnsw_vector_db_spark.operators import corpus
+
+    docs = _docs(spark, sf_dir)
+    rep = text_analysis.repetition_stats(docs)
+    keep = rep.filter(
+        (F.col("n_tokens") >= 20) & (F.col("dup_3gram_ratio") <= 0.2)
+    ).select("doc_id")
+    kept = docs.join(keep, "doc_id")
+    chunks = corpus.chunk_documents(
+        kept, chunk_chars=CHUNK_CHARS, overlap=CHUNK_OVERLAP
+    )
+    return corpus.pack_sequences(
+        chunks, budget_tokens=PACK_BUDGET, n_shards=PACK_SHARDS
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cosine top-10 with metadata enrichment on sf0.001 —
     the reference's POST /search end-to-end (SURVEY.md §3.1)."""
@@ -1280,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
         "shard_shuffle": q_shard_shuffle,
+        "pipeline_training_corpus": q_pipeline_training_corpus,
     }
 
 
@@ -2263,6 +2288,50 @@ WITH w AS (
 SELECT d.doc_id, d.source
 FROM documents d JOIN w ON d.source = w.source
 WHERE ({_poly_sql("d.doc_id::VARCHAR || '#strat1'")} % 10000) < frac * 10000
+""".strip()
+
+    sql["pipeline_training_corpus"] = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+rep AS (
+  SELECT doc_id, text, len(toks) AS n_tokens,
+         CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+         END AS grams
+  FROM t
+),
+keep AS (
+  SELECT doc_id, text FROM rep
+  WHERE n_tokens >= 20
+    AND (CASE WHEN len(grams) > 0
+              THEN round(1.0 - len(list_distinct(grams)) / len(grams), 6) + 0
+              ELSE 0.0 END) <= 0.2
+),
+c AS (
+  SELECT doc_id,
+         unnest(generate_series(0, greatest((length(text) - 1) // {stride}, 0)))::INTEGER AS chunk_id,
+         text
+  FROM keep
+),
+chunks AS (
+  SELECT doc_id, chunk_id, substr(text, chunk_id * {stride} + 1, {CHUNK_CHARS}) AS chunk_text
+  FROM c
+),
+toks2 AS (
+  SELECT doc_id, chunk_id, (doc_id % {PACK_SHARDS})::INTEGER AS shard,
+         len({pack_toks})::INTEGER AS n_tok
+  FROM chunks
+),
+cum AS (
+  SELECT shard, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks2
+)
+SELECT shard, ((cum - n_tok) // {PACK_BUDGET})::BIGINT AS seq_id,
+       count(*)::BIGINT AS n_chunks,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS total_tokens
+FROM cum GROUP BY 1, 2
 """.strip()
 
     sql["shard_shuffle"] = f"""
