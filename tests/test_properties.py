@@ -77,3 +77,56 @@ def test_local_hnsw_exhaustive_ef_is_exact_top1(n, seed):
     got = index.search(q, k=1, ef=n * 2)[0][0]
     exact = int(np.argmin(np.linalg.norm(X - q, axis=1)))
     assert got == exact
+
+
+@given(
+    st.text(min_size=1, max_size=2000),
+    st.integers(min_value=2, max_value=300),
+    st.integers(min_value=0, max_value=100),
+)
+@settings(max_examples=100, deadline=None)
+def test_chunk_coverage_property(text, chunk_chars, overlap):
+    """Pure-python mirror of chunk_documents' arithmetic: chunks cover
+    the text exactly, consecutive chunks share `overlap` chars, and
+    de-overlapped concatenation reconstructs the text. (The Spark
+    expression uses the same formulas; tests/test_corpus.py pins the
+    expression itself — this pins the arithmetic across the whole
+    parameter space.)"""
+    if overlap >= chunk_chars:
+        overlap = chunk_chars - 1
+    stride = chunk_chars - overlap
+    L = len(text)
+    n_last = max((L - 1) // stride, 0)
+    chunks = [text[i * stride : i * stride + chunk_chars] for i in range(n_last + 1)]
+    # every char covered, reconstruction exact
+    rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+    assert rebuilt == text
+    # overlap is a shared suffix/prefix wherever the next chunk is full-offset
+    for a, b in zip(chunks, chunks[1:]):
+        if len(a) == chunk_chars:
+            assert a[stride:] == b[: len(a[stride:])]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=100, deadline=None)
+def test_span_packing_property(token_counts, budget):
+    """Span packing invariants on one shard: seq ids are non-decreasing
+    and contiguous-from-0 among non-empty items, every sequence's token
+    total is < budget + max single item (the documented overflow bound),
+    and totals sum to the stream total."""
+    cum = 0
+    seqs: dict[int, int] = {}
+    order = []
+    for t in token_counts:
+        sid = (cum) // budget
+        cum += t
+        seqs[sid] = seqs.get(sid, 0) + t
+        order.append(sid)
+    assert order == sorted(order)
+    assert sum(seqs.values()) == sum(token_counts)
+    mx = max(token_counts)
+    for sid, tot in seqs.items():
+        assert tot < budget + max(mx, 1)

@@ -84,3 +84,36 @@ def test_bucketed_join_elides_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS emb_b")
         spark.sql("DROP TABLE IF EXISTS docs_b")
+
+
+def test_cluster_write_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """Range-clustered layout: each parquet file owns a near-disjoint
+    o_custkey range (footer min/max), so a pushed filter on the cluster
+    key prunes ~(n-1)/n of the files without reading them. An unclustered
+    write of the same data has every file spanning the whole domain."""
+    from hnsw_vector_db_spark.sources.layout import cluster_write, file_ranges
+    from hnsw_vector_db_spark.sources.parquet import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    good = str(tmp_path / "clustered")
+    bad = str(tmp_path / "unclustered")
+    cluster_write(orders, good, ["o_custkey"], n_files=4)
+    orders.repartition(4).write.mode("overwrite").parquet(bad)
+
+    def overlap_count(ranges):
+        n = 0
+        for i, (lo1, hi1) in enumerate(ranges):
+            for lo2, hi2 in ranges[i + 1 :]:
+                if max(lo1, lo2) <= min(hi1, hi2):
+                    n += 1
+        return n
+
+    clustered = file_ranges(good, "o_custkey")
+    unclustered = file_ranges(bad, "o_custkey")
+    assert len(clustered) >= 3
+    # range partitioning: at most adjacent-boundary overlaps
+    assert overlap_count(clustered) <= len(clustered) - 1
+    # round-robin layout: every pair overlaps (nothing would prune)
+    assert overlap_count(unclustered) == len(unclustered) * (len(unclustered) - 1) // 2
+    # data integrity: same rows back
+    assert spark.read.parquet(good).count() == orders.count()
