@@ -117,3 +117,31 @@ def test_cluster_write_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
     assert overlap_count(unclustered) == len(unclustered) * (len(unclustered) - 1) // 2
     # data integrity: same rows back
     assert spark.read.parquet(good).count() == orders.count()
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
+    """JSONL ingestion: explicit-schema single-pass read reproduces the
+    parquet table exactly, and corrupt lines land in quarantine instead
+    of failing the scan."""
+    from hnsw_vector_db_spark.sources.jsonl import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+    from hnsw_vector_db_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(docs, out)
+
+    # drop a file of corrupt lines into the corpus directory (appending
+    # to a Spark-written part file would invalidate its .crc sidecar)
+    with open(out + "/extra-bad.json", "w") as fh:
+        fh.write('{"doc_id": 999999, "text": broken\n')
+        fh.write("not json at all\n")
+
+    good, bad = read_documents_jsonl(spark, out)
+    assert bad.count() == 2
+    assert good.count() == docs.count()
+    # exact content round-trip
+    assert good.exceptAll(docs).count() == 0
+    assert docs.exceptAll(good).count() == 0
