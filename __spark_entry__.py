@@ -1004,6 +1004,27 @@ def q_hnsw_neighbor_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("layer")
 
 
+def q_vector_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup by id — the reference's GET /vector/{id}
+    (`api/rest/server.py:159-173`) as a pushed-down scan filter: the
+    parquet reader skips every row group whose vec_id range excludes the
+    keys (footer min/max), so the 'lookup' reads ~one row group, not the
+    table. Returns id, the vector dimension, its norm, and label."""
+    emb = _emb(spark, sf_dir)
+    from hnsw_vector_db_spark.functions.distance import norm
+
+    return (
+        emb.filter(F.col("vec_id").isin(7, 42, 99))
+        .select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(norm(F.col("embedding")), 6).alias("vec_norm"),
+            "label",
+        )
+        .orderBy("vec_id")
+    )
+
+
 def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable sketches (HLL++ distinct, approx median) vs exact twins
     with the <=5% error bound in-row — the 100 TB aggregation tier.
@@ -1294,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_incremental": q_hnsw_incremental,
         "repetition_stats": q_repetition_stats,
         "sketch_accuracy": q_sketch_accuracy,
+        "vector_lookup": q_vector_lookup,
         "events_distinct_users": q_events_distinct_users,
         "orders_pivot": q_orders_pivot,
         "lineitem_unpivot": q_lineitem_unpivot,
@@ -2135,6 +2157,13 @@ FROM documents
 
     # same id contract, scalable plan -> same oracle
     sql["assign_ids_scalable"] = sql["assign_ids"]
+
+    sql["vector_lookup"] = """
+SELECT vec_id, len(embedding)::INTEGER AS dim,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) + 0 AS vec_norm,
+       label
+FROM embeddings WHERE vec_id IN (7, 42, 99)
+""".strip()
 
     sql["repetition_stats"] = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

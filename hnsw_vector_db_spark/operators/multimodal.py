@@ -71,12 +71,71 @@ def encode_ppm(img: np.ndarray) -> bytes:
     ).tobytes()
 
 
+def parse_wav(payload: bytes) -> tuple[np.ndarray, int, int] | None:
+    """Pure-numpy decoder for RIFF/WAVE PCM (8- or 16-bit, any channel
+    count) — a real audio decode with zero audio dependencies (public
+    RIFF spec). Walks the chunk list (tolerating extra chunks like LIST
+    before/after), returns (mono float64 samples in [-1, 1],
+    sample_rate, n_channels) or None if the payload is not PCM WAV."""
+    if not payload or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or channels < 1 or rate <= 0 or bits not in (8, 16):
+        return None
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2", count=len(data) // 2).astype(np.float64)
+        x /= 32768.0
+    else:  # 8-bit WAV is unsigned
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    frames = len(x) // channels
+    if frames == 0:
+        return None
+    mono = x[: frames * channels].reshape(frames, channels).mean(axis=1)
+    return mono, rate, channels
+
+
+def encode_wav(samples: np.ndarray, rate: int, channels: int = 1) -> bytes:
+    """float samples in [-1, 1] -> 16-bit PCM RIFF/WAVE bytes."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm16 = (pcm * 32767.0).astype("<i2").tobytes()
+    byte_rate = rate * channels * 2
+    hdr = (
+        b"RIFF" + (36 + len(pcm16)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(pcm16).to_bytes(4, "little")
+    )
+    return hdr + pcm16
+
+
 def _decode_one(payload: bytes, modality: str) -> np.ndarray:
-    """Feature extraction. PPM (P6) payloads decode FOR REAL: per-channel
-    mean and std, aspect ratio, and Rec.601 luma pooled into FEATURE_DIM
-    floats — actual pixel math, golden-tested. Anything else hits the
-    deterministic SHA-256 stub below: THIS is the swap point where a
-    production build calls PIL/torchaudio/ffmpeg for jpeg/png/audio/video.
+    """Feature extraction. PPM (P6) images and RIFF PCM WAV audio decode
+    FOR REAL (pure numpy, golden-tested): images pool per-channel
+    mean/std + aspect + Rec.601 luma; audio yields duration, RMS,
+    zero-crossing rate, peak, normalized sample rate, channel count and
+    DC offset. Anything else hits the deterministic SHA-256 stub below:
+    THIS is the swap point where a production build calls
+    PIL/torchaudio/ffmpeg for jpeg/png/mp3/video.
     """
     if payload is None:
         return np.zeros(FEATURE_DIM, dtype=np.float32)
@@ -88,6 +147,24 @@ def _decode_one(payload: bytes, modality: str) -> np.ndarray:
         luma = 0.299 * mean[0] + 0.587 * mean[1] + 0.114 * mean[2]
         aspect = img.shape[0] / img.shape[1]
         return np.array([*mean, *std, aspect, luma], dtype=np.float32)
+    wav = parse_wav(payload)
+    if wav is not None:
+        x, rate, channels = wav
+        rms = float(np.sqrt(np.mean(x * x)))
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+        return np.array(
+            [
+                len(x) / rate,            # duration seconds
+                rms,
+                zcr,
+                float(np.abs(x).max()),   # peak
+                rate / 48000.0,
+                float(channels),
+                float(x.mean()),          # DC offset
+                0.0,
+            ],
+            dtype=np.float32,
+        )
     # non-decodable formats: deterministic pseudo-features from SHA-256
     digest = hashlib.sha256(payload).digest()
     raw = np.frombuffer(digest[: FEATURE_DIM * 4], dtype=np.uint32)

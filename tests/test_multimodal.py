@@ -135,3 +135,51 @@ def test_ppm_roundtrip_through_spark_decode(spark):
         np.array(row["features"], dtype=np.float32),
         _decode_one(_GOLDEN_PPM, "image"),
     )
+
+
+def test_wav_decode_golden_sine(spark):
+    """Real audio math on a synthesized 440 Hz sine: duration, RMS
+    (amp/sqrt(2)), zero-crossing rate (2f/sr), peak, rate, channels all
+    recovered from the PCM bytes through the Spark decode stage."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from hnsw_vector_db_spark.operators.multimodal import decode_features, encode_wav
+
+    sr, f, dur, amp = 8000, 440.0, 0.5, 0.6
+    t = np.arange(int(sr * dur)) / sr
+    wav_bytes = encode_wav(amp * np.sin(2 * np.pi * f * t), sr)
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytearray(wav_bytes), modality="audio")]
+    )
+    feats = decode_features(df).collect()[0]["features"]
+    duration, rms, zcr, peak, sr_norm, channels, dc, _ = feats
+    assert abs(duration - dur) < 1e-3
+    assert abs(rms - amp / np.sqrt(2)) < 1e-3
+    assert abs(zcr - 2 * f / sr) < 0.01
+    assert abs(peak - amp) < 1e-3
+    assert abs(sr_norm - sr / 48000) < 1e-6
+    assert channels == 1.0 and abs(dc) < 1e-3
+
+
+def test_wav_stereo_downmix_and_corrupt_fallback():
+    import numpy as np
+
+    from hnsw_vector_db_spark.operators.multimodal import (
+        _decode_one,
+        encode_wav,
+        parse_wav,
+    )
+
+    # stereo: L = -R cancels to silence under mono downmix
+    sr = 4000
+    left = 0.5 * np.sin(2 * np.pi * 100 * np.arange(sr) / sr)
+    inter = np.empty(2 * sr)
+    inter[0::2], inter[1::2] = left, -left
+    mono, rate, ch = parse_wav(encode_wav(inter, sr, channels=2))
+    assert (rate, ch) == (sr, 2)
+    assert np.abs(mono).max() < 1e-4
+    # truncated/corrupt payloads fall through to the deterministic stub
+    bad = encode_wav(left, sr)[:20]
+    out = _decode_one(bad, "audio")
+    assert out.shape == (8,) and np.all((out >= 0) & (out < 1))
