@@ -1004,6 +1004,32 @@ def q_hnsw_neighbor_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("layer")
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives: per anchor, the 5 nearest vectors
+    with a DIFFERENT label (self excluded before the rank window)."""
+    from hnsw_vector_db_spark.operators.knn import hard_negatives
+
+    emb = _emb(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = hard_negatives(anchors, emb, k=5, metric="cosine")
+    return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"), "rank")
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform negative sampling over the dense id space:
+    4 negatives per anchor, pure hash function of (id, j), never the
+    anchor itself."""
+    from hnsw_vector_db_spark.operators.knn import negative_samples
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()  # sf0.01: 500; at scale this is a catalog stat
+    return negative_samples(emb, n_rows=n, k=4)
+
+
 def q_vector_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point lookup by id — the reference's GET /vector/{id}
     (`api/rest/server.py:159-173`) as a pushed-down scan filter: the
@@ -1316,6 +1342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "sketch_accuracy": q_sketch_accuracy,
         "vector_lookup": q_vector_lookup,
+        "hard_negatives": q_hard_negatives,
+        "negative_samples": q_negative_samples,
         "events_distinct_users": q_events_distinct_users,
         "orders_pivot": q_orders_pivot,
         "lineitem_unpivot": q_lineitem_unpivot,
@@ -2157,6 +2185,29 @@ FROM documents
 
     # same id contract, scalable plan -> same oracle
     sql["assign_ids_scalable"] = sql["assign_ids"]
+
+    sql["hard_negatives"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding, label AS qlabel FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id, round({d_cos}, 6) + 0 AS dist,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY {d_cos}, e.vec_id) AS rank
+  FROM embeddings e, q
+  WHERE e.label <> q.qlabel AND e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, dist, rank::INTEGER AS rank FROM scored WHERE rank <= 5
+""".strip()
+
+    sql["negative_samples"] = f"""
+WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+anchors AS (SELECT vec_id, unnest(generate_series(0, 3))::INTEGER AS neg_rank FROM embeddings),
+neg AS (
+  SELECT a.vec_id, a.neg_rank,
+         (a.vec_id + 1 + ({_poly_sql("a.vec_id::VARCHAR || '#neg1#' || a.neg_rank::VARCHAR")} % (n.cnt - 1))) % n.cnt AS neg_id
+  FROM anchors a, n
+)
+SELECT neg.vec_id, neg.neg_rank, neg.neg_id, e.label AS neg_label
+FROM neg JOIN embeddings e ON e.vec_id = neg.neg_id
+""".strip()
 
     sql["vector_lookup"] = """
 SELECT vec_id, len(embedding)::INTEGER AS dim,

@@ -282,3 +282,85 @@ def knn_join(
 ) -> DataFrame:
     """Alias of knn_batch with join naming — the vector-native 'top-k join'."""
     return knn_batch(queries, vectors, k=k, metric=metric, **kw)
+
+
+def hard_negatives(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the k
+    NEAREST rows with a DIFFERENT label — the examples a
+    representation-learning loss gains most from.
+
+    Same plan as ``knn_batch`` (broadcast anchors, corpus never
+    shuffles, rank window keyed per query) with the label-mismatch and
+    self-exclusion predicates applied BEFORE the rank window, so the
+    heap only ever sees admissible candidates. Output:
+    (query_id, vec_id, dist, rank).
+    """
+    joined = vectors.join(
+        F.broadcast(queries),
+        on=(F.col(label_col) != F.col(query_label_col))
+        & (F.col(id_col) != F.col(query_id_col)),
+    )
+    scored = joined.withColumn(
+        "dist", distance(F.col(vector_col), F.col(query_vec_col), metric)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "dist", "rank")
+    )
+
+
+def negative_samples(
+    vectors: DataFrame,
+    n_rows: int,
+    k: int = 4,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    salt: str = "neg1",
+) -> DataFrame:
+    """Deterministic uniform negative sampling (with replacement) over a
+    DENSE id space 0..n_rows-1 (what ``assign_ids`` produces): negative
+    j of anchor i is ``(i + 1 + hash(i#j) mod (n-1)) mod n`` — uniform
+    over every id except the anchor itself, a pure function of
+    (id, j, salt), reproducible in any engine.
+
+    ``n_rows`` is a required hint (catalog/footer stat at scale — no
+    count() job here). The label attach is an id equi-join; at 100 TB
+    the right side is the same table, so it co-partitions on the id key.
+    Output: (vec_id, neg_rank, neg_id, neg_label).
+    """
+    from hnsw_vector_db_spark.functions.text import poly_hash
+
+    anchors = vectors.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_rank"),
+    )
+    h = poly_hash(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit("#" + salt + "#"),
+            F.col("neg_rank").cast("string"),
+        )
+    )
+    neg = anchors.withColumn(
+        "neg_id",
+        (F.col(id_col) + 1 + F.pmod(h, F.lit(n_rows - 1))) % n_rows,
+    )
+    labels = vectors.select(
+        F.col(id_col).alias("neg_id"), F.col(label_col).alias("neg_label")
+    )
+    return neg.join(labels, "neg_id").select(id_col, "neg_rank", "neg_id", "neg_label")

@@ -8,12 +8,14 @@ the JVM), metadata is typed columns for pruning/filtering, and the decode
 step is an Arrow-batched Python stage whose cost scales with bytes, not
 rows.
 
-Codec status: binary PPM (P6) images decode and resize FOR REAL (pure
-numpy — header parse, pixel stats, nearest-neighbor resample; golden-byte
-tests in tests/test_multimodal.py). Every other format falls through to a
-deterministic hash stub at the single documented swap point
-(``_decode_one`` / ``_resize_one``) where a production build plugs
-PIL/torchaudio/ffmpeg; the Spark plumbing is identical either way.
+Codec status: binary PPM (P6) images decode and resize FOR REAL, and
+RIFF PCM WAV audio decodes FOR REAL (both pure numpy — header/chunk
+parse, pixel stats, nearest-neighbor resample, PCM sample math;
+golden-byte tests in tests/test_multimodal.py). Every other format
+falls through to a deterministic hash stub at the single documented
+swap point (``_decode_one`` / ``_resize_one``) where a production
+build plugs PIL/torchaudio/ffmpeg; the Spark plumbing is identical
+either way.
 """
 
 from __future__ import annotations

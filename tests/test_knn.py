@@ -137,3 +137,44 @@ def test_knn_twophase_equals_batch(spark, emb):
         for r in knn_auto(queries, emb, k=5, metric="cosine").collect()
     }
     assert c == cos
+
+
+def test_hard_negatives_excludes_same_label_and_self(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hnsw_vector_db_spark.operators.knn import hard_negatives
+    from hnsw_vector_db_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    anchors = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = hard_negatives(anchors, emb, k=5).join(
+        emb.select("vec_id", "label"), "vec_id"
+    ).join(
+        anchors.select("query_id", "query_label"), "query_id"
+    )
+    rows = out.collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert r["label"] != r["query_label"]
+        assert r["vec_id"] != r["query_id"]
+
+
+def test_negative_samples_uniform_and_never_self(spark, sf_dir):
+    from hnsw_vector_db_spark.operators.knn import negative_samples
+    from hnsw_vector_db_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    rows = negative_samples(emb, n_rows=n, k=4).collect()
+    assert len(rows) == 4 * n
+    for r in rows:
+        assert 0 <= r["neg_id"] < n
+        assert r["neg_id"] != r["vec_id"]
+    # same call is a pure function: identical result set
+    again = {(r["vec_id"], r["neg_rank"], r["neg_id"]) for r in
+             negative_samples(emb, n_rows=n, k=4).collect()}
+    assert again == {(r["vec_id"], r["neg_rank"], r["neg_id"]) for r in rows}
