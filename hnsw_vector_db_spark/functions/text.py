@@ -106,3 +106,4 @@ def minhash_params(k: int, seed: int = 42, mod: int = HASH_MOD) -> list[tuple[in
         b = state % mod
         out.append((a, b))
     return out
+
