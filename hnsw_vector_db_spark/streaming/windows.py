@@ -81,3 +81,41 @@ def run_stream_as_batch(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def stream_session_windows(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Built-in event-time session windows (``F.session_window``):
+    per-key sessions that merge while events arrive within ``gap``, close
+    once the watermark passes, and drop their state — the fully
+    declarative third form of sessionization here, next to the batch
+    lag+cumsum (`operators/events.sessionize`) and the custom
+    applyInPandasWithState sessionizer (`streaming/stateful.py`).
+    Catalyst owns the merge logic and state store layout; at scale state
+    is keyed by (user, open window) and bounded by the watermark horizon.
+
+    Note the boundary convention: session_window's window end is
+    ``last event + gap`` and an event at exactly ``prev + gap`` starts a
+    NEW session, while the batch sessionize keeps it (strict >). The
+    stream==batch equivalence test pins both on data where no gap-exact
+    tie occurs.
+    """
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("session_window").start.alias("session_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -196,3 +196,30 @@ def test_streaming_index_maintenance(spark, sf_dir, tmp_path):
     for r in hits.collect():
         assert r["dist"] < 1e-6
         assert r["vec_id"] in (r["query_id"], r["query_id"] - 2_000_000)
+
+
+def test_stream_session_windows_equal_batch_sessionize(spark, sf_dir, tmp_path):
+    """Declarative session_window sessions == batch lag+cumsum sessions
+    on (user, session_start, n_events) — same gap rule, three
+    implementations (built-in streaming / stateful pandas / batch
+    window) one semantics."""
+    from hnsw_vector_db_spark.operators.events import sessionize
+    from hnsw_vector_db_spark.streaming.windows import (
+        run_stream_as_batch,
+        stream_session_windows,
+    )
+
+    ev = load_events(spark, sf_dir)
+    batch = sessionize(ev, gap_minutes=30).select(
+        "user_id", "session_start", "n_events"
+    )
+    src = str(tmp_path / "ev_src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    got = run_stream_as_batch(
+        stream_session_windows(stream, "30 minutes", "10 days"),
+        str(tmp_path / "ckpt_sw"),
+    ).select("user_id", "session_start", "n_events")
+    b = {(r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect()}
+    s = {(r["user_id"], r["session_start"], r["n_events"]) for r in got.collect()}
+    assert b == s
