@@ -179,18 +179,30 @@ def minhash_signature_wide(
     seed: int = 42,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """Wide MinHash signature: (id, mh0..mh{k-1}).
 
-    Shingles are poly-hashed to ints; permutation i takes
+    Shingles are hashed to ints; permutation i takes
     min((a_i*h + b_i) mod p) over the doc's shingle set. One explode + one
     groupBy with k partial-min aggregates — a single shuffle on doc id.
     Docs with no shingles (shorter than n words) are dropped.
+
+    ``hash_fn``: 'portable' (default) is the char-fold polynomial hash the
+    DuckDB oracle reproduces bit-for-bit; 'native' swaps in JVM xxhash64
+    (folded into the same [0, 2^31-1) range so the permutation arithmetic
+    stays exact) — measurably faster (BASELINE.md), same candidate-
+    generation QUALITY, different concrete buckets, so use it where no
+    cross-engine oracle is needed (production runs). The downstream
+    exact-Jaccard verify makes emitted pairs correct under either hash.
     """
     params = minhash_params(k, seed)
-    sh = _doc_shingles(docs, n, text_col, id_col).withColumn(
-        "h", poly_hash(F.col("shingle"))
+    shingle_hash = (
+        poly_hash(F.col("shingle"))
+        if hash_fn == "portable"
+        else F.pmod(F.xxhash64(F.col("shingle")), F.lit(HASH_MOD))
     )
+    sh = _doc_shingles(docs, n, text_col, id_col).withColumn("h", shingle_hash)
     aggs = [
         F.min(minhash_perm(F.col("h"), a, b)).alias(f"mh{i}")
         for i, (a, b) in enumerate(params)
@@ -235,6 +247,7 @@ def minhash_lsh_near_dup(
     seed: int = 42,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """MinHash-LSH near-dup: band the k-wide signature into ``bands``
     buckets, equi-join on (band, band_key) for candidates, then verify each
@@ -245,7 +258,7 @@ def minhash_lsh_near_dup(
     pairs), then the verify join touches only candidate pairs.
     Output: (doc_a, doc_b, jaccard).
     """
-    wide = minhash_signature_wide(docs, k, n, seed, text_col, id_col)
+    wide = minhash_signature_wide(docs, k, n, seed, text_col, id_col, hash_fn)
     bk = _band_keys(wide, k, bands, id_col)
     a = bk.toDF("doc_a", "band", "band_key")
     b = bk.toDF("doc_b", "band", "band_key")

@@ -182,3 +182,28 @@ def test_neardup_components_refines_star(spark, sf_dir):
     assert set(star) == set(comp)
     for v, rep in comp.items():
         assert rep <= star[v]
+
+
+def test_minhash_native_hash_fast_path(spark, sf_dir):
+    """hash_fn='native' (xxhash64): every emitted pair is still exactly
+    verified (jaccard >= threshold, a subset of the brute threshold
+    pairs), and near-identical docs are still caught — same pipeline
+    quality, different buckets, no oracle portability."""
+    from pyspark.sql import functions as F
+
+    from hnsw_vector_db_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_near_dup,
+    )
+    from hnsw_vector_db_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents").cache()
+    fast = minhash_lsh_near_dup(docs, threshold=0.5, hash_fn="native")
+    exact = jaccard_pairs(docs, threshold=0.5)
+    f = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in fast.collect()}
+    e = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in exact.collect()}
+    assert f <= e  # precision 1.0 by exact verify
+    # identical-text pairs (jaccard 1.0) always collide in every band
+    perfect = {t for t in e if t[2] >= 0.999999}
+    assert perfect <= f
+    assert len(f) > 0
