@@ -918,6 +918,45 @@ def q_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
+def q_hnsw_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-level delete (#10 at the index tier): compact tombstoned
+    ids out of the persisted index (only their cells rebuild — no
+    stranded edges, unlike the reference's dangling-neighbor delete,
+    `core/hnsw/graph.py:191-207`) and prove in-row that searches can no
+    longer return them and the row count dropped by exactly the
+    tombstone count."""
+    from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_delete, hnsw_search
+
+    index, centroids = _hnsw_artifacts(spark, sf_dir, n_cells=4)
+    tomb = spark.createDataFrame([(0,), (1,), (2,)], "vec_id long")
+    compacted = hnsw_delete(index, tomb).cache()
+
+    n_before = index.agg(F.sum("n")).first()[0]
+    n_after = compacted.agg(F.sum("n")).first()[0]
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = hnsw_search(compacted, queries, centroids, k=10, ef=96, nprobe=4)
+    per_q = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_results"),
+        F.sum(F.when(F.col("vec_id").isin(0, 1, 2), 1).otherwise(0)).alias(
+            "n_tombstoned_returned"
+        ),
+    )
+    return per_q.select(
+        "query_id",
+        "n_results",
+        "n_tombstoned_returned",
+        F.lit(int(n_before - n_after)).alias("rows_removed"),
+        (
+            (F.col("n_tombstoned_returned") == 0)
+            & (F.lit(int(n_before - n_after)) == 3)
+        ).alias("ok"),
+    ).orderBy("query_id")
+
+
 def q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed index (similarity.ivf_pq_fit/topk — residual PQ
     under a KMeans coarse quantizer, the FAISS IVFPQ shape): ADC with
@@ -1339,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": q_pq_recall,
         "ivf_pq_recall": q_ivf_pq_recall,
         "hnsw_incremental": q_hnsw_incremental,
+        "hnsw_delete": q_hnsw_delete,
         "repetition_stats": q_repetition_stats,
         "sketch_accuracy": q_sketch_accuracy,
         "vector_lookup": q_vector_lookup,

@@ -435,6 +435,75 @@ def hnsw_insert(
     )
 
 
+def hnsw_delete(
+    index: DataFrame,
+    tombstones: DataFrame,
+    m: int = 8,
+    ef_construction: int = 64,
+) -> DataFrame:
+    """Compaction delete: rebuild ONLY the cells that contain tombstoned
+    ids; every other index row passes through untouched.
+
+    The tombstone set is collected driver-side (it is small by nature,
+    like `table.delete_ids`' broadcast) and shipped as a plain set; the
+    index itself never shuffles — one mapInPandas over the cell rows.
+    Affected cells rebuild from their STORED vectors minus the deleted
+    rows, so the result is a clean graph with no stranded edges — the
+    reference's delete leaves dangling neighbors in every other node's
+    lists (`core/hnsw/graph.py:191-207`, its documented flaw); a rebuild
+    per affected cell is how Spark-scale compaction actually works
+    (rewrite the files you touch, leave the rest).
+
+    Cells whose every vector is deleted disappear from the index (their
+    row is dropped); searches simply never probe them.
+    """
+    import pandas as pd
+
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(index.sparkSession)
+    tomb = np.array(
+        sorted({int(r[0]) for r in tombstones.select(tombstones.columns[0]).collect()}),
+        dtype=np.int64,
+    )
+
+    idx_cols = [
+        "cell", "n", "dim", "metric", "entry", "ids", "levels",
+        "vec_bytes", "e_layer", "e_src", "e_dst",
+    ]
+
+    def per_rows(batches):
+        for pdf in batches:
+            out = []
+            for _, st in pdf.iterrows():
+                ids = np.asarray(st["ids"], dtype=np.int64)
+                mask = ~np.isin(ids, tomb)
+                if mask.all():
+                    out.append({c: st[c] for c in idx_cols})
+                    continue
+                if not mask.any():
+                    continue  # whole cell deleted -> drop the row
+                n, dim = int(st["n"]), int(st["dim"])
+                X = np.frombuffer(st["vec_bytes"], dtype=np.float64).reshape(n, dim)[mask]
+                local = LocalHNSW(
+                    m=m, ef_construction=ef_construction, metric=st["metric"], seed=0
+                )
+                local.build(X)
+                s2 = local.to_state()
+                out.append(
+                    {
+                        "cell": int(st["cell"]), "n": s2["n"], "dim": s2["dim"],
+                        "metric": s2["metric"], "entry": s2["entry"],
+                        "ids": ids[mask].tolist(), "levels": s2["levels"],
+                        "vec_bytes": s2["vec_bytes"], "e_layer": s2["e_layer"],
+                        "e_src": s2["e_src"], "e_dst": s2["e_dst"],
+                    }
+                )
+            yield pd.DataFrame(out, columns=idx_cols)
+
+    return index.mapInPandas(per_rows, INDEX_SCHEMA)
+
+
 def hnsw_edges(
     assigned: DataFrame,
     metric: str = "cosine",

@@ -43,6 +43,7 @@ def test_oracle_keys_subset_of_queries():
         "pq_recall",
         "ivf_pq_recall",
         "hnsw_incremental",
+        "hnsw_delete",
         "sketch_accuracy",
     }
 

@@ -139,3 +139,36 @@ def test_hnsw_insert_touches_only_affected_cells(spark, fitted):
     got = {r["query_id"]: r["vec_id"] for r in hits.collect()}
     for qid, vid in got.items():
         assert vid in (qid, qid - 1_000_000)  # the copy or its twin (dist 0 tie)
+
+
+def test_hnsw_delete_compacts_only_affected_cells(spark, fitted, tmp_path):
+    """Tombstoned ids vanish from search results, their cells compact
+    (n drops, no stranded ids), every other cell row passes through
+    byte-identical, and the index never shuffles (single map stage)."""
+    from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_delete
+    from hnsw_vector_db_spark.plans.explain import physical_plan
+
+    assigned, centroids, queries = fitted
+    idx_dir = str(tmp_path / "idx")
+    hnsw_build(assigned, metric="cosine").write.parquet(idx_dir)
+    index = spark.read.parquet(idx_dir)
+    tomb_ids = [r["vec_id"] for r in assigned.limit(3).collect()]
+    tomb = spark.createDataFrame([(i,) for i in tomb_ids], "vec_id long")
+
+    compacted = hnsw_delete(index, tomb).cache()
+    # over the materialized index the compaction is a single map stage
+    assert "Exchange" not in physical_plan(hnsw_delete(index, tomb))
+
+    before = {r["cell"]: r for r in index.collect()}
+    after = {r["cell"]: r for r in compacted.collect()}
+    tomb_set = set(tomb_ids)
+    for c, row in before.items():
+        if set(row["ids"]) & tomb_set:
+            assert set(after[c]["ids"]) == set(row["ids"]) - tomb_set
+            assert after[c]["n"] == row["n"] - len(set(row["ids"]) & tomb_set)
+        else:
+            assert after[c] == row  # untouched: byte-identical
+
+    hits = hnsw_search(compacted, queries, centroids, k=10, ef=96, nprobe=4)
+    got = {r["vec_id"] for r in hits.collect()}
+    assert not (got & tomb_set)
