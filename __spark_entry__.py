@@ -1043,6 +1043,18 @@ def q_hnsw_neighbor_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("layer")
 
 
+def q_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase prefix-dimension search (MRL serving shape): shortlist
+    on the first 16 dims, exact re-rank on all 64 — deterministic both
+    phases, so oracle-checked end to end unlike PQ/HNSW."""
+    from hnsw_vector_db_spark.operators.knn import matryoshka_knn
+
+    qv = _query_vec(spark, sf_dir)
+    return matryoshka_knn(
+        _emb(spark, sf_dir), qv, k=10, prefix_dim=16, shortlist=50
+    )
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard negatives: per anchor, the 5 nearest vectors
     with a DIFFERENT label (self excluded before the rank window)."""
@@ -1383,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_accuracy": q_sketch_accuracy,
         "vector_lookup": q_vector_lookup,
         "hard_negatives": q_hard_negatives,
+        "matryoshka_knn": q_matryoshka_knn,
         "negative_samples": q_negative_samples,
         "events_distinct_users": q_events_distinct_users,
         "orders_pivot": q_orders_pivot,
@@ -2225,6 +2238,20 @@ FROM documents
 
     # same id contract, scalable plan -> same oracle
     sql["assign_ids_scalable"] = sql["assign_ids"]
+
+    pre_d = _cos_dist("e.embedding[1:16]", "q.embedding[1:16]")
+    full_d = _cos_dist("e.embedding", "q.embedding")
+    sql["matryoshka_knn"] = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+short AS (
+  SELECT e.vec_id FROM embeddings e, q
+  ORDER BY {pre_d}, e.vec_id LIMIT 50
+)
+SELECT e.vec_id, round({full_d}, 6) + 0 AS dist
+FROM embeddings e JOIN short USING (vec_id), q
+ORDER BY {full_d}, e.vec_id
+LIMIT 10
+""".strip()
 
     sql["hard_negatives"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding, label AS qlabel FROM embeddings WHERE vec_id < 5),

@@ -364,3 +364,49 @@ def negative_samples(
         F.col(id_col).alias("neg_id"), F.col(label_col).alias("neg_label")
     )
     return neg.join(labels, "neg_id").select(id_col, "neg_rank", "neg_id", "neg_label")
+
+
+def matryoshka_knn(
+    vectors: DataFrame,
+    query,
+    k: int = 10,
+    prefix_dim: int = 16,
+    shortlist: int = 50,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Prefix-dimension two-phase search (the Matryoshka-representation
+    serving pattern): rank ALL rows by distance on the first
+    ``prefix_dim`` dimensions — a scan that reads/computes 1/d of the
+    vector math — keep a ``shortlist``, then exact-rank only those on
+    the full vector.
+
+    With MRL-trained embeddings the prefix preserves neighborhood
+    structure, so a small shortlist holds the true top-k; with generic
+    embeddings it is a recall/compute dial like PQ's. Both phases are
+    deterministic (id tiebreaks), so unlike PQ/HNSW this approximate
+    path is exactly SQL-expressible and oracle-checked end to end.
+
+    Plan: phase 1 is TakeOrderedAndProject over the sliced column (no
+    shuffle); phase 2 re-ranks <= shortlist rows via broadcast semi-join.
+    At 100 TB, store the prefix as its own column (or sorted-projection
+    table) so phase 1's scan reads prefix_dim/dim of the bytes.
+    """
+    q = [float(x) for x in query]
+    prefix_q = q[:prefix_dim]
+    prefix_vec = F.slice(F.col(vector_col), 1, prefix_dim)
+    short = (
+        vectors.withColumn("_pd", distance(prefix_vec, F.array(*[F.lit(x) for x in prefix_q]), metric))
+        .orderBy(F.col("_pd").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+        .select(id_col)
+    )
+    qarr = F.array(*[F.lit(x) for x in q])
+    return (
+        vectors.join(F.broadcast(short), id_col, "left_semi")
+        .withColumn("dist", F.round(distance(F.col(vector_col), qarr, metric), 6))
+        .select(id_col, "dist")
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

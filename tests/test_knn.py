@@ -178,3 +178,36 @@ def test_negative_samples_uniform_and_never_self(spark, sf_dir):
     again = {(r["vec_id"], r["neg_rank"], r["neg_id"]) for r in
              negative_samples(emb, n_rows=n, k=4).collect()}
     assert again == {(r["vec_id"], r["neg_rank"], r["neg_id"]) for r in rows}
+
+
+def test_matryoshka_prefix_recall(spark, sf_dir):
+    """Prefix-16 shortlist of 50 holds most of the exact top-10 on
+    gaussian data, and a full-width 'prefix' (dim 64) with shortlist >= n
+    degenerates to exact kNN (identity check)."""
+    from pyspark.sql import functions as F
+
+    from hnsw_vector_db_spark.operators.knn import knn_point, matryoshka_knn
+    from hnsw_vector_db_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    exact = [r["vec_id"] for r in knn_point(emb, qv, k=10).collect()]
+    # unstructured gaussian embeddings are the worst case for prefix
+    # search (no MRL training) — the contract is the recall/compute DIAL:
+    # a larger shortlist never loses recall, and recall is non-trivial
+    recalls = {}
+    for sl in (50, 200):
+        approx = {
+            r["vec_id"]
+            for r in matryoshka_knn(emb, qv, k=10, prefix_dim=16, shortlist=sl).collect()
+        }
+        recalls[sl] = len(approx & set(exact))
+    assert recalls[50] >= 3
+    assert recalls[200] >= recalls[50]
+    assert recalls[200] >= 7
+    n = emb.count()
+    full = [
+        r["vec_id"]
+        for r in matryoshka_knn(emb, qv, k=10, prefix_dim=64, shortlist=n).collect()
+    ]
+    assert full == exact
