@@ -504,6 +504,33 @@ def hnsw_delete(
     return index.mapInPandas(per_rows, INDEX_SCHEMA)
 
 
+def hnsw_upsert(
+    index: DataFrame,
+    rows: DataFrame,
+    centroids: np.ndarray,
+    metric: str = "cosine",
+    m: int = 8,
+    ef_construction: int = 64,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Index-tier upsert — the reference's overwrite-by-external-id
+    (`core/hnsw/graph.py:131-139`) against the persisted index: compact
+    any existing versions of the incoming ids out (:func:`hnsw_delete`),
+    then merge the new rows in (:func:`hnsw_insert`). Cells touched =
+    cells holding an old version plus cells the new vectors route to;
+    everything else passes through both stages untouched. Last write
+    wins, exactly once, no duplicate ids in the result (asserted in
+    tests)."""
+    compacted = hnsw_delete(
+        index, rows.select(id_col), m=m, ef_construction=ef_construction
+    )
+    return hnsw_insert(
+        compacted, rows, centroids, metric=metric, m=m,
+        ef_construction=ef_construction, id_col=id_col, vector_col=vector_col,
+    )
+
+
 def hnsw_edges(
     assigned: DataFrame,
     metric: str = "cosine",

@@ -172,3 +172,36 @@ def test_hnsw_delete_compacts_only_affected_cells(spark, fitted, tmp_path):
     hits = hnsw_search(compacted, queries, centroids, k=10, ef=96, nprobe=4)
     got = {r["vec_id"] for r in hits.collect()}
     assert not (got & tomb_set)
+
+
+def test_hnsw_upsert_last_write_wins(spark, fitted):
+    """Upserting an EXISTING id with a new vector leaves exactly one
+    version in the index, searches find the new vector (distance 0 to
+    the new embedding), and no id appears twice."""
+    from pyspark.sql import functions as F
+
+    from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_upsert
+
+    assigned, centroids, _ = fitted
+    index = hnsw_build(assigned, metric="cosine").cache()
+
+    # replace vec_id 0's vector with vec_id 1's embedding
+    new_vec = assigned.filter(F.col("vec_id") == 1).select(
+        F.lit(0).cast("long").alias("vec_id"), "embedding"
+    )
+    merged = hnsw_upsert(index, new_vec, centroids, metric="cosine").cache()
+
+    all_ids = [i for r in merged.collect() for i in r["ids"]]
+    assert all_ids.count(0) == 1  # exactly one version
+    assert sorted(all_ids) == sorted(
+        i for r in index.collect() for i in r["ids"]
+    )  # same id set overall
+
+    q = new_vec.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = hnsw_search(merged, q, centroids, k=2, ef=64, nprobe=4).collect()
+    by_rank = sorted(hits, key=lambda r: r["rank"])
+    # both id 0 (new vector) and id 1 (its source) sit at distance 0
+    assert {r["vec_id"] for r in by_rank[:2]} == {0, 1}
+    assert all(r["dist"] < 1e-6 for r in by_rank[:2])
