@@ -1277,6 +1277,23 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.stratified_sample(docs, weights).select("doc_id", "source")
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced domain mixing (tau=2): per-source keep
+    fraction sqrt(n_min/n_s) — smallest source kept whole, heavy sources
+    downsampled toward uniform — composed with the deterministic
+    stratified sampler. sqrt is IEEE-correctly-rounded in both engines,
+    so the whole path is oracle-exact."""
+    from hnsw_vector_db_spark.operators import corpus
+
+    docs = _docs(spark, sf_dir)
+    # stratify on lang — the skewed column (en dominates), so the
+    # temperature actually rebalances instead of passing through
+    weights = corpus.temperature_weights(docs, strata_col="lang", tau=2.0)
+    return corpus.stratified_sample(
+        docs, weights, strata_col="lang", salt="temp1"
+    ).select("doc_id", "lang")
+
+
 def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle into training shards (hash shard +
     within-shard hash order)."""
@@ -1407,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
         "shard_shuffle": q_shard_shuffle,
+        "temperature_mix": q_temperature_mix,
         "pipeline_training_corpus": q_pipeline_training_corpus,
     }
 
@@ -2435,6 +2453,15 @@ WITH w AS (
 SELECT d.doc_id, d.source
 FROM documents d JOIN w ON d.source = w.source
 WHERE ({_poly_sql("d.doc_id::VARCHAR || '#strat1'")} % 10000) < frac * 10000
+""".strip()
+
+    sql["temperature_mix"] = f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+mn AS (SELECT min(n) AS n_min FROM c),
+w AS (SELECT lang, sqrt(n_min::DOUBLE / n) AS frac FROM c, mn)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN w USING (lang)
+WHERE ({_poly_sql("d.doc_id::VARCHAR || '#temp1'")} % 10000) < frac * 10000
 """.strip()
 
     sql["pipeline_training_corpus"] = f"""

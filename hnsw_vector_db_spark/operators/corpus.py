@@ -237,3 +237,35 @@ def shard_shuffle(
     return staged.select(
         id_col, "shard", (F.row_number().over(w) - 1).alias("pos")
     )
+
+
+def temperature_weights(
+    docs: DataFrame, strata_col: str = "source", tau: float = 2.0
+) -> DataFrame:
+    """Temperature-balanced mixing weights — the multilingual-training
+    recipe (sample stratum s with probability proportional to
+    ``n_s^(1/tau)``), realized as per-stratum keep fractions with the
+    SMALLEST stratum kept whole and larger ones downsampled:
+
+        frac_s = (n_min / n_s)^(1 - 1/tau)
+
+    tau=1 keeps natural proportions (frac 1 everywhere); tau -> inf
+    approaches uniform (every stratum cut to n_min). Output
+    (strata_col, frac) feeds :func:`stratified_sample`, which keeps the
+    whole path deterministic and append-stable.
+
+    One tiny aggregation + broadcast; for tau=2 the exponent is 0.5 and
+    the fraction is computed with sqrt — correctly rounded in IEEE-754,
+    so the DuckDB oracle matches bit-for-bit (general tau uses pow,
+    which carries last-ulp cross-engine risk; fine for production, not
+    used by the oracle entry).
+    """
+    if tau <= 0:
+        raise ValueError("tau must be positive")
+    alpha = 1.0 - 1.0 / tau
+    counts = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+    nmin = counts.agg(F.min("n").alias("n_min"))
+    j = counts.crossJoin(F.broadcast(nmin))
+    ratio = F.col("n_min") / F.col("n")
+    frac = F.sqrt(ratio) if abs(alpha - 0.5) < 1e-12 else F.pow(ratio, F.lit(alpha))
+    return j.select(strata_col, frac.alias("frac"))

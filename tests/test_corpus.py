@@ -211,3 +211,28 @@ def test_shard_shuffle_no_global_sort(spark, docs):
     plan = physical_plan(corpus.shard_shuffle(docs))
     assert "rangepartitioning" not in plan.lower()  # no global ORDER BY
     assert "hashpartitioning(shard" in plan
+
+
+def test_temperature_weights_rebalance(spark, docs):
+    """tau=1 keeps natural proportions (frac 1 everywhere); tau=2 keeps
+    the smallest stratum whole and downsamples larger ones by
+    sqrt(n_min/n); tau -> inf approaches uniform n_min per stratum."""
+    from pyspark.sql import functions as F
+
+    w1 = {r["lang"]: r["frac"] for r in corpus.temperature_weights(docs, "lang", tau=1.0).collect()}
+    assert all(abs(f - 1.0) < 1e-12 for f in w1.values())
+
+    counts = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_min = min(counts.values())
+    w2 = {r["lang"]: r["frac"] for r in corpus.temperature_weights(docs, "lang", tau=2.0).collect()}
+    for lang, f in w2.items():
+        assert abs(f - (n_min / counts[lang]) ** 0.5) < 1e-12
+    smallest = min(counts, key=counts.get)
+    assert abs(w2[smallest] - 1.0) < 1e-12
+
+    w_inf = {r["lang"]: r["frac"] for r in corpus.temperature_weights(docs, "lang", tau=1e9).collect()}
+    for lang, f in w_inf.items():
+        assert abs(f - n_min / counts[lang]) < 1e-6
+
+    with pytest.raises(ValueError):
+        corpus.temperature_weights(docs, "lang", tau=0)
