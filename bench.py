@@ -62,6 +62,12 @@ HEADLINE += [
     "pii_redact",
     "stratified_sample",
     "shard_shuffle",
+    "repetition_stats",
+    "pipeline_training_corpus",
+    "events_distinct_users",
+    "matryoshka_knn",
+    "hard_negatives",
+    "temperature_mix",
 ]
 
 

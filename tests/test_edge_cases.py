@@ -94,3 +94,30 @@ def test_neardup_components_no_edges(spark):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     got = {r["vec_id"]: r["rep_id"] for r in dedup.neardup_components(nodes, pairs).collect()}
     assert got == {1: 1, 2: 2}
+
+
+def test_corpus_ops_on_empty_table(spark):
+    from pyspark.sql import functions as F
+
+    from hnsw_vector_db_spark.operators import corpus
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert corpus.chunk_documents(empty).count() == 0
+    assert corpus.shard_shuffle(empty).count() == 0
+    w = spark.createDataFrame([], "source string, frac double")
+    assert corpus.stratified_sample(empty, w).count() == 0
+    assert corpus.pii_redact(empty).count() == 0
+
+
+def test_hnsw_delete_empty_tombstones_is_identity(spark, sf_dir):
+    from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_build, hnsw_delete
+    from hnsw_vector_db_spark.operators.similarity import ivf_fit
+    from hnsw_vector_db_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = ivf_fit(emb, n_cells=4)
+    index = hnsw_build(assigned).cache()
+    tomb = spark.createDataFrame([], "vec_id long")
+    out = hnsw_delete(index, tomb)
+    assert out.exceptAll(index).count() == 0
+    assert index.exceptAll(out).count() == 0
