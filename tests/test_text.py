@@ -112,3 +112,37 @@ def test_repetition_stats_flags_spam(spark):
     assert got[2].dup_3gram_ratio == 0.0
     assert got[2].top_token_ratio < 0.2
     assert got[3].dup_3gram_ratio == 0.0 and got[3].n_tokens == 1
+
+
+def test_poly_hash_cross_engine_parity_fuzz(spark):
+    """The portable hash must agree with its DuckDB twin on arbitrary
+    unicode — BMP, CJK, combining marks, and astral-plane (emoji /
+    surrogate-pair) inputs — or every hash-based oracle is built on
+    sand. 60+ random strings, fixed seed."""
+    import random
+
+    import duckdb
+    from pyspark.sql import Row
+
+    from hnsw_vector_db_spark.functions.text import poly_hash
+
+    random.seed(7)
+    samples = [
+        "", "a", "hello world", "héllo", "ümlaut ünïcode", "中文字符串",
+        "日本語テキスト", "mixed 中文 and ascii", "tab\tnewline", "😀 emoji",
+        "𝕏 math bold astral", "é combining",
+    ]
+    for _ in range(50):
+        samples.append(
+            "".join(chr(random.randint(32, 0x2FFF)) for _ in range(random.randint(0, 30)))
+        )
+    df = spark.createDataFrame([Row(i=i, s=s) for i, s in enumerate(samples)])
+    got = {r["i"]: r["h"] for r in df.select("i", poly_hash(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    duck_expr = (
+        "SELECT CASE WHEN length($1) = 0 THEN 0 ELSE "
+        "list_reduce(list_transform(string_split_regex($1, ''), "
+        "c -> unicode(c)::BIGINT), (a, c) -> (a * 131 + c) % 2147483647) END"
+    )
+    for i, s in enumerate(samples):
+        assert con.execute(duck_expr, [s]).fetchone()[0] == got[i], repr(s)
