@@ -1277,6 +1277,16 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.stratified_sample(docs, weights).select("doc_id", "source")
 
 
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-boundary chunking: 48-token windows, 8 shared — no chunk
+    splits a token."""
+    from hnsw_vector_db_spark.operators import corpus
+
+    return corpus.chunk_by_tokens(
+        _docs(spark, sf_dir), chunk_tokens=48, overlap_tokens=8
+    )
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-balanced domain mixing (tau=2): per-source keep
     fraction sqrt(n_min/n_s) — smallest source kept whole, heavy sources
@@ -1425,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "shard_shuffle": q_shard_shuffle,
         "temperature_mix": q_temperature_mix,
+        "chunk_tokens": q_chunk_tokens,
         "pipeline_training_corpus": q_pipeline_training_corpus,
     }
 
@@ -2453,6 +2464,24 @@ WITH w AS (
 SELECT d.doc_id, d.source
 FROM documents d JOIN w ON d.source = w.source
 WHERE ({_poly_sql("d.doc_id::VARCHAR || '#strat1'")} % 10000) < frac * 10000
+""".strip()
+
+    tk_stride = 48 - 8
+    sql["chunk_tokens"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest((len(toks) - 1) // {tk_stride}, 0)))::INTEGER AS chunk_id
+  FROM t
+),
+piece AS (
+  SELECT doc_id, chunk_id,
+         toks[chunk_id * {tk_stride} + 1 : chunk_id * {tk_stride} + 48] AS p
+  FROM c
+)
+SELECT doc_id, chunk_id, array_to_string(p, ' ') AS chunk_text,
+       len(p)::INTEGER AS chunk_tokens
+FROM piece
 """.strip()
 
     sql["temperature_mix"] = f"""

@@ -269,3 +269,42 @@ def temperature_weights(
     ratio = F.col("n_min") / F.col("n")
     frac = F.sqrt(ratio) if abs(alpha - 0.5) < 1e-12 else F.pow(ratio, F.lit(alpha))
     return j.select(strata_col, frac.alias("frac"))
+
+
+def chunk_by_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 8,
+) -> DataFrame:
+    """Token-boundary chunking: slice the whitespace-token stream into
+    windows of ``chunk_tokens`` with ``overlap_tokens`` shared between
+    consecutive chunks, re-joined with single spaces. The
+    tokenizer-pipeline twin of :func:`chunk_documents` — no chunk ever
+    splits a token, at the cost of not preserving original whitespace.
+
+    Same narrow shape (tokenize once, explode window starts, slice the
+    cached array) — zero shuffle. DuckDB twin: list slicing
+    ``toks[a:b]`` + array_to_string.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = tokens(text_col)
+    staged = docs.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+    )
+    n_last = F.floor((F.col("_n") - 1) / stride).cast("int")
+    exploded = staged.select(
+        id_col,
+        "_toks",
+        F.explode(F.sequence(F.lit(0), F.greatest(n_last, F.lit(0)))).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("chunk_tokens"),
+    )

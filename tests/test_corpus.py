@@ -236,3 +236,22 @@ def test_temperature_weights_rebalance(spark, docs):
 
     with pytest.raises(ValueError):
         corpus.temperature_weights(docs, "lang", tau=0)
+
+
+def test_chunk_by_tokens_boundaries(spark):
+    toks = [f"w{i}" for i in range(100)]
+    df = spark.createDataFrame([Row(doc_id=1, text=" ".join(toks))])
+    rows = sorted(
+        corpus.chunk_by_tokens(df, chunk_tokens=40, overlap_tokens=10).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # stride 30 -> starts 0, 30, 60, 90
+    assert [r.chunk_id for r in rows] == [0, 1, 2, 3]
+    assert rows[0].chunk_text.split() == toks[0:40]
+    assert rows[1].chunk_text.split() == toks[30:70]
+    assert rows[3].chunk_text.split() == toks[90:100]  # short tail
+    assert rows[3].chunk_tokens == 10
+    # every chunk starts on a token boundary: overlap is exact tokens
+    assert rows[0].chunk_text.split()[-10:] == rows[1].chunk_text.split()[:10]
+    with pytest.raises(ValueError):
+        corpus.chunk_by_tokens(df, chunk_tokens=10, overlap_tokens=10)
