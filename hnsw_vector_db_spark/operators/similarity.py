@@ -622,3 +622,51 @@ def ivf_pq_topk(
         .orderBy(F.col("dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_pq_insert(
+    codes: DataFrame,
+    new_vectors: DataFrame,
+    centroids: np.ndarray,
+    codebook: DataFrame,
+    n_subspaces: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVF-PQ maintenance: route new vectors to their cells
+    with the EXISTING centroids (broadcast argmin — no KMeans refit),
+    encode their residuals against the EXISTING codebook, and union the
+    new (id, cell, m, code) rows in. Quantizers stay frozen — the
+    standard serving-time recipe; retrain offline when drift accumulates.
+    The existing codes never rewrite (append-only at 100 TB)."""
+    cent_df = codes.sparkSession.createDataFrame(
+        [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))],
+        "seed_id int, seed_vec array<double>",
+    )
+    routed = (
+        assign_to_centroids(
+            new_vectors, cent_df, metric="euclidean", id_col=id_col,
+            vector_col=vector_col,
+        )
+        .select(id_col, "cell")
+        .join(new_vectors.select(id_col, vector_col), id_col)
+    )
+    cent2 = cent_df.select(
+        F.col("seed_id").alias("cell"), F.col("seed_vec").alias("cvec")
+    )
+    resid = routed.join(F.broadcast(cent2), "cell").withColumn(
+        "resid",
+        F.zip_with(
+            F.col(vector_col).cast("array<double>"), F.col("cvec"), lambda a, b: a - b
+        ),
+    )
+    new_codes = (
+        pq_encode_codebook(
+            resid, codebook, n_subspaces=n_subspaces, dim=dim,
+            id_col=id_col, vector_col="resid",
+        )
+        .select(id_col, "m", "code")
+        .join(routed.select(id_col, "cell"), id_col)
+    )
+    return codes.unionByName(new_codes.select(*codes.columns))

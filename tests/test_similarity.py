@@ -243,3 +243,40 @@ def test_ivf_pq_composed_index(spark, emb):
     codes2, _, _ = ivf_pq_fit(emb, n_cells=8, n_subspaces=16, n_codes=32)
     assert codes.exceptAll(codes2).count() == 0
     assert codes2.exceptAll(codes).count() == 0
+
+
+def test_ivf_pq_insert_appends_searchable_codes(spark, emb):
+    """New vectors encoded against the frozen quantizers are found by
+    the composed search, and existing code rows are untouched
+    (append-only)."""
+    from pyspark.sql import functions as SF
+
+    from hnsw_vector_db_spark.operators.similarity import (
+        ivf_pq_fit,
+        ivf_pq_insert,
+        ivf_pq_topk,
+    )
+
+    codes, centroids, codebook = ivf_pq_fit(emb, n_cells=8, n_subspaces=16, n_codes=32)
+    codes = codes.cache()
+    codebook = codebook.cache()
+    new = emb.filter(SF.col("vec_id") < 2).select(
+        (SF.col("vec_id") + 5_000_000).alias("vec_id"), "embedding"
+    )
+    merged = ivf_pq_insert(
+        codes, new, centroids, codebook, n_subspaces=16
+    ).cache()
+    # append-only: old rows unchanged, exactly 2*16 new rows
+    assert merged.count() == codes.count() + 2 * 16
+    assert codes.exceptAll(merged).count() == 0
+
+    all_vecs = emb.select("vec_id", "embedding").unionByName(new)
+    for qid in (0, 1):
+        qv = emb.filter(SF.col("vec_id") == qid).first()["embedding"]
+        top = ivf_pq_topk(
+            all_vecs, merged, centroids, codebook, qv, k=2, nprobe=4,
+            shortlist=100, n_subspaces=16,
+        ).collect()
+        ids = {r["vec_id"] for r in top}
+        # the duplicate pair (original + inserted copy) dominates top-2
+        assert ids == {qid, qid + 5_000_000}

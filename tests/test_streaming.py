@@ -223,3 +223,39 @@ def test_stream_session_windows_equal_batch_sessionize(spark, sf_dir, tmp_path):
     b = {(r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect()}
     s = {(r["user_id"], r["session_start"], r["n_events"]) for r in got.collect()}
     assert b == s
+
+
+def test_corpus_stages_run_as_streaming_queries(spark, sf_dir, tmp_path):
+    """The stateless corpus stages (PII redaction, chunking, quality
+    scoring) are pure projections, so the SAME operator code runs
+    unmodified inside a streaming query — batch output == streamed
+    output row for row."""
+    from pyspark.sql import functions as F
+
+    from hnsw_vector_db_spark.operators import corpus
+    from hnsw_vector_db_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt_c")
+    q = (
+        corpus.pii_redact(corpus.chunk_documents(stream, chunk_chars=300, overlap=50)
+                          .select("doc_id", F.col("chunk_text").alias("text")))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(out_dir)
+    batch = corpus.pii_redact(
+        corpus.chunk_documents(docs, chunk_chars=300, overlap=50)
+        .select("doc_id", F.col("chunk_text").alias("text"))
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
