@@ -80,19 +80,24 @@ def assign_ids_scalable(
     ranged = df.repartitionByRange(P, F.col(order_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
-    counts = {
-        r["_pid"]: r["c"]
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
-    offs, acc = [], 0
-    for pid in sorted(counts):
-        offs.append((pid, acc))
-        acc += counts[pid]
-    off_df = df.sparkSession.createDataFrame(offs, "_pid int, _off long")
-    w = Window.partitionBy("_pid").orderBy(order_col)
+    # Offsets are computed IN THE SAME PLAN as the ranks, never in a
+    # separate job: repartitionByRange draws its boundaries by SAMPLING,
+    # so two actions over it can land rows in different partitions — a
+    # separate count job produced colliding ids (caught by the sf0.1
+    # strict sweep). Within one plan the range exchange is computed once
+    # and reused (ReusedExchange), so both branches see identical
+    # partitions. The offset branch reduces to P rows before its
+    # single-partition cumsum window — the corpus itself never funnels
+    # through one task.
+    w_rank = Window.partitionBy("_pid").orderBy(order_col)
+    ranked = ranged.withColumn("_rn", F.row_number().over(w_rank))
+    per_pid = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per_pid.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    )
     return (
-        ranged.withColumn("_rn", F.row_number().over(w))
-        .join(F.broadcast(off_df), "_pid")
+        ranked.join(F.broadcast(offs), "_pid")
         .withColumn(id_col, (F.col("_rn") + F.col("_off") + F.lit(start - 1)).cast("long"))
         .drop("_pid", "_rn", "_off")
     )
