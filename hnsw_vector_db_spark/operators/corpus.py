@@ -308,3 +308,145 @@ def chunk_by_tokens(
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).alias("chunk_tokens"),
     )
+
+
+def benchmark_decontaminate(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word
+    n-grams overlap an evaluation/benchmark probe set — the standard
+    "did the eval leak into the training data" check every large-scale
+    corpus build runs before training.
+
+    Semantics: a document's contamination is measured over its DISTINCT
+    word n-grams; a gram is contaminated when it appears in ANY probe's
+    distinct gram set. Output one row per document:
+    (doc_id, n_grams, n_contaminated, contamination, n_probes_hit).
+
+    Scale shape (100 TB corpus, MB-scale benchmark set): the probe gram
+    table is tiny and BROADCAST, so the corpus side never shuffles for
+    the match — explode(grams) -> broadcast hash join -> partial-agg
+    count per doc. The per-doc gram counts ride along in a projection;
+    the final attach joins the (small, matched-docs-only) hit counts
+    back, so unmatched documents cost one scan and zero shuffle rows.
+
+    The reference has no corpus tooling (vectors only,
+    /root/reference/core/store.py); this is a prompt-mandated
+    training-pipeline extension. DuckDB twin: same gram CTE as the
+    jaccard family, probe side deduplicated, LEFT JOIN + coalesce(0).
+    """
+    from hnsw_vector_db_spark.functions.text import word_ngrams
+
+    grams = F.array_distinct(word_ngrams(tokens(text_col), n))
+    doc_sizes = docs.select(
+        F.col(id_col), grams.alias("_grams")
+    ).select(id_col, F.size("_grams").alias("n_grams"), F.col("_grams"))
+    probe_grams = (
+        probes.select(F.col(probe_id_col), grams.alias("_g"))
+        .select(probe_id_col, F.explode("_g").alias("gram"))
+        .distinct()
+    )
+    hits = (
+        doc_sizes.select(id_col, F.explode("_grams").alias("gram"))
+        .join(F.broadcast(probe_grams), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("gram").alias("n_contaminated"),
+            F.countDistinct(probe_id_col).alias("n_probes_hit"),
+        )
+    )
+    return (
+        doc_sizes.drop("_grams")
+        .join(F.broadcast(hits), id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.when(F.col("n_grams") > 0,
+                       F.coalesce("n_contaminated", F.lit(0)) / F.col("n_grams"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("contamination"),
+            F.coalesce("n_probes_hit", F.lit(0)).alias("n_probes_hit"),
+        )
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    min_docs: int = 3,
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """Per-source boilerplate removal: drop lines that repeat across a
+    large fraction of a source's documents (nav bars, footers, cookie
+    banners — the classic CommonCrawl cleanup stage).
+
+    A line is boilerplate within ``group_col`` when it appears in
+    >= ``min_frac`` of that group's documents AND >= ``min_docs``
+    documents. Lines are compared exactly after trimming. Output:
+    (doc_id, clean_text, n_lines, n_removed).
+
+    Scale shape: one groupBy (group, line) over distinct doc-lines with
+    map-side partial counts, a broadcast-able boilerplate line set per
+    group (boilerplate is by construction a tiny fraction of distinct
+    lines), then an anti-join on (group, line) before re-assembly. The
+    re-assembly window is partitioned by doc — no global ordering.
+
+    DuckDB twin: string_split(text, chr(10)) + the same count/threshold
+    CTEs; re-assemble with string_agg ordered by line index.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).withColumn("line", F.trim("line"))
+    group_sizes = docs.groupBy(group_col).agg(
+        F.countDistinct(id_col).alias("_gdocs")
+    )
+    boiler = (
+        lines.filter(F.col("line") != "")
+        .select(group_col, id_col, "line")
+        .distinct()
+        .groupBy(group_col, "line")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+        .join(F.broadcast(group_sizes), group_col)
+        .filter(
+            (F.col("_ndocs") >= min_docs)
+            & (F.col("_ndocs") / F.col("_gdocs") >= min_frac)
+        )
+        .select(group_col, "line", F.lit(1).alias("_boiler"))
+    )
+    marked = lines.join(F.broadcast(boiler), [group_col, "line"], "left")
+    kept = marked.filter(F.col("_boiler").isNull())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("line_no")
+    reassembled = (
+        kept.withColumn("_arr", F.collect_list("line").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(F.first("_arr"), "\n").alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )

@@ -406,6 +406,9 @@ def hnsw_insert(
                 st["levels"], st["vec_bytes"], st["e_layer"], st["e_src"], st["e_dst"],
             )
             local.m, local.m0, local.efc = m, 2 * m, ef_construction
+            # keep the level-draw geometric distribution consistent with a
+            # fresh build at this m (from_state leaves the default ml)
+            local.ml = 1.0 / np.log(m)
             local.insert_batch(X_new)
             ids = np.concatenate([np.asarray(st["ids"], dtype=np.int64), new_ids])
             cell = int(st["cell"])

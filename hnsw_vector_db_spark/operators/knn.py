@@ -342,8 +342,16 @@ def negative_samples(
     count() job here). The label attach is an id equi-join; at 100 TB
     the right side is the same table, so it co-partitions on the id key.
     Output: (vec_id, neg_rank, neg_id, neg_label).
+
+    Requires ``n_rows >= 2`` (sampling "any id but the anchor" is
+    undefined on a single row). If the id space is NOT dense the label
+    join silently drops negatives whose sampled id has no row — run
+    ``assign_ids``/``assign_ids_scalable`` first to densify.
     """
     from hnsw_vector_db_spark.functions.text import poly_hash
+
+    if n_rows < 2:
+        raise ValueError(f"negative_samples requires n_rows >= 2, got {n_rows}")
 
     anchors = vectors.select(
         F.col(id_col),
@@ -403,10 +411,13 @@ def matryoshka_knn(
         .select(id_col)
     )
     qarr = F.array(*[F.lit(x) for x in q])
+    # rank on the UNROUNDED distance (matches the oracle's exact ordering;
+    # rounding first can flip the top-k set near the k-th position), round
+    # only in the output projection
     return (
         vectors.join(F.broadcast(short), id_col, "left_semi")
-        .withColumn("dist", F.round(distance(F.col(vector_col), qarr, metric), 6))
-        .select(id_col, "dist")
-        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .withColumn("_dist", distance(F.col(vector_col), qarr, metric))
+        .orderBy(F.col("_dist").asc(), F.col(id_col).asc())
         .limit(k)
+        .select(id_col, F.round(F.col("_dist"), 6).alias("dist"))
     )

@@ -256,10 +256,10 @@ def ivf_topk(
     qarr = F.array(*[F.lit(float(x)) for x in qv])
     return (
         assigned.filter(F.col("cell").isin(cells))
-        .withColumn("dist", F.round(distance(F.col(vector_col), qarr, metric), 6))
-        .select(id_col, "dist")
-        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .withColumn("_dist", distance(F.col(vector_col), qarr, metric))
+        .orderBy(F.col("_dist").asc(), F.col(id_col).asc())
         .limit(k)
+        .select(id_col, F.round(F.col("_dist"), 6).alias("dist"))
     )
 
 
@@ -459,10 +459,10 @@ def pq_adc_rerank(
     qarr = F.array(*[F.lit(float(x)) for x in query])
     return (
         vectors.join(F.broadcast(short), id_col, "left_semi")
-        .withColumn("dist", F.round(distance(F.col(vector_col), qarr, metric), 6))
-        .select(id_col, "dist")
-        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .withColumn("_dist", distance(F.col(vector_col), qarr, metric))
+        .orderBy(F.col("_dist").asc(), F.col(id_col).asc())
         .limit(k)
+        .select(id_col, F.round(F.col("_dist"), 6).alias("dist"))
     )
 
 
@@ -615,12 +615,14 @@ def ivf_pq_topk(
         .select(id_col)
     )
     qarr = F.array(*[F.lit(float(x)) for x in q])
+    # rank on the unrounded distance; round only in the output projection
+    # (rounding before the top-k can flip the set at the k-th boundary)
     return (
         vectors.join(F.broadcast(short), id_col, "left_semi")
-        .withColumn("dist", F.round(distance(F.col(vector_col), qarr, metric), 6))
-        .select(id_col, "dist")
-        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .withColumn("_dist", distance(F.col(vector_col), qarr, metric))
+        .orderBy(F.col("_dist").asc(), F.col(id_col).asc())
         .limit(k)
+        .select(id_col, F.round(F.col("_dist"), 6).alias("dist"))
     )
 
 

@@ -38,18 +38,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table stores TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as LONG
-    (legacy conf) and convert to a microsecond timestamp — exact for this
-    data (event times are minute-granular)."""
+    """Normalize the events table's ``ts`` to a session-UTC TIMESTAMP.
+
+    The generator has shipped two physical types across rounds:
+    TIMESTAMP(NANOS), which Spark's reader rejects ([PARQUET_TYPE_ILLEGAL])
+    unless read as LONG via the legacy conf, and TIMESTAMP(MICROS)
+    isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ (not castable
+    to BIGINT, so lag/gap arithmetic breaks). Both are wall-clock times;
+    pin the session to UTC and convert either form to a plain TIMESTAMP so
+    every downstream epoch-seconds cast is deterministic and matches the
+    DuckDB oracle's naive ``epoch(ts)``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(df.dtypes)["ts"] == "bigint":
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":  # nanos read as long
         df = df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
+    elif ts_type == "timestamp_ntz":  # micros, wall clock == UTC instant
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

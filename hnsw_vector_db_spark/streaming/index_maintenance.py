@@ -11,11 +11,16 @@ that receive no vectors pass through untouched, so per-trigger work is
 O(touched cells + batch), not O(index).
 
 Crash safety: the merged index is written to a ``batch_id``-derived
-directory and a tiny ``_LATEST`` pointer file is swapped last — a replayed
-micro-batch (foreachBatch is at-least-once) rewrites the same directory
-and re-swaps the same pointer, so readers always load a complete index
-version. This is the streaming analog of the reference's
-snapshot-then-rename (`core/storage/engine.py:23-56`).
+directory and a tiny ``_LATEST`` pointer file is swapped last, so readers
+always load a complete index version. Because foreachBatch is
+at-least-once, a replayed batch must NOT read through the mutable
+pointer (a crash after the pointer swap but before the checkpoint commit
+would make the replay merge the batch into its own output): the merge
+input is resolved deterministically as the newest version with id
+strictly below the current ``batch_id``, so a replay always re-reads the
+pre-batch state and rewrites ``v<batch_id>`` identically. This is the
+streaming analog of the reference's snapshot-then-rename
+(`core/storage/engine.py:23-56`).
 """
 
 from __future__ import annotations
@@ -42,6 +47,36 @@ def load_latest_index(spark: SparkSession, index_root: str) -> DataFrame:
     return spark.read.parquet(latest_index_path(index_root))
 
 
+def _input_version_for_batch(index_root: str, batch_id: int) -> str:
+    """Deterministic merge input: newest version with id < ``batch_id``.
+
+    ``v_init`` sorts below every batch id. Independent of the mutable
+    ``_LATEST`` pointer, so an at-least-once replay of batch N re-reads
+    the same pre-N state even if the pointer already advanced to vN
+    before the crash.
+    """
+    import os
+    import re
+
+    best_id, best_name = None, None
+    for name in os.listdir(index_root):
+        if name == "v_init":
+            vid = -1
+        else:
+            m = re.fullmatch(r"v(\d+)", name)
+            if not m:
+                continue
+            vid = int(m.group(1))
+        if vid < batch_id and (best_id is None or vid > best_id):
+            best_id, best_name = vid, name
+    if best_name is None:
+        raise FileNotFoundError(
+            f"no index version below batch {batch_id} in {index_root}; "
+            "initialize with init_index_root"
+        )
+    return os.path.join(index_root, best_name)
+
+
 def start_index_maintenance(
     spark: SparkSession,
     vec_dir: str,
@@ -54,7 +89,8 @@ def start_index_maintenance(
 ):
     """Fold each micro-batch of new vectors into the persisted index.
 
-    Per trigger: read the CURRENT index version, run the incremental
+    Per trigger: read the newest index version below this batch_id, run
+    the incremental
     ``hnsw_insert`` (only routed cells deserialize/rebuild), write the
     merged index to ``v<batch_id>/``, then swap the ``_LATEST`` pointer.
     Searches (`hnsw_search`) always read a fully-written version through
@@ -71,7 +107,10 @@ def start_index_maintenance(
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        current = load_latest_index(spark, index_root)
+        # resolve input by batch_id, NOT via _LATEST: a replay after a
+        # crash between pointer swap and checkpoint commit must re-read
+        # the pre-batch version, never its own prior output
+        current = spark.read.parquet(_input_version_for_batch(index_root, batch_id))
         merged = hnsw_insert(
             current, batch_df, centroids, metric=metric, m=m,
             ef_construction=ef_construction,

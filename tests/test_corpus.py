@@ -255,3 +255,85 @@ def test_chunk_by_tokens_boundaries(spark):
     assert rows[0].chunk_text.split()[-10:] == rows[1].chunk_text.split()[:10]
     with pytest.raises(ValueError):
         corpus.chunk_by_tokens(df, chunk_tokens=10, overlap_tokens=10)
+
+
+# ---- benchmark_decontaminate ---------------------------------------------
+
+def test_decontaminate_flags_overlap(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="completely different words here entirely now"),
+        Row(doc_id=3, text="tiny"),
+    ])
+    probes = spark.createDataFrame([
+        Row(probe_id=100, text="quick brown fox jumps over"),
+    ])
+    out = {r.doc_id: r for r in corpus.benchmark_decontaminate(
+        docs, probes, n=5).collect()}
+    # doc 1 contains the probe's single 5-gram
+    assert out[1].n_contaminated == 1 and out[1].n_probes_hit == 1
+    assert out[1].contamination > 0
+    # doc 2 shares nothing
+    assert out[2].n_contaminated == 0 and out[2].contamination == 0.0
+    # doc 3 has < n tokens: zero grams, zero ratio, still present
+    assert out[3].n_grams == 0 and out[3].contamination == 0.0
+
+
+def test_decontaminate_counts_distinct_probes(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e f g h i j")])
+    probes = spark.createDataFrame([
+        Row(probe_id=1, text="a b c d e"),
+        Row(probe_id=2, text="f g h i j"),
+        Row(probe_id=3, text="a b c d e"),  # duplicate gram, distinct probe
+    ])
+    r = corpus.benchmark_decontaminate(docs, probes, n=5).collect()[0]
+    assert r.n_contaminated == 2  # "a b c d e" and "f g h i j"
+    assert r.n_probes_hit == 3
+
+
+def test_decontaminate_broadcasts_probe_side(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c d e")])
+    probes = spark.createDataFrame([Row(probe_id=1, text="a b c d e")])
+    out = corpus.benchmark_decontaminate(docs, probes, n=5)
+    assert broadcast_join_count(out) >= 1
+    assert "CartesianProduct" not in physical_plan(out)
+
+
+# ---- strip_boilerplate ----------------------------------------------------
+
+def test_strip_boilerplate_removes_repeated_lines(spark):
+    footer = "copyright acme corp"
+    docs = spark.createDataFrame([
+        Row(doc_id=i, source="acme", text=f"unique body {i}\n{footer}")
+        for i in range(4)
+    ])
+    out = {r.doc_id: r for r in corpus.strip_boilerplate(
+        docs, min_docs=3, min_frac=0.5).collect()}
+    for i in range(4):
+        assert out[i].clean_text == f"unique body {i}"
+        assert out[i].n_lines == 2 and out[i].n_removed == 1
+
+
+def test_strip_boilerplate_groups_are_independent(spark):
+    # the same footer below threshold in another source survives
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="a", text=f"body {i}\nshared footer")
+         for i in range(3)]
+        + [Row(doc_id=10, source="b", text="solo body\nshared footer")]
+    )
+    out = {r.doc_id: r for r in corpus.strip_boilerplate(
+        docs, min_docs=3, min_frac=0.5).collect()}
+    assert out[0].n_removed == 1
+    assert out[10].n_removed == 0 and "shared footer" in out[10].clean_text
+
+
+def test_strip_boilerplate_preserves_line_order(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=i, source="s", text=f"alpha {i}\nBOILER\nomega {i}")
+        for i in range(3)
+    ])
+    out = corpus.strip_boilerplate(docs, min_docs=3, min_frac=0.5).collect()
+    for r in out:
+        first, last = r.clean_text.split("\n")
+        assert first.startswith("alpha") and last.startswith("omega")
