@@ -566,7 +566,7 @@ def _hnsw_artifacts(spark: SparkSession, sf_dir: str, n_cells: int = 4):
     from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_build
 
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{n_cells}|hnsw-v1".encode()
+        f"{os.path.abspath(sf_dir)}|{n_cells}|hnsw-v2".encode()
     ).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"spark_graft_hnsw_{tag}")
     idx_dir = os.path.join(base, "index")
@@ -588,18 +588,38 @@ def _hnsw_artifacts(spark: SparkSession, sf_dir: str, n_cells: int = 4):
 
 
 def q_hnsw_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-layer stats of the materialized graph, with the degree-cap
-    invariant (out-degree <= 2M at layer 0, M above — `LocalHNSW._insert`
-    trims to exactly these caps) emitted as a checkable column."""
+    """Per-layer stats of the materialized graph, SELF-VERIFYING: the
+    degree cap (`LocalHNSW._insert` trims to 2M at layer 0, M above)
+    bounds the UNPROTECTED edges — trim-exempt parent edges (the
+    connectivity spanning tree) sit on top — and avg <= max is a basic
+    aggregation sanity check; both land in the in-row ``within_bound``
+    flag the driver hash binds."""
     from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_edges, hnsw_graph_stats
 
     index, _ = _hnsw_artifacts(spark, sf_dir, n_cells=4)
-    stats = hnsw_graph_stats(hnsw_edges(None, index=index))
+    edges = hnsw_edges(None, index=index)
+    stats = hnsw_graph_stats(edges)
     m, m0 = 8, 16
-    return stats.withColumn(
-        "degree_bound",
-        F.when(F.col("layer") == 0, F.lit(m0)).otherwise(F.lit(m)),
-    ).withColumn("within_bound", F.col("max_out_degree") <= F.col("degree_bound"))
+    unprot = (
+        edges.filter(~F.col("prot"))
+        .groupBy("layer", "cell", "src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .groupBy("layer")
+        .agg(F.max("deg").alias("max_unprot_degree"))
+    )
+    return (
+        stats.join(unprot, "layer")
+        .withColumn(
+            "degree_bound",
+            F.when(F.col("layer") == 0, F.lit(m0)).otherwise(F.lit(m)),
+        )
+        .withColumn(
+            "within_bound",
+            (F.col("max_unprot_degree") <= F.col("degree_bound"))
+            & (F.col("avg_out_degree") <= F.col("max_out_degree")),
+        )
+        .orderBy("layer")
+    )
 
 
 def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -655,8 +675,13 @@ def q_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, ORACLE-CHECKED end to end: seed-row centroids
+    (``ivf_fit_seeded`` — centroids are the vec_id<8 data rows, the
+    ``pq_encode`` determinism trick) make routing (euclidean argmin),
+    cell probing (cosine order), and the in-cell top-k all plain
+    relational algebra DuckDB reproduces bit-for-bit."""
     emb = _emb(spark, sf_dir)
-    assigned, centroids = similarity.ivf_fit(emb, n_cells=8)
+    assigned, centroids = similarity.ivf_fit_seeded(emb, n_cells=8)
     qv = _query_vec(spark, sf_dir)
     return similarity.ivf_topk(assigned, centroids, qv, k=10, nprobe=3)
 
@@ -664,7 +689,12 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN search over the PERSISTED per-cell HNSW index — pure search
     (graph reconstruction from stored state + beam search), no per-call
-    rebuild; the build ran once inside ``_hnsw_artifacts``."""
+    rebuild; the build ran once inside ``_hnsw_artifacts``.
+    SELF-VERIFYING: each returned distance is recomputed relationally
+    from the (query_id, vec_id) pair — ``dist_correct`` proves the
+    graph-traversal path reports the true metric, even though the
+    traversal itself isn't SQL-expressible."""
+    from hnsw_vector_db_spark.functions.distance import distance as dist_expr
     from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_search
 
     emb = _emb(spark, sf_dir)
@@ -672,15 +702,53 @@ def q_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return hnsw_search(index, queries, centroids, k=5, ef=64, nprobe=2)
+    hits = hnsw_search(index, queries, centroids, k=5, ef=64, nprobe=2)
+    check = (
+        hits.join(F.broadcast(queries), "query_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .withColumn(
+            "_true_dist",
+            F.round(dist_expr(F.col("embedding"), F.col("query_vec"), "cosine"), 6),
+        )
+    )
+    return check.select(
+        "query_id",
+        "vec_id",
+        "dist",
+        "rank",
+        (F.abs(F.col("dist") - F.col("_true_dist")) < 1e-5).alias("dist_correct"),
+    ).orderBy("query_id", "rank")
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hnsw_vector_db_spark.operators.multimodal import attach_payload, decode_features
+    """Multimodal decode, SELF-VERIFYING: payloads are REAL containers
+    synthesized deterministically from document bytes (doc_id%3 ->
+    PPM / PNG / PCM WAV), so every row exercises a genuine decoder —
+    header parse, zlib inflate + unfilter for PNG, PCM sample math for
+    WAV. ``real_decode`` asserts in-row that no row fell through to the
+    stub path (codec matches the synthesized modality). Rows-only
+    (binary codecs aren't SQL) but fully deterministic."""
+    from hnsw_vector_db_spark.operators.multimodal import (
+        decode_features,
+        synthesize_media,
+    )
 
-    media = attach_payload(_docs(spark, sf_dir))
-    return decode_features(media).select(
-        "doc_id", F.round("feature_norm", 6).alias("feature_norm")
+    media = synthesize_media(_docs(spark, sf_dir))
+    feats = decode_features(media)
+    return (
+        feats.join(media.select("doc_id", "modality"), "doc_id")
+        .select(
+            "doc_id",
+            "modality",
+            "codec",
+            F.round("feature_norm", 6).alias("feature_norm"),
+            (
+                ((F.col("modality") == "image_ppm") & (F.col("codec") == "ppm"))
+                | ((F.col("modality") == "image_png") & (F.col("codec") == "png"))
+                | ((F.col("modality") == "audio_wav") & (F.col("codec") == "wav"))
+            ).alias("real_decode"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -758,13 +826,14 @@ def q_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nprobe sweep for IVF (#18's knob on the coarse quantizer): probed
     cells are argsort PREFIXES, so candidates are supersets and recall@10
     is provably non-decreasing in nprobe — emitted per nprobe with the
-    monotonicity flag. Rows-only (KMeans centroids aren't SQL)."""
+    monotonicity flag. ORACLE-CHECKED: seed-row centroids
+    (``ivf_fit_seeded``) make the whole sweep SQL-expressible."""
     from functools import reduce
 
     from hnsw_vector_db_spark.operators.knn import knn_point
 
     emb = _emb(spark, sf_dir)
-    assigned, centroids = similarity.ivf_fit(emb, n_cells=8)
+    assigned, centroids = similarity.ivf_fit_seeded(emb, n_cells=8)
     assigned = assigned.cache()
     qv = _query_vec(spark, sf_dir)
     exact = knn_point(emb, qv, k=10, metric="cosine").select("vec_id")
@@ -998,15 +1067,28 @@ def q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_hnsw_neighbor_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbor-selection invariants (#9, `graph.py`'s select heuristic +
-    `_insert` trim): per layer, out-degree never exceeds the cap (2M at
-    layer 0, M above), no self-loops, no duplicate edges — each emitted
-    as a checkable count/flag over the materialized topology."""
+    `_insert` trim), SELF-VERIFYING via the in-row ``ok`` flag: per
+    layer, UNPROTECTED out-degree never exceeds the cap (2M at layer 0,
+    M above — trim-exempt parent edges, the connectivity spanning tree
+    that fixes the reference's stranded-node defect `graph.py:158-168`,
+    sit on top of the cap and are counted separately), no self-loops, no
+    duplicate edges. Rows-only, but the row fails loudly: ok=false is a
+    visible contract breach."""
     from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_edges
 
     index, _ = _hnsw_artifacts(spark, sf_dir, n_cells=4)
     edges = hnsw_edges(None, index=index)
     m, m0 = 8, 16
-    deg = edges.groupBy("layer", "cell", "src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = (
+        edges.filter(~F.col("prot"))
+        .groupBy("layer", "cell", "src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    prot_cnt = (
+        edges.filter(F.col("prot"))
+        .groupBy("layer")
+        .agg(F.count(F.lit(1)).alias("protected_edges"))
+    )
     dup = (
         edges.groupBy("layer", "cell", "src", "dst")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1019,11 +1101,12 @@ def q_hnsw_neighbor_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("layer")
         .agg(F.count(F.lit(1)).alias("self_loops"))
     )
-    per_layer = deg.groupBy("layer").agg(F.max("deg").alias("max_out_degree"))
+    per_layer = deg.groupBy("layer").agg(F.max("deg").alias("max_unprot_degree"))
     out = (
         per_layer.join(dup, "layer", "left")
         .join(loops, "layer", "left")
-        .fillna(0, ["dup_edges", "self_loops"])
+        .join(prot_cnt, "layer", "left")
+        .fillna(0, ["dup_edges", "self_loops", "protected_edges"])
         .withColumn(
             "degree_bound",
             F.when(F.col("layer") == 0, F.lit(m0)).otherwise(F.lit(m)),
@@ -1031,12 +1114,13 @@ def q_hnsw_neighbor_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "layer",
-        "max_out_degree",
+        "max_unprot_degree",
         "degree_bound",
+        "protected_edges",
         "dup_edges",
         "self_loops",
         (
-            (F.col("max_out_degree") <= F.col("degree_bound"))
+            (F.col("max_unprot_degree") <= F.col("degree_bound"))
             & (F.col("dup_edges") == 0)
             & (F.col("self_loops") == 0)
         ).alias("ok"),
@@ -1682,6 +1766,77 @@ FROM hits
 """.strip()
 
 
+def _ivf_seed_ctes(n_cells: int) -> str:
+    """Seed-centroid IVF CTEs shared by the ivf_* oracles — the exact
+    computation ``ivf_fit_seeded`` + ``ivf_topk`` run: seeds are the
+    vec_id < n_cells data rows, routing is euclidean argmin with seed-id
+    tiebreak, probe order is cosine distance of each seed to the query."""
+    eucl = _metric_sql("euclidean", "v.embedding", "s.seed_vec")
+    cosq = _metric_sql("cosine", "s.seed_vec", "q.embedding")
+    return f"""seeds AS (
+  SELECT vec_id AS seed_id, embedding AS seed_vec FROM embeddings WHERE vec_id < {n_cells}),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT v.vec_id, v.embedding, s.seed_id AS cell,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {eucl}, s.seed_id) AS rn
+    FROM embeddings v CROSS JOIN seeds s)
+  WHERE rn = 1),
+qorder AS (
+  SELECT s.seed_id AS cell,
+         row_number() OVER (ORDER BY {cosq}, s.seed_id) AS cell_rank
+  FROM seeds s CROSS JOIN q)"""
+
+
+def _ivf_ann_sql(k: int = 10, n_cells: int = 8, nprobe: int = 3) -> str:
+    d = _metric_sql("cosine", "a.embedding", "q.embedding")
+    return f"""
+WITH {_ivf_seed_ctes(n_cells)}
+SELECT a.vec_id, round({d}, 6) + 0 AS dist
+FROM assigned a JOIN qorder o ON a.cell = o.cell AND o.cell_rank <= {nprobe}
+CROSS JOIN q
+ORDER BY {d}, a.vec_id
+LIMIT {k}
+""".strip()
+
+
+def _ivf_probe_recall_sql(k: int = 10, n_cells: int = 8, nprobes=(1, 2, 4, 8)) -> str:
+    d = _metric_sql("cosine", "a.embedding", "q.embedding")
+    de = _metric_sql("cosine", "e.embedding", "q.embedding")
+    ctes = [
+        f"""exact AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id, row_number() OVER (ORDER BY {de}, e.vec_id) AS rank
+    FROM embeddings e CROSS JOIN q)
+  WHERE rank <= {k})"""
+    ]
+    hit_selects = []
+    for npb in nprobes:
+        ctes.append(
+            f"""app{npb} AS (
+  SELECT vec_id FROM (
+    SELECT a.vec_id, row_number() OVER (ORDER BY {d}, a.vec_id) AS rank
+    FROM assigned a JOIN qorder o ON a.cell = o.cell AND o.cell_rank <= {npb}
+    CROSS JOIN q)
+  WHERE rank <= {k})"""
+        )
+        hit_selects.append(
+            f"SELECT {npb} AS nprobe, count(*) AS n_hits "
+            f"FROM app{npb} JOIN exact USING (vec_id)"
+        )
+    cte_block = ",\n".join(ctes)
+    hits = "\nUNION ALL\n".join(hit_selects)
+    return f"""
+WITH {_ivf_seed_ctes(n_cells)},
+{cte_block},
+hits AS ({hits})
+SELECT nprobe, n_hits::BIGINT AS n_hits,
+       round(n_hits / {k}.0, 6) AS recall,
+       (n_hits >= coalesce(lag(n_hits) OVER (ORDER BY nprobe), 0)) AS non_decreasing
+FROM hits
+""".strip()
+
+
 def _lsh_ann_sql(k: int, n_planes: int) -> str:
     bucket = _lsh_bucket_sql(n_planes)
     d = _cos_dist("v.embedding", "q.embedding")
@@ -1982,6 +2137,8 @@ SELECT label, dim_idx, value, n FROM dims JOIN cnt USING (label)
 
     sql["lsh_ann"] = _lsh_ann_sql(5, LSH_PLANES)
     sql["lsh_probe_recall"] = _lsh_probe_recall_sql(5, LSH_PLANES)
+    sql["ivf_ann"] = _ivf_ann_sql(10, 8, 3)
+    sql["ivf_probe_recall"] = _ivf_probe_recall_sql(10, 8, (1, 2, 4, 8))
 
     sql["jaccard_pairs"] = (
         f"WITH {_SHINGLES_CTE},\n{_jaccard_tail(JACCARD_THRESHOLD)}\n"

@@ -331,9 +331,11 @@ def benchmark_decontaminate(
     Scale shape (100 TB corpus, MB-scale benchmark set): the probe gram
     table is tiny and BROADCAST, so the corpus side never shuffles for
     the match — explode(grams) -> broadcast hash join -> partial-agg
-    count per doc. The per-doc gram counts ride along in a projection;
-    the final attach joins the (small, matched-docs-only) hit counts
-    back, so unmatched documents cost one scan and zero shuffle rows.
+    count per doc. The final attach is a plain shuffle hash join on the
+    id key: the hit-count side is one row per CONTAMINATED document —
+    data-dependent and unbounded (a heavily contaminated corpus makes it
+    corpus-sized), so it must NOT be broadcast; AQE picks a broadcast at
+    runtime iff the measured size allows.
 
     The reference has no corpus tooling (vectors only,
     /root/reference/core/store.py); this is a prompt-mandated
@@ -362,7 +364,7 @@ def benchmark_decontaminate(
     )
     return (
         doc_sizes.drop("_grams")
-        .join(F.broadcast(hits), id_col, "left")
+        .join(hits, id_col, "left")
         .select(
             id_col,
             "n_grams",
@@ -398,8 +400,11 @@ def strip_boilerplate(
     Scale shape: one groupBy (group, line) over distinct doc-lines with
     map-side partial counts, a broadcast-able boilerplate line set per
     group (boilerplate is by construction a tiny fraction of distinct
-    lines), then an anti-join on (group, line) before re-assembly. The
-    re-assembly window is partitioned by doc — no global ordering.
+    lines), then an anti-join on (group, line) before re-assembly.
+    Re-assembly is ONE aggregate per doc — collect_list(struct(line_no,
+    line)) sorted in-expression — each doc's lines materialize exactly
+    once (an unbounded window here would copy the whole array onto every
+    line-row: quadratic in lines-per-doc).
 
     DuckDB twin: string_split(text, chr(10)) + the same count/threshold
     CTEs; re-assemble with string_agg ordered by line index.
@@ -427,18 +432,15 @@ def strip_boilerplate(
     )
     marked = lines.join(F.broadcast(boiler), [group_col, "line"], "left")
     kept = marked.filter(F.col("_boiler").isNull())
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy("line_no")
-    reassembled = (
-        kept.withColumn("_arr", F.collect_list("line").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ))
-        .groupBy(id_col)
-        .agg(
-            F.array_join(F.first("_arr"), "\n").alias("clean_text"),
-            F.count(F.lit(1)).alias("n_kept"),
-        )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
     )
     totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
     return (

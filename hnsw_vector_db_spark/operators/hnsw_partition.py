@@ -18,6 +18,17 @@ the base layer. It differs deliberately from the reference implementation:
 distances are evaluated as vectorized numpy batches over a neighbor
 frontier (not per-node scalar calls), vectors live in one contiguous
 matrix, and search state uses flat numpy visited masks.
+
+Connectivity guarantee (the reference's documented stranded-edge defect,
+`core/hnsw/graph.py:158-168` re-prune and `:191-207` delete, does NOT
+recur here): every inserted node designates its nearest layer-0 neighbor
+at insert time as its *parent*, and the bidirectional parent edge pair is
+exempt from degree-cap trimming (a provable-connectivity form of the
+paper's keepPrunedConnections). The protected edges form a bidirectional
+spanning tree over insertion order, so the layer-0 digraph stays strongly
+connected from ANY entry point — with ef >= n the beam search therefore
+visits every node and top-1 is exact. Average degree overhead is +1 edge
+per node; the cap still bounds the unprotected neighbors.
 """
 
 from __future__ import annotations
@@ -39,6 +50,10 @@ class LocalHNSW:
         metric: str = "cosine",
         seed: int = 0,
     ) -> None:
+        if m < 2:
+            # m=1 degenerates ml to 1/log(1) (div-by-zero) and a 1-regular
+            # graph cannot hold the small-world invariants.
+            raise ValueError(f"m must be >= 2, got {m}")
         self.m = m
         self.m0 = 2 * m
         self.efc = ef_construction
@@ -50,6 +65,10 @@ class LocalHNSW:
         # adjacency: level -> {node -> list of neighbors}
         self.adj: list[dict[int, list[int]]] = []
         self.entry: int = -1
+        # layer-0 parent edges (unordered (lo, hi) pairs) exempt from
+        # trimming — the bidirectional spanning tree that guarantees
+        # strong connectivity at the base layer (module docstring).
+        self.protected0: set[tuple[int, int]] = set()
 
     # -- distance: batch row-block vs one query ---------------------------
     def _dist(self, q: np.ndarray, idx: np.ndarray) -> np.ndarray:
@@ -111,11 +130,28 @@ class LocalHNSW:
         top = int(self.levels.max()) if n else 0
         self.adj = [dict() for _ in range(top + 1)]
         self.entry = 0
+        self.protected0 = set()
         for i in range(n):
             self._insert(i)
 
     def _select(self, cands: list[tuple[float, int]], m: int) -> list[int]:
         return [n for _, n in sorted(cands)[:m]]
+
+    def _trim(self, c: int, lst: list[int], cap: int, lv: int) -> list[int]:
+        """Trim node ``c``'s adjacency to ~cap, never dropping a protected
+        layer-0 parent edge (connectivity invariant, module docstring).
+        Unprotected neighbors are kept nearest-first."""
+        if lv == 0 and self.protected0:
+            prot = [x for x in lst if (min(c, x), max(c, x)) in self.protected0]
+            free = [x for x in lst if (min(c, x), max(c, x)) not in self.protected0]
+        else:
+            prot, free = [], lst
+        room = max(cap - len(prot), 0)
+        if len(free) > room:
+            d = self._dist(self.X[c], np.array(free))
+            keep = np.argsort(d, kind="stable")[:room]
+            free = [free[j] for j in keep]
+        return prot + free
 
     def _insert(self, i: int) -> None:
         q = self.X[i]
@@ -134,13 +170,16 @@ class LocalHNSW:
             m = self.m0 if lv == 0 else self.m
             chosen = self._select(cands, m)
             self.adj[lv][i] = list(chosen)
+            if lv == 0:
+                # nearest neighbor at insert time becomes i's parent; the
+                # bidirectional pair is never trimmed (spanning tree).
+                parent = chosen[0]
+                self.protected0.add((min(i, parent), max(i, parent)))
             for c in chosen:
                 lst = self.adj[lv].setdefault(c, [])
                 lst.append(i)
                 if len(lst) > m:
-                    d = self._dist(self.X[c], np.array(lst))
-                    keep = np.argsort(d)[:m]
-                    self.adj[lv][c] = [lst[j] for j in keep]
+                    self.adj[lv][c] = self._trim(c, lst, m, lv)
             ep = [n for _, n in cands] or chosen
         for lv in range(top + 1, li + 1):
             self.adj[lv][i] = []
@@ -202,12 +241,17 @@ class LocalHNSW:
         e_layer: list[int] = []
         e_src: list[int] = []
         e_dst: list[int] = []
+        e_prot: list[bool] = []
         for layer, adj in enumerate(self.adj):
             for src in sorted(adj):
                 for dst in adj[src]:
                     e_layer.append(layer)
                     e_src.append(src)
                     e_dst.append(dst)
+                    e_prot.append(
+                        layer == 0
+                        and (min(src, dst), max(src, dst)) in self.protected0
+                    )
         return {
             "n": int(self.X.shape[0]),
             "dim": int(self.X.shape[1]) if self.X.size else 0,
@@ -218,6 +262,7 @@ class LocalHNSW:
             "e_layer": e_layer,
             "e_src": e_src,
             "e_dst": e_dst,
+            "e_prot": e_prot,
         }
 
     @classmethod
@@ -232,14 +277,25 @@ class LocalHNSW:
         e_layer,
         e_src,
         e_dst,
+        e_prot=None,
     ) -> "LocalHNSW":
         """Reconstruct a searchable index from :meth:`to_state` output —
         O(edges) with numpy group-slicing, no graph CONSTRUCTION work
-        (no distance evaluations, no neighbor selection)."""
+        (no distance evaluations, no neighbor selection). ``e_prot``
+        restores the trim-exempt parent edges so incremental
+        :meth:`insert_batch` on the reloaded index keeps the layer-0
+        connectivity invariant."""
         idx = cls(metric=metric)
         idx.X = np.frombuffer(vec_bytes, dtype=np.float64).reshape(n, dim)
         idx.levels = np.asarray(levels, dtype=np.int64)
         idx.entry = int(entry)
+        if e_prot is not None:
+            pa = np.asarray(e_prot, dtype=bool)
+            sp = np.asarray(e_src, dtype=np.int64)[pa]
+            dp = np.asarray(e_dst, dtype=np.int64)[pa]
+            idx.protected0 = {
+                (int(min(s, d)), int(max(s, d))) for s, d in zip(sp, dp)
+            }
         la = np.asarray(e_layer, dtype=np.int64)
         sa = np.asarray(e_src, dtype=np.int64)
         da = np.asarray(e_dst, dtype=np.int64)
@@ -266,7 +322,7 @@ class LocalHNSW:
 INDEX_SCHEMA = (
     "cell int, n int, dim int, metric string, entry int, "
     "ids array<long>, levels array<int>, vec_bytes binary, "
-    "e_layer array<int>, e_src array<int>, e_dst array<int>"
+    "e_layer array<int>, e_src array<int>, e_dst array<int>, e_prot array<boolean>"
 )
 
 
@@ -298,7 +354,7 @@ def hnsw_build(
             return pd.DataFrame(
                 columns=[
                     "cell", "n", "dim", "metric", "entry", "ids", "levels",
-                    "vec_bytes", "e_layer", "e_src", "e_dst",
+                    "vec_bytes", "e_layer", "e_src", "e_dst", "e_prot",
                 ]
             )
         X = np.vstack(pdf[vector_col].to_numpy())
@@ -320,6 +376,7 @@ def hnsw_build(
                     "e_layer": st["e_layer"],
                     "e_src": st["e_src"],
                     "e_dst": st["e_dst"],
+                    "e_prot": st["e_prot"],
                 }
             ]
         )
@@ -381,7 +438,7 @@ def hnsw_insert(
 
     idx_cols = [
         "cell", "n", "dim", "metric", "entry", "ids", "levels",
-        "vec_bytes", "e_layer", "e_src", "e_dst",
+        "vec_bytes", "e_layer", "e_src", "e_dst", "e_prot",
     ]
 
     def per_cell(idx_pdf: pd.DataFrame, new_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -404,6 +461,7 @@ def hnsw_insert(
             local = LocalHNSW.from_state(
                 int(st["n"]), int(st["dim"]), st["metric"], int(st["entry"]),
                 st["levels"], st["vec_bytes"], st["e_layer"], st["e_src"], st["e_dst"],
+                st.get("e_prot"),  # None for legacy pre-e_prot artifacts
             )
             local.m, local.m0, local.efc = m, 2 * m, ef_construction
             # keep the level-draw geometric distribution consistent with a
@@ -427,6 +485,7 @@ def hnsw_insert(
                     "e_layer": out["e_layer"],
                     "e_src": out["e_src"],
                     "e_dst": out["e_dst"],
+                    "e_prot": out["e_prot"],
                 }
             ]
         )
@@ -472,7 +531,7 @@ def hnsw_delete(
 
     idx_cols = [
         "cell", "n", "dim", "metric", "entry", "ids", "levels",
-        "vec_bytes", "e_layer", "e_src", "e_dst",
+        "vec_bytes", "e_layer", "e_src", "e_dst", "e_prot",
     ]
 
     def per_rows(batches):
@@ -482,7 +541,7 @@ def hnsw_delete(
                 ids = np.asarray(st["ids"], dtype=np.int64)
                 mask = ~np.isin(ids, tomb)
                 if mask.all():
-                    out.append({c: st[c] for c in idx_cols})
+                    out.append({c: st.get(c) for c in idx_cols})
                     continue
                 if not mask.any():
                     continue  # whole cell deleted -> drop the row
@@ -500,6 +559,7 @@ def hnsw_delete(
                         "ids": ids[mask].tolist(), "levels": s2["levels"],
                         "vec_bytes": s2["vec_bytes"], "e_layer": s2["e_layer"],
                         "e_src": s2["e_src"], "e_dst": s2["e_dst"],
+                        "e_prot": s2["e_prot"],
                     }
                 )
             yield pd.DataFrame(out, columns=idx_cols)
@@ -555,13 +615,16 @@ def hnsw_edges(
     exploded = index.select(
         "cell",
         "ids",
-        F.explode(F.arrays_zip("e_layer", "e_src", "e_dst")).alias("e"),
+        F.explode(F.arrays_zip("e_layer", "e_src", "e_dst", "e_prot")).alias("e"),
     )
     return exploded.select(
         "cell",
         F.col("e.e_layer").alias("layer"),
         F.element_at("ids", F.col("e.e_src") + 1).alias("src"),
         F.element_at("ids", F.col("e.e_dst") + 1).alias("dst"),
+        # trim-exempt parent edge (connectivity spanning tree) — excluded
+        # from the degree-cap invariant, which bounds UNPROTECTED edges
+        F.col("e.e_prot").alias("prot"),
     )
 
 
@@ -676,6 +739,7 @@ def hnsw_search(
         local = LocalHNSW.from_state(
             int(st["n"]), int(st["dim"]), st["metric"], int(st["entry"]),
             st["levels"], st["vec_bytes"], st["e_layer"], st["e_src"], st["e_dst"],
+            st.get("e_prot"),  # None for legacy pre-e_prot artifacts
         )
         ids = np.asarray(st["ids"], dtype=np.int64)
         rows = []

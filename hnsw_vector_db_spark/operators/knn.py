@@ -75,7 +75,12 @@ def knn_point(
     `graph.py:188`; an explicit id tiebreak makes results deterministic
     across engines). Plans as Scan -> WholeStageCodegen(project dist) ->
     TakeOrderedAndProject: no shuffle, k rows per partition merged once.
+    k is bounded to the reference's request contract
+    (`api/rest/server.py:33`, via :func:`~.table.validate_k`).
     """
+    from hnsw_vector_db_spark.operators.table import validate_k
+
+    validate_k(k)
     scored = with_distance(vectors, query, metric, vector_col)
     return (
         scored.select(id_col, "dist")
@@ -99,8 +104,12 @@ def knn_batch(
 
     The small query side is broadcast so the corpus never shuffles for the
     join; the per-query rank shuffles only on query_id. Output:
-    (query_id, vec_id, dist, rank).
+    (query_id, vec_id, dist, rank). k bounded per the reference's request
+    contract (`api/rest/server.py:33`).
     """
+    from hnsw_vector_db_spark.operators.table import validate_k
+
+    validate_k(k)
     joined = vectors.join(F.broadcast(queries))
     scored = joined.withColumn(
         "dist", distance(F.col(vector_col), F.col(query_vec_col), metric)

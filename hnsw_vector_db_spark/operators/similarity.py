@@ -232,6 +232,52 @@ def ivf_fit(
     return assigned, centroids
 
 
+def ivf_fit_seeded(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+):
+    """Deterministic IVF coarse quantizer: centroids are the DATA ROWS
+    with ``id < n_cells`` — the same seed-row trick :func:`pq_encode`
+    uses for its codebook. No k-means, no randomness: routing (euclidean
+    argmin, seed-id tiebreak) and every downstream top-k become plain
+    relational algebra an independent SQL engine reproduces bit-for-bit,
+    which is what upgrades the ``ivf_*`` driver entries from rows-only to
+    hash-checked. The reference's coarse descent
+    (`core/hnsw/graph.py:184-186`) is equally deterministic at fixed
+    seeds, so parity loses nothing; centroid QUALITY is lower than a
+    fitted k-means — use :func:`ivf_fit` when recall matters more than
+    cross-engine reproducibility.
+
+    Requires ids ``0..n_cells-1`` to exist (dense ids; the testdata
+    guarantees it — use ``assign_ids`` otherwise). Returns
+    (assigned, centroids) with the same shapes as :func:`ivf_fit`:
+    ``assigned`` = vectors plus a ``cell`` column, ``centroids`` a dense
+    ndarray indexed by cell id.
+    """
+    seed_rows = (
+        vectors.filter(F.col(id_col) < n_cells)
+        .orderBy(id_col)
+        .select(vector_col)
+        .collect()
+    )
+    centroids = np.array([list(r[0]) for r in seed_rows], dtype=np.float64)
+    seeds_df = vectors.sparkSession.createDataFrame(
+        [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))],
+        "seed_id int, seed_vec array<double>",
+    )
+    assigned = (
+        assign_to_centroids(
+            vectors, seeds_df, metric="euclidean", id_col=id_col,
+            vector_col=vector_col,
+        )
+        .select(id_col, "cell")
+        .join(vectors, id_col)
+    )
+    return assigned, centroids
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: np.ndarray,

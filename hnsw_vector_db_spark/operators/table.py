@@ -35,6 +35,48 @@ def validate_vectors(
     return df.filter(ok), df.filter(~ok | F.col(vector_col).isNull())
 
 
+#: Reference search-request bound: ``k`` is validated to [1, 1000] at the
+#: API edge (`api/rest/server.py:33`, ``Field(10, ge=1, le=1000)``).
+MAX_K = 1000
+
+
+def validate_k(k: int, max_k: int = MAX_K) -> int:
+    """Search-request contract parity (`api/rest/server.py:33`): the
+    reference rejects any search with k outside [1, 1000] before it
+    reaches the index; our kNN entry points apply the same bound."""
+    if not isinstance(k, int) or not 1 <= k <= max_k:
+        raise ValueError(f"k must be an int in [1, {max_k}], got {k!r}")
+    return k
+
+
+def insert_batch_capacity(
+    base: DataFrame,
+    new: DataFrame,
+    dim: int,
+    max_elements: int,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Capacity-guarded batch insert — the reference's ``max_elements``
+    guard (`core/hnsw/graph.py:129-130` raises once ``len(self.nodes) >=
+    max_elements``) in set-oriented form: rows beyond the remaining
+    capacity are routed to the rejects DataFrame instead of raising
+    per-row, deterministically (lowest id first is admitted).
+
+    Returns (new_table, rejects); rejects = dim/null failures plus the
+    capacity overflow. The ranking window runs over the NEW batch only
+    (micro-batch sized, like :func:`assign_ids`), never the base table;
+    the base contributes one metadata-cheap count."""
+    valid, rejects = validate_vectors(new, dim, vector_col)
+    room = max(max_elements - base.count(), 0)
+    ranked = valid.withColumn(
+        "_rn", F.row_number().over(Window.orderBy(F.col(id_col)))
+    )
+    accepted = ranked.filter(F.col("_rn") <= room).drop("_rn")
+    overflow = ranked.filter(F.col("_rn") > room).drop("_rn")
+    return base.unionByName(accepted), rejects.unionByName(overflow)
+
+
 def assign_ids(
     df: DataFrame, start: int = 0, id_col: str = "vec_id", order_col: str | None = None
 ) -> DataFrame:

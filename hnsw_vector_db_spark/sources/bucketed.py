@@ -15,7 +15,24 @@ layout and elide the Exchange (assert via plans.explain.shuffle_count).
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _managed_location(spark: SparkSession, table_name: str) -> Path:
+    """Filesystem location a managed table of this name would occupy in
+    the session warehouse (``db.table`` -> wh/db.db/table)."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    parts = table_name.split(".")
+    if len(parts) == 2:
+        return Path(wh) / f"{parts[0]}.db" / parts[1]
+    return Path(wh) / parts[-1]
 
 
 def save_bucketed(
@@ -30,7 +47,18 @@ def save_bucketed(
     within buckets (turns later merge joins into zipper scans). Pick
     n_buckets so one bucket of the table at target scale is a few hundred
     MB: 100 TB / 16384 buckets ~ 6 GB — size up with data, it cannot be
-    changed without a rewrite."""
+    changed without a rewrite.
+
+    Re-run safe: an overwrite first drops the catalog entry AND any
+    orphaned warehouse directory a killed prior run left behind (data dir
+    without metastore entry -> ``saveAsTable`` throws
+    LOCATION_ALREADY_EXISTS otherwise)."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        loc = _managed_location(spark, table_name)
+        if loc.exists():
+            shutil.rmtree(loc)
     w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)

@@ -37,6 +37,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def pin_event_time_confs(spark: SparkSession) -> None:
+    """SESSION-WIDE side effect, applied on purpose: pin the session
+    timezone to UTC and enable the legacy nanos-as-long parquet read.
+
+    Sessions built by :mod:`hnsw_vector_db_spark.session` already carry
+    ``spark.sql.session.timeZone=UTC`` from construction, making this a
+    no-op there. For FOREIGN sessions (the correctness driver's own), the
+    pin must still happen before the first events read or epoch
+    arithmetic diverges from the DuckDB oracle's naive ``epoch(ts)`` —
+    and because it is session state, every query run after this call
+    sees UTC rendering/casting semantics. That is the engine's contract
+    (all timestamps are UTC instants), not an accident; this helper
+    exists so the mutation is one named, documented place instead of a
+    hidden loader side effect."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # unconditional set (idempotent): conf.get with a sentinel default is
+    # not usable here — Spark 4 validates the DEFAULT against the conf's
+    # timezone validator and throws on non-timezone sentinels
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalize the events table's ``ts`` to a session-UTC TIMESTAMP.
 
@@ -45,11 +66,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     unless read as LONG via the legacy conf, and TIMESTAMP(MICROS)
     isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ (not castable
     to BIGINT, so lag/gap arithmetic breaks). Both are wall-clock times;
-    pin the session to UTC and convert either form to a plain TIMESTAMP so
-    every downstream epoch-seconds cast is deterministic and matches the
-    DuckDB oracle's naive ``epoch(ts)``."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    :func:`pin_event_time_confs` (a documented session-wide pin) makes
+    either form read as a plain UTC TIMESTAMP so every downstream
+    epoch-seconds cast is deterministic and matches the DuckDB oracle."""
+    pin_event_time_confs(spark)
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))

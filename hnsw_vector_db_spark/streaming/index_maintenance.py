@@ -107,6 +107,29 @@ def start_index_maintenance(
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # Checkpoint/index_root mismatch guard: a FRESH checkpoint against
+        # an index_root that already holds merged versions restarts batch
+        # ids at 0 — the merge input would silently resolve to v_init and
+        # the pointer re-swing to v0, DISCARDING every previously merged
+        # version. Versions with id > batch_id (other than this batch's
+        # own replay output, id == batch_id) can only mean that mismatch,
+        # never an at-least-once replay — fail loudly instead of rolling
+        # the index back.
+        import re as _re
+
+        ahead = sorted(
+            name
+            for name in os.listdir(index_root)
+            if (m_ := _re.fullmatch(r"v(\d+)", name)) and int(m_.group(1)) > batch_id
+        )
+        if ahead:
+            raise RuntimeError(
+                f"index_root {index_root} already contains versions {ahead} "
+                f"ahead of batch {batch_id}: the stream checkpoint does not "
+                "match this index_root (fresh checkpoint against a "
+                "previously maintained index?). Refusing to roll the index "
+                "back; use a fresh index_root or the original checkpoint."
+            )
         # resolve input by batch_id, NOT via _LATEST: a replay after a
         # crash between pointer swap and checkpoint commit must re-read
         # the pre-batch version, never its own prior output

@@ -300,6 +300,25 @@ def test_decontaminate_broadcasts_probe_side(spark):
     assert "CartesianProduct" not in physical_plan(out)
 
 
+def test_decontaminate_hit_counts_side_never_hint_broadcast(spark):
+    """The per-doc hit-count side is one row per CONTAMINATED document —
+    unbounded, so it must not carry a broadcast HINT (at 100 TB a heavily
+    contaminated corpus would OOM the broadcast). With auto-broadcast
+    disabled, only the tiny probe-gram side (explicit hint) may broadcast;
+    the doc_id attach join must plan as a shuffle join."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.createDataFrame([Row(doc_id=1, text="a b c d e")])
+        probes = spark.createDataFrame([Row(probe_id=1, text="a b c d e")])
+        out = corpus.benchmark_decontaminate(docs, probes, n=5)
+        plan = physical_plan(out)
+        assert broadcast_join_count(out) == 1, plan  # probe grams only
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 # ---- strip_boilerplate ----------------------------------------------------
 
 def test_strip_boilerplate_removes_repeated_lines(spark):
@@ -337,3 +356,15 @@ def test_strip_boilerplate_preserves_line_order(spark):
     for r in out:
         first, last = r.clean_text.split("\n")
         assert first.startswith("alpha") and last.startswith("omega")
+
+
+def test_strip_boilerplate_reassembly_is_single_aggregate(spark):
+    """Re-assembly must not plan a WindowExec: an unbounded per-doc
+    window would materialize the full line array once per LINE-ROW
+    (quadratic in lines-per-doc). One aggregate with an in-expression
+    array_sort is the scale-safe shape."""
+    docs = spark.createDataFrame([
+        Row(doc_id=i, source="s", text=f"a {i}\nb {i}") for i in range(3)
+    ])
+    plan = physical_plan(corpus.strip_boilerplate(docs))
+    assert "Window" not in plan, plan

@@ -46,8 +46,9 @@ def test_state_roundtrip_search_identical():
     st = built.to_state()
     loaded = LocalHNSW.from_state(
         st["n"], st["dim"], st["metric"], st["entry"], st["levels"],
-        st["vec_bytes"], st["e_layer"], st["e_src"], st["e_dst"],
+        st["vec_bytes"], st["e_layer"], st["e_src"], st["e_dst"], st["e_prot"],
     )
+    assert loaded.protected0 == built.protected0  # trim exemptions survive
     for qi in range(10):
         a = built.search(X[qi], 5, ef=48)
         b = loaded.search(X[qi], 5, ef=48)

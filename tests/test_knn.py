@@ -99,13 +99,22 @@ def test_hnsw_graph_stats_shape(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, _ = ivf_fit(emb, n_cells=2)
-    edges = hnsw_edges(assigned, m=4, ef_construction=16)
+    edges = hnsw_edges(assigned, m=4, ef_construction=16).cache()
     stats = hnsw_graph_stats(edges).collect()
     assert stats[0]["layer"] == 0
     base = stats[0]
     n = emb.count()
     assert base["n_nodes"] == n                      # every vector linked at layer 0
-    assert base["max_out_degree"] <= 8               # degree cap M0 = 2*m
+    # degree cap M0 = 2*m bounds the UNPROTECTED edges; trim-exempt parent
+    # edges (the connectivity spanning tree) may sit on top of the cap
+    max_unprot = (
+        edges.filter((F.col("layer") == 0) & (~F.col("prot")))
+        .groupBy("cell", "src")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert max_unprot <= 8
     # determinism: same seed => identical stats
     stats2 = hnsw_graph_stats(hnsw_edges(assigned, m=4, ef_construction=16)).collect()
     assert [tuple(r) for r in stats] == [tuple(r) for r in stats2]

@@ -79,6 +79,41 @@ def test_local_hnsw_exhaustive_ef_is_exact_top1(n, seed):
     assert got == exact
 
 
+def _layer0_reachable(index: LocalHNSW) -> set[int]:
+    """Directed BFS over layer-0 out-edges from the search entry point."""
+    graph = index.adj[0]
+    seen = {index.entry}
+    stack = [index.entry]
+    while stack:
+        node = stack.pop()
+        for nxt in graph.get(node, ()):
+            if nxt not in seen:
+                seen.add(nxt)
+                stack.append(nxt)
+    return seen
+
+
+@given(
+    st.integers(min_value=2, max_value=60),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.sampled_from(["cosine", "euclidean"]),
+)
+@settings(max_examples=50, deadline=None)
+def test_local_hnsw_layer0_strong_connectivity(n, seed, metric):
+    """Every node is reachable from the entry point at layer 0 — the
+    protected parent-edge spanning tree makes degree-cap re-pruning
+    incapable of stranding a node (the reference's documented defect,
+    `core/hnsw/graph.py:158-168`, which SURVEY §7 promised not to
+    reproduce). Also holds after an incremental insert_batch."""
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, 6)
+    index = LocalHNSW(m=4, ef_construction=16, metric=metric, seed=0)
+    index.build(X)
+    assert _layer0_reachable(index) == set(range(n))
+    index.insert_batch(rng.randn(5, 6))
+    assert _layer0_reachable(index) == set(range(n + 5))
+
+
 @given(
     st.text(min_size=1, max_size=2000),
     st.integers(min_value=2, max_value=300),

@@ -198,6 +198,50 @@ def test_streaming_index_maintenance(spark, sf_dir, tmp_path):
         assert r["vec_id"] in (r["query_id"], r["query_id"] - 2_000_000)
 
 
+def test_index_maintenance_fresh_checkpoint_mismatch_fails(spark, sf_dir, tmp_path):
+    """A FRESH checkpoint pointed at an index_root that already holds
+    merged versions must fail loudly, not silently roll the index back:
+    restarted batch ids begin at 0, so without the guard the merge input
+    resolves to v_init and the pointer re-swings to v0, discarding every
+    previously merged version."""
+    from pyspark.sql import functions as F
+
+    from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_build
+    from hnsw_vector_db_spark.operators.similarity import ivf_fit
+    from hnsw_vector_db_spark.sources.parquet import load_table
+    from hnsw_vector_db_spark.streaming.index_maintenance import (
+        init_index_root,
+        start_index_maintenance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_fit(emb, n_cells=4)
+    index_root = str(tmp_path / "index")
+    built = hnsw_build(assigned)
+    init_index_root(built, index_root)
+    # simulate a previously maintained index: a committed v1 ahead of the
+    # fresh stream's batch 0
+    built.write.mode("overwrite").parquet(index_root + "/v1")
+    with open(index_root + "/_LATEST", "w") as fh:
+        fh.write("v1")
+
+    new = emb.filter(F.col("vec_id") < 2).select(
+        (F.col("vec_id") + 3_000_000).alias("vec_id"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+    )
+    vec_dir = str(tmp_path / "incoming")
+    new.coalesce(1).write.mode("overwrite").parquet(vec_dir)
+
+    q = start_index_maintenance(
+        spark, vec_dir, index_root, centroids, str(tmp_path / "fresh_ckpt")
+    )
+    with pytest.raises(Exception, match="does not match this index_root"):
+        q.awaitTermination()
+    # the committed pointer was not rolled back
+    with open(index_root + "/_LATEST") as fh:
+        assert fh.read().strip() == "v1"
+
+
 def test_stream_session_windows_equal_batch_sessionize(spark, sf_dir, tmp_path):
     """Declarative session_window sessions == batch lag+cumsum sessions
     on (user, session_start, n_events) — same gap rule, three

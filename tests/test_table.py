@@ -132,8 +132,17 @@ def test_assign_ids_scalable_matches_global_window(spark, sf_dir):
     got_a = {(r["doc_id"], r["nid"]) for r in a.collect()}
     got_b = {(r["doc_id"], r["nid"]) for r in b.collect()}
     assert got_a == got_b
-    # the window runs per range partition, never on one global partition
-    assert "SinglePartition" not in physical_plan(b)
+    # Scoped lock: the corpus-side rank window is PARTITIONED (hash on
+    # _pid), so the corpus never funnels through one task. The P-row
+    # offsets cumsum legitimately plans ONE SinglePartition exchange over
+    # the aggregated counts (O(partitions) rows, the zipWithIndex driver
+    # pass) — that one is allowed, and only that one.
+    plan = physical_plan(b)
+    assert "hashpartitioning(_pid" in plan, plan
+    # an executed AQE plan prints Final + Initial sections; count the
+    # final one only
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert final_section.count("SinglePartition") <= 1, plan
 
 
 def test_salted_distinct_count_exact(spark, sf_dir):
@@ -154,3 +163,71 @@ def test_salted_distinct_count_exact(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+# ---- reference request-contract parity ------------------------------------
+
+def test_validate_k_reference_bounds():
+    """k in [1, 1000] — the reference validates this at the API edge
+    (`api/rest/server.py:33`, Field(ge=1, le=1000)) before any search."""
+    from hnsw_vector_db_spark.operators.table import MAX_K, validate_k
+
+    assert MAX_K == 1000
+    assert validate_k(1) == 1 and validate_k(1000) == 1000
+    for bad in (0, -5, 1001, 10**9):
+        with pytest.raises(ValueError):
+            validate_k(bad)
+    with pytest.raises(ValueError):
+        validate_k("10")  # type: ignore[arg-type]
+
+
+def test_knn_entry_points_reject_out_of_contract_k(spark):
+    from hnsw_vector_db_spark.operators.knn import knn_batch, knn_point
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(4)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        knn_point(vecs, [1.0, 0.0], k=0)
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "query_id long, query_vec array<float>"
+    )
+    with pytest.raises(ValueError):
+        knn_batch(q, vecs, k=2000)
+
+
+def test_insert_batch_capacity_guard(spark):
+    """The reference refuses inserts past max_elements
+    (`core/hnsw/graph.py:129-130`); the set-oriented form admits the
+    lowest-id rows up to remaining capacity and routes the overflow to
+    rejects — alongside the dim rejects."""
+    from hnsw_vector_db_spark.operators.table import insert_batch_capacity
+
+    base = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(3)], "vec_id long, embedding array<float>"
+    )
+    new = spark.createDataFrame(
+        [(10, [1.0, 1.0]), (11, [2.0, 2.0]), (12, [3.0, 3.0]), (13, [9.0])],
+        "vec_id long, embedding array<float>",
+    )
+    table_out, rejects = insert_batch_capacity(base, new, dim=2, max_elements=5)
+    got_ids = sorted(r["vec_id"] for r in table_out.collect())
+    assert got_ids == [0, 1, 2, 10, 11]  # room for 2, lowest ids first
+    rej_ids = sorted(r["vec_id"] for r in rejects.collect())
+    assert rej_ids == [12, 13]  # capacity overflow + dim reject
+
+    # already at capacity: everything valid still rejects
+    full_out, full_rej = insert_batch_capacity(table_out, new, dim=2, max_elements=5)
+    assert full_out.count() == 5
+    assert sorted(r["vec_id"] for r in full_rej.collect()) == [10, 11, 12, 13]
+
+
+def test_local_hnsw_rejects_degenerate_m():
+    """m=1 would divide by zero in the level draw (ml = 1/log m) and
+    cannot form a small-world graph; validated at construction."""
+    from hnsw_vector_db_spark.operators.hnsw_partition import LocalHNSW
+
+    with pytest.raises(ValueError):
+        LocalHNSW(m=1)
+    with pytest.raises(ValueError):
+        LocalHNSW(m=0)
