@@ -1445,6 +1445,70 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.strip_boilerplate(docs, min_docs=3, min_frac=0.5)
 
 
+# fixed lexical query for the BM25 / hybrid entries (terms present
+# throughout the synthetic corpus; scores discriminate via tf and dl)
+BM25_TERMS = ["vector", "hash", "scan"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval (public Robertson et al. formula) —
+    the text half of hybrid search, which the reference (vectors only)
+    has no analog for. tf/df are built ONLY for the query terms
+    (filter-before-aggregate), doc lengths are one narrow groupBy, and
+    the top-k plans as TakeOrderedAndProject. Oracle-checked exactly."""
+    return text_analysis.bm25_score(_docs(spark, sf_dir), BM25_TERMS, top_k=10)
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: Reciprocal Rank Fusion (Cormack et al., SIGIR'09)
+    of a lexical BM25 top-20 over documents with a vector cosine top-20
+    over the id-aligned embeddings — the standard two-retriever fusion,
+    score-free so the fused ranking is engine-independent. Both inputs
+    and the fusion arithmetic are plain relational algebra ->
+    oracle-checked end to end."""
+    from pyspark.sql import Window
+
+    from hnsw_vector_db_spark.operators.knn import knn_point, rrf_fuse
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 500)  # doc id space
+    qv = _query_vec(spark, sf_dir)
+    lex = text_analysis.bm25_score(docs, BM25_TERMS, top_k=20)
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex_r = lex.select("doc_id", F.row_number().over(wl).alias("rank"))
+    vec = knn_point(emb, qv, k=20, metric="cosine").select(
+        "vec_id", F.round("dist", 6).alias("dist")
+    )
+    wv = Window.orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    vec_r = vec.select(
+        F.col("vec_id").alias("doc_id"), F.row_number().over(wv).alias("rank")
+    )
+    return rrf_fuse([lex_r, vec_r], k_const=60, top_k=10, id_col="doc_id")
+
+
+def q_sq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization, long-form (vec_id, dim_idx, code) so the
+    oracle hash-compares every code scalar — the no-training sibling of
+    pq_encode (per-vector min/max scale instead of a codebook)."""
+    enc = similarity.sq_encode(_emb(spark, sf_dir))
+    return enc.select("vec_id", F.posexplode("codes")).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("int").alias("dim_idx"),
+        F.col("col").alias("code"),
+    )
+
+
+def q_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized two-phase kNN: dequantized-int8 shortlist (reads ~1/8
+    of the bytes at scale) + exact re-rank — same serving shape as
+    PQ-ADC/matryoshka but with NO training step, so like matryoshka it
+    is fully SQL-expressible and oracle-checked end to end."""
+    qv = _query_vec(spark, sf_dir)
+    return similarity.sq_knn(
+        _emb(spark, sf_dir), qv, k=10, shortlist=50, metric="euclidean"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cosine top-10 with metadata enrichment on sf0.001 —
     the reference's POST /search end-to-end (SURVEY.md §3.1)."""
@@ -1458,63 +1522,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row, plus a handful of flagship re-checks; entries past 50 all have
     # green rows from earlier rounds (CORRECTNESS_r01/r02.json).
     return {
-        # -- never driver-checked before r3 (43) + new this round (2) ----
-        "orders_above_avg": q_orders_above_avg,
+        # -- NEW in r4 (4): BM25 / hybrid RRF / scalar quantization ------
+        "bm25_topk": q_bm25_topk,
+        "hybrid_rrf": q_hybrid_rrf,
+        "sq_encode": q_sq_encode,
+        "sq_knn": q_sq_knn,
+        # -- code changed in r4: re-verify first -------------------------
+        # (hnsw_* : e_prot index schema + connectivity fix + new in-row
+        # checks; ivf_* : seed-centroid oracle path; multimodal: real
+        # PPM/PNG/WAV synth+decode; decontaminate: join policy;
+        # strip_boilerplate: aggregate re-assembly; events family:
+        # load_events timezone pin moved; knn_*: validate_k at entry)
+        "ivf_ann": q_ivf_ann,
+        "ivf_probe_recall": q_ivf_probe_recall,
+        "hnsw_ann": q_hnsw_ann,
+        "hnsw_graph_stats": q_hnsw_graph_stats,
+        "hnsw_recall": q_hnsw_recall,
+        "hnsw_ef_sweep": q_hnsw_ef_sweep,
+        "hnsw_neighbor_invariant": q_hnsw_neighbor_invariant,
+        "hnsw_incremental": q_hnsw_incremental,
+        "hnsw_delete": q_hnsw_delete,
+        "multimodal_features": q_multimodal_features,
+        "decontaminate": q_decontaminate,
+        "strip_boilerplate": q_strip_boilerplate,
+        "snapshot_roundtrip": q_snapshot_roundtrip,
+        "events_window": q_events_window,
+        "events_sliding": q_events_sliding,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "interarrival_stats": q_interarrival,
+        "json_stats": q_json_stats,
+        "user_set_ops": q_user_set_ops,
         "user_type_map": q_user_type_map,
+        "value_percentiles": q_percentiles,
+        "events_distinct_users": q_events_distinct_users,
+        "sketch_accuracy": q_sketch_accuracy,
+        "stream_events_window": q_stream_events_window,
+        "knn_cosine": _mk_knn("cosine"),
+        "knn_batch": q_knn_batch,
+        # -- flagship re-checks (green r01-r03; one per family) ----------
         "pq_encode": q_pq_encode,
+        "pq_adc": q_pq_adc,
+        "pq_recall": q_pq_recall,
+        "ivf_pq_recall": q_ivf_pq_recall,
+        "lsh_probe_recall": q_lsh_probe_recall,
+        "matryoshka_knn": q_matryoshka_knn,
+        "hard_negatives": q_hard_negatives,
+        "negative_samples": q_negative_samples,
+        "minhash_lsh_neardup": q_minhash_lsh_neardup,
+        "exact_dedup": q_exact_dedup,
+        "pricing_summary": q_pricing_summary,
+        "orders_above_avg": q_orders_above_avg,
+        "top_orders_per_cust": q_top_orders_per_cust,
+        "sql_revenue_by_nation": q_sql_revenue_by_nation,
+        "vector_lookup": q_vector_lookup,
         "train_val_split": q_train_val_split,
         "knn_filtered": q_knn_filtered,
         "lang_embedding_norms": q_lang_embedding_norms,
-        "top_orders_per_cust": q_top_orders_per_cust,
-        "sql_revenue_by_nation": q_sql_revenue_by_nation,
-        "hnsw_graph_stats": q_hnsw_graph_stats,
-        "ivf_ann": q_ivf_ann,
-        "pq_adc": q_pq_adc,
-        "hnsw_ann": q_hnsw_ann,
-        "multimodal_features": q_multimodal_features,
-        "snapshot_roundtrip": q_snapshot_roundtrip,
-        "lsh_probe_recall": q_lsh_probe_recall,
-        "hnsw_recall": q_hnsw_recall,
-        "ivf_probe_recall": q_ivf_probe_recall,
-        "hnsw_ef_sweep": q_hnsw_ef_sweep,
-        "hnsw_neighbor_invariant": q_hnsw_neighbor_invariant,
-        "pq_recall": q_pq_recall,
-        "ivf_pq_recall": q_ivf_pq_recall,
-        "hnsw_incremental": q_hnsw_incremental,
-        "hnsw_delete": q_hnsw_delete,
         "repetition_stats": q_repetition_stats,
-        "sketch_accuracy": q_sketch_accuracy,
-        "vector_lookup": q_vector_lookup,
-        "hard_negatives": q_hard_negatives,
-        "matryoshka_knn": q_matryoshka_knn,
-        "negative_samples": q_negative_samples,
-        "events_distinct_users": q_events_distinct_users,
-        "orders_pivot": q_orders_pivot,
-        "lineitem_unpivot": q_lineitem_unpivot,
-        "nation_balance_fo": q_nation_balance_fo,
-        "customers_no_orders": q_customers_no_orders,
-        "chunk_docs": q_chunk_docs,
-        "pack_sequences": q_pack_sequences,
-        "pii_redact": q_pii_redact,
-        "stratified_sample": q_stratified_sample,
-        "shard_shuffle": q_shard_shuffle,
-        "temperature_mix": q_temperature_mix,
         "chunk_tokens": q_chunk_tokens,
         "pipeline_training_corpus": q_pipeline_training_corpus,
-        "decontaminate": q_decontaminate,
-        "strip_boilerplate": q_strip_boilerplate,
-        # -- flagship re-checks (green in r01+r02; keep one per family) --
-        "knn_cosine": _mk_knn("cosine"),
-        "minhash_lsh_neardup": q_minhash_lsh_neardup,
-        "exact_dedup": q_exact_dedup,
-        "stream_events_window": q_stream_events_window,
-        "pricing_summary": q_pricing_summary,
-        # ---- position > 50: green rows recorded in r01/r02 -------------
+        # ---- position > 50: green rows recorded in r01-r03 -------------
         "knn_euclidean": _mk_knn("euclidean"),
         "knn_manhattan": _mk_knn("manhattan"),
         "knn_dot": _mk_knn("dot_product"),
-        "knn_batch": q_knn_batch,
         "knn_twophase": q_knn_twophase,
         "knn_metadata": q_knn_metadata,
         "vector_stats": q_vector_stats,
@@ -1532,18 +1604,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_score": q_quality,
         "language_id": q_language_id,
-        "events_window": q_events_window,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "json_stats": q_json_stats,
         "top_orders": q_top_orders,
         "order_ranks": q_order_ranks,
         "nation_rollup": q_nation_rollup,
-        "user_set_ops": q_user_set_ops,
         "tfidf_top_terms": q_tfidf,
-        "events_sliding": q_events_sliding,
-        "value_percentiles": q_percentiles,
         "orders_by_month": q_orders_by_month,
         "part_brand_stats": q_part_brand_stats,
         "lineitem_corr": q_lineitem_corr,
@@ -1554,6 +1618,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "neardup_components": q_neardup_components,
         "orders_grouping_sets": q_orders_grouping_sets,
+        "orders_pivot": q_orders_pivot,
+        "lineitem_unpivot": q_lineitem_unpivot,
+        "nation_balance_fo": q_nation_balance_fo,
+        "customers_no_orders": q_customers_no_orders,
+        "chunk_docs": q_chunk_docs,
+        "pack_sequences": q_pack_sequences,
+        "pii_redact": q_pii_redact,
+        "stratified_sample": q_stratified_sample,
+        "shard_shuffle": q_shard_shuffle,
+        "temperature_mix": q_temperature_mix,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "ivf_assign": q_ivf_assign,
     }
@@ -1834,6 +1908,103 @@ SELECT nprobe, n_hits::BIGINT AS n_hits,
        round(n_hits / {k}.0, 6) AS recall,
        (n_hits >= coalesce(lag(n_hits) OVER (ORDER BY nprobe), 0)) AS non_decreasing
 FROM hits
+""".strip()
+
+
+def _bm25_ctes(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """CTE block computing per-doc BM25 sums for the fixed query terms —
+    the exact arithmetic text_analysis.bm25_score runs."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""btoks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+bdl AS (SELECT doc_id, count(*) AS dl FROM btoks GROUP BY doc_id),
+bstats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM bdl),
+btf AS (
+  SELECT doc_id, term, count(*) AS tf FROM btoks
+  WHERE lower(term) IN ({in_list}) GROUP BY doc_id, term),
+bdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM btoks
+  WHERE lower(term) IN ({in_list}) GROUP BY term),
+bsum AS (
+  SELECT t.doc_id,
+         sum(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * ({k1} + 1)) / (t.tf + {k1} * (1 - {b} + {b} * l.dl / s.avgdl))
+         ) AS raw_score
+  FROM btf t JOIN bdf d USING (term) JOIN bdl l USING (doc_id) CROSS JOIN bstats s
+  GROUP BY t.doc_id)"""
+
+
+def _bm25_sql(top_k: int, terms: list[str]) -> str:
+    return f"""
+WITH {_bm25_ctes(terms)}
+SELECT doc_id, round(raw_score, 6) + 0 AS score
+FROM bsum
+ORDER BY raw_score DESC, doc_id
+LIMIT {top_k}
+""".strip()
+
+
+def _hybrid_rrf_sql(terms: list[str], k_const: int = 60, top_k: int = 10) -> str:
+    d = _cos_dist("e.embedding", "q.embedding")
+    return f"""
+WITH {_bm25_ctes(terms)},
+lex AS (
+  SELECT doc_id, round(raw_score, 6) + 0 AS score
+  FROM bsum ORDER BY raw_score DESC, doc_id LIMIT 20),
+lexr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM lex),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+knn AS (
+  SELECT e.vec_id AS doc_id, round({d}, 6) + 0 AS dist
+  FROM embeddings e, q WHERE e.vec_id < 500
+  ORDER BY {d}, e.vec_id LIMIT 20),
+vecr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY dist ASC, doc_id) AS rank FROM knn),
+fused AS (
+  SELECT doc_id, 1.0 / ({k_const} + rank) AS c FROM lexr
+  UNION ALL
+  SELECT doc_id, 1.0 / ({k_const} + rank) AS c FROM vecr)
+SELECT doc_id, round(sum(c), 6) + 0 AS rrf_score, count(*)::BIGINT AS n_lists
+FROM fused GROUP BY doc_id
+ORDER BY sum(c) DESC, doc_id
+LIMIT {top_k}
+""".strip()
+
+
+_SQ_SCALE = (
+    "CASE WHEN list_max({v}) > list_min({v}) "
+    "THEN (list_max({v}) - list_min({v})) / 255.0 ELSE 1.0 END"
+)
+
+
+def _sq_encode_sql(dim: int = 64) -> str:
+    v = _dd("e.embedding")
+    scale = _SQ_SCALE.format(v=v)
+    return f"""
+SELECT e.vec_id, i::INTEGER AS dim_idx,
+       round((e.embedding[i]::DOUBLE - list_min({v})) / ({scale}))::INTEGER AS code
+FROM embeddings e, range(1, {dim + 1}) t(i)
+""".strip()
+
+
+def _sq_knn_sql(k: int = 10, shortlist: int = 50) -> str:
+    v = _dd("c.embedding")
+    scale = _SQ_SCALE.format(v=v)
+    deq = (
+        f"list_transform({v}, x -> list_min({v}) "
+        f"+ round((x - list_min({v})) / ({scale})) * ({scale}))"
+    )
+    adist = _metric_sql("euclidean", deq, "q.embedding")
+    edist = _metric_sql("euclidean", "e.embedding", "q.embedding")
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+short AS (
+  SELECT c.vec_id FROM embeddings c, q
+  ORDER BY {adist}, c.vec_id LIMIT {shortlist})
+SELECT e.vec_id, round({edist}, 6) + 0 AS dist
+FROM embeddings e JOIN short USING (vec_id), q
+ORDER BY {edist}, e.vec_id
+LIMIT {k}
 """.strip()
 
 
@@ -2139,6 +2310,10 @@ SELECT label, dim_idx, value, n FROM dims JOIN cnt USING (label)
     sql["lsh_probe_recall"] = _lsh_probe_recall_sql(5, LSH_PLANES)
     sql["ivf_ann"] = _ivf_ann_sql(10, 8, 3)
     sql["ivf_probe_recall"] = _ivf_probe_recall_sql(10, 8, (1, 2, 4, 8))
+    sql["bm25_topk"] = _bm25_sql(10, BM25_TERMS)
+    sql["hybrid_rrf"] = _hybrid_rrf_sql(BM25_TERMS)
+    sql["sq_encode"] = _sq_encode_sql(64)
+    sql["sq_knn"] = _sq_knn_sql(10, 50)
 
     sql["jaccard_pairs"] = (
         f"WITH {_SHINGLES_CTE},\n{_jaccard_tail(JACCARD_THRESHOLD)}\n"

@@ -70,6 +70,15 @@ HEADLINE += [
     "temperature_mix",
 ]
 
+# retrieval additions in r4 — lexical BM25, hybrid RRF fusion, and int8
+# scalar-quantized kNN; again a separate group so earlier totals stay
+# comparable round over round
+HEADLINE += [
+    "bm25_topk",
+    "hybrid_rrf",
+    "sq_knn",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -430,3 +430,42 @@ def matryoshka_knn(
         .limit(k)
         .select(id_col, F.round(F.col("_dist"), 6).alias("dist"))
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    k_const: int = 60,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009 —
+    the standard score-free way to combine retrieval lists, e.g. lexical
+    BM25 with vector kNN in hybrid search): each list contributes
+    1 / (k_const + rank) for every item it ranks; items missing from a
+    list contribute nothing from it. Output (id, rrf_score, n_lists)
+    top_k by fused score, id tiebreak.
+
+    Scale shape: each input ranking is already tiny (top-k per
+    retriever), so the fuse is a union of small frames + one groupBy on
+    the id — no corpus access at all. Pure relational arithmetic ->
+    DuckDB oracle-checked.
+    """
+    from functools import reduce
+
+    parts = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k_const)) + F.col(rank_col))).alias("_c"),
+        )
+        for r in rankings
+    ]
+    unioned = reduce(lambda a, b: a.unionByName(b), parts)
+    # rank on the unrounded fused score; round only in the projection
+    return (
+        unioned.groupBy(id_col)
+        .agg(F.sum("_c").alias("_score"), F.count(F.lit(1)).alias("n_lists"))
+        .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+        .select(id_col, F.round("_score", 6).alias("rrf_score"), "n_lists")
+    )

@@ -718,3 +718,78 @@ def ivf_pq_insert(
         .join(routed.select(id_col, "cell"), id_col)
     )
     return codes.unionByName(new_codes.select(*codes.columns))
+
+
+def sq_encode(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector int8 scalar quantization (the classic SQ memory trick:
+    4x smaller than float32, 8x than float64): code_i = round((x_i - mn)
+    * 255 / (mx - mn)) with the per-vector (mn, scale) stored alongside.
+    Constant vectors (mx == mn) encode as all-zero codes with scale 1.
+
+    Unlike PQ there is no codebook to train — encoding is one codegen
+    projection, exactly reproducible in SQL (oracle-checked), and decode
+    is mn + code * scale. At 100 TB the codes table is the scan-side
+    win: a shortlist pass reads ~1/8 of the bytes, then an exact re-rank
+    touches only shortlist rows of the float table (`sq_knn`). A
+    production layout would pack codes to binary; array<int> keeps the
+    cross-engine twin trivial. Output (id, codes, mn, scale) — mn/scale
+    UNROUNDED so downstream dequantization matches the oracle bit-level.
+    """
+    v = F.col(vector_col).cast("array<double>")
+    mn = F.array_min(v)
+    mx = F.array_max(v)
+    scale = F.when(mx > mn, (mx - mn) / F.lit(255.0)).otherwise(F.lit(1.0))
+    codes = F.transform(v, lambda x: F.round((x - mn) / scale).cast("int"))
+    return vectors.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        mn.alias("mn"),
+        scale.alias("scale"),
+    )
+
+
+def sq_knn(
+    vectors: DataFrame,
+    query,
+    k: int = 10,
+    shortlist: int = 50,
+    metric: str = "euclidean",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Quantized two-phase kNN: phase 1 ranks DEQUANTIZED int8 codes
+    (x_hat_i = mn + code_i * scale) against the exact query and keeps a
+    ``shortlist`` (TakeOrderedAndProject — no shuffle); phase 2 re-ranks
+    only those rows with exact distances on the original floats
+    (broadcast semi-join). Same serving shape as PQ-ADC/matryoshka, but
+    with NO training step and fully SQL-expressible end to end —
+    oracle-checked like matryoshka, unlike PQ/HNSW. Output (id, dist)
+    exact distances of the shortlist's top-k."""
+    from hnsw_vector_db_spark.operators.table import validate_k
+
+    validate_k(k)
+    if codes is None:
+        codes = sq_encode(vectors, id_col=id_col, vector_col=vector_col)
+    deq = F.transform(
+        F.col("codes"), lambda c: F.col("mn") + c.cast("double") * F.col("scale")
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    short = (
+        codes.withColumn("_ad", distance(deq, qarr, metric))
+        .orderBy(F.col("_ad").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+        .select(id_col)
+    )
+    # rank on the unrounded exact distance; round only in the projection
+    return (
+        vectors.join(F.broadcast(short), id_col, "left_semi")
+        .withColumn("_dist", distance(F.col(vector_col), qarr, metric))
+        .orderBy(F.col("_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round(F.col("_dist"), 6).alias("dist"))
+    )

@@ -142,6 +142,66 @@ def tfidf_top_terms(
     )
 
 
+def bm25_score(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 (Robertson et al., public IR formula) of one term query
+    against the corpus — the lexical retrieval half of hybrid search,
+    which the reference (vectors only) cannot do at all.
+
+    score(d) = sum over query terms of
+      idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)),
+      idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)).
+
+    Scale shape: the term explode is filtered to the QUERY terms before
+    any aggregation (predicate on the exploded value — the corpus-wide
+    tf/df tables are built only for the handful of query terms, never
+    the whole vocabulary); doc lengths are one narrow groupBy; N/avgdl
+    is a single tiny aggregate broadcast by the planner. Top-k plans as
+    TakeOrderedAndProject. Fully deterministic arithmetic -> DuckDB
+    oracle-checked. Output (doc_id, score).
+    """
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtoks = toks.filter(F.lower(F.col("term")).isin(terms))
+    tf = qtoks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = qtoks.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sat = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, id_col)
+        .join(F.broadcast(stats))
+        .withColumn("_s", idf * sat)
+    )
+    # rank on the unrounded sum; round only in the output projection
+    # (rounding before the top-k could flip the set at the k-th boundary)
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("_s").alias("_score"))
+        .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+        .select(id_col, F.round("_score", 6).alias("score"))
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whole-document rolling-hash fingerprint + normalized variant
     (lowercased, whitespace-collapsed) — the cheap exact-dup key at scale.

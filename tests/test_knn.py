@@ -220,3 +220,30 @@ def test_matryoshka_prefix_recall(spark, sf_dir):
         for r in matryoshka_knn(emb, qv, k=10, prefix_dim=64, shortlist=n).collect()
     ]
     assert full == exact
+
+
+def test_rrf_fuse_golden(spark):
+    """Hand-computed Reciprocal Rank Fusion: items in both lists sum
+    their 1/(k+rank) contributions; single-list items keep one term;
+    ordering by fused score with id tiebreak."""
+    from hnsw_vector_db_spark.operators.knn import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], "vec_id long, rank int")
+    b = spark.createDataFrame([(11, 1), (10, 2), (13, 3)], "vec_id long, rank int")
+    out = {r["vec_id"]: (r["rrf_score"], r["n_lists"])
+           for r in rrf_fuse([a, b], k_const=60, top_k=10).collect()}
+    assert out[10] == (round(1 / 61 + 1 / 62, 6), 2)
+    assert out[11] == (round(1 / 62 + 1 / 61, 6), 2)
+    assert out[12] == (round(1 / 63, 6), 1)
+    assert out[13] == (round(1 / 63, 6), 1)
+    ranked = [r["vec_id"] for r in rrf_fuse([a, b], k_const=60, top_k=10).collect()]
+    # 10 and 11 tie exactly -> id tiebreak; singles tie -> id tiebreak
+    assert ranked == [10, 11, 12, 13]
+
+
+def test_rrf_fuse_respects_top_k(spark):
+    from hnsw_vector_db_spark.operators.knn import rrf_fuse
+
+    a = spark.createDataFrame([(i, i + 1) for i in range(20)], "vec_id long, rank int")
+    out = rrf_fuse([a], top_k=5).collect()
+    assert [r["vec_id"] for r in out] == [0, 1, 2, 3, 4]

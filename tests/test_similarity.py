@@ -280,3 +280,63 @@ def test_ivf_pq_insert_appends_searchable_codes(spark, emb):
         ids = {r["vec_id"] for r in top}
         # the duplicate pair (original + inserted copy) dominates top-2
         assert ids == {qid, qid + 5_000_000}
+
+
+# ---- scalar quantization ---------------------------------------------------
+
+def test_sq_encode_roundtrip_error_bound(spark, emb):
+    """Dequantization error is bounded by scale/2 per element — the
+    defining property of round-to-nearest scalar quantization."""
+    import numpy as np
+
+    from hnsw_vector_db_spark.operators.similarity import sq_encode
+
+    enc = sq_encode(emb).limit(50).collect()
+    orig = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.limit(200).collect()}
+    for r in enc:
+        x = orig[r["vec_id"]]
+        codes = np.asarray(r["codes"], dtype=np.float64)
+        xhat = r["mn"] + codes * r["scale"]
+        assert np.abs(x - xhat).max() <= r["scale"] / 2 + 1e-12
+        assert codes.min() >= 0 and codes.max() <= 255
+
+
+def test_sq_encode_constant_vector(spark):
+    from hnsw_vector_db_spark.operators.similarity import sq_encode
+
+    df = spark.createDataFrame(
+        [(1, [2.5, 2.5, 2.5])], "vec_id long, embedding array<double>"
+    )
+    r = sq_encode(df).first()
+    assert r["codes"] == [0, 0, 0] and r["scale"] == 1.0 and r["mn"] == 2.5
+
+
+def test_sq_knn_matches_exact_with_wide_shortlist(spark, emb):
+    """With shortlist >= corpus the quantized phase cannot lose the true
+    top-k: sq_knn == exact knn_point, distances identical (phase 2 is
+    exact)."""
+    from hnsw_vector_db_spark.operators.knn import knn_point
+    from hnsw_vector_db_spark.operators.similarity import sq_knn
+
+    q = emb.filter(F.col("vec_id") == 3).first()["embedding"]
+    n = emb.count()
+    got = [(r["vec_id"], r["dist"]) for r in
+           sq_knn(emb, q, k=10, shortlist=n, metric="euclidean").collect()]
+    want = [(r["vec_id"], round(r["dist"], 6)) for r in
+            knn_point(emb, q, k=10, metric="euclidean").collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-6
+
+
+def test_sq_knn_recall_at_default_shortlist(spark, emb):
+    """Default shortlist=50 on the gaussian testdata: recall@10 vs exact
+    should be high (int8 quantization loses little at 64 dims)."""
+    from hnsw_vector_db_spark.operators.knn import knn_point
+    from hnsw_vector_db_spark.operators.similarity import sq_knn
+
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    got = {r["vec_id"] for r in sq_knn(emb, q, k=10, shortlist=50).collect()}
+    want = {r["vec_id"] for r in knn_point(emb, q, k=10, metric="euclidean").collect()}
+    assert len(got & want) >= 9

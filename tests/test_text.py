@@ -146,3 +146,46 @@ def test_poly_hash_cross_engine_parity_fuzz(spark):
     )
     for i, s in enumerate(samples):
         assert con.execute(duck_expr, [s]).fetchone()[0] == got[i], repr(s)
+
+
+# ---- BM25 ------------------------------------------------------------------
+
+def test_bm25_golden_values(spark):
+    """Hand-computed Okapi BM25 on a 3-doc corpus: tf saturation, length
+    normalization and idf all verified against the public formula."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),        # dl=3, tf(apple)=2
+            (2, "apple cherry cherry date"),  # dl=4, tf(apple)=1
+            (3, "cherry date date fig fig"),  # dl=5, no apple
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["score"] for r in TA.bm25_score(docs, ["apple"], top_k=10).collect()}
+    k1, b = 1.2, 0.75
+    n, df, avgdl = 3, 2, 4.0
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+    def s(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert set(out) == {1, 2}  # doc 3 has no query term
+    assert abs(out[1] - round(s(2, 3), 6)) < 1e-9
+    assert abs(out[2] - round(s(1, 4), 6)) < 1e-9
+    assert out[1] > out[2]  # higher tf, shorter doc wins
+
+
+def test_bm25_multi_term_sums_and_topk_plan(spark, sf_dir):
+    from hnsw_vector_db_spark.plans.explain import physical_plan
+    from hnsw_vector_db_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = TA.bm25_score(docs, ["vector", "hash", "scan"], top_k=5)
+    plan = physical_plan(out)
+    assert "TakeOrderedAndProject" in plan  # top-k never a full sort
+    rows = out.collect()
+    assert 0 < len(rows) <= 5
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
