@@ -343,6 +343,8 @@ def hnsw_build(
     inside ``applyInPandas`` — embarrassingly parallel, one shuffle on
     cell id; deterministic for a fixed seed.
     """
+    if m < 2:  # validate at the API edge, not deep inside an executor
+        raise ValueError(f"m must be >= 2, got {m}")
     import pandas as pd
 
     from hnsw_vector_db_spark.session import ensure_package_shipped
@@ -417,6 +419,8 @@ def hnsw_insert(
     by (cell state size, batch), so re-running the same merge yields an
     identical index.
     """
+    if m < 2:  # validate at the API edge, not deep inside an executor
+        raise ValueError(f"m must be >= 2, got {m}")
     import pandas as pd
 
     from hnsw_vector_db_spark.operators.similarity import assign_to_centroids
@@ -519,6 +523,8 @@ def hnsw_delete(
     Cells whose every vector is deleted disappear from the index (their
     row is dropped); searches simply never probe them.
     """
+    if m < 2:  # validate at the API edge, not deep inside an executor
+        raise ValueError(f"m must be >= 2, got {m}")
     import pandas as pd
 
     from hnsw_vector_db_spark.session import ensure_package_shipped

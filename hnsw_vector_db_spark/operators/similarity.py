@@ -739,17 +739,36 @@ def sq_encode(
     cross-engine twin trivial. Output (id, codes, mn, scale) — mn/scale
     UNROUNDED so downstream dequantization matches the oracle bit-level.
     """
-    v = F.col(vector_col).cast("array<double>")
-    mn = F.array_min(v)
-    mx = F.array_max(v)
-    scale = F.when(mx > mn, (mx - mn) / F.lit(255.0)).otherwise(F.lit(1.0))
-    codes = F.transform(v, lambda x: F.round((x - mn) / scale).cast("int"))
-    return vectors.select(
-        F.col(id_col),
-        codes.alias("codes"),
-        mn.alias("mn"),
-        scale.alias("scale"),
+    # mn/scale are projected to plain columns BEFORE the per-element
+    # lambda references them: leaving array_min/array_max inline in the
+    # transform body costs ~1.8x (measured sf0.1 — the codegen'd lambda
+    # does not share the outer aggregation across elements)
+    base = (
+        vectors.select(
+            F.col(id_col), F.col(vector_col).cast("array<double>").alias("_v")
+        )
+        .select(
+            F.col(id_col),
+            "_v",
+            F.array_min("_v").alias("mn"),
+            F.array_max("_v").alias("mx"),
+        )
+        .select(
+            F.col(id_col),
+            "_v",
+            "mn",
+            F.when(
+                F.col("mx") > F.col("mn"),
+                (F.col("mx") - F.col("mn")) / F.lit(255.0),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("scale"),
+        )
     )
+    codes = F.transform(
+        "_v", lambda x: F.round((x - F.col("mn")) / F.col("scale")).cast("int")
+    )
+    return base.select(F.col(id_col), codes.alias("codes"), "mn", "scale")
 
 
 def sq_knn(

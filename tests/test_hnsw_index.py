@@ -206,3 +206,24 @@ def test_hnsw_upsert_last_write_wins(spark, fitted):
     # both id 0 (new vector) and id 1 (its source) sit at distance 0
     assert {r["vec_id"] for r in by_rank[:2]} == {0, 1}
     assert all(r["dist"] < 1e-6 for r in by_rank[:2])
+
+
+def test_hnsw_api_rejects_degenerate_m(spark, fitted):
+    """m < 2 fails at the API edge with a clean ValueError, not a
+    worker-side traceback (m=1 divides by zero in the level draw)."""
+    import numpy as np
+
+    from hnsw_vector_db_spark.operators.hnsw_partition import (
+        hnsw_build,
+        hnsw_delete,
+        hnsw_insert,
+    )
+
+    assigned, centroids, _ = fitted
+    with pytest.raises(ValueError, match="m must be >= 2"):
+        hnsw_build(assigned, m=1)
+    idx = hnsw_build(assigned)
+    with pytest.raises(ValueError, match="m must be >= 2"):
+        hnsw_insert(idx, assigned.limit(1), centroids, m=0)
+    with pytest.raises(ValueError, match="m must be >= 2"):
+        hnsw_delete(idx, assigned.limit(1).select("vec_id"), m=1)
