@@ -297,7 +297,7 @@ def embedding_lsh_pairs(
     Output (id_a, id_b, sim) — same shape as ``similarity_join``, always
     a subset of it.
     """
-    from hnsw_vector_db_spark.functions.distance import dot_raw, normalize
+    from hnsw_vector_db_spark.functions.distance import dot_raw, select_normalized
     from hnsw_vector_db_spark.operators.similarity import (
         _probe_masks,
         hyperplanes,
@@ -306,9 +306,9 @@ def embedding_lsh_pairs(
 
     planes = hyperplanes(n_planes, dim, seed)
     masks = _probe_masks(n_planes, probe_hamming)
-    base = vectors.select(
-        F.col(id_col), normalize(vector_col).alias("_v")
-    ).withColumn("_bkt", signbit_bucket(F.col("_v"), planes))
+    base = select_normalized(vectors, vector_col, "_v", id_col).withColumn(
+        "_bkt", signbit_bucket(F.col("_v"), planes)
+    )
     # multi-probe: explode ONE side by the <=probe_hamming-bit-flip masks;
     # pairs colliding in any probed bucket meet in the equi-join
     a = base.select(

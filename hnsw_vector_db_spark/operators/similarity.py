@@ -33,7 +33,12 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hnsw_vector_db_spark.functions.distance import distance, dot_raw, norm, normalize
+from hnsw_vector_db_spark.functions.distance import (
+    distance,
+    dot_raw,
+    norm,
+    select_normalized,
+)
 
 
 def cosine_sim(a, b) -> F.Column:
@@ -65,10 +70,14 @@ def similarity_join(
     # is a single zip_with/aggregate dot product instead of dot + 2 norms —
     # 3x fewer flops in the O(|L|*|R|) hot loop. Zero-norm vectors
     # normalize to zero => sim 0, matching the cosine zero-norm guard.
-    a = left.select(
-        F.col(id_col).alias("id_a"), normalize(vector_col).alias("_va")
+    a = select_normalized(
+        left.select(F.col(id_col).alias("id_a"), F.col(vector_col)),
+        vector_col, "_va", "id_a",
     )
-    b = r.select(F.col(id_col).alias("id_b"), normalize(vector_col).alias("_vb"))
+    b = select_normalized(
+        r.select(F.col(id_col).alias("id_b"), F.col(vector_col)),
+        vector_col, "_vb", "id_b",
+    )
     # The probe side must be wide enough to use every core: a small parquet
     # file scans as 1 partition, and a broadcast join preserves input
     # partitioning -> without this the whole quadratic loop runs in ONE task.

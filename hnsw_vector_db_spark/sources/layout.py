@@ -70,3 +70,70 @@ def file_ranges(path: str, column: str) -> list[tuple]:
                     hi = s.max if hi is None else max(hi, s.max)
         out.append((lo, hi))
     return out
+
+
+def table_file_stats(path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) of a parquet directory — driver-side
+    listing, no data scan."""
+    import os
+
+    n, total = 0, 0
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            n += 1
+            total += os.path.getsize(os.path.join(path, name))
+    return n, total
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_file_mb: int = 256,
+    cluster_cols: list[str] | None = None,
+) -> dict:
+    """Small-files compaction — the maintenance job every streaming
+    ingest needs. Micro-batch sinks (``streaming/ingest.py``) land one
+    file set per trigger; after a day a 100 TB table is millions of
+    KB-sized files and every scan pays per-file open + footer costs that
+    dwarf the data read. Compaction rewrites the table into
+    ~``target_file_mb`` files (optionally re-clustered via the
+    ``cluster_write`` recipe so footer pruning works again) and swaps
+    the directory atomically-enough: write to a temp dir, rename old ->
+    .bak, temp -> live, drop .bak. A transactional table format
+    (Delta/Iceberg OPTIMIZE) does the swap with real isolation; on plain
+    parquet there is a brief window where readers must not list the
+    directory — run it from the table's maintenance owner, exactly like
+    the index-version swap in ``streaming/index_maintenance.py``.
+
+    Returns {files_before, files_after, bytes, target_files}.
+    """
+    import os
+    import shutil
+
+    n_before, total = table_file_stats(path)
+    target = max(1, round(total / (target_file_mb * 1024 * 1024)) or 1)
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    bak = path.rstrip("/") + ".compact.bak"
+    if cluster_cols:
+        cols = [F.col(c) for c in cluster_cols]
+        (
+            df.repartitionByRange(target, *cols)
+            .sortWithinPartitions(*cols)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+    else:
+        df.repartition(target).write.mode("overwrite").parquet(tmp)
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    n_after, _ = table_file_stats(path)
+    return {
+        "files_before": n_before,
+        "files_after": n_after,
+        "bytes": total,
+        "target_files": target,
+    }

@@ -145,3 +145,49 @@ def test_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
     # exact content round-trip
     assert good.exceptAll(docs).count() == 0
     assert docs.exceptAll(good).count() == 0
+
+
+def test_compact_table_small_files(spark, sf_dir, tmp_path):
+    """Compaction collapses a many-tiny-files table into the size target
+    with the data intact, and re-clustering restores footer pruning
+    (disjoint per-file ranges on the cluster key)."""
+    from hnsw_vector_db_spark.sources.layout import (
+        compact_table,
+        file_ranges,
+        table_file_stats,
+    )
+    from hnsw_vector_db_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "frag")
+    # simulate a streaming sink's fragmentation: 40 tiny files
+    docs.repartition(40).write.parquet(path)
+    before_rows = docs.count()
+    n_before, _ = table_file_stats(path)
+    assert n_before >= 40
+
+    stats = compact_table(spark, path, target_file_mb=256, cluster_cols=["doc_id"])
+    assert stats["files_before"] == n_before
+    assert stats["files_after"] <= 4  # tiny table -> ~1 file + range parts
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    assert sorted(after.columns) == sorted(docs.columns)
+
+    # re-clustered: per-file doc_id ranges must not overlap
+    ranges = sorted(r for r in file_ranges(path, "doc_id") if r[0] is not None)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+
+
+def test_compact_table_idempotent_and_rerun_safe(spark, sf_dir, tmp_path):
+    from hnsw_vector_db_spark.sources.layout import compact_table
+    from hnsw_vector_db_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    path = str(tmp_path / "t")
+    docs.repartition(10).write.parquet(path)
+    s1 = compact_table(spark, path)
+    s2 = compact_table(spark, path)  # second run: already compact, still safe
+    assert s2["files_before"] == s1["files_after"]
+    got = {r["doc_id"] for r in spark.read.parquet(path).collect()}
+    assert got == {r["doc_id"] for r in docs.collect()}
