@@ -1498,6 +1498,18 @@ def q_sq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (Carbonell & Goldstein, SIGIR'98) of the
+    cosine top-50 shortlist — greedy argmax of lam*rel - (1-lam)*max-sim
+    -to-picked, selection score rounded to 9 decimals so ties resolve by
+    id identically in any engine. ORACLE-CHECKED via a DuckDB recursive
+    CTE that replays the exact greedy selection."""
+    from hnsw_vector_db_spark.operators.knn import mmr_rerank
+
+    qv = _query_vec(spark, sf_dir)
+    return mmr_rerank(_emb(spark, sf_dir), qv, k=10, lam=0.5, shortlist=50)
+
+
 def q_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized two-phase kNN: dequantized-int8 shortlist (reads ~1/8
     of the bytes at scale) + exact re-rank — same serving shape as
@@ -1527,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "sq_encode": q_sq_encode,
         "sq_knn": q_sq_knn,
+        "mmr_rerank": q_mmr_rerank,
         # -- code changed in r4: re-verify first -------------------------
         # (hnsw_* : e_prot index schema + connectivity fix + new in-row
         # checks; ivf_* : seed-centroid oracle path; multimodal: real
@@ -2008,6 +2021,60 @@ LIMIT {k}
 """.strip()
 
 
+def _mmr_sql(k: int = 10, lam: float = 0.5, shortlist: int = 50) -> str:
+    """Recursive-CTE replay of mmr_rerank's greedy selection: the
+    anchor picks the relevance top-1; each recursive step takes
+    max(struct(key, negid, ...)) — lexicographic struct comparison =
+    argmax by the 9-decimal-rounded MMR score with min-id tiebreak,
+    exactly the operator's rule."""
+
+    def cs(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+            f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+            f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))))"
+        )
+
+    one_m = 1.0 - lam
+    return f"""
+WITH RECURSIVE
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.embedding, {cs('e.embedding', 'q.embedding')} AS rel
+  FROM embeddings e, q
+  ORDER BY rel DESC, e.vec_id LIMIT {shortlist}),
+sims AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {cs('a.embedding', 'b.embedding')} AS s
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+pick(step, vec_id, relevance, penalty, score, chosen) AS (
+  (SELECT 1, vec_id, rel, 0.0::DOUBLE, round({lam} * rel, 9), [vec_id]
+   FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+  UNION ALL
+  SELECT p.step + 1,
+         best.r.vec_id, best.r.rel, best.r.pen, best.r.key,
+         list_append(p.chosen, best.r.vec_id)
+  FROM pick p
+  JOIN LATERAL (
+    SELECT max(struct_pack(
+             key := round({lam} * c.rel - {one_m} * pen.mx, 9),
+             negid := -c.vec_id,
+             vec_id := c.vec_id,
+             rel := c.rel,
+             pen := pen.mx)) AS r
+    FROM cand c
+    JOIN LATERAL (
+      SELECT max(s.s) AS mx FROM sims s
+      WHERE s.ia = c.vec_id AND list_contains(p.chosen, s.ib)) pen ON true
+    WHERE NOT list_contains(p.chosen, c.vec_id)
+  ) best ON true
+  WHERE p.step < {k}
+)
+SELECT vec_id, step::INTEGER AS mmr_rank, round(relevance, 6) + 0 AS relevance,
+       round(penalty, 6) + 0 AS diversity_penalty, round(score, 6) + 0 AS mmr_score
+FROM pick ORDER BY step
+""".strip()
+
+
 def _lsh_ann_sql(k: int, n_planes: int) -> str:
     bucket = _lsh_bucket_sql(n_planes)
     d = _cos_dist("v.embedding", "q.embedding")
@@ -2314,6 +2381,7 @@ SELECT label, dim_idx, value, n FROM dims JOIN cnt USING (label)
     sql["hybrid_rrf"] = _hybrid_rrf_sql(BM25_TERMS)
     sql["sq_encode"] = _sq_encode_sql(64)
     sql["sq_knn"] = _sq_knn_sql(10, 50)
+    sql["mmr_rerank"] = _mmr_sql(10, 0.5, 50)
 
     sql["jaccard_pairs"] = (
         f"WITH {_SHINGLES_CTE},\n{_jaccard_tail(JACCARD_THRESHOLD)}\n"

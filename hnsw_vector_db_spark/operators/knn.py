@@ -469,3 +469,93 @@ def rrf_fuse(
         .limit(top_k)
         .select(id_col, F.round("_score", 6).alias("rrf_score"), "n_lists")
     )
+
+
+def mmr_rerank(
+    vectors: DataFrame,
+    query,
+    k: int = 10,
+    lam: float = 0.5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
+    1998 — the standard diversity-aware top-k): greedily pick
+    argmax_d [ lam * rel(d) - (1 - lam) * max_{s in S} sim(d, s) ] where
+    rel is cosine similarity to the query and S the already-picked set.
+    lam=1 degenerates to plain relevance top-k; lam=0 to pure diversity.
+
+    Scale shape: the SHORTLIST is computed wholly in Spark (cosine
+    TakeOrderedAndProject over the corpus — the same zero-shuffle plan as
+    knn_point); only the <= ``shortlist`` candidate rows are collected
+    for the greedy loop, which is O(shortlist^2) numpy driver-side — the
+    same provably-small-collect class as centroids and query literals.
+    Output (id, mmr_rank, relevance, diversity_penalty, mmr_score),
+    deterministic (id tiebreak at every pick).
+
+    The selection score is rounded to 9 decimals BEFORE the argmax: when
+    the query is itself a corpus vector, every candidate's penalty
+    equals its relevance exactly in math but differs by ~1 ulp between
+    evaluation orders — rounding makes those ties EXACT so the id
+    tiebreak (not float noise) decides, and an independent SQL engine
+    reproduces the pick sequence bit-for-bit (the DuckDB oracle).
+    """
+    import numpy as np
+
+    from hnsw_vector_db_spark.operators.table import validate_k
+
+    validate_k(k)
+    q = np.asarray(list(query), dtype=np.float64)
+    qn = np.linalg.norm(q)
+    scored = (
+        with_distance(vectors, list(query), "cosine", vector_col)
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+        .select(id_col, vector_col, "dist")
+        .collect()
+    )
+    if not scored:
+        return vectors.sparkSession.createDataFrame(
+            [],
+            f"{id_col} long, mmr_rank int, relevance double, "
+            "diversity_penalty double, mmr_score double",
+        )
+    ids = np.array([r[id_col] for r in scored], dtype=np.int64)
+    X = np.array([r[vector_col] for r in scored], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    safe = np.where(norms == 0, 1.0, norms)
+    U = X / safe[:, None]
+    rel = (U @ (q / (qn or 1.0))) * (norms > 0) * (qn > 0)  # cos sim, 0 for zero-norm
+    S = U @ U.T  # candidate-pair cosine sims
+    n = len(ids)
+    picked: list[int] = []
+    rows = []
+    avail = np.ones(n, dtype=bool)
+    for rank in range(1, min(k, n) + 1):
+        if picked:
+            pen = S[:, picked].max(axis=1)
+        else:
+            pen = np.zeros(n)
+        score = np.round(lam * rel - (1.0 - lam) * pen, 9)
+        # argmax with min-id tiebreak, among available candidates
+        masked = np.where(avail, score, -np.inf)
+        best_score = masked.max()
+        cand_idx = np.flatnonzero(masked == best_score)
+        j = cand_idx[np.argmin(ids[cand_idx])]
+        picked.append(j)
+        avail[j] = False
+        rows.append(
+            (
+                int(ids[j]),
+                rank,
+                round(float(rel[j]), 6) + 0.0,   # +0.0 normalizes -0.0
+                round(float(pen[j]), 6) + 0.0,
+                round(float(score[j]), 6) + 0.0,
+            )
+        )
+    return vectors.sparkSession.createDataFrame(
+        rows,
+        f"{id_col} long, mmr_rank int, relevance double, "
+        "diversity_penalty double, mmr_score double",
+    )

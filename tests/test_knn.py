@@ -247,3 +247,46 @@ def test_rrf_fuse_respects_top_k(spark):
     a = spark.createDataFrame([(i, i + 1) for i in range(20)], "vec_id long, rank int")
     out = rrf_fuse([a], top_k=5).collect()
     assert [r["vec_id"] for r in out] == [0, 1, 2, 3, 4]
+
+
+def test_mmr_golden_small(spark):
+    """Hand-checkable MMR: pick 1 is the relevance top-1 (zero penalty);
+    at pick 3 the near-copy of an ALREADY-PICKED doc (v4 ~ v2, pairwise
+    sim ~1) is penalized below the equally-relevant diverse v3."""
+    from hnsw_vector_db_spark.operators.knn import mmr_rerank
+
+    rows = [
+        (1, [1.0, 0.0]),       # rel 1.0 to query [1,0]
+        (2, [0.8, 0.6]),       # rel 0.8
+        (3, [0.8, -0.6]),      # rel 0.8, diverse from 2 (sim 0.28)
+        (4, [0.79, 0.613]),    # rel ~0.79, near-copy of 2 (sim ~1.0)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_rerank(df, [1.0, 0.0], k=3, lam=0.5).collect()
+    order = [r["vec_id"] for r in out]
+    assert order[0] == 1                      # pure relevance at step 1
+    assert out[0]["diversity_penalty"] == 0.0
+    assert order[1] == 2                      # 2 vs 3 tie -> id tiebreak
+    assert order[2] == 3                      # diversity beats near-copy 4
+    assert [r["mmr_rank"] for r in out] == [1, 2, 3]
+
+
+def test_mmr_lambda_one_equals_knn(spark, emb):
+    """lam=1 degenerates to plain relevance top-k == knn_point order."""
+    from hnsw_vector_db_spark.operators.knn import knn_point, mmr_rerank
+
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    got = [r["vec_id"] for r in mmr_rerank(emb, q, k=10, lam=1.0).collect()]
+    want = [r["vec_id"] for r in knn_point(emb, q, k=10, metric="cosine").collect()]
+    assert got == want
+
+
+def test_mmr_deterministic_and_unique(spark, emb):
+    from hnsw_vector_db_spark.operators.knn import mmr_rerank
+
+    q = emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    a = [tuple(r) for r in mmr_rerank(emb, q, k=8, lam=0.3).collect()]
+    b = [tuple(r) for r in mmr_rerank(emb, q, k=8, lam=0.3).collect()]
+    assert a == b
+    ids = [r[0] for r in a]
+    assert len(set(ids)) == len(ids) == 8
