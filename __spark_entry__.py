@@ -608,7 +608,12 @@ def q_hnsw_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("deg").alias("max_unprot_degree"))
     )
     return (
-        stats.join(unprot, "layer")
+        # left join + coalesce(0): a layer whose every edge is protected
+        # must still emit its invariant row, not vanish from the output
+        stats.join(unprot, "layer", "left")
+        .withColumn(
+            "max_unprot_degree", F.coalesce("max_unprot_degree", F.lit(0))
+        )
         .withColumn(
             "degree_bound",
             F.when(F.col("layer") == 0, F.lit(m0)).otherwise(F.lit(m)),
@@ -735,8 +740,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_media(_docs(spark, sf_dir))
     feats = decode_features(media)
+    # modality is a pure function of doc_id (doc_id%3 in synthesize_media)
+    # — derive it in-row instead of re-running the synthesis stage for a
+    # second join input
+    modality = F.element_at(
+        F.array(F.lit("image_ppm"), F.lit("image_png"), F.lit("audio_wav")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
     return (
-        feats.join(media.select("doc_id", "modality"), "doc_id")
+        feats.withColumn("modality", modality)
         .select(
             "doc_id",
             "modality",
@@ -2048,7 +2060,7 @@ sims AS (
   FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
 pick(step, vec_id, relevance, penalty, score, chosen) AS (
   (SELECT 1, vec_id, rel, 0.0::DOUBLE, round({lam} * rel, 9), [vec_id]
-   FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+   FROM cand ORDER BY round({lam} * rel, 9) DESC, vec_id LIMIT 1)
   UNION ALL
   SELECT p.step + 1,
          best.r.vec_id, best.r.rel, best.r.pen, best.r.key,

@@ -448,8 +448,10 @@ def hnsw_insert(
     def per_cell(idx_pdf: pd.DataFrame, new_pdf: pd.DataFrame) -> pd.DataFrame:
         if new_pdf.empty:
             # untouched cell: pass the stored row through byte-identical
-            return idx_pdf[idx_cols] if not idx_pdf.empty else pd.DataFrame(
-                columns=idx_cols
+            # (reindex, not [], so legacy pre-e_prot rows emit null e_prot
+            # instead of KeyError-ing the whole merge)
+            return idx_pdf.reindex(columns=idx_cols) if not idx_pdf.empty else (
+                pd.DataFrame(columns=idx_cols)
             )
         X_new = np.vstack(new_pdf[vector_col].to_numpy()).astype(np.float64)
         new_ids = new_pdf[id_col].to_numpy().astype(np.int64)
@@ -618,10 +620,17 @@ def hnsw_edges(
     """
     if index is None:
         index = hnsw_build(assigned, metric, m, ef_construction, id_col, vector_col)
+    # legacy pre-e_prot artifacts carry a null e_prot array; coalesce to
+    # all-False so arrays_zip doesn't null out (and explode drop) the edges
+    prot_arr = F.coalesce(
+        F.col("e_prot"), F.transform("e_src", lambda _: F.lit(False))
+    )
     exploded = index.select(
         "cell",
         "ids",
-        F.explode(F.arrays_zip("e_layer", "e_src", "e_dst", "e_prot")).alias("e"),
+        F.explode(
+            F.arrays_zip("e_layer", "e_src", "e_dst", prot_arr.alias("e_prot"))
+        ).alias("e"),
     )
     return exploded.select(
         "cell",

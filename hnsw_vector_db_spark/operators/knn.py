@@ -506,10 +506,10 @@ def mmr_rerank(
     from hnsw_vector_db_spark.operators.table import validate_k
 
     validate_k(k)
-    q = np.asarray(list(query), dtype=np.float64)
+    q = np.asarray(list(query), dtype=np.float64)  # materialize ONCE
     qn = np.linalg.norm(q)
     scored = (
-        with_distance(vectors, list(query), "cosine", vector_col)
+        with_distance(vectors, q.tolist(), "cosine", vector_col)
         .orderBy(F.col("dist").asc(), F.col(id_col).asc())
         .limit(shortlist)
         .select(id_col, vector_col, "dist")

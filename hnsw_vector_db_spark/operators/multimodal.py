@@ -320,6 +320,11 @@ def synthesize_media(
 
     def _payload(doc_id: int, text: str) -> tuple[bytes, str]:
         raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        if len(raw) == 0:
+            # empty/null text: deterministic 1-byte seed so every
+            # container (incl. WAV, which rejects 0 samples) still
+            # exercises its REAL decoder
+            raw = np.array([128], dtype=np.uint8)
         kind = doc_id % 3
         if kind in (0, 1):
             need = 8 * 8 * 3

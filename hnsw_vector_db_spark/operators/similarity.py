@@ -304,9 +304,11 @@ def ivf_topk(
     if metric == "cosine":
         cn = np.linalg.norm(centroids, axis=1) * (np.linalg.norm(qv) or 1.0)
         sims = centroids @ qv / np.where(cn == 0, 1.0, cn)
-        order = np.argsort(-sims)
+        # stable => equal-sim centroids keep ascending id order, matching
+        # the oracle's ORDER BY dist, seed_id tie rule
+        order = np.argsort(-sims, kind="stable")
     else:
-        order = np.argsort(np.linalg.norm(centroids - qv, axis=1))
+        order = np.argsort(np.linalg.norm(centroids - qv, axis=1), kind="stable")
     cells = [int(c) for c in order[:nprobe]]
     qarr = F.array(*[F.lit(float(x)) for x in qv])
     return (

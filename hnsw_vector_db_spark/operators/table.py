@@ -43,10 +43,18 @@ MAX_K = 1000
 def validate_k(k: int, max_k: int = MAX_K) -> int:
     """Search-request contract parity (`api/rest/server.py:33`): the
     reference rejects any search with k outside [1, 1000] before it
-    reaches the index; our kNN entry points apply the same bound."""
-    if not isinstance(k, int) or not 1 <= k <= max_k:
+    reaches the index; our kNN entry points apply the same bound.
+    Accepts any integral type (numpy ints included); bools are rejected
+    (True is an int subclass but never a sane k)."""
+    import numbers
+
+    if (
+        isinstance(k, bool)
+        or not isinstance(k, numbers.Integral)
+        or not 1 <= k <= max_k
+    ):
         raise ValueError(f"k must be an int in [1, {max_k}], got {k!r}")
-    return k
+    return int(k)
 
 
 def insert_batch_capacity(

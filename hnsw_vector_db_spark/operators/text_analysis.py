@@ -167,8 +167,6 @@ def bm25_score(
     TakeOrderedAndProject. Fully deterministic arithmetic -> DuckDB
     oracle-checked. Output (doc_id, score).
     """
-    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
-
     terms = [t.lower() for t in query_terms]
     toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))

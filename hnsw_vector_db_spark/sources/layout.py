@@ -111,6 +111,13 @@ def compact_table(
     import shutil
 
     n_before, total = table_file_stats(path)
+    if n_before == 0:
+        # nested/hive-partitioned layouts would size target=1 and funnel
+        # the whole table through one task while flattening the layout
+        raise ValueError(
+            f"{path} has no top-level parquet files (partitioned/nested "
+            "layout?) - compact each partition directory individually"
+        )
     target = max(1, round(total / (target_file_mb * 1024 * 1024)) or 1)
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".compact.tmp"

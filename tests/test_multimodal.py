@@ -354,3 +354,20 @@ def test_synthesize_media_real_decode_all_modalities(spark, sf_dir):
         assert codec == expect[mods[doc_id]]
         assert norm > 0
     assert set(expect[m] for m in mods.values()) == {"ppm", "png", "wav"}
+
+
+def test_synthesize_media_empty_text_still_real_decodes(spark):
+    """Null/empty text must not strand a row on the stub path: the
+    1-byte seed keeps every container (incl. WAV's nonzero-sample
+    requirement) decodable by its real codec."""
+    from hnsw_vector_db_spark.operators.multimodal import (
+        decode_features,
+        synthesize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "")], "doc_id long, text string"
+    )
+    media = synthesize_media(docs)
+    got = {r["doc_id"]: r["codec"] for r in decode_features(media).collect()}
+    assert got == {0: "ppm", 1: "png", 2: "wav"}

@@ -191,3 +191,16 @@ def test_compact_table_idempotent_and_rerun_safe(spark, sf_dir, tmp_path):
     assert s2["files_before"] == s1["files_after"]
     got = {r["doc_id"] for r in spark.read.parquet(path).collect()}
     assert got == {r["doc_id"] for r in docs.collect()}
+
+
+def test_compact_table_rejects_partitioned_layout(spark, sf_dir, tmp_path):
+    """Hive-partitioned directories have no top-level parquet files; the
+    sizing would target one file and flatten the layout — refuse."""
+    from hnsw_vector_db_spark.sources.layout import compact_table
+    from hnsw_vector_db_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "parts")
+    docs.write.partitionBy("lang").parquet(path)
+    with pytest.raises(ValueError, match="no top-level parquet"):
+        compact_table(spark, path)

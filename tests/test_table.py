@@ -231,3 +231,18 @@ def test_local_hnsw_rejects_degenerate_m():
         LocalHNSW(m=1)
     with pytest.raises(ValueError):
         LocalHNSW(m=0)
+
+
+def test_validate_k_numpy_ints_and_bool():
+    """numpy integral k is valid (common when k derives from array ops);
+    bool is rejected despite being an int subclass."""
+    import numpy as np
+
+    from hnsw_vector_db_spark.operators.table import validate_k
+
+    assert validate_k(np.int64(10)) == 10
+    assert validate_k(np.int32(1)) == 1
+    with pytest.raises(ValueError):
+        validate_k(True)
+    with pytest.raises(ValueError):
+        validate_k(np.int64(0))
