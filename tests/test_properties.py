@@ -165,3 +165,102 @@ def test_span_packing_property(token_counts, budget):
     mx = max(token_counts)
     for sid, tot in seqs.items():
         assert tot < budget + max(mx, 1)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["apple", "banana", "cherry", "date", "fig"]),
+                 min_size=1, max_size=12),
+        min_size=1, max_size=8,
+    ),
+    st.sets(st.sampled_from(["apple", "banana", "cherry"]), min_size=1, max_size=3),
+)
+@settings(max_examples=20, deadline=None)
+def test_bm25_matches_pure_python_reference(spark, docs_tokens, query_terms):
+    """Spark bm25_score equals an independent pure-python Okapi BM25
+    across arbitrary tiny corpora — the formula itself, not just the
+    golden case, is pinned (k1=1.2, b=0.75, idf = ln(1+(N-df+.5)/(df+.5))).
+    (session-scoped spark fixture: allowed inside @given)"""
+    import math
+
+    from hnsw_vector_db_spark.operators.text_analysis import bm25_score
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_score(df, sorted(query_terms), top_k=100).collect()}
+
+    n = len(docs_tokens)
+    dls = [len(t) for t in docs_tokens]
+    avgdl = sum(dls) / n
+    dfs = {t: sum(1 for toks in docs_tokens if t in toks) for t in query_terms}
+    k1, b = 1.2, 0.75
+    want = {}
+    for i, toks in enumerate(docs_tokens):
+        s = 0.0
+        for t in query_terms:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[i] / avgdl))
+        if s > 0:
+            want[i] = round(s, 6)
+    assert got == want
+
+
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_png_roundtrip_property(h, w, seed):
+    """encode_png -> parse_png is the identity on pixels for any shape —
+    the compressed-image codec, property-tested (stdlib zlib + filter-0
+    encode, full inflate + unfilter decode)."""
+    from hnsw_vector_db_spark.operators.multimodal import encode_png, parse_png
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    back = parse_png(encode_png(img))
+    assert back is not None and back.tolist() == img.tolist()
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=100), min_size=1, max_size=12,
+             unique=True),
+    st.lists(st.integers(min_value=1, max_value=100), min_size=1, max_size=12,
+             unique=True),
+)
+@settings(max_examples=20, deadline=None)
+def test_rrf_matches_pure_python_reference(spark, ids_a, ids_b):
+    """rrf_fuse equals an independent python RRF on arbitrary two-list
+    inputs: contributions 1/(60+rank), missing-list items keep one term,
+    ordering by fused score then id."""
+    from hnsw_vector_db_spark.operators.knn import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(i, r + 1) for r, i in enumerate(ids_a)], "vec_id long, rank int")
+    b = spark.createDataFrame(
+        [(i, r + 1) for r, i in enumerate(ids_b)], "vec_id long, rank int")
+    got = [(r["vec_id"], r["rrf_score"], r["n_lists"])
+           for r in rrf_fuse([a, b], k_const=60, top_k=1000).collect()]
+
+    scores: dict[int, float] = {}
+    counts: dict[int, int] = {}
+    for lst in (ids_a, ids_b):
+        for r, i in enumerate(lst):
+            scores[i] = scores.get(i, 0.0) + 1.0 / (60 + r + 1)
+            counts[i] = counts.get(i, 0) + 1
+    want = sorted(
+        ((i, round(s, 6), counts[i]) for i, s in scores.items()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    # compare as sets per (id -> score, count) plus prefix ordering by
+    # rounded score (rounding can reorder within ties, id breaks them)
+    assert {(i, s, c) for i, s, c in got} == {(i, round(scores[i], 6), c)
+                                             for i, _, c in want
+                                             for c in [counts[i]]}
+    got_keys = [(-s, i) for i, s, _ in got]
+    assert got_keys == sorted(got_keys)
