@@ -737,6 +737,15 @@ def hnsw_search(
     one row per cell and the routed queries once on cell id; per-cell
     candidate output is nprobe*k rows per query, so the final rank window
     is tiny.
+
+    Probed-cell pushdown: the union of cells this query batch probes is
+    at most n_queries * nprobe ids (queries are small by construction) —
+    it is computed driver-side from the centroids and pushed as an
+    ``isin`` filter on the index BEFORE the cogroup, so the index scan
+    touches only the probed cells' rows. With the index stored
+    ``partitionBy("cell")`` that filter becomes real partition pruning
+    (asserted in tests/test_hnsw_index.py): a 100k-cell index serves a
+    5-query search by reading ~nprobe*5 partitions, not the index.
     """
     import pandas as pd
 
@@ -746,6 +755,11 @@ def hnsw_search(
     qcells = assign_query_cells(
         queries, centroids, nprobe, metric, query_id_col, query_vec_col
     )
+    # the probed-cell union is tiny and already known driver-side (it is
+    # a pure function of (queries, centroids)); push it down instead of
+    # letting the cogroup read-and-drop every unprobed cell
+    probed = sorted({int(r["cell"]) for r in qcells.select("cell").distinct().collect()})
+    index = index.filter(F.col("cell").isin(probed))
 
     def per_cell(idx_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
         if idx_pdf.empty or q_pdf.empty:

@@ -227,3 +227,30 @@ def test_hnsw_api_rejects_degenerate_m(spark, fitted):
         hnsw_insert(idx, assigned.limit(1), centroids, m=0)
     with pytest.raises(ValueError, match="m must be >= 2"):
         hnsw_delete(idx, assigned.limit(1).select("vec_id"), m=1)
+
+
+def test_hnsw_search_prunes_unprobed_cells(spark, fitted, tmp_path):
+    """The probed-cell set is pushed down to the index scan: stored
+    partitionBy('cell'), a search reads only the probed partitions
+    (PartitionFilters in the scan), and results equal the unpartitioned
+    path."""
+    from hnsw_vector_db_spark.plans.explain import physical_plan
+
+    assigned, centroids, queries = fitted
+    flat_dir = str(tmp_path / "flat")
+    part_dir = str(tmp_path / "by_cell")
+    built = hnsw_build(assigned)
+    built.write.parquet(flat_dir)
+    built.write.partitionBy("cell").parquet(part_dir)
+
+    flat = spark.read.parquet(flat_dir)
+    part = spark.read.parquet(part_dir)
+    one_q = queries.limit(1)
+
+    r_flat = sorted(map(tuple, hnsw_search(flat, one_q, centroids, k=5, nprobe=2).collect()))
+    r_part = sorted(map(tuple, hnsw_search(part, one_q, centroids, k=5, nprobe=2).collect()))
+    assert r_flat == r_part and len(r_part) == 5
+
+    plan = physical_plan(hnsw_search(part, one_q, centroids, k=5, nprobe=2))
+    # partition-pruned scan: the cell isin filter reaches PartitionFilters
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200], plan
