@@ -745,7 +745,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second join input
     modality = F.element_at(
         F.array(F.lit("image_ppm"), F.lit("image_png"), F.lit("audio_wav")),
-        (F.col("doc_id") % 3 + 1).cast("int"),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),  # pmod: python %
     )
     return (
         feats.withColumn("modality", modality)

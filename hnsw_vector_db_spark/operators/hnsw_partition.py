@@ -755,10 +755,19 @@ def hnsw_search(
     qcells = assign_query_cells(
         queries, centroids, nprobe, metric, query_id_col, query_vec_col
     )
-    # the probed-cell union is tiny and already known driver-side (it is
-    # a pure function of (queries, centroids)); push it down instead of
-    # letting the cogroup read-and-drop every unprobed cell
-    probed = sorted({int(r["cell"]) for r in qcells.select("cell").distinct().collect()})
+    # The routed-query table is tiny by construction (n_queries * nprobe
+    # rows): collect it ONCE and rebuild it as a literal DataFrame. That
+    # both yields the probed-cell union for the index pushdown and
+    # guarantees the cogroup consumes the SAME routing the filter was
+    # derived from — re-evaluating the queries lineage in a second job
+    # could route differently (unstable sources, task retries) and
+    # silently drop a probed cell the filter excluded.
+    qrows = qcells.collect()
+    probed = sorted({int(r["cell"]) for r in qrows})
+    qcells = qcells.sparkSession.createDataFrame(
+        [(r[query_id_col], list(r[query_vec_col]), int(r["cell"])) for r in qrows],
+        f"{query_id_col} long, {query_vec_col} array<float>, cell int",
+    )
     index = index.filter(F.col("cell").isin(probed))
 
     def per_cell(idx_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:

@@ -326,17 +326,16 @@ def synthesize_media(
             # exercises its REAL decoder
             raw = np.array([128], dtype=np.uint8)
         kind = doc_id % 3
+        # len(raw) >= 1 from here on (seed above)
         if kind in (0, 1):
             need = 8 * 8 * 3
-            reps = -(-need // max(len(raw), 1))
-            px = np.tile(raw, reps)[:need].reshape(8, 8, 3) if len(raw) else np.zeros(
-                (8, 8, 3), dtype=np.uint8
-            )
+            reps = -(-need // len(raw))
+            px = np.tile(raw, reps)[:need].reshape(8, 8, 3)
             if kind == 0:
                 return encode_ppm(px), "image_ppm"
             return encode_png(px), "image_png"
         n = max(min(len(raw), 256), 8)
-        reps = -(-n // max(len(raw), 1))
+        reps = -(-n // len(raw))
         samples = (np.tile(raw, reps)[:n].astype(np.float64) - 128.0) / 128.0
         return encode_wav(samples, rate=8000, channels=1), "audio_wav"
 

@@ -123,13 +123,7 @@ def compact_table(
     tmp = path.rstrip("/") + ".compact.tmp"
     bak = path.rstrip("/") + ".compact.bak"
     if cluster_cols:
-        cols = [F.col(c) for c in cluster_cols]
-        (
-            df.repartitionByRange(target, *cols)
-            .sortWithinPartitions(*cols)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
+        cluster_write(df, tmp, cluster_cols, n_files=target)
     else:
         df.repartition(target).write.mode("overwrite").parquet(tmp)
     if os.path.exists(bak):

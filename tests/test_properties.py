@@ -253,14 +253,9 @@ def test_rrf_matches_pure_python_reference(spark, ids_a, ids_b):
         for r, i in enumerate(lst):
             scores[i] = scores.get(i, 0.0) + 1.0 / (60 + r + 1)
             counts[i] = counts.get(i, 0) + 1
-    want = sorted(
-        ((i, round(s, 6), counts[i]) for i, s in scores.items()),
-        key=lambda t: (-t[1], t[0]),
-    )
-    # compare as sets per (id -> score, count) plus prefix ordering by
-    # rounded score (rounding can reorder within ties, id breaks them)
-    assert {(i, s, c) for i, s, c in got} == {(i, round(scores[i], 6), c)
-                                             for i, _, c in want
-                                             for c in [counts[i]]}
+    assert {(i, s, c) for i, s, c in got} == {
+        (i, round(s, 6), counts[i]) for i, s in scores.items()
+    }
+    # output ordered by fused score desc, id asc
     got_keys = [(-s, i) for i, s, _ in got]
     assert got_keys == sorted(got_keys)
