@@ -77,6 +77,7 @@ HEADLINE += [
     "bm25_topk",
     "hybrid_rrf",
     "sq_knn",
+    "mmr_rerank",
 ]
 
 
