@@ -80,6 +80,14 @@ HEADLINE += [
     "mmr_rerank",
 ]
 
+# r5 additions — filtered ANN on both index paths and the HNSW
+# quality-bar row; separate group, earlier totals stay comparable
+HEADLINE += [
+    "ivf_filtered",
+    "hnsw_filtered_recall",
+    "hnsw_recall_target",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

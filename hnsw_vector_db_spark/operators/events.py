@@ -115,6 +115,75 @@ def sessionize(
     )
 
 
+def funnel_steps(
+    events: DataFrame,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    within_minutes: int = 24 * 60,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Sequential first-touch funnel: per key, the earliest step-1 event,
+    the earliest step-2 event STRICTLY after it, the earliest step-3
+    event strictly after that; ``completed`` iff all three occur and the
+    step1 -> step3 span is within ``within_minutes``. Strict ``>``
+    ordering (not >=) makes same-timestamp ties non-qualifying — the
+    deterministic, engine-portable rule.
+
+    Scale shape: ONE shuffle total. The three chained minima are window
+    aggregates over the same ``partitionBy(key)`` — Catalyst plans
+    consecutive windows on one partitioning as a single Exchange+Sort —
+    and the final per-key collapse reuses that partitioning. No joins,
+    no per-step passes over the corpus. Fully deterministic ->
+    oracle-checked (the SQL twin uses the equivalent 3-CTE group-min
+    form). Output (user_id, t1, step_reached, funnel_seconds, completed),
+    one row per key that reached step 1.
+    """
+    s1, s2, s3 = steps
+    w = Window.partitionBy(key_col)
+    t = F.col(ts_col)
+    with_t = (
+        events.withColumn(
+            "_t1", F.min(F.when(F.col(type_col) == s1, t)).over(w)
+        )
+        .withColumn(
+            "_t2",
+            F.min(
+                F.when((F.col(type_col) == s2) & (t > F.col("_t1")), t)
+            ).over(w),
+        )
+        .withColumn(
+            "_t3",
+            F.min(
+                F.when((F.col(type_col) == s3) & (t > F.col("_t2")), t)
+            ).over(w),
+        )
+    )
+    per_key = (
+        with_t.filter(F.col("_t1").isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.max("_t1").alias("t1"),  # constant within key
+            F.max("_t2").alias("_t2"),
+            F.max("_t3").alias("_t3"),
+        )
+    )
+    span = F.col("_t3").cast("long") - F.col("t1").cast("long")
+    return per_key.select(
+        key_col,
+        "t1",
+        F.when(F.col("_t3").isNotNull(), 3)
+        .when(F.col("_t2").isNotNull(), 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("step_reached"),
+        span.alias("funnel_seconds"),
+        (F.col("_t3").isNotNull() & (span <= within_minutes * 60)).alias(
+            "completed"
+        ),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

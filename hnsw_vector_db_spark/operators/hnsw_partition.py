@@ -28,7 +28,11 @@ paper's keepPrunedConnections). The protected edges form a bidirectional
 spanning tree over insertion order, so the layer-0 digraph stays strongly
 connected from ANY entry point — with ef >= n the beam search therefore
 visits every node and top-1 is exact. Average degree overhead is +1 edge
-per node; the cap still bounds the unprotected neighbors.
+per node, and protected FAN-IN is capped at m per node (a child whose m0
+nearest candidates all sit at the cap falls back to its nearest anyway —
+connectivity over economy), so worst-case layer-0 out-degree is bounded
+by 2M (unprotected) + M + 1 (protected) outside that pathological
+fallback; the cap still bounds the unprotected neighbors exactly.
 """
 
 from __future__ import annotations
@@ -69,6 +73,14 @@ class LocalHNSW:
         # trimming — the bidirectional spanning tree that guarantees
         # strong connectivity at the base layer (module docstring).
         self.protected0: set[tuple[int, int]] = set()
+        # protected fan-in per node (children that picked it as parent):
+        # capped at m so a hub's worst-case layer-0 degree stays bounded
+        # (<= m0 unprotected + 1 own-parent + m protected children); a
+        # child whose nearest candidates are ALL at the cap still gets a
+        # parent (connectivity beats the bound in that pathological
+        # case — nearest-full fallback, cap then exceeded by 1 per such
+        # child, which needs every one of its m0 nearest hubs saturated).
+        self.prot_fanin: dict[int, int] = {}
 
     # -- distance: batch row-block vs one query ---------------------------
     def _dist(self, q: np.ndarray, idx: np.ndarray) -> np.ndarray:
@@ -131,6 +143,7 @@ class LocalHNSW:
         self.adj = [dict() for _ in range(top + 1)]
         self.entry = 0
         self.protected0 = set()
+        self.prot_fanin = {}
         for i in range(n):
             self._insert(i)
 
@@ -171,10 +184,17 @@ class LocalHNSW:
             chosen = self._select(cands, m)
             self.adj[lv][i] = list(chosen)
             if lv == 0:
-                # nearest neighbor at insert time becomes i's parent; the
-                # bidirectional pair is never trimmed (spanning tree).
-                parent = chosen[0]
+                # nearest neighbor at insert time (with protected fan-in
+                # below the cap) becomes i's parent; the bidirectional
+                # pair is never trimmed (spanning tree). Fallback to the
+                # nearest regardless when every candidate is saturated —
+                # connectivity is the invariant, the cap the economy.
+                parent = next(
+                    (c for c in chosen if self.prot_fanin.get(c, 0) < self.m),
+                    chosen[0],
+                )
                 self.protected0.add((min(i, parent), max(i, parent)))
+                self.prot_fanin[parent] = self.prot_fanin.get(parent, 0) + 1
             for c in chosen:
                 lst = self.adj[lv].setdefault(c, [])
                 lst.append(i)
@@ -296,6 +316,12 @@ class LocalHNSW:
             idx.protected0 = {
                 (int(min(s, d)), int(max(s, d))) for s, d in zip(sp, dp)
             }
+            # parent of a pair is the LOWER index (parents are chosen
+            # among already-inserted nodes, and insert order == row
+            # order, also for insert_batch appends) — rebuild the fan-in
+            # counts so incremental inserts keep honoring the cap
+            for lo, _hi in idx.protected0:
+                idx.prot_fanin[lo] = idx.prot_fanin.get(lo, 0) + 1
         la = np.asarray(e_layer, dtype=np.int64)
         sa = np.asarray(e_src, dtype=np.int64)
         da = np.asarray(e_dst, dtype=np.int64)
@@ -620,8 +646,13 @@ def hnsw_edges(
     """
     if index is None:
         index = hnsw_build(assigned, metric, m, ef_construction, id_col, vector_col)
-    # legacy pre-e_prot artifacts carry a null e_prot array; coalesce to
-    # all-False so arrays_zip doesn't null out (and explode drop) the edges
+    # legacy pre-e_prot artifacts: a parquet written before the column
+    # existed has NO e_prot at all (F.col would fail analysis) and one
+    # written with it may carry nulls — add the column when absent, then
+    # coalesce to all-False so arrays_zip doesn't null out (and explode
+    # drop) the edges
+    if "e_prot" not in index.columns:
+        index = index.withColumn("e_prot", F.lit(None).cast("array<boolean>"))
     prot_arr = F.coalesce(
         F.col("e_prot"), F.transform("e_src", lambda _: F.lit(False))
     )
@@ -663,6 +694,27 @@ def hnsw_graph_stats(edges: DataFrame) -> DataFrame:
     )
 
 
+def _route_cells(
+    Q: np.ndarray, C: np.ndarray, nprobe: int, metric: str
+) -> np.ndarray:
+    """nprobe nearest cell ids per query row, (B, nb) int array. ONE
+    (B x dim) @ (dim x n_cells) matmul + one stable argsort per call —
+    deterministic min-cell-id tiebreak. Shared by the executor-side
+    (:func:`assign_query_cells`) and driver-side (:func:`hnsw_search`)
+    routing paths so the two are bit-identical by construction."""
+    nb = min(nprobe, C.shape[0])
+    if metric == "cosine":
+        cn = np.linalg.norm(C, axis=1, keepdims=True)
+        Cn = C / np.where(cn == 0, 1.0, cn)
+        qn = np.linalg.norm(Q, axis=1, keepdims=True)
+        Qn = Q / np.where(qn == 0, 1.0, qn)
+        D = -(Qn @ Cn.T)  # (B, n_cells); smaller = nearer
+    else:
+        # argsort of ||c||^2 - 2 c.q == argsort of euclidean dist
+        D = (C * C).sum(axis=1)[None, :] - 2.0 * (Q @ C.T)
+    return np.argsort(D, axis=1, kind="stable")[:, :nb]
+
+
 def assign_query_cells(
     queries: DataFrame,
     centroids: np.ndarray,
@@ -674,9 +726,9 @@ def assign_query_cells(
     """Route each query to its nprobe nearest cells (exploded rows).
     Centroids ride into executors as plain captured numpy (small).
 
-    Vectorized per Arrow batch: ONE (B x dim) @ (dim x n_cells) matmul and
-    one argpartition+stable-sort per batch — no per-row Python loop (the
-    same BLAS-block shape ``knn_batch_twophase`` uses)."""
+    Vectorized per Arrow batch via :func:`_route_cells` — no per-row
+    Python loop (the same BLAS-block shape ``knn_batch_twophase``
+    uses)."""
     import pandas as pd
 
     from hnsw_vector_db_spark.session import ensure_package_shipped
@@ -684,24 +736,13 @@ def assign_query_cells(
     ensure_package_shipped(queries.sparkSession)
     C = np.asarray(centroids, dtype=np.float64)
     nb = min(nprobe, C.shape[0])
-    if metric == "cosine":
-        cn = np.linalg.norm(C, axis=1, keepdims=True)
-        Cn = C / np.where(cn == 0, 1.0, cn)
 
     def route(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
             Q = np.vstack(pdf[query_vec_col].to_numpy()).astype(np.float64)
-            if metric == "cosine":
-                qn = np.linalg.norm(Q, axis=1, keepdims=True)
-                Qn = Q / np.where(qn == 0, 1.0, qn)
-                D = -(Qn @ Cn.T)  # (B, n_cells); smaller = nearer
-            else:
-                # argsort of ||c||^2 - 2 c.q == argsort of euclidean dist
-                D = (C * C).sum(axis=1)[None, :] - 2.0 * (Q @ C.T)
-            # stable sort => deterministic min-cell-id tiebreak
-            cells = np.argsort(D, axis=1, kind="stable")[:, :nb]  # (B, nb)
+            cells = _route_cells(Q, C, nprobe, metric)  # (B, nb)
             yield pd.DataFrame(
                 {
                     query_id_col: pdf[query_id_col].to_numpy().repeat(nb),
@@ -725,6 +766,9 @@ def hnsw_search(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     id_col: str = "vec_id",
+    max_collect_queries: int = 100_000,
+    allowed: DataFrame | None = None,
+    over_fetch: int = 4,
 ) -> DataFrame:
     """Search a MATERIALIZED per-cell index (:func:`hnsw_build` output —
     persisted, cached, or read back from parquet) without rebuilding
@@ -738,37 +782,75 @@ def hnsw_search(
     candidate output is nprobe*k rows per query, so the final rank window
     is tiny.
 
-    Probed-cell pushdown: the union of cells this query batch probes is
-    at most n_queries * nprobe ids (queries are small by construction) —
-    it is computed driver-side from the centroids and pushed as an
-    ``isin`` filter on the index BEFORE the cogroup, so the index scan
-    touches only the probed cells' rows. With the index stored
-    ``partitionBy("cell")`` that filter becomes real partition pruning
-    (asserted in tests/test_hnsw_index.py): a 100k-cell index serves a
-    5-query search by reading ~nprobe*5 partitions, not the index.
-    """
+    Probed-cell pushdown: the query batch is collected ONCE (bounded by
+    ``max_collect_queries`` — exceeding it fails fast with guidance
+    rather than silently turning a cogroup into a driver OOM) and routed
+    DRIVER-SIDE against the local centroid matrix (:func:`_route_cells`
+    — zero extra Spark jobs; the executor-side
+    :func:`assign_query_cells` shares the same function so routing is
+    bit-identical). The union of probed cells — at most n_queries *
+    nprobe ids — is pushed as an ``isin`` filter on the index BEFORE the
+    cogroup, so the index scan touches only the probed cells' rows, and
+    the cogroup consumes the SAME literal routing the filter was derived
+    from (re-evaluating the queries lineage in a second job could route
+    differently and silently drop a probed cell the filter excluded).
+    With the index stored ``partitionBy("cell")`` that filter becomes
+    real partition pruning (asserted in tests/test_hnsw_index.py): a
+    100k-cell index serves a 5-query search by reading ~nprobe*5
+    partitions, not the index. For query batches beyond the cap, chunk
+    the batch caller-side (the twophase-kNN pattern) or raise the cap
+    explicitly — an unbounded silent collect is never the default.
+
+    Filtered ANN: ``allowed`` (a DataFrame of admissible ``id_col``
+    values — compute it with any metadata predicate, e.g.
+    ``vectors.filter(F.col("lang") == "en").select("vec_id")``) restricts
+    results to that set. The graph traversal itself is UNfiltered — a
+    predicate-aware beam would have to walk through inadmissible nodes
+    anyway to keep the graph connected — instead each cell over-fetches
+    ``k * over_fetch`` candidates (ef inflated to match) and the
+    admissibility semi-join prunes AFTER traversal, before the final
+    rank window; recall then depends on over_fetch vs the predicate's
+    selectivity (checked against exact filtered kNN by the
+    hnsw_filtered_recall driver entry). The reference can only echo
+    metadata back per hit (`api/rest/server.py:174`), never filter on
+    it."""
     import pandas as pd
 
     from hnsw_vector_db_spark.session import ensure_package_shipped
 
-    ensure_package_shipped(queries.sparkSession)
-    qcells = assign_query_cells(
-        queries, centroids, nprobe, metric, query_id_col, query_vec_col
-    )
-    # The routed-query table is tiny by construction (n_queries * nprobe
-    # rows): collect it ONCE and rebuild it as a literal DataFrame. That
-    # both yields the probed-cell union for the index pushdown and
-    # guarantees the cogroup consumes the SAME routing the filter was
-    # derived from — re-evaluating the queries lineage in a second job
-    # could route differently (unstable sources, task retries) and
-    # silently drop a probed cell the filter excluded.
-    qrows = qcells.collect()
-    probed = sorted({int(r["cell"]) for r in qrows})
-    qcells = qcells.sparkSession.createDataFrame(
-        [(r[query_id_col], list(r[query_vec_col]), int(r["cell"])) for r in qrows],
-        f"{query_id_col} long, {query_vec_col} array<float>, cell int",
+    spark = queries.sparkSession
+    ensure_package_shipped(spark)
+    qin = queries.select(query_id_col, query_vec_col).limit(
+        max_collect_queries + 1
+    ).collect()
+    if len(qin) > max_collect_queries:
+        raise ValueError(
+            f"hnsw_search collects the query batch for probed-cell routing; "
+            f"got > {max_collect_queries} queries. Chunk the batch and union "
+            f"results, or pass max_collect_queries= explicitly."
+        )
+    C = np.asarray(centroids, dtype=np.float64)
+    nb = min(nprobe, C.shape[0])
+    if qin:
+        Q = np.array([list(r[query_vec_col]) for r in qin], dtype=np.float64)
+        cells = _route_cells(Q, C, nprobe, metric)  # (B, nb)
+        lit_rows = [
+            (r[query_id_col], list(r[query_vec_col]), int(cells[i, j]))
+            for i, r in enumerate(qin)
+            for j in range(nb)
+        ]
+    else:
+        lit_rows = []
+    probed = sorted({c for _, _, c in lit_rows})
+    qcells = spark.createDataFrame(
+        lit_rows, f"{query_id_col} long, {query_vec_col} array<float>, cell int"
     )
     index = index.filter(F.col("cell").isin(probed))
+
+    # filtered search over-fetches per cell so enough admissible
+    # candidates survive the post-traversal semi-join
+    k_fetch = k * max(over_fetch, 1) if allowed is not None else k
+    ef_eff = max(ef, k_fetch)
 
     def per_cell(idx_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
         if idx_pdf.empty or q_pdf.empty:
@@ -783,7 +865,7 @@ def hnsw_search(
         rows = []
         for qid, qvec in zip(q_pdf[query_id_col], q_pdf[query_vec_col]):
             for loc, dist in local.search(
-                np.asarray(qvec, dtype=np.float64), k, ef
+                np.asarray(qvec, dtype=np.float64), k_fetch, ef_eff
             ):
                 rows.append((qid, int(ids[loc]), float(dist)))
         return pd.DataFrame(rows, columns=[query_id_col, id_col, "dist"])
@@ -794,6 +876,10 @@ def hnsw_search(
         .cogroup(qcells.groupBy("cell"))
         .applyInPandas(lambda ik, qk: per_cell(ik, qk), out_schema)
     )
+    if allowed is not None:
+        candidates = candidates.join(
+            allowed.select(id_col), id_col, "left_semi"
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy(query_id_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())

@@ -22,9 +22,11 @@ query_id. We avoid that with map-side pre-pruning: after the broadcast
 join, a per-partition top-k (applied via groupBy(query_id, spark_partition)
 would still shuffle) — instead we rely on TakeOrderedAndProject semantics
 per query via the window ONLY over the candidate set already reduced by
-the broadcast-side filter. For very large Q, partition the query set and
-run batches. The approximate variants (LSH/IVF, `similarity.py`) are the
-real scale path the reference's HNSW maps to.
+the broadcast-side filter. For very large Q, ``knn_batch_twophase``
+chunks the query set (``chunk_size``) and unions per-chunk corpus
+passes — a bounded driver collect by construction. The approximate
+variants (LSH/IVF, `similarity.py`) are the real scale path the
+reference's HNSW maps to.
 """
 
 from __future__ import annotations
@@ -133,11 +135,12 @@ def knn_batch_twophase(
     query_vec_col: str = "query_vec",
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    chunk_size: int = 100_000,
 ) -> DataFrame:
     """Exact batch kNN with map-side pruning — the 100 TB form of
     ``knn_batch``.
 
-    Phase 1 (mapInPandas over the corpus, queries broadcast as a dense
+    Phase 1 (mapInPandas over the corpus, queries shipped as a dense
     matrix): each Arrow batch computes the full Q x B distance block with
     one BLAS matmul and keeps only the per-query top-k of that batch —
     so the shuffle carries at most ~Q * k * num_partitions candidate rows
@@ -148,66 +151,99 @@ def knn_batch_twophase(
     the final window's (dist, id) ordering sees all tie contenders. The
     plan trades the JVM-codegen distance for numpy's BLAS, which wins from
     a few hundred queries upward.
+
+    Query-side memory is BOUNDED, not assumed: the query set streams to
+    the driver via ``toLocalIterator`` in chunks of ``chunk_size`` rows
+    (default 100k ~= 51 MB of 64-d float64), each chunk ships to the
+    executors as a ``SparkContext.broadcast`` variable (torrent-
+    distributed once per executor — NEVER closure-captured into every
+    task binary), runs its own corpus pass, and the per-chunk candidate
+    frames union before the final rank window. At any instant the driver
+    holds at most one chunk; a 10M-query batch costs 100 corpus passes
+    rather than an unbounded collect — and ``knn_auto`` routes such
+    shapes here precisely because Q x N is too big for the broadcast
+    join, so the cap is enforced wherever auto-routing lands.
     """
+    import itertools
+    from functools import reduce
+
     import numpy as np
     import pandas as pd
 
     from hnsw_vector_db_spark.session import ensure_package_shipped
 
-    ensure_package_shipped(vectors.sparkSession)
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    if not qrows:
-        return vectors.sparkSession.createDataFrame(
+    spark = vectors.sparkSession
+    ensure_package_shipped(spark)
+    if chunk_size < 1:
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+
+    def chunk_candidates(qrows):
+        qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+        if metric == "cosine":
+            qn = np.linalg.norm(Q, axis=1, keepdims=True)
+            Qm = Q / np.where(qn == 0, 1.0, qn)
+        else:
+            Qm = Q
+        bc = spark.sparkContext.broadcast((qids, Qm))
+
+        def topk_block(batches):
+            b_qids, b_Q = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.vstack(pdf[vector_col].to_numpy()).astype(np.float64)
+                ids = pdf[id_col].to_numpy()
+                if metric == "cosine":
+                    xn = np.linalg.norm(X, axis=1, keepdims=True)
+                    Xn = X / np.where(xn == 0, 1.0, xn)
+                    D = 1.0 - Xn @ b_Q.T  # (B, Q)
+                elif metric == "dot_product":
+                    D = -(X @ b_Q.T)
+                elif metric == "manhattan":
+                    D = np.abs(X[:, None, :] - b_Q[None, :, :]).sum(axis=2)
+                else:  # euclidean via ||x||^2 - 2xq + ||q||^2
+                    D = np.sqrt(
+                        np.maximum(
+                            (X * X).sum(1)[:, None]
+                            - 2.0 * (X @ b_Q.T)
+                            + (b_Q * b_Q).sum(1)[None, :],
+                            0.0,
+                        )
+                    )
+                kk = min(k, D.shape[0])
+                part = np.argpartition(D, kk - 1, axis=0)  # (B, Q) first kk
+                out_qid, out_id, out_dist = [], [], []
+                for j in range(D.shape[1]):
+                    col = D[:, j]
+                    # tie-expand: include everything <= the kk-th smallest
+                    # distance, so ties at the boundary survive to the
+                    # final (dist, id) window rank — exact id-tiebreak
+                    # semantics
+                    kth = col[part[kk - 1, j]]
+                    rows = np.flatnonzero(col <= kth)
+                    out_qid.extend([b_qids[j]] * len(rows))
+                    out_id.extend(ids[rows])
+                    out_dist.extend(col[rows])
+                yield pd.DataFrame(
+                    {query_id_col: out_qid, id_col: out_id, "dist": out_dist}
+                )
+
+        schema = f"{query_id_col} long, {id_col} long, dist double"
+        return vectors.select(id_col, vector_col).mapInPandas(topk_block, schema)
+
+    qit = queries.select(query_id_col, query_vec_col).toLocalIterator()
+    parts = []
+    while True:
+        qrows = list(itertools.islice(qit, chunk_size))
+        if not qrows:
+            break
+        parts.append(chunk_candidates(qrows))
+    if not parts:
+        return spark.createDataFrame(
             [], f"{query_id_col} long, {id_col} long, dist double, rank int"
         )
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    if metric == "cosine":
-        qn = np.linalg.norm(Q, axis=1, keepdims=True)
-        Qn = Q / np.where(qn == 0, 1.0, qn)
-
-    def topk_block(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            X = np.vstack(pdf[vector_col].to_numpy()).astype(np.float64)
-            ids = pdf[id_col].to_numpy()
-            if metric == "cosine":
-                xn = np.linalg.norm(X, axis=1, keepdims=True)
-                Xn = X / np.where(xn == 0, 1.0, xn)
-                D = 1.0 - Xn @ Qn.T  # (B, Q)
-            elif metric == "dot_product":
-                D = -(X @ Q.T)
-            elif metric == "manhattan":
-                D = np.abs(X[:, None, :] - Q[None, :, :]).sum(axis=2)
-            else:  # euclidean via ||x||^2 - 2xq + ||q||^2
-                D = np.sqrt(
-                    np.maximum(
-                        (X * X).sum(1)[:, None]
-                        - 2.0 * (X @ Q.T)
-                        + (Q * Q).sum(1)[None, :],
-                        0.0,
-                    )
-                )
-            kk = min(k, D.shape[0])
-            part = np.argpartition(D, kk - 1, axis=0)  # (B, Q), first kk smallest
-            out_qid, out_id, out_dist = [], [], []
-            for j in range(D.shape[1]):
-                col = D[:, j]
-                # tie-expand: include everything <= the kk-th smallest
-                # distance, so ties at the boundary survive to the final
-                # (dist, id) window rank — exact id-tiebreak semantics
-                kth = col[part[kk - 1, j]]
-                rows = np.flatnonzero(col <= kth)
-                out_qid.extend([qids[j]] * len(rows))
-                out_id.extend(ids[rows])
-                out_dist.extend(col[rows])
-            yield pd.DataFrame(
-                {query_id_col: out_qid, id_col: out_id, "dist": out_dist}
-            )
-
-    schema = f"{query_id_col} long, {id_col} long, dist double"
-    candidates = vectors.select(id_col, vector_col).mapInPandas(topk_block, schema)
+    candidates = reduce(lambda a, b: a.unionByName(b), parts)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("dist").asc(), F.col(id_col).asc()
     )
@@ -259,7 +295,8 @@ def knn_auto(
     - exact, Q * N <= ~5e6 -> broadcast-join + window (`knn_batch`):
       all-JVM codegen, no Python workers, best at small scale.
     - exact, larger -> ``knn_batch_twophase``: map-side BLAS top-k, shuffle
-      bounded by Q * k * partitions.
+      bounded by Q * k * partitions, driver memory bounded by its
+      ``chunk_size`` query-chunking (never an unbounded collect).
 
     Row counts come from ``corpus_rows``/``query_rows`` when the caller
     knows them (a catalog, a previous count); otherwise they are ESTIMATED

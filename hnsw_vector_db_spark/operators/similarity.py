@@ -296,10 +296,21 @@ def ivf_topk(
     metric: str = "cosine",
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    predicate=None,
 ) -> DataFrame:
     """IVF search for one query: probe the nprobe nearest cells (driver-side
     centroid argsort — tiny), exact top-k within. With the table partitioned
-    by cell this is partition pruning + a scan of ~nprobe/n_cells of data."""
+    by cell this is partition pruning + a scan of ~nprobe/n_cells of data.
+
+    ``predicate`` (a boolean Column over the assigned table's columns)
+    is the filtered-ANN form — "top-k WHERE lang='en'" — the reference
+    cannot express at all (its REST layer only ECHOES metadata back,
+    `api/rest/server.py:174`, never filters on it). Within the probed
+    cells the filter is EXACT (applied before the distance top-k, and
+    Catalyst pushes it into the same scan as the cell pruning), so
+    filtered results are precisely "exact filtered kNN restricted to the
+    probed cells" — deterministic, and with seed centroids fully
+    SQL-expressible (the ivf_filtered driver oracle)."""
     qv = np.asarray(list(query), dtype=np.float64)
     if metric == "cosine":
         cn = np.linalg.norm(centroids, axis=1) * (np.linalg.norm(qv) or 1.0)
@@ -311,8 +322,9 @@ def ivf_topk(
         order = np.argsort(np.linalg.norm(centroids - qv, axis=1), kind="stable")
     cells = [int(c) for c in order[:nprobe]]
     qarr = F.array(*[F.lit(float(x)) for x in qv])
+    src = assigned if predicate is None else assigned.filter(predicate)
     return (
-        assigned.filter(F.col("cell").isin(cells))
+        src.filter(F.col("cell").isin(cells))
         .withColumn("_dist", distance(F.col(vector_col), qarr, metric))
         .orderBy(F.col("_dist").asc(), F.col(id_col).asc())
         .limit(k)

@@ -111,11 +111,23 @@ def tfidf_top_terms(
     top_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact TF-IDF (tf * ln(N/df)) with the top_k highest-scoring terms
     per doc. Spark's HashingTF trades exactness for speed; this is the
     join-based exact form with a clean SQL twin — at 100 TB the df table
     is the only shuffle that matters and it's a plain groupBy(term).
+
+    Scale shape: the tf-x-df join shuffles on `term` with NO broadcast
+    hint — the df table has one row per distinct term in the corpus
+    (billions at web scale), so forcing it to the driver would be the
+    unbounded-broadcast anti-pattern; AQE still promotes it to a
+    broadcast join at runtime when it measures genuinely small. The only
+    planner-hinted broadcast is the single-row n_docs aggregate.
+    `max_df` optionally drops stopword-frequency terms before the join
+    (the dedup.py `max_shingle_freq` df-cut) — those terms have
+    near-zero idf and can never reach top_k, so the cut is also an
+    output no-op for any max_df > N/e.
     Output (doc_id, term, tfidf, rnk)."""
     from pyspark.sql import Window
 
@@ -124,9 +136,11 @@ def tfidf_top_terms(
     )
     tf = term_rows.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = term_rows.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    if max_df is not None:
+        df_ = df_.filter(F.col("df") <= max_df)
     n_docs = docs.select(F.countDistinct(id_col).alias("n"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .join(F.broadcast(n_docs))
         .withColumn("tfidf_raw", F.col("tf") * F.log(F.col("n") / F.col("df")))
     )
@@ -197,6 +211,38 @@ def bm25_score(
         .orderBy(F.col("_score").desc(), F.col(id_col).asc())
         .limit(top_k)
         .select(id_col, F.round("_score", 6).alias("score"))
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram language-model quality score: per document, the mean
+    negative log-probability of its tokens under the CORPUS unigram
+    distribution — the SQL-expressible cousin of the LM-perplexity
+    filter every large-scale pipeline runs (CCNet-style); high values =
+    rare-token-heavy documents (gibberish, boilerplate-stripped noise),
+    low = stereotypical text.
+
+    Scale shape: the vocabulary (one row per distinct term) is joined
+    back to the token stream by a SHUFFLE on term — never a broadcast
+    hint (the tfidf_top_terms lesson: billions of distinct terms at
+    100 TB; AQE still promotes genuinely small vocabularies at runtime).
+    The only hinted broadcast is the single-row corpus total. Output
+    (doc_id, n_tokens, avg_neg_logprob), oracle-checked exactly."""
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(vocab, "term")
+        .join(F.broadcast(total))
+        .withColumn("_nlp", -F.log(F.col("cnt") / F.col("total")))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("_nlp"), 6).alias("avg_neg_logprob"),
     )
 
 

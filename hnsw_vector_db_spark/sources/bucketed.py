@@ -21,18 +21,40 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _managed_location(spark: SparkSession, table_name: str) -> Path:
-    """Filesystem location a managed table of this name would occupy in
-    the session warehouse (``db.table`` -> wh/db.db/table)."""
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+def _strip_file_scheme(uri: str) -> str:
     for prefix in ("file://", "file:"):
-        if wh.startswith(prefix):
-            wh = wh[len(prefix):]
-            break
+        if uri.startswith(prefix):
+            return uri[len(prefix):]
+    return uri
+
+
+def _managed_location(spark: SparkSession, table_name: str) -> Path:
+    """Filesystem location of a managed table of this name, resolved
+    through the CATALOG — never by path arithmetic that assumes the
+    default database: an unqualified name in a non-default current
+    database must map into that database's directory, or an overwrite
+    could rmtree a same-named default-db table's data. Resolution order:
+    the table's own catalog location when it exists (also correct for
+    databases created with a custom LOCATION), else the owning
+    database's locationUri + table name."""
     parts = table_name.split(".")
     if len(parts) == 2:
-        return Path(wh) / f"{parts[0]}.db" / parts[1]
-    return Path(wh) / parts[-1]
+        db, tbl = parts
+    else:
+        db, tbl = spark.catalog.currentDatabase(), parts[-1]
+    try:
+        if spark.catalog.tableExists(table_name):
+            loc_rows = [
+                r
+                for r in spark.sql(f"DESCRIBE FORMATTED {table_name}").collect()
+                if r["col_name"].strip() == "Location"
+            ]
+            if loc_rows:
+                return Path(_strip_file_scheme(loc_rows[0]["data_type"].strip()))
+    except Exception:
+        pass  # fall through to the database-location derivation
+    db_loc = _strip_file_scheme(spark.catalog.getDatabase(db).locationUri)
+    return Path(db_loc) / tbl
 
 
 def save_bucketed(
@@ -55,8 +77,10 @@ def save_bucketed(
     LOCATION_ALREADY_EXISTS otherwise)."""
     spark = df.sparkSession
     if mode == "overwrite":
-        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        # resolve the location BEFORE the drop, while the catalog still
+        # knows the table's true directory
         loc = _managed_location(spark, table_name)
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
         if loc.exists():
             shutil.rmtree(loc)
     w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)

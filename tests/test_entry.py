@@ -37,6 +37,8 @@ def test_oracle_keys_subset_of_queries():
         "multimodal_features",
         "hnsw_graph_stats",
         "hnsw_recall",
+        "hnsw_recall_target",
+        "hnsw_filtered_recall",
         "hnsw_ef_sweep",
         "hnsw_neighbor_invariant",
         "ivf_probe_recall",

@@ -111,3 +111,50 @@ def test_sketch_accuracy_within_bound(spark, sf_dir):
     assert rows and all(r["ok"] for r in rows)
     # sketches must be real approximations of the exact values, not copies
     assert all(r["users_rel_err"] <= 0.05 and r["p50_rel_err"] <= 0.05 for r in rows)
+
+
+def test_funnel_steps_known_answer(spark):
+    """Hand-built event streams covering: full funnel in window, full
+    funnel out of window, strict-ordering tie rejection, partial
+    funnels, and no-step-1 users (excluded)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # u1: view@0 click@5 purchase@10 -> completed (600 s)
+        (1, ts(0), "view"), (1, ts(5), "click"), (1, ts(10), "purchase"),
+        # u2: completes but purchase lands after the 60-min window
+        (2, ts(0), "view"), (2, ts(5), "click"), (2, ts(90), "purchase"),
+        # u3: click at the SAME instant as view -> strict > rejects it
+        (3, ts(0), "view"), (3, ts(0), "click"), (3, ts(10), "purchase"),
+        # u4: click before any view -> step 1 only
+        (4, ts(5), "view"), (4, ts(0), "click"),
+        # u5: no view at all -> excluded
+        (5, ts(0), "click"), (5, ts(1), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, et) for u, t, et in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    out = {r["user_id"]: r for r in E.funnel_steps(ev, within_minutes=60).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["step_reached"] == 3 and out[1]["completed"]
+    assert out[1]["funnel_seconds"] == 600
+    assert out[2]["step_reached"] == 3 and not out[2]["completed"]
+    assert out[3]["step_reached"] == 1  # tie not a valid successor
+    assert out[4]["step_reached"] == 1
+    assert out[4]["funnel_seconds"] is None
+
+
+def test_funnel_steps_single_shuffle(spark, sf_dir):
+    """The chained window minima + per-key collapse must share ONE
+    exchange on the key — the whole point of the window formulation."""
+    from hnsw_vector_db_spark.plans.explain import shuffle_count
+    from hnsw_vector_db_spark.sources.parquet import load_events
+
+    out = E.funnel_steps(load_events(spark, sf_dir))
+    assert shuffle_count(out) == 1, out._jdf.queryExecution().executedPlan().toString()

@@ -254,3 +254,68 @@ def test_hnsw_search_prunes_unprobed_cells(spark, fitted, tmp_path):
     plan = physical_plan(hnsw_search(part, one_q, centroids, k=5, nprobe=2))
     # partition-pruned scan: the cell isin filter reaches PartitionFilters
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200], plan
+
+
+def test_hnsw_search_filtered_matches_exact_filtered(spark, fitted):
+    """Filtered index search (allowed-set semi-join + over-fetch) at
+    nprobe=all-cells with a wide beam must equal EXACT filtered kNN:
+    every cell is probed and ef >= cell size makes the per-cell beam
+    exhaustive over the (strongly connected) layer-0 graph."""
+    from hnsw_vector_db_spark.operators.knn import knn_batch
+    from hnsw_vector_db_spark.sources.parquet import load_table
+
+    assigned, centroids, queries = fitted
+    emb = assigned.select("vec_id", "embedding", "label")
+    allowed = emb.filter(F.col("label") % 2 == 0).select("vec_id")
+    index = hnsw_build(assigned)
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in hnsw_search(
+            index, queries, centroids, k=5, ef=4096, nprobe=4,
+            allowed=allowed, over_fetch=1000,
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in knn_batch(
+            queries, emb.filter(F.col("label") % 2 == 0), k=5
+        ).collect()
+    }
+    assert got == exact
+    # all returned ids satisfy the predicate (trivially, via the semi-join)
+    allowed_ids = {r["vec_id"] for r in allowed.collect()}
+    assert set(got.values()) <= allowed_ids
+
+
+def test_hnsw_search_query_collect_cap(spark, fitted):
+    """Oversized query batches fail fast instead of silently collecting."""
+    assigned, centroids, queries = fitted
+    index = hnsw_build(assigned)
+    with pytest.raises(ValueError, match="max_collect_queries"):
+        hnsw_search(index, queries, centroids, k=3, max_collect_queries=2)
+    # raising the cap restores service
+    out = hnsw_search(index, queries, centroids, k=3, max_collect_queries=5)
+    assert out.count() > 0
+
+
+def test_ivf_topk_predicate_equals_exact_filtered(spark, sf_dir):
+    """ivf_topk(predicate) at nprobe=n_cells is exactly filtered kNN —
+    the predicate applies inside every (i.e. all) probed cells."""
+    from hnsw_vector_db_spark.operators.knn import knn_point
+    from hnsw_vector_db_spark.operators.similarity import ivf_fit_seeded, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_fit_seeded(emb, n_cells=8)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = [
+        (r["vec_id"], round(r["dist"], 6))
+        for r in ivf_topk(
+            assigned, centroids, qv, k=7, nprobe=8,
+            predicate=F.col("label") % 2 == 0,
+        ).collect()
+    ]
+    exact = [
+        (r["vec_id"], round(r["dist"], 6))
+        for r in knn_point(emb.filter(F.col("label") % 2 == 0), qv, k=7).collect()
+    ]
+    assert got == exact

@@ -148,6 +148,32 @@ def test_knn_twophase_equals_batch(spark, emb):
     assert c == cos
 
 
+def test_knn_twophase_chunked_collect_equals_batch(spark, emb):
+    """A query set bigger than chunk_size must chunk the driver collect
+    (multiple broadcast corpus passes + union) with results identical to
+    the single-pass broadcast-join plan — the driver never holds more
+    than chunk_size query rows at once."""
+    from hnsw_vector_db_spark.operators.knn import knn_batch, knn_batch_twophase
+
+    queries = emb.filter(F.col("vec_id") < 9).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["dist"], 6))
+        for r in knn_batch(queries, emb, k=4).collect()
+    }
+    # chunk_size=4 forces >= 3 chunks over the 9 queries
+    b = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["dist"], 6))
+        for r in knn_batch_twophase(queries, emb, k=4, chunk_size=4).collect()
+    }
+    assert a == b
+    import pytest
+
+    with pytest.raises(ValueError, match="chunk_size"):
+        knn_batch_twophase(queries, emb, k=4, chunk_size=0)
+
+
 def test_hard_negatives_excludes_same_label_and_self(spark, sf_dir):
     from pyspark.sql import functions as F
 

@@ -115,6 +115,37 @@ def test_local_hnsw_layer0_strong_connectivity(n, seed, metric):
 
 
 @given(
+    st.integers(min_value=2, max_value=80),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_local_hnsw_protected_fanin_bounded(n, seed):
+    """Protected fan-in per node stays <= m (the hub-degree bound on the
+    spanning tree), including through incremental inserts and a
+    state round-trip, WITHOUT breaking strong connectivity. A heavy
+    cluster around one point is the hub-forcing adversarial shape."""
+    rng = np.random.RandomState(seed)
+    # half the points huddle around the origin-adjacent hub point
+    hub = rng.randn(1, 6)
+    X = np.vstack([hub + 0.01 * rng.randn(n // 2, 6), rng.randn(n - n // 2, 6)])
+    index = LocalHNSW(m=4, ef_construction=16, metric="euclidean", seed=0)
+    index.build(X)
+    assert max(index.prot_fanin.values(), default=0) <= index.m
+    assert _layer0_reachable(index) == set(range(n))
+    index.insert_batch(hub + 0.01 * rng.randn(6, 6))
+    assert max(index.prot_fanin.values(), default=0) <= index.m
+    assert _layer0_reachable(index) == set(range(n + 6))
+    # fan-in counts survive serialization (lower pair index == parent)
+    st2 = index.to_state()
+    back = LocalHNSW.from_state(
+        st2["n"], st2["dim"], st2["metric"], st2["entry"], st2["levels"],
+        st2["vec_bytes"], st2["e_layer"], st2["e_src"], st2["e_dst"],
+        st2["e_prot"],
+    )
+    assert back.prot_fanin == index.prot_fanin
+
+
+@given(
     st.text(min_size=1, max_size=2000),
     st.integers(min_value=2, max_value=300),
     st.integers(min_value=0, max_value=100),

@@ -86,6 +86,40 @@ def test_bucketed_join_elides_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS docs_b")
 
 
+def test_bucketed_overwrite_respects_current_database(spark, sf_dir):
+    """save_bucketed(mode='overwrite') on an UNQUALIFIED table name with a
+    non-default current database must resolve (and delete) the CURRENT
+    database's table directory — never the default database's same-named
+    table (the wrong-table data-loss edge case)."""
+    from hnsw_vector_db_spark.sources.bucketed import (
+        _managed_location,
+        save_bucketed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    spark.sql("CREATE DATABASE IF NOT EXISTS altdb")
+    try:
+        # same-named table in BOTH databases
+        save_bucketed(emb, "default.dual_t", "vec_id", n_buckets=4)
+        spark.catalog.setCurrentDatabase("altdb")
+        save_bucketed(emb.limit(10), "dual_t", "vec_id", n_buckets=4)
+        default_loc = _managed_location(spark, "default.dual_t")
+        alt_loc = _managed_location(spark, "dual_t")  # unqualified -> altdb
+        assert default_loc != alt_loc
+        assert "altdb.db" in str(alt_loc)
+        # overwrite the altdb table while current db is altdb: the default
+        # db's data must survive
+        save_bucketed(emb.limit(20), "dual_t", "vec_id", n_buckets=4)
+        assert spark.table("dual_t").count() == 20
+        assert spark.table("default.dual_t").count() == emb.count()
+        assert default_loc.exists()
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP TABLE IF EXISTS altdb.dual_t")
+        spark.sql("DROP TABLE IF EXISTS default.dual_t")
+        spark.sql("DROP DATABASE IF EXISTS altdb")
+
+
 def test_cluster_write_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
     """Range-clustered layout: each parquet file owns a near-disjoint
     o_custkey range (footer min/max), so a pushed filter on the cluster

@@ -148,6 +148,102 @@ def test_poly_hash_cross_engine_parity_fuzz(spark):
         assert con.execute(duck_expr, [s]).fetchone()[0] == got[i], repr(s)
 
 
+# ---- TF-IDF ----------------------------------------------------------------
+
+def test_tfidf_vocabulary_side_never_hint_broadcast(spark):
+    """The df table is one row per distinct corpus term — unbounded at
+    100 TB — so it must not carry a broadcast HINT. With auto-broadcast
+    disabled, only the single-row n_docs aggregate (explicit hint) may
+    broadcast; the tf-x-df join must plan as a shuffle join."""
+    from hnsw_vector_db_spark.plans.explain import (
+        broadcast_join_count,
+        physical_plan,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+        )
+        out = TA.tfidf_top_terms(docs, top_k=2)
+        plan = physical_plan(out)
+        # BroadcastNestedLoopJoin = the hinted single-row n_docs cross join;
+        # zero BroadcastHashJoin = the term-keyed df side is NOT hinted.
+        assert broadcast_join_count(out) == 1, plan
+        assert plan.count("BroadcastHashJoin") == 0, plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_tfidf_max_df_cut_is_output_noop_when_loose(spark):
+    """Any max_df above N/e only removes terms with idf <= 1-ish that can't
+    win top_k here; with max_df >= N the result is bit-identical."""
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana cherry cherry date"),
+            (3, "apple date date fig"),
+        ],
+        "doc_id long, text string",
+    )
+    base = sorted(map(tuple, TA.tfidf_top_terms(docs, top_k=2).collect()))
+    loose = sorted(map(tuple, TA.tfidf_top_terms(docs, top_k=2, max_df=3).collect()))
+    assert base == loose
+    # a tight cut drops ubiquitous terms from contention entirely
+    tight = TA.tfidf_top_terms(docs, top_k=2, max_df=1).collect()
+    assert all(r["term"] not in () for r in tight)  # smoke: runs and returns
+    terms = {r["term"] for r in tight}
+    assert "apple" not in terms and "banana" not in terms  # df=2 > 1 cut
+
+
+# ---- unigram LM quality ----------------------------------------------------
+
+def test_unigram_logprob_known_values(spark):
+    """3-doc corpus with hand-computed unigram probabilities: rare-token
+    docs score higher (worse) than stereotypical ones."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, "zzz")],
+        "doc_id long, text string",
+    )
+    # corpus counts: a=3, b=2, zzz=1, total=6
+    out = {r["doc_id"]: r for r in TA.unigram_logprob(docs).collect()}
+    p = {"a": 3 / 6, "b": 2 / 6, "zzz": 1 / 6}
+    exp1 = -(2 * math.log(p["a"]) + math.log(p["b"])) / 3
+    exp3 = -math.log(p["zzz"])
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["avg_neg_logprob"] - round(exp1, 6)) < 1e-9
+    assert abs(out[3]["avg_neg_logprob"] - round(exp3, 6)) < 1e-9
+    assert out[3]["avg_neg_logprob"] > out[1]["avg_neg_logprob"]
+
+
+def test_unigram_vocab_side_never_hint_broadcast(spark):
+    """Same contract as tfidf: the per-term vocabulary is unbounded at
+    corpus scale, so only the single-row total may carry a broadcast
+    hint; the token-vocab join must plan as a shuffle join."""
+    from hnsw_vector_db_spark.plans.explain import (
+        broadcast_join_count,
+        physical_plan,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+        )
+        out = TA.unigram_logprob(docs)
+        plan = physical_plan(out)
+        assert broadcast_join_count(out) == 1, plan  # the 1-row total only
+        assert plan.count("BroadcastHashJoin") == 0, plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 # ---- BM25 ------------------------------------------------------------------
 
 def test_bm25_golden_values(spark):
