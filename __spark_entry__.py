@@ -548,15 +548,23 @@ GROUP BY n_name
 
 # ---- rows-only entries (approximate / non-SQL-expressible) ----------------
 
-def _hnsw_artifacts(spark: SparkSession, sf_dir: str, n_cells: int = 4):
+def _hnsw_artifacts(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 4,
+    metric: str = "cosine",
+    seeded: bool = False,
+):
     """Build-once cache for the per-cell HNSW index: the IVF fit + graph
-    build run ONCE per (dataset, n_cells) and persist to parquet under the
-    system temp dir; every later call — including a bench re-run or a
-    second query in the same session — is pure search against the stored
-    artifact (reference lifecycle: build `core/hnsw/graph.py:127-173`,
-    persist `core/storage/engine.py:23-56`, then serve searches).
-    Deterministic: KMeans seed and LocalHNSW seed are fixed, so the cached
-    index equals a fresh build bit-for-bit."""
+    build run ONCE per (dataset, n_cells, metric, fit-kind) and persist
+    to parquet under the system temp dir; every later call — including a
+    bench re-run or a second query in the same session — is pure search
+    against the stored artifact (reference lifecycle: build
+    `core/hnsw/graph.py:127-173`, persist `core/storage/engine.py:23-56`,
+    then serve searches). Deterministic: KMeans/seed-row and LocalHNSW
+    seeds are fixed, so the cached index equals a fresh build
+    bit-for-bit. ``seeded=True`` uses the seed-row quantizer
+    (``ivf_fit_seeded``) instead of KMeans."""
     import hashlib
     import os
     import tempfile
@@ -569,7 +577,8 @@ def _hnsw_artifacts(spark: SparkSession, sf_dir: str, n_cells: int = 4):
         # version tag: bump on any LocalHNSW construction change (v3 =
         # protected fan-in cap) so a cached pre-change artifact is never
         # mistaken for the current algorithm's output
-        f"{os.path.abspath(sf_dir)}|{n_cells}|hnsw-v3".encode()
+        f"{os.path.abspath(sf_dir)}|{n_cells}|{metric}|"
+        f"{'seeded' if seeded else 'kmeans'}|hnsw-v3".encode()
     ).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"spark_graft_hnsw_{tag}")
     idx_dir = os.path.join(base, "index")
@@ -579,8 +588,11 @@ def _hnsw_artifacts(spark: SparkSession, sf_dir: str, n_cells: int = 4):
     )
     if not done:
         emb = _emb(spark, sf_dir)
-        assigned, centroids = similarity.ivf_fit(emb, n_cells=n_cells)
-        hnsw_build(assigned).write.mode("overwrite").parquet(idx_dir)
+        if seeded:
+            assigned, centroids = similarity.ivf_fit_seeded(emb, n_cells=n_cells)
+        else:
+            assigned, centroids = similarity.ivf_fit(emb, n_cells=n_cells)
+        hnsw_build(assigned, metric=metric).write.mode("overwrite").parquet(idx_dir)
         spark.createDataFrame(
             [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
             "cell int, centroid array<double>",
@@ -745,6 +757,75 @@ def q_hnsw_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_hits") / 50.0, 6).alias("recall"),
         (F.col("n_hits") / 50.0 >= 0.9).alias("meets_target"),
     )
+
+
+def q_ivf_recenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd recentering step over the seeded IVF
+    assignment: per-cell per-dim means (rounded to 9 decimals so both
+    engines' summation orders agree exactly) -> reassign every vector to
+    its nearest new centroid. The index-maintenance move the reference's
+    frozen coarse structure has no analog for. ORACLE-CHECKED
+    bit-for-bit."""
+    emb = _emb(spark, sf_dir)
+    assigned, _ = similarity.ivf_fit_seeded(emb, n_cells=8)
+    moves, _ = similarity.ivf_recenter(assigned)
+    return moves.select("vec_id", "old_cell", "new_cell", "moved")
+
+
+def q_hnsw_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index drift maintenance end-to-end: recenter the cells, move ONLY
+    the vectors whose argmin changed (delete-from-old + insert-into-new;
+    untouched cells pass through), then prove in-row that (a) the row
+    count is preserved through the move, (b) sampled moved vectors are
+    found at distance 0 in their new home by a search against the NEW
+    centroids. Rows-only (graph rebuild isn't SQL) but fully
+    seed-deterministic; ``ok`` is the always-true-when-correct boolean
+    the driver row pins."""
+    from hnsw_vector_db_spark.operators.hnsw_partition import (
+        hnsw_rebalance,
+        hnsw_search,
+    )
+
+    emb = _emb(spark, sf_dir)
+    assigned, _ = similarity.ivf_fit_seeded(emb, n_cells=4)
+    # the pre-rebalance index is the cached build-once artifact (seeded
+    # quantizer, euclidean) — the entry measures the MAINTENANCE step,
+    # not a from-scratch build
+    index, _ = _hnsw_artifacts(spark, sf_dir, n_cells=4, metric="euclidean", seeded=True)
+    index = index.cache()
+    # efc=32 for the maintenance rebuild: the entry checks MOVE mechanics
+    # (preservation, placement, findability), for which construction
+    # beam width is irrelevant — half the rebuild cost
+    new_index, new_cent, moves = hnsw_rebalance(
+        index, assigned, metric="euclidean", ef_construction=32
+    )
+    new_index = new_index.cache()
+    n_before = index.agg(F.sum("n")).first()[0]
+    n_after = new_index.agg(F.sum("n")).first()[0]
+    moved_ids = sorted(
+        r["vec_id"] for r in moves.filter(F.col("moved")).select("vec_id").collect()
+    )
+    n_moved = len(moved_ids)
+    sample = moved_ids[:3] if moved_ids else [0, 1, 2]
+    queries = emb.filter(F.col("vec_id").isin(sample)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = hnsw_search(
+        new_index, queries, new_cent, k=1, ef=64, nprobe=4, metric="euclidean"
+    )
+    preserved = bool(n_before == n_after)
+    return hits.select(
+        "query_id",
+        F.col("vec_id").alias("found_id"),
+        F.round("dist", 6).alias("dist"),
+        F.lit(n_moved).alias("n_moved"),
+        F.lit(preserved).alias("rows_preserved"),
+        (
+            (F.col("dist") < 1e-6)
+            & (F.col("vec_id") == F.col("query_id"))
+            & F.lit(preserved)
+        ).alias("ok"),
+    ).orderBy("query_id")
 
 
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1689,13 +1770,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r2-green + 3 r3-green rows); entries past 50 all have green rows
     # from r3/r4 (CORRECTNESS_r03/r04.json).
     return {
-        # -- NEW in r5 (5): filtered ANN, HNSW at the >=0.9 recall bar,
-        # sequential funnel, unigram-LM quality score --------------------
+        # -- NEW in r5 (7): filtered ANN, HNSW at the >=0.9 recall bar,
+        # sequential funnel, unigram-LM quality score, Lloyd recentering
+        # + index rebalance ----------------------------------------------
         "hnsw_recall_target": q_hnsw_recall_target,
         "ivf_filtered": q_ivf_filtered,
         "hnsw_filtered_recall": q_hnsw_filtered_recall,
         "funnel_steps": q_funnel_steps,
         "unigram_logprob": q_unigram_logprob,
+        "ivf_recenter": q_ivf_recenter,
+        "hnsw_rebalance": q_hnsw_rebalance,
         # -- code changed in r5: re-verify (tfidf: broadcast hint dropped;
         # knn_twophase: chunked query collect; hnsw_*: driver-side query
         # routing + filtered-search over-fetch path + legacy e_prot fix;
@@ -1744,10 +1828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_components": q_neardup_components,
         "orders_grouping_sets": q_orders_grouping_sets,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        # ---- position > 50: green rows recorded in r02-r04 -------------
         "ivf_assign": q_ivf_assign,
-        # -- stalest: last green in r3 -----------------------------------
         "chunk_docs": q_chunk_docs,
-        # ---- position > 50: green rows recorded in r03/r04 -------------
         "pack_sequences": q_pack_sequences,
         "pii_redact": q_pii_redact,
         "orders_pivot": q_orders_pivot,
@@ -2059,6 +2142,30 @@ CROSS JOIN q
 WHERE a.label % 2 = 0
 ORDER BY {d}, a.vec_id
 LIMIT {k}
+""".strip()
+
+
+def _ivf_recenter_sql(n_cells: int = 8, dim: int = 64) -> str:
+    """Lloyd recentering twin: per-cell per-dim rounded means -> list
+    centroids -> euclidean argmin reassignment, seed-id tiebreak."""
+    eucl = _metric_sql("euclidean", "a.embedding", "n.seed_vec")
+    return f"""
+WITH {_ivf_seed_ctes(n_cells)},
+cm AS (
+  SELECT cell, i, round(avg(embedding[i]::DOUBLE), 9) AS mv
+  FROM assigned, range(1, {dim + 1}) t(i)
+  GROUP BY cell, i),
+newcent AS (
+  SELECT cell AS seed_id, list(mv ORDER BY i) AS seed_vec FROM cm GROUP BY cell),
+reassign AS (
+  SELECT vec_id, old_cell, new_cell FROM (
+    SELECT a.vec_id, a.cell AS old_cell, n.seed_id AS new_cell,
+           row_number() OVER (
+             PARTITION BY a.vec_id ORDER BY {eucl}, n.seed_id) AS rn
+    FROM assigned a CROSS JOIN newcent n)
+  WHERE rn = 1)
+SELECT vec_id, old_cell, new_cell, (old_cell <> new_cell) AS moved
+FROM reassign
 """.strip()
 
 
@@ -2587,6 +2694,7 @@ GROUP BY t.doc_id
     sql["lsh_probe_recall"] = _lsh_probe_recall_sql(5, LSH_PLANES)
     sql["ivf_ann"] = _ivf_ann_sql(10, 8, 3)
     sql["ivf_filtered"] = _ivf_filtered_sql(10, 8, 3)
+    sql["ivf_recenter"] = _ivf_recenter_sql(8, 64)
     sql["ivf_probe_recall"] = _ivf_probe_recall_sql(10, 8, (1, 2, 4, 8))
     sql["bm25_topk"] = _bm25_sql(10, BM25_TERMS)
     sql["hybrid_rrf"] = _hybrid_rrf_sql(BM25_TERMS)

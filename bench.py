@@ -80,12 +80,17 @@ HEADLINE += [
     "mmr_rerank",
 ]
 
-# r5 additions — filtered ANN on both index paths and the HNSW
-# quality-bar row; separate group, earlier totals stay comparable
+# r5 additions — filtered ANN on both index paths, the HNSW quality-bar
+# row, funnel/unigram analytics, and index rebalance; separate group,
+# earlier totals stay comparable
 HEADLINE += [
     "ivf_filtered",
     "hnsw_filtered_recall",
     "hnsw_recall_target",
+    "funnel_steps",
+    "unigram_logprob",
+    "ivf_recenter",
+    "hnsw_rebalance",
 ]
 
 

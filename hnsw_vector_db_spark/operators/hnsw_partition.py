@@ -628,6 +628,47 @@ def hnsw_upsert(
     )
 
 
+def hnsw_rebalance(
+    index: DataFrame,
+    assigned: DataFrame,
+    metric: str = "cosine",
+    m: int = 8,
+    ef_construction: int = 64,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    cell_col: str = "cell",
+):
+    """Drift maintenance for the persisted per-cell index: one Lloyd
+    recentering step (:func:`~.similarity.ivf_recenter`) over the
+    current membership, then MOVE only the vectors whose nearest
+    centroid changed — compact them out of their old cells and insert
+    them into their new ones (the :func:`hnsw_upsert` composition, which
+    rebuilds only touched cells; untouched cells pass through
+    byte-identical). The reference freezes its coarse structure at build
+    time (`core/hnsw/graph.py:49-63` — parameters and layers never
+    adapt); this keeps cell quality tracking the data at a cost of
+    O(moved vectors + touched cells), never O(index).
+
+    Returns ``(new_index, new_centroids, moves)`` — moves as in
+    ``ivf_recenter``; search against the new index must use
+    ``new_centroids`` (cell ids are stable, centroid VECTORS changed).
+    """
+    from hnsw_vector_db_spark.operators.similarity import ivf_recenter
+
+    moves, centroids = ivf_recenter(
+        assigned, id_col=id_col, vector_col=vector_col, cell_col=cell_col,
+        metric=metric,
+    )
+    moved_rows = assigned.join(
+        moves.filter(F.col("moved")).select(id_col), id_col, "left_semi"
+    ).select(id_col, vector_col)
+    new_index = hnsw_upsert(
+        index, moved_rows, centroids, metric=metric, m=m,
+        ef_construction=ef_construction, id_col=id_col, vector_col=vector_col,
+    )
+    return new_index, centroids, moves
+
+
 def hnsw_edges(
     assigned: DataFrame,
     metric: str = "cosine",

@@ -287,6 +287,79 @@ def ivf_fit_seeded(
     return assigned, centroids
 
 
+def ivf_recenter(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    cell_col: str = "cell",
+    round_decimals: int = 9,
+    metric: str = "euclidean",
+):
+    """One deterministic Lloyd recentering step over the CURRENT
+    membership — the index-maintenance move the reference has no analog
+    for (its coarse structure is frozen at build; ours drifts with the
+    data): new centroid of each cell = elementwise mean of its members,
+    then every vector reassigns to its nearest NEW centroid (``metric``
+    argmin — pass the index's routing metric so a downstream move plan
+    agrees with where :func:`~.hnsw_partition.hnsw_insert` will actually
+    route; cell-id tiebreak). Cell IDs are stable — only the centroid vectors
+    and memberships change — so a persisted per-cell index can apply the
+    result by moving ONLY the vectors whose argmin changed
+    (:func:`~.hnsw_partition.hnsw_rebalance`).
+
+    Means are rounded to ``round_decimals`` BEFORE the distance argmin:
+    summation order differs between engines (and between Spark
+    partitionings), so the raw means differ by ~1 ulp — rounding makes
+    them exact and the whole step reproducible bit-for-bit in an
+    independent SQL engine (the ivf_recenter driver oracle; the MMR
+    round-before-argmax trick).
+
+    Scale shape: per-(cell, dim) mean is one narrow shuffle of
+    n_cells x dim rows; the collected centroid matrix is provably small
+    (same class as every other centroid collect); reassignment is the
+    broadcast + min(struct) argmin of :func:`assign_to_centroids` — the
+    corpus is scanned twice and never shuffled by the width of a vector.
+
+    Returns ``(moves, centroids)``: moves = (vec_id, old_cell, new_cell,
+    moved), centroids = dense ndarray indexed by position in the sorted
+    cell-id list (cell ids from ivf_fit/ivf_fit_seeded are 0..n-1, so
+    positional == cell id).
+    """
+    spark = assigned.sparkSession
+    dims = assigned.select(
+        F.col(cell_col),
+        F.posexplode(F.col(vector_col).cast("array<double>")).alias("pos", "v"),
+    )
+    means = dims.groupBy(cell_col, "pos").agg(
+        F.round(F.avg("v"), round_decimals).alias("mv")
+    )
+    crows = (
+        means.groupBy(cell_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("mv")))
+            ).alias("pv")
+        )
+        .collect()
+    )
+    cent = {int(r[cell_col]): [float(p["mv"]) for p in r["pv"]] for r in crows}
+    cells_sorted = sorted(cent)
+    centroids = np.array([cent[c] for c in cells_sorted], dtype=np.float64)
+    seeds_df = spark.createDataFrame(
+        [(c, cent[c]) for c in cells_sorted], "seed_id int, seed_vec array<double>"
+    )
+    newc = assign_to_centroids(
+        assigned, seeds_df, metric=metric, id_col=id_col,
+        vector_col=vector_col,
+    ).select(F.col(id_col), F.col("cell").alias("new_cell"))
+    moves = (
+        assigned.select(F.col(id_col), F.col(cell_col).alias("old_cell"))
+        .join(newc, id_col)
+        .withColumn("moved", F.col("old_cell") != F.col("new_cell"))
+    )
+    return moves, centroids
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: np.ndarray,

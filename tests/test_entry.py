@@ -46,6 +46,7 @@ def test_oracle_keys_subset_of_queries():
         "ivf_pq_recall",
         "hnsw_incremental",
         "hnsw_delete",
+        "hnsw_rebalance",
         "sketch_accuracy",
     }
 

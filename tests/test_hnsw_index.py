@@ -319,3 +319,67 @@ def test_ivf_topk_predicate_equals_exact_filtered(spark, sf_dir):
         for r in knn_point(emb.filter(F.col("label") % 2 == 0), qv, k=7).collect()
     ]
     assert got == exact
+
+
+def test_ivf_recenter_lloyd_monotone_and_metric_consistency(spark, sf_dir):
+    """Recentering + reassignment never increases the total squared
+    distance to the assigned centroid (Lloyd's monotonicity; rounded
+    means add at most epsilon), and every new_cell is the true argmin of
+    the new centroids under the requested metric."""
+    import numpy as np
+
+    from hnsw_vector_db_spark.operators.similarity import ivf_fit_seeded, ivf_recenter
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, old_cent = ivf_fit_seeded(emb, n_cells=8)
+    moves, new_cent = ivf_recenter(assigned)
+    rows = (
+        assigned.select("vec_id", "embedding", "cell")
+        .join(moves.select("vec_id", "new_cell"), "vec_id")
+        .collect()
+    )
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    old_sse = sum(
+        float(((x - old_cent[r["cell"]]) ** 2).sum()) for x, r in zip(X, rows)
+    )
+    new_sse = sum(
+        float(((x - new_cent[r["new_cell"]]) ** 2).sum()) for x, r in zip(X, rows)
+    )
+    assert new_sse <= old_sse + 1e-6
+    # argmin consistency: new_cell is the nearest new centroid (id tiebreak)
+    D = ((X[:, None, :] - new_cent[None, :, :]) ** 2).sum(axis=2)
+    expect = D.argmin(axis=1)  # numpy argmin takes first == lowest id on ties
+    got = np.array([r["new_cell"] for r in rows])
+    assert (got == expect).all()
+    # something actually moved on the seeded (unconverged) assignment
+    assert moves.filter(F.col("moved")).count() > 0
+
+
+def test_hnsw_rebalance_touches_only_moved_cells(spark, sf_dir):
+    """Rebalance preserves every vector, relocates exactly the moved
+    ids, and leaves cells with no moved vectors byte-identical."""
+    from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_rebalance
+    from hnsw_vector_db_spark.operators.similarity import ivf_fit_seeded
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = ivf_fit_seeded(emb, n_cells=4)
+    index = hnsw_build(assigned, metric="euclidean").cache()
+    new_index, new_cent, moves = hnsw_rebalance(index, assigned, metric="euclidean")
+    new_index = new_index.cache()
+    assert index.agg(F.sum("n")).first()[0] == new_index.agg(F.sum("n")).first()[0]
+    moved = {
+        (r["vec_id"], r["old_cell"], r["new_cell"])
+        for r in moves.filter(F.col("moved")).collect()
+    }
+    assert moved  # seeded assignment is unconverged -> something moves
+    touched = {c for _, o, n in moved for c in (o, n)}
+    before = {r["cell"]: r for r in index.collect()}
+    after = {r["cell"]: r for r in new_index.collect()}
+    for cell, row in after.items():
+        if cell not in touched:
+            assert bytes(row["vec_bytes"]) == bytes(before[cell]["vec_bytes"])
+            assert row["ids"] == before[cell]["ids"]
+    # every moved id lives in exactly its new cell now
+    placement = {vid: c for c, r in after.items() for vid in r["ids"]}
+    for vid, _o, n in moved:
+        assert placement[vid] == n
