@@ -828,6 +828,31 @@ def q_hnsw_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over the events stream (cohort =
+    week of first signup; offset = weeks since the user's own signup).
+    Pure date arithmetic + keyed aggregation — ORACLE-CHECKED."""
+    return events.cohort_retention(_events(spark, sf_dir))
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup collapse: cosine near-dup components over
+    the embeddings, survivor = the member whose id-aligned DOCUMENT has
+    the best quality score (rounded score, id tiebreak). The full
+    production dedup shape — cluster, then keep the best-written copy,
+    not just the lowest id. ORACLE-CHECKED (recursive-CTE components +
+    quality CTE + rank window)."""
+    from hnsw_vector_db_spark.operators import dedup
+
+    emb = _emb(spark, sf_dir)
+    pairs = similarity.similarity_join(emb, threshold=SIM_THRESHOLD)
+    comps = dedup.neardup_components(emb, pairs)
+    scores = text_analysis.quality_score(_docs(spark, sf_dir)).select(
+        F.col("doc_id").alias("vec_id"), "quality"
+    )
+    return dedup.keep_best(comps, scores)
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential first-touch funnel (view -> click -> purchase within
     24 h) — ONE shuffle: the three chained conditional minima are
@@ -1770,9 +1795,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r2-green + 3 r3-green rows); entries past 50 all have green rows
     # from r3/r4 (CORRECTNESS_r03/r04.json).
     return {
-        # -- NEW in r5 (7): filtered ANN, HNSW at the >=0.9 recall bar,
-        # sequential funnel, unigram-LM quality score, Lloyd recentering
-        # + index rebalance ----------------------------------------------
+        # -- NEW in r5 (9): filtered ANN, HNSW at the >=0.9 recall bar,
+        # sequential funnel + cohort retention, unigram-LM quality score,
+        # Lloyd recentering + index rebalance, quality-aware dedup -------
         "hnsw_recall_target": q_hnsw_recall_target,
         "ivf_filtered": q_ivf_filtered,
         "hnsw_filtered_recall": q_hnsw_filtered_recall,
@@ -1780,6 +1805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "ivf_recenter": q_ivf_recenter,
         "hnsw_rebalance": q_hnsw_rebalance,
+        "cohort_retention": q_cohort_retention,
+        "dedup_keep_best": q_dedup_keep_best,
         # -- code changed in r5: re-verify (tfidf: broadcast hint dropped;
         # knn_twophase: chunked query collect; hnsw_*: driver-side query
         # routing + filtered-search over-fetch path + legacy e_prot fix;
@@ -1826,9 +1853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "label_centroids": q_label_centroids,
         "neardup_components": q_neardup_components,
+        # ---- position > 50: green rows recorded in r02-r04 -------------
         "orders_grouping_sets": q_orders_grouping_sets,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        # ---- position > 50: green rows recorded in r02-r04 -------------
         "ivf_assign": q_ivf_assign,
         "chunk_docs": q_chunk_docs,
         "pack_sequences": q_pack_sequences,
@@ -2740,6 +2767,21 @@ SELECT doc_id,
 FROM t
 """.strip()
 
+    sql["cohort_retention"] = """
+WITH first_ev AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+acts AS (
+  SELECT e.user_id, first_ev.t0,
+         floor(date_diff('day', CAST(first_ev.t0 AS DATE), CAST(e.ts AS DATE)) / 7.0) AS off
+  FROM events e JOIN first_ev USING (user_id))
+SELECT strftime(date_trunc('week', t0), '%Y-%m-%d') AS cohort_week,
+       off::INTEGER AS week_offset,
+       count(DISTINCT user_id)::BIGINT AS n_active
+FROM acts WHERE off >= 0
+GROUP BY 1, 2
+""".strip()
+
     stop_list = ", ".join(f"'{w}'" for w in text_analysis.STOPWORDS_EN)
     sql["quality_score"] = f"""
 WITH t AS (
@@ -2766,6 +2808,60 @@ SELECT doc_id, n_tok::INTEGER AS n_tokens,
            + 0.2 * (1.0 - least(punct_ratio * 5, 1.0))
            + 0.1 * least(stop_ratio * 5, 1.0), 6) AS quality
 FROM feat
+""".strip()
+
+    sql["dedup_keep_best"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round({cos_sim_ab}, 6) >= {SIM_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+comp AS (
+  SELECT node AS vec_id, min(r) AS rep_id FROM reach GROUP BY node
+),
+qt AS (
+  SELECT doc_id, {_TOKS} AS toks,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+         length(text) AS n_chars
+  FROM documents
+),
+qfeat AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+         len(list_filter(toks, w -> list_contains([{stop_list}], lower(w))))::DOUBLE
+           / greatest(len(toks), 1) AS stop_ratio,
+         len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1) AS distinct_ratio
+  FROM qt
+),
+q AS (
+  SELECT doc_id,
+         round(0.4 * (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * distinct_ratio
+             + 0.2 * (1.0 - least(punct_ratio * 5, 1.0))
+             + 0.1 * least(stop_ratio * 5, 1.0), 6) AS quality
+  FROM qfeat
+),
+ranked AS (
+  SELECT c.rep_id, c.vec_id, q.quality,
+         row_number() OVER (
+           PARTITION BY c.rep_id ORDER BY q.quality DESC, c.vec_id) AS rn,
+         count(*) OVER (PARTITION BY c.rep_id) AS n
+  FROM comp c JOIN q ON q.doc_id = c.vec_id
+)
+SELECT rep_id AS component, vec_id AS kept_id,
+       quality AS best_score, n::BIGINT AS n_members
+FROM ranked WHERE rn = 1
 """.strip()
 
     def marker_hits(lang: str) -> str:

@@ -91,6 +91,8 @@ HEADLINE += [
     "unigram_logprob",
     "ivf_recenter",
     "hnsw_rebalance",
+    "cohort_retention",
+    "dedup_keep_best",
 ]
 
 

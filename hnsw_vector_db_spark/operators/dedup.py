@@ -555,3 +555,42 @@ def simhash_near_dup(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", F.col("hamming").cast("int"))
     )
+
+
+def keep_best(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "vec_id",
+    rep_col: str = "rep_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Near-dup collapse with quality-aware survivor selection: per
+    connected component (a :func:`neardup_components` output), keep the
+    single highest-scoring member (score desc, id asc tiebreak) — the
+    step every production dedup pipeline runs after clustering, because
+    "keep the lowest id" (the bare rep_id) throws away the best-written
+    duplicate. Deterministic given deterministic scores ->
+    oracle-checked.
+
+    Scale shape: one shuffle on the component key shared by the rank
+    window and the member count; the score attach is an id equi-join.
+    Output (component, kept_id, best_score, n_members).
+    """
+    from pyspark.sql import Window
+
+    joined = components.select(id_col, rep_col).join(
+        scores.select(F.col(id_col), F.col(score_col)), id_col
+    )
+    w = Window.partitionBy(rep_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy(rep_col)
+    ranked = joined.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wc)
+    )
+    return ranked.filter(F.col("_rn") == 1).select(
+        F.col(rep_col).alias("component"),
+        F.col(id_col).alias("kept_id"),
+        F.col(score_col).alias("best_score"),
+        F.col("_n").alias("n_members"),
+    )

@@ -184,6 +184,48 @@ def funnel_steps(
     )
 
 
+def cohort_retention(
+    events: DataFrame,
+    cohort_event: str = "signup",
+    bucket_days: int = 7,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Cohort retention matrix: users bucket by the WEEK of their first
+    ``cohort_event``; each later activity counts them active at offset
+    floor(days-since-their-own-first-event / bucket_days). Output
+    (cohort_week, week_offset, n_active) — the classic product-analytics
+    triangle, fully deterministic (date arithmetic only) ->
+    oracle-checked.
+
+    Scale shape: first-event extraction is one groupBy on the key; the
+    activity join re-uses the same key partitioning; the final aggregate
+    groups on (cohort_week, offset) — a tiny key space. Nothing ever
+    shuffles wider than the events' own key column.
+    """
+    first = (
+        events.filter(F.col(type_col) == cohort_event)
+        .groupBy(key_col)
+        .agg(F.min(ts_col).alias("_t0"))
+    )
+    acts = events.join(first, key_col)
+    off = F.floor(
+        F.datediff(F.col(ts_col), F.col("_t0")) / F.lit(float(bucket_days))
+    )
+    return (
+        acts.withColumn("_off", off)
+        .filter(F.col("_off") >= 0)
+        .groupBy(
+            F.date_format(F.date_trunc("week", F.col("_t0")), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            F.col("_off").cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct(key_col).alias("n_active"))
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

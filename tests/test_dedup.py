@@ -207,3 +207,23 @@ def test_minhash_native_hash_fast_path(spark, sf_dir):
     perfect = {t for t in e if t[2] >= 0.999999}
     assert perfect <= f
     assert len(f) > 0
+
+
+def test_keep_best_picks_highest_score_with_id_tiebreak(spark):
+    from pyspark.sql import Row
+
+    from hnsw_vector_db_spark.operators.dedup import keep_best
+
+    comps = spark.createDataFrame(
+        [Row(vec_id=i, rep_id=r) for i, r in [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)]]
+    )
+    scores = spark.createDataFrame(
+        [Row(vec_id=1, quality=0.5), Row(vec_id=2, quality=0.9),
+         Row(vec_id=3, quality=0.9), Row(vec_id=7, quality=0.1),
+         Row(vec_id=8, quality=0.1)]
+    )
+    out = {r["component"]: r for r in keep_best(comps, scores).collect()}
+    assert set(out) == {1, 7}
+    assert out[1]["kept_id"] == 2          # 0.9 tie -> lower id wins
+    assert out[1]["n_members"] == 3
+    assert out[7]["kept_id"] == 7 and out[7]["n_members"] == 2

@@ -158,3 +158,29 @@ def test_funnel_steps_single_shuffle(spark, sf_dir):
 
     out = E.funnel_steps(load_events(spark, sf_dir))
     assert shuffle_count(out) == 1, out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cohort_retention_known_answer(spark):
+    """u1 signs up week of Mon 2024-01-01 and is active weeks 0 and 2;
+    u2 signs up the next week, active week 0 only; u3 never signs up
+    (excluded); pre-signup activity doesn't count."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 2, 10, 0), "signup"),
+        (1, dt.datetime(2024, 1, 3, 9, 0), "click"),       # offset 0
+        (1, dt.datetime(2024, 1, 17, 9, 0), "view"),       # offset 2
+        (2, dt.datetime(2024, 1, 9, 8, 0), "signup"),      # next cohort
+        (2, dt.datetime(2024, 1, 8, 8, 0), "click"),       # BEFORE signup
+        (3, dt.datetime(2024, 1, 2, 8, 0), "click"),       # never signs up
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["n_active"]
+        for r in E.cohort_retention(ev).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,  # u1 signup+click week 0
+        ("2024-01-01", 2): 1,  # u1 view week 2
+        ("2024-01-08", 0): 1,  # u2 signup itself counts at offset 0
+    }
