@@ -93,6 +93,7 @@ HEADLINE += [
     "hnsw_rebalance",
     "cohort_retention",
     "dedup_keep_best",
+    "api_lifecycle",
 ]
 
 

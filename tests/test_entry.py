@@ -47,6 +47,7 @@ def test_oracle_keys_subset_of_queries():
         "hnsw_incremental",
         "hnsw_delete",
         "hnsw_rebalance",
+        "api_lifecycle",
         "sketch_accuracy",
     }
 
