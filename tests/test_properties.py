@@ -290,3 +290,100 @@ def test_rrf_matches_pure_python_reference(spark, ids_a, ids_b):
     # output ordered by fused score desc, id asc
     got_keys = [(-s, i) for i, s, _ in got]
     assert got_keys == sorted(got_keys)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),          # user
+            st.integers(min_value=0, max_value=5000),       # minutes offset
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=10, max_value=2000),              # window minutes
+)
+@settings(max_examples=30, deadline=None)
+def test_funnel_steps_matches_python_reference(spark, events_rows, within_minutes):
+    """funnel_steps == a direct pure-python evaluation of the spec
+    (earliest view; earliest click strictly after; earliest purchase
+    strictly after that; completed iff span <= window) on arbitrary
+    event streams, including duplicate timestamps."""
+    import datetime as dt
+
+    from hnsw_vector_db_spark.operators.events import funnel_steps
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + dt.timedelta(minutes=m), e) for u, m, e in events_rows
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["user_id"]: (r["step_reached"], r["funnel_seconds"], r["completed"])
+        for r in funnel_steps(ev, within_minutes=within_minutes).collect()
+    }
+    # pure-python reference
+    expect = {}
+    by_user: dict[int, list] = {}
+    for u, ts, e in rows:
+        by_user.setdefault(u, []).append((ts, e))
+    for u, evs in by_user.items():
+        views = sorted(ts for ts, e in evs if e == "view")
+        if not views:
+            continue
+        t1 = views[0]
+        clicks = sorted(ts for ts, e in evs if e == "click" and ts > t1)
+        t2 = clicks[0] if clicks else None
+        t3 = None
+        if t2 is not None:
+            purchases = sorted(ts for ts, e in evs if e == "purchase" and ts > t2)
+            t3 = purchases[0] if purchases else None
+        step = 3 if t3 else (2 if t2 else 1)
+        span = int(t3.timestamp()) - int(t1.timestamp()) if t3 else None
+        done = t3 is not None and span <= within_minutes * 60
+        expect[u] = (step, span, done)
+    assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),
+            st.integers(min_value=0, max_value=40),         # day offset
+            st.sampled_from(["signup", "click"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_cohort_retention_matches_python_reference(spark, events_rows):
+    """cohort_retention == direct evaluation: cohort = Monday of the
+    user's first signup week; offset = floor(days since own signup / 7);
+    distinct users per (cohort, offset); pre-signup activity excluded."""
+    import datetime as dt
+
+    from hnsw_vector_db_spark.operators.events import cohort_retention
+    t0 = dt.datetime(2024, 1, 3, 12, 0)  # a Wednesday
+    rows = [(u, t0 + dt.timedelta(days=d), e) for u, d, e in events_rows]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_active"]
+        for r in cohort_retention(ev).collect()
+    }
+    first = {}
+    for u, ts, e in rows:
+        if e == "signup" and (u not in first or ts < first[u]):
+            first[u] = ts
+    agg: dict[tuple, set] = {}
+    for u, ts, e in rows:
+        if u not in first:
+            continue
+        t1 = first[u]
+        off = (ts.date() - t1.date()).days // 7
+        if off < 0:
+            continue
+        monday = t1.date() - dt.timedelta(days=t1.weekday())
+        agg.setdefault((monday.isoformat(), off), set()).add(u)
+    expect = {k: len(v) for k, v in agg.items()}
+    assert got == expect
