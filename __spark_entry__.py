@@ -2771,11 +2771,13 @@ FROM j
 
     sql["unigram_logprob"] = f"""
 WITH utoks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
-uv AS (SELECT term, count(*) AS cnt FROM utoks GROUP BY term),
+utf AS (SELECT doc_id, term, count(*) AS tf FROM utoks GROUP BY doc_id, term),
+uv AS (SELECT term, sum(tf) AS cnt FROM utf GROUP BY term),
 ut AS (SELECT sum(cnt)::DOUBLE AS total FROM uv)
-SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
-       round(avg(-ln(uv.cnt / ut.total)), 6) + 0 AS avg_neg_logprob
-FROM utoks t JOIN uv USING (term) CROSS JOIN ut
+SELECT t.doc_id, sum(t.tf)::BIGINT AS n_tokens,
+       round(sum(t.tf * (-ln(uv.cnt / ut.total))) / sum(t.tf), 6) + 0
+         AS avg_neg_logprob
+FROM utf t JOIN uv USING (term) CROSS JOIN ut
 GROUP BY t.doc_id
 """.strip()
 

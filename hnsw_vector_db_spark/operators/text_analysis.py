@@ -226,23 +226,30 @@ def unigram_logprob(
     rare-token-heavy documents (gibberish, boilerplate-stripped noise),
     low = stereotypical text.
 
-    Scale shape: the vocabulary (one row per distinct term) is joined
-    back to the token stream by a SHUFFLE on term — never a broadcast
-    hint (the tfidf_top_terms lesson: billions of distinct terms at
-    100 TB; AQE still promotes genuinely small vocabularies at runtime).
+    Scale shape: the token stream collapses to per-doc TERM FREQUENCIES
+    before any vocabulary work (Zipf makes that a large row reduction),
+    the vocabulary aggregates from the tf table, and the tf-x-vocab join
+    is a SHUFFLE on term — never a broadcast hint (the tfidf_top_terms
+    lesson: billions of distinct terms at 100 TB; AQE still promotes
+    genuinely small vocabularies at runtime). The per-doc mean is the
+    tf-weighted sum — identical arithmetic to averaging over raw token
+    instances, with the join input shrunk to distinct (doc, term) pairs.
     The only hinted broadcast is the single-row corpus total. Output
     (doc_id, n_tokens, avg_neg_logprob), oracle-checked exactly."""
     toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored = (
-        toks.join(vocab, "term")
+        tf.join(vocab, "term")
         .join(F.broadcast(total))
         .withColumn("_nlp", -F.log(F.col("cnt") / F.col("total")))
     )
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg("_nlp"), 6).alias("avg_neg_logprob"),
+        F.sum("tf").alias("n_tokens"),
+        F.round(F.sum(F.col("tf") * F.col("_nlp")) / F.sum("tf"), 6).alias(
+            "avg_neg_logprob"
+        ),
     )
 
 
