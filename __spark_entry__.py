@@ -889,6 +889,46 @@ def q_api_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+RAG_QUERY = "vector hash scan index search"
+
+
+def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic feature-hashing embeddings (Weinberger et al., ICML
+    2009) over the documents — the SQL-expressible stand-in for a model
+    encoder that makes the whole text -> vector pipeline oracle-checkable.
+    Long-form NONZERO components (doc_id, dim_idx, value): bucket sums
+    are exact ±1 integers, so the normalized values hash-match
+    bit-for-bit across engines. ORACLE-CHECKED."""
+    emb = text_analysis.hash_embed(_docs(spark, sf_dir), dim=64)
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("dim_idx", "value"))
+        .filter(F.col("value") != 0.0)
+        .select(
+            "doc_id",
+            F.col("dim_idx").cast("int").alias("dim_idx"),
+            F.round("value", 6).alias("value"),
+        )
+    )
+
+
+def q_rag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval pipeline end-to-end INSIDE the engine: hash-embed
+    the corpus, hash-embed the query string with the same function,
+    cosine top-10 (zero-shuffle TakeOrderedAndProject) — text in, ranked
+    doc ids out, no external encoder. ORACLE-CHECKED: the oracle
+    replays embedding construction AND the search in SQL."""
+    from hnsw_vector_db_spark.operators.knn import knn_point
+
+    docs = _docs(spark, sf_dir)
+    emb = text_analysis.hash_embed(docs, dim=64)
+    qdf = spark.createDataFrame([(0, RAG_QUERY)], "doc_id long, text string")
+    qv = [float(x) for x in text_analysis.hash_embed(qdf, dim=64).first()["embedding"]]
+    hits = knn_point(
+        emb, qv, k=10, metric="cosine", id_col="doc_id", vector_col="embedding"
+    )
+    return hits.select("doc_id", F.round("dist", 6).alias("dist"))
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle over the events stream (cohort =
     week of first signup; offset = weeks since the user's own signup).
@@ -902,7 +942,11 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     the best quality score (rounded score, id tiebreak). The full
     production dedup shape — cluster, then keep the best-written copy,
     not just the lowest id. ORACLE-CHECKED (recursive-CTE components +
-    quality CTE + rank window)."""
+    quality CTE + rank window). The exact-pairs input here is the brute
+    similarity_join BECAUSE the oracle needs exact pairs; at corpus
+    scale feed keep_best from the candidate-generated components
+    (embedding_neardup auto-LSH / minhash_lsh_neardup) — keep_best
+    itself shuffles only on the component key either way."""
     from hnsw_vector_db_spark.operators import dedup
 
     emb = _emb(spark, sf_dir)
@@ -1869,6 +1913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "dedup_keep_best": q_dedup_keep_best,
         "api_lifecycle": q_api_lifecycle,
+        "hash_embed": q_hash_embed,
+        "rag_search": q_rag_search,
         # -- code changed in r5: re-verify (tfidf: broadcast hint dropped;
         # knn_twophase: chunked query collect; hnsw_*: driver-side query
         # routing + filtered-search over-fetch path + legacy e_prot fix;
@@ -1912,9 +1958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_cube": q_customer_cube,
         "assign_ids": q_assign_ids,
         "assign_ids_scalable": q_assign_ids_scalable,
+        # ---- position > 50: green rows recorded in r02-r04 -------------
         "embedding_neardup": q_embedding_neardup,
         "label_centroids": q_label_centroids,
-        # ---- position > 50: green rows recorded in r02-r04 -------------
         "neardup_components": q_neardup_components,
         "orders_grouping_sets": q_orders_grouping_sets,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
@@ -2829,6 +2875,59 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::INTEGER AS n_subwords,
        round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / greatest(len(toks), 1), 6) AS avg_token_chars
 FROM t
+""".strip()
+
+    hb = _POLY.format(s="term")
+    hs = _POLY.format(s="(term || '#s')")
+    hash_embed_ctes = f"""htoks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hsp AS (
+  SELECT doc_id, {hb} % 64 AS b,
+         sum(CASE WHEN {hs} % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+  FROM htoks GROUP BY doc_id, b),
+hagg AS (
+  SELECT doc_id, list(b ORDER BY b) AS bs, list(v ORDER BY b) AS vs
+  FROM hsp GROUP BY doc_id),
+hdense AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+                        i -> coalesce(vs[list_position(bs, i)], 0.0)) AS raw
+  FROM hagg),
+hnorm AS (
+  SELECT doc_id, raw, sqrt(list_dot_product(raw, raw)) AS nrm FROM hdense),
+hemb AS (
+  SELECT doc_id, list_transform(raw, x -> x / nrm) AS embedding
+  FROM hnorm WHERE nrm > 0)"""
+
+    sql["hash_embed"] = f"""
+WITH {hash_embed_ctes}
+SELECT s.doc_id, s.b::INTEGER AS dim_idx, round(s.v / n.nrm, 6) + 0 AS value
+FROM hsp s JOIN hnorm n USING (doc_id)
+WHERE s.v <> 0 AND n.nrm > 0
+""".strip()
+
+    rag_cos = _cos_dist("h.embedding", "q.embedding")
+    sql["rag_search"] = f"""
+WITH {hash_embed_ctes},
+qtoks AS (
+  SELECT unnest(list_filter(string_split_regex('{RAG_QUERY}', '\\s+'),
+                            t -> t <> '')) AS term),
+qsp AS (
+  SELECT {hb} % 64 AS b,
+         sum(CASE WHEN {hs} % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+  FROM qtoks GROUP BY b),
+qagg AS (SELECT list(b ORDER BY b) AS bs, list(v ORDER BY b) AS vs FROM qsp),
+qdense AS (
+  SELECT list_transform(range(0, 64),
+                        i -> coalesce(vs[list_position(bs, i)], 0.0)) AS raw
+  FROM qagg),
+qemb AS (
+  SELECT list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
+           AS embedding
+  FROM qdense)
+SELECT h.doc_id, round({rag_cos}, 6) + 0 AS dist
+FROM hemb h CROSS JOIN qemb q
+ORDER BY {rag_cos}, h.doc_id
+LIMIT 10
 """.strip()
 
     sql["cohort_retention"] = """

@@ -94,6 +94,8 @@ HEADLINE += [
     "cohort_retention",
     "dedup_keep_best",
     "api_lifecycle",
+    "hash_embed",
+    "rag_search",
 ]
 
 

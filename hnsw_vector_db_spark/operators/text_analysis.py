@@ -253,6 +253,61 @@ def unigram_logprob(
     )
 
 
+def hash_embed(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic text embedding via the hashing trick (feature
+    hashing, Weinberger et al., ICML 2009 — public): every token adds
+    ±1 (sign from a second hash) into bucket ``poly_hash(token) % dim``;
+    the bucket sums L2-normalize into a dense unit vector. At 100 TB a
+    learned model produces the embeddings; this is the SQL-expressible
+    stand-in that makes the WHOLE text -> vector -> index -> search
+    pipeline exactly reproducible in an independent engine — embeddings
+    included, which no model-based encoder can offer an oracle for.
+
+    Scale shape: explode -> per-(doc, bucket) sum (one keyed shuffle,
+    at most ``dim`` rows per doc out of the aggregate) -> per-doc dense
+    array via map lookup over a sequence — all codegen, no UDF, no
+    vocabulary table at all (that's the point of hashing). Output
+    (doc_id, embedding array<double>, unit norm; docs with no tokens or
+    fully sign-cancelled sums drop out)."""
+    from hnsw_vector_db_spark.functions.distance import norm as vec_norm
+
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    h = poly_hash(F.col("term"))
+    sign = F.when(
+        F.pmod(poly_hash(F.concat(F.col("term"), F.lit("#s"))), F.lit(2)) == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    sparse = (
+        toks.select(F.col(id_col), F.pmod(h, F.lit(dim)).alias("b"), sign.alias("s"))
+        .groupBy(id_col, "b")
+        .agg(F.sum("s").alias("v"))
+    )
+    dense = sparse.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "v"))).alias("_m")
+    )
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0.0)),
+    )
+    with_raw = dense.select(F.col(id_col), raw.alias("_raw")).withColumn(
+        "_n", vec_norm(F.col("_raw"))
+    )
+    return (
+        with_raw.filter(F.col("_n") > 0)
+        .select(
+            F.col(id_col),
+            F.transform(F.col("_raw"), lambda x: x / F.col("_n")).alias(
+                "embedding"
+            ),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whole-document rolling-hash fingerprint + normalized variant
     (lowercased, whitespace-collapsed) — the cheap exact-dup key at scale.

@@ -285,3 +285,45 @@ def test_bm25_multi_term_sums_and_topk_plan(spark, sf_dir):
     assert 0 < len(rows) <= 5
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+# ---- feature-hashing embeddings --------------------------------------------
+
+def test_hash_embed_unit_norm_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "delta"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    import math
+
+    out = {r["doc_id"]: r["embedding"] for r in TA.hash_embed(docs, dim=16).collect()}
+    assert 3 not in out  # empty text -> no embedding row
+    for v in out.values():
+        assert len(v) == 16
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+    out2 = {r["doc_id"]: r["embedding"] for r in TA.hash_embed(docs, dim=16).collect()}
+    assert out == out2  # pure function of the text
+    # identical texts embed identically; cosine similarity respects overlap
+    docs2 = spark.createDataFrame(
+        [(10, "alpha beta gamma alpha")], "doc_id long, text string"
+    )
+    twin = TA.hash_embed(docs2, dim=16).first()["embedding"]
+    assert list(twin) == list(out[1])
+
+
+def test_hash_embed_similarity_orders_by_token_overlap(spark):
+    """A query shares most tokens with doc 1, none with doc 2 — cosine
+    against the hash embeddings must rank doc 1 first."""
+    from hnsw_vector_db_spark.operators.knn import knn_point
+
+    docs = spark.createDataFrame(
+        [(1, "spark vector search engine"), (2, "completely unrelated words here")],
+        "doc_id long, text string",
+    )
+    emb = TA.hash_embed(docs, dim=32)
+    q = spark.createDataFrame([(0, "vector search")], "doc_id long, text string")
+    qv = [float(x) for x in TA.hash_embed(q, dim=32).first()["embedding"]]
+    hits = knn_point(emb, qv, k=2, metric="cosine", id_col="doc_id",
+                     vector_col="embedding").collect()
+    assert hits[0]["doc_id"] == 1
+    assert hits[0]["dist"] < hits[1]["dist"]
