@@ -787,7 +787,7 @@ def q_hnsw_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    assigned, _ = similarity.ivf_fit_seeded(emb, n_cells=4)
+    assigned, old_cent = similarity.ivf_fit_seeded(emb, n_cells=4)
     # the pre-rebalance index is the cached build-once artifact (seeded
     # quantizer, euclidean) — the entry measures the MAINTENANCE step,
     # not a from-scratch build
@@ -797,7 +797,8 @@ def q_hnsw_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (preservation, placement, findability), for which construction
     # beam width is irrelevant — half the rebuild cost
     new_index, new_cent, moves = hnsw_rebalance(
-        index, assigned, metric="euclidean", ef_construction=32
+        index, assigned, metric="euclidean", ef_construction=32,
+        old_centroids=old_cent,
     )
     new_index = new_index.cache()
     n_before = index.agg(F.sum("n")).first()[0]

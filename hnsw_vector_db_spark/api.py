@@ -40,7 +40,6 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hnsw_vector_db_spark.operators.knn import knn_point
 from hnsw_vector_db_spark.operators.table import validate_k, validate_vectors
 
 _LOG_SCHEMA = "id long, vector array<double>, metadata string, _version long, _op string"
@@ -157,8 +156,14 @@ class VectorTable:
             raise ValueError(
                 f"dimension mismatch: expected {self.meta['dim']}, got {len(vec)}"
             )
-        if external_id is None and self.count() >= self.meta["max_elements"]:
-            raise RuntimeError("index is full (max_elements reached)")
+        # capacity guard (graph.py:129-130) — an overwrite of an EXISTING
+        # external id doesn't grow the table, so it passes at the cap
+        if self.count() >= self.meta["max_elements"]:
+            grows = external_id is None or (
+                self.table().filter(F.col("id") == int(external_id)).count() == 0
+            )
+            if grows:
+                raise RuntimeError("index is full (max_elements reached)")
         vid = int(external_id) if external_id is not None else self.meta["next_id"]
         self.meta["next_id"] = max(self.meta["next_id"], vid + 1)
         self.meta["version"] += 1
@@ -176,13 +181,21 @@ class VectorTable:
     ) -> dict:
         """Set-oriented batch insert with the reference's partial-success
         contract (`server.py:202-230`): invalid rows (null / wrong dim)
-        are counted as failed, the rest land in ONE append. Rows without
-        an id get deterministic fresh ids from the persisted counter."""
+        and rows beyond the remaining ``max_elements`` capacity
+        (`graph.py:129-130`, lowest-id-first admitted) are counted as
+        failed, the rest land in ONE append. Rows without an id get
+        deterministic fresh ids from the persisted counter, minted ABOVE
+        both the counter and the batch's explicit ids so a minted id can
+        never collide with a caller-supplied one. Duplicate explicit ids
+        WITHIN one batch are rejected up front (a DataFrame has no row
+        order, so "last write wins" is undefined inside a single
+        version; the reference's loop semantics need an ordered stream —
+        send ordered duplicates as separate batches)."""
         src = rows
         if self.meta["dim"] is None:
-            first = src.select(vector_col).first()
-            if first is None:
-                return {"inserted": 0, "failed": 0}
+            first = src.filter(F.col(vector_col).isNotNull()).select(vector_col).first()
+            if first is None:  # nothing inferable: every row is a reject
+                return {"inserted": 0, "failed": src.count()}
             self.meta["dim"] = len(first[0])
         cols = [F.col(vector_col).cast("array<double>").alias("vector")]
         if id_col in src.columns:
@@ -194,20 +207,48 @@ class VectorTable:
         else:
             cols.append(F.lit("{}").alias("metadata"))
         src = src.select(*cols)
+        dup = (
+            src.filter(F.col("id").isNotNull())
+            .groupBy("id")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"duplicate id {dup[0]['id']} within one batch: last-write-"
+                f"wins is undefined inside a single version — split the batch"
+            )
         valid, rejects = validate_vectors(src, self.meta["dim"], "vector")
         n_failed = rejects.count()
-        # mint ids for id-less rows from the persisted counter (micro-batch
-        # sized window — the assign_ids contract)
+        # mint ids for id-less rows STRICTLY above every id in play
         need_ids = valid.filter(F.col("id").isNull())
         have_ids = valid.filter(F.col("id").isNotNull())
         n_new = need_ids.count()
         if n_new:
+            batch_max = have_ids.agg(F.max("id")).first()[0]
+            start = max(
+                self.meta["next_id"],
+                (int(batch_max) + 1) if batch_max is not None else 0,
+            )
             w = Window.orderBy(F.monotonically_increasing_id())
             need_ids = need_ids.withColumn(
-                "id", F.row_number().over(w) + F.lit(self.meta["next_id"] - 1)
+                "id", F.row_number().over(w) + F.lit(start - 1)
             )
-            self.meta["next_id"] += n_new
         batch = have_ids.unionByName(need_ids)
+        # capacity: existing ids overwrite in place; only NEW ids grow the
+        # table, and only `room` of them are admitted (lowest id first)
+        current = self.table().select("id")
+        n_current = current.count()
+        growing = batch.join(current, "id", "left_anti")
+        replacing = batch.join(current, "id", "left_semi")
+        room = max(self.meta["max_elements"] - n_current, 0)
+        wr = Window.orderBy(F.col("id"))
+        ranked = growing.withColumn("_rn", F.row_number().over(wr))
+        admitted = ranked.filter(F.col("_rn") <= room).drop("_rn")
+        n_overflow = ranked.filter(F.col("_rn") > room).count()
+        batch = replacing.unionByName(admitted)
         self.meta["version"] += 1
         out = batch.select(
             "id",
@@ -222,7 +263,7 @@ class VectorTable:
         if max_id is not None:
             self.meta["next_id"] = max(self.meta["next_id"], int(max_id) + 1)
         self._save_meta()
-        return {"inserted": n_ok, "failed": n_failed}
+        return {"inserted": n_ok, "failed": n_failed + n_overflow}
 
     def delete(self, ids) -> int:
         """Tombstone the ids (POST /delete). Returns how many existed."""
@@ -239,7 +280,13 @@ class VectorTable:
     def compact(self) -> int:
         """Fold the log into a fresh generation (resolved rows only) —
         the small-files/compaction maintenance the log-structured layout
-        needs; readers see an identical table before and after."""
+        needs; readers see an identical table before and after, and the
+        superseded generation's files are REMOVED once the new one is
+        fully written (single-writer contract — don't compact while a
+        long-running reader still scans the old generation)."""
+        import shutil
+
+        old_dir = self._log_dir()
         resolved = self.table()
         self.meta["log_gen"] += 1
         out = resolved.select(
@@ -250,8 +297,9 @@ class VectorTable:
             F.lit("upsert").alias("_op"),
         )
         out.write.mode("overwrite").parquet(self._log_dir())
-        self._save_meta()
-        return out.count()
+        self._save_meta()  # new generation is live before the old one goes
+        shutil.rmtree(old_dir, ignore_errors=True)
+        return self._read_log().count()
 
     # -- queries -----------------------------------------------------------
     def search(self, query, k: int = 10, where=None) -> DataFrame:
@@ -263,16 +311,23 @@ class VectorTable:
         (`server.py:174` only echoes metadata). No ``ef`` knob here:
         exactness needs none; the approximate path with its ef/nprobe
         dials is :meth:`search_approx`."""
+        from hnsw_vector_db_spark.operators.knn import with_distance
+
         validate_k(k)
         t = self.table()
         if where is not None:
             t = t.filter(where)
-        hits = knn_point(
-            t, [float(x) for x in query], k=k,
-            metric=self.meta["metric"], id_col="id", vector_col="vector",
+        # single pass: the knn_point plan (project distance ->
+        # TakeOrderedAndProject) with metadata carried through, so the
+        # log-resolution window runs ONCE per query, not once for the
+        # scan and again for a metadata join
+        scored = with_distance(
+            t, [float(x) for x in query], self.meta["metric"], "vector"
         )
-        return hits.join(t.select("id", "metadata"), "id", "left").orderBy(
-            F.col("dist").asc(), F.col("id").asc()
+        return (
+            scored.select("id", "dist", "metadata")
+            .orderBy(F.col("dist").asc(), F.col("id").asc())
+            .limit(k)
         )
 
     def build_index(self, n_cells: int = 8, m: int = 8, ef_construction: int = 64) -> None:

@@ -637,6 +637,7 @@ def hnsw_rebalance(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     cell_col: str = "cell",
+    old_centroids: np.ndarray | None = None,
 ):
     """Drift maintenance for the persisted per-cell index: one Lloyd
     recentering step (:func:`~.similarity.ivf_recenter`) over the
@@ -652,12 +653,15 @@ def hnsw_rebalance(
     Returns ``(new_index, new_centroids, moves)`` — moves as in
     ``ivf_recenter``; search against the new index must use
     ``new_centroids`` (cell ids are stable, centroid VECTORS changed).
+    Pass ``old_centroids`` when you have them so a cell that loses every
+    member keeps its old centroid (Lloyd's no-members-no-update rule)
+    instead of failing the recenter step.
     """
     from hnsw_vector_db_spark.operators.similarity import ivf_recenter
 
     moves, centroids = ivf_recenter(
         assigned, id_col=id_col, vector_col=vector_col, cell_col=cell_col,
-        metric=metric,
+        metric=metric, old_centroids=old_centroids,
     )
     moved_rows = assigned.join(
         moves.filter(F.col("moved")).select(id_col), id_col, "left_semi"

@@ -157,12 +157,17 @@ def knn_batch_twophase(
     (default 100k ~= 51 MB of 64-d float64), each chunk ships to the
     executors as a ``SparkContext.broadcast`` variable (torrent-
     distributed once per executor — NEVER closure-captured into every
-    task binary), runs its own corpus pass, and the per-chunk candidate
-    frames union before the final rank window. At any instant the driver
-    holds at most one chunk; a 10M-query batch costs 100 corpus passes
-    rather than an unbounded collect — and ``knn_auto`` routes such
-    shapes here precisely because Q x N is too big for the broadcast
-    join, so the cap is enforced wherever auto-routing lands.
+    task binary) and runs its own corpus pass. With MULTIPLE chunks,
+    each chunk's candidate frame is eagerly materialized
+    (``localCheckpoint``) and its broadcast destroyed before the next
+    chunk is collected — the driver and executors genuinely hold one
+    chunk of Q at a time, at the price of per-chunk job launches and the
+    localCheckpoint caveat (executor loss during the final union
+    re-fails the query instead of recomputing). A 10M-query batch costs
+    100 bounded corpus passes rather than an unbounded collect — and
+    ``knn_auto`` routes such shapes here precisely because Q x N is too
+    big for the broadcast join, so the cap is enforced wherever
+    auto-routing lands.
     """
     import itertools
     from functools import reduce
@@ -230,20 +235,32 @@ def knn_batch_twophase(
                 )
 
         schema = f"{query_id_col} long, {id_col} long, dist double"
-        return vectors.select(id_col, vector_col).mapInPandas(topk_block, schema)
+        df = vectors.select(id_col, vector_col).mapInPandas(topk_block, schema)
+        return df, bc
 
     qit = queries.select(query_id_col, query_vec_col).toLocalIterator()
-    parts = []
-    while True:
-        qrows = list(itertools.islice(qit, chunk_size))
-        if not qrows:
-            break
-        parts.append(chunk_candidates(qrows))
-    if not parts:
+    cur = list(itertools.islice(qit, chunk_size))
+    if not cur:
         return spark.createDataFrame(
             [], f"{query_id_col} long, {id_col} long, dist double, rank int"
         )
-    candidates = reduce(lambda a, b: a.unionByName(b), parts)
+    nxt = list(itertools.islice(qit, chunk_size))
+    if not nxt:
+        # single chunk: stay lazy — the one broadcast lives exactly as
+        # long as the query plan, no extra materialization
+        candidates, _bc = chunk_candidates(cur)
+    else:
+        # multiple chunks: materialize each chunk's candidates eagerly so
+        # the chunk's broadcast can be destroyed before the next chunk is
+        # even collected — true one-chunk-at-a-time memory
+        parts = []
+        while cur:
+            df, bc = chunk_candidates(cur)
+            parts.append(df.localCheckpoint(eager=True))
+            bc.destroy()
+            cur = nxt
+            nxt = list(itertools.islice(qit, chunk_size)) if cur else []
+        candidates = reduce(lambda a, b: a.unionByName(b), parts)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("dist").asc(), F.col(id_col).asc()
     )

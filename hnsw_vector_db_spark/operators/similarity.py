@@ -294,6 +294,7 @@ def ivf_recenter(
     cell_col: str = "cell",
     round_decimals: int = 9,
     metric: str = "euclidean",
+    old_centroids: np.ndarray | None = None,
 ):
     """One deterministic Lloyd recentering step over the CURRENT
     membership — the index-maintenance move the reference has no analog
@@ -321,9 +322,12 @@ def ivf_recenter(
     corpus is scanned twice and never shuffled by the width of a vector.
 
     Returns ``(moves, centroids)``: moves = (vec_id, old_cell, new_cell,
-    moved), centroids = dense ndarray indexed by position in the sorted
-    cell-id list (cell ids from ivf_fit/ivf_fit_seeded are 0..n-1, so
-    positional == cell id).
+    moved), centroids = dense ndarray indexed BY CELL ID (positional ==
+    cell id — the contract every index consumer relies on). A cell with
+    no members has no mean; it inherits its row from ``old_centroids``
+    when given (the classic Lloyd no-members-no-update rule), otherwise
+    the call FAILS FAST — silently compacting positions would route
+    vectors to the wrong cells downstream.
     """
     spark = assigned.sparkSession
     dims = assigned.select(
@@ -343,10 +347,22 @@ def ivf_recenter(
         .collect()
     )
     cent = {int(r[cell_col]): [float(p["mv"]) for p in r["pv"]] for r in crows}
-    cells_sorted = sorted(cent)
-    centroids = np.array([cent[c] for c in cells_sorted], dtype=np.float64)
+    n_cells = (
+        len(old_centroids) if old_centroids is not None else max(cent) + 1
+    )
+    missing = [c for c in range(n_cells) if c not in cent]
+    if missing:
+        if old_centroids is None:
+            raise ValueError(
+                f"cells {missing} have no members and no old_centroids were "
+                f"given to inherit from; positional centroid packing would "
+                f"mis-route every later cell"
+            )
+        for c in missing:
+            cent[c] = [float(x) for x in old_centroids[c]]
+    centroids = np.array([cent[c] for c in range(n_cells)], dtype=np.float64)
     seeds_df = spark.createDataFrame(
-        [(c, cent[c]) for c in cells_sorted], "seed_id int, seed_vec array<double>"
+        [(c, cent[c]) for c in range(n_cells)], "seed_id int, seed_vec array<double>"
     )
     newc = assign_to_centroids(
         assigned, seeds_df, metric=metric, id_col=id_col,

@@ -125,9 +125,11 @@ def tfidf_top_terms(
     broadcast join at runtime when it measures genuinely small. The only
     planner-hinted broadcast is the single-row n_docs aggregate.
     `max_df` optionally drops stopword-frequency terms before the join
-    (the dedup.py `max_shingle_freq` df-cut) — those terms have
-    near-zero idf and can never reach top_k, so the cut is also an
-    output no-op for any max_df > N/e.
+    (the dedup.py `max_shingle_freq` df-cut). NOTE the cut CAN change
+    results, not just shrink work: tfidf = tf * ln(N/df), so a
+    moderate-idf term with a very large tf may sit in a doc's top_k and
+    vanish under the cut — treat max_df as a quality dial (exclude
+    near-stopwords by policy), not a transparent optimization.
     Output (doc_id, term, tfidf, rnk)."""
     from pyspark.sql import Window
 

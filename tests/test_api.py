@@ -147,3 +147,62 @@ def test_snapshot_roundtrip_via_reference_format(spark, vt, tmp_path):
     b = {r["id"]: (r["vector"], json.loads(r["metadata"] or "{}"))
          for r in vt2.table().collect()}
     assert a == b
+
+
+def test_batch_insert_minted_ids_never_collide_with_explicit(spark, vt):
+    rows = spark.createDataFrame(
+        [Row(id=1, vector=[1.0, 0.0]), Row(id=None, vector=[0.0, 1.0]),
+         Row(id=None, vector=[1.0, 1.0])]
+    )
+    out = vt.batch_insert(rows)
+    assert out == {"inserted": 3, "failed": 0}
+    ids = sorted(r["id"] for r in vt.table().collect())
+    assert len(ids) == 3 and len(set(ids)) == 3
+    assert 1 in ids and min(i for i in ids if i != 1) > 1  # minted above
+
+
+def test_batch_insert_null_first_vector_still_partial_success(spark, vt):
+    rows = spark.createDataFrame(
+        [Row(vector=None), Row(vector=[1.0, 2.0])]
+    )
+    out = vt.batch_insert(rows)
+    assert out == {"inserted": 1, "failed": 1}
+    assert vt.meta["dim"] == 2  # inferred from the first NON-null row
+
+
+def test_batch_insert_rejects_intra_batch_duplicate_ids(spark, vt):
+    rows = spark.createDataFrame(
+        [Row(id=5, vector=[1.0]), Row(id=5, vector=[2.0])]
+    )
+    with pytest.raises(ValueError, match="duplicate id"):
+        vt.batch_insert(rows)
+
+
+def test_batch_insert_enforces_capacity(spark, tmp_path):
+    vt = VectorTable.create(spark, str(tmp_path / "cap2"), max_elements=2)
+    rows = spark.createDataFrame(
+        [Row(id=i, vector=[float(i)]) for i in range(4)]
+    )
+    out = vt.batch_insert(rows)
+    assert out == {"inserted": 2, "failed": 2}  # lowest ids admitted
+    assert sorted(r["id"] for r in vt.table().collect()) == [0, 1]
+    # overwriting an EXISTING id at the cap is allowed (doesn't grow)
+    out2 = vt.batch_insert(
+        spark.createDataFrame([Row(id=0, vector=[9.0])])
+    )
+    assert out2 == {"inserted": 1, "failed": 0}
+    assert vt.count() == 2
+    # point insert with a NEW external id at the cap is refused
+    with pytest.raises(RuntimeError, match="full"):
+        vt.insert([7.0], external_id=42)
+    vt.insert([8.0], external_id=1)  # overwrite passes at the cap
+
+
+def test_compact_removes_superseded_generation(spark, vt):
+    import os
+
+    vt.insert([1.0, 2.0])
+    old_dir = vt._log_dir()
+    vt.compact()
+    assert not os.path.exists(old_dir)
+    assert vt.count() == 1

@@ -383,3 +383,27 @@ def test_hnsw_rebalance_touches_only_moved_cells(spark, sf_dir):
     placement = {vid: c for c, r in after.items() for vid in r["ids"]}
     for vid, _o, n in moved:
         assert placement[vid] == n
+
+
+def test_ivf_recenter_empty_cell_inherits_or_fails_fast(spark):
+    """A memberless cell must keep positional == cell id: inherit the
+    old centroid when provided, fail loudly otherwise — never silently
+    compact positions (which would mis-route every later cell)."""
+    import numpy as np
+
+    from hnsw_vector_db_spark.operators.similarity import ivf_recenter
+
+    # cells 0 and 2 populated; cell 1 empty
+    assigned = spark.createDataFrame(
+        [(0, [0.0, 0.0], 0), (1, [1.0, 1.0], 0), (10, [9.0, 9.0], 2)],
+        "vec_id long, embedding array<double>, cell int",
+    )
+    with pytest.raises(ValueError, match="no members"):
+        ivf_recenter(assigned)
+    old = np.array([[0.0, 0.0], [5.0, 5.0], [9.0, 9.0]])
+    moves, cent = ivf_recenter(assigned, old_centroids=old)
+    assert cent.shape == (3, 2)
+    assert list(cent[1]) == [5.0, 5.0]  # inherited, position preserved
+    assert list(cent[2]) == [9.0, 9.0]  # the cell-2 member's own mean
+    got = {r["vec_id"]: r["new_cell"] for r in moves.collect()}
+    assert got[10] == 2  # still routed by true cell id, not position

@@ -178,8 +178,10 @@ def test_tfidf_vocabulary_side_never_hint_broadcast(spark):
 
 
 def test_tfidf_max_df_cut_is_output_noop_when_loose(spark):
-    """Any max_df above N/e only removes terms with idf <= 1-ish that can't
-    win top_k here; with max_df >= N the result is bit-identical."""
+    """With max_df >= N no term is cut, so the result is bit-identical;
+    a tight cut excludes high-df terms by policy (the cut is a quality
+    dial and MAY change results in general — low-idf high-tf terms can
+    hold top_k slots — which is exactly why it is opt-in)."""
     docs = spark.createDataFrame(
         [
             (1, "apple banana apple cherry"),
