@@ -899,16 +899,13 @@ def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoder that makes the whole text -> vector pipeline oracle-checkable.
     Long-form NONZERO components (doc_id, dim_idx, value): bucket sums
     are exact ±1 integers, so the normalized values hash-match
-    bit-for-bit across engines. ORACLE-CHECKED."""
-    emb = text_analysis.hash_embed(_docs(spark, sf_dir), dim=64)
-    return (
-        emb.select("doc_id", F.posexplode("embedding").alias("dim_idx", "value"))
-        .filter(F.col("value") != 0.0)
-        .select(
-            "doc_id",
-            F.col("dim_idx").cast("int").alias("dim_idx"),
-            F.round("value", 6).alias("value"),
-        )
+    bit-for-bit across engines. Computed from the sparse sums
+    (hash_embed_components — exploding the dense arrays re-evaluates the
+    reconstruction per generated row, measured 10x slower).
+    ORACLE-CHECKED."""
+    comps = text_analysis.hash_embed_components(_docs(spark, sf_dir), dim=64)
+    return comps.select(
+        "doc_id", "dim_idx", F.round("value", 6).alias("value")
     )
 
 

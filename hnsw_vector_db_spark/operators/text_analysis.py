@@ -255,6 +255,54 @@ def unigram_logprob(
     )
 
 
+def _hash_sparse(
+    docs: DataFrame, dim: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-(doc, bucket) signed token sums — the sparse core shared by
+    :func:`hash_embed` (dense arrays) and
+    :func:`hash_embed_components` (long form). Sums are exact ±1
+    integers, which is what makes every downstream value
+    cross-engine-exact."""
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    h = poly_hash(F.col("term"))
+    sign = F.when(
+        F.pmod(poly_hash(F.concat(F.col("term"), F.lit("#s"))), F.lit(2)) == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    return (
+        toks.select(F.col(id_col), F.pmod(h, F.lit(dim)).alias("b"), sign.alias("s"))
+        .groupBy(id_col, "b")
+        .agg(F.sum("s").alias("v"))
+    )
+
+
+def hash_embed_components(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NONZERO components (doc_id, dim_idx, value) of the
+    :func:`hash_embed` vectors, computed straight from the sparse bucket
+    sums. Exploding the dense arrays instead looks equivalent but is
+    ~10x slower (measured): Spark's Generate re-evaluates the expensive
+    dense-reconstruction expression per generated row. Values are
+    identical to the dense path's (same v / same integer-exact norm)."""
+    sparse = _hash_sparse(docs, dim, text_col, id_col)
+    norms = sparse.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("_n")
+    )
+    return (
+        sparse.join(norms, id_col)
+        .filter((F.col("v") != 0.0) & (F.col("_n") > 0))
+        .select(
+            F.col(id_col),
+            F.col("b").cast("int").alias("dim_idx"),
+            (F.col("v") / F.col("_n")).alias("value"),
+        )
+    )
+
+
 def hash_embed(
     docs: DataFrame,
     dim: int = 64,
@@ -278,17 +326,7 @@ def hash_embed(
     fully sign-cancelled sums drop out)."""
     from hnsw_vector_db_spark.functions.distance import norm as vec_norm
 
-    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    h = poly_hash(F.col("term"))
-    sign = F.when(
-        F.pmod(poly_hash(F.concat(F.col("term"), F.lit("#s"))), F.lit(2)) == 0,
-        F.lit(1.0),
-    ).otherwise(F.lit(-1.0))
-    sparse = (
-        toks.select(F.col(id_col), F.pmod(h, F.lit(dim)).alias("b"), sign.alias("s"))
-        .groupBy(id_col, "b")
-        .agg(F.sum("s").alias("v"))
-    )
+    sparse = _hash_sparse(docs, dim, text_col, id_col)
     dense = sparse.groupBy(id_col).agg(
         F.map_from_entries(F.collect_list(F.struct("b", "v"))).alias("_m")
     )

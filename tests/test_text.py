@@ -329,3 +329,25 @@ def test_hash_embed_similarity_orders_by_token_overlap(spark):
                      vector_col="embedding").collect()
     assert hits[0]["doc_id"] == 1
     assert hits[0]["dist"] < hits[1]["dist"]
+
+
+def test_hash_embed_components_match_dense_nonzero(spark):
+    """The sparse long form must equal the dense vectors' nonzero
+    entries exactly (same v / same integer-exact norm) — it exists only
+    because exploding the dense arrays re-evaluates the reconstruction
+    per generated row (~10x slower, measured)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    dense = {
+        (r["doc_id"], i): v
+        for r in TA.hash_embed(docs, dim=32).collect()
+        for i, v in enumerate(r["embedding"])
+        if v != 0.0
+    }
+    comp = {
+        (r["doc_id"], r["dim_idx"]): r["value"]
+        for r in TA.hash_embed_components(docs, dim=32).collect()
+    }
+    assert comp == dense
