@@ -122,3 +122,41 @@ def test_full_outer_is_hash_join(spark, qs):
     plan = physical_plan(qs["nation_balance_fo"](spark, SF))
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rag_search_is_take_ordered(spark, qs):
+    """The end-to-end text->embed->search pipeline must still terminate
+    in TakeOrderedAndProject (never a global sort) — the embedding
+    construction composes underneath the same top-k physical strategy
+    as plain knn."""
+    assert has_take_ordered(qs["rag_search"](spark, SF))
+    assert_no_cartesian(qs["hash_embed"](spark, SF))
+
+
+def test_funnel_single_exchange_on_events_key(spark, qs):
+    """The 3-step funnel's chained windows + per-key collapse share ONE
+    Exchange on the user key (the whole point of the window
+    formulation)."""
+    plan = physical_plan(qs["funnel_steps"](spark, SF))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_cohort_retention_has_no_join(spark, qs):
+    """The first-signup timestamp comes from a window over the events'
+    own key partitioning — the join-back formulation measured 31x slower
+    at 64x and must not regress back in."""
+    plan = physical_plan(qs["cohort_retention"](spark, SF))
+    assert "Join" not in plan, plan
+
+
+def test_unigram_vocab_join_not_on_raw_tokens(spark, qs):
+    """The vocabulary joins against per-doc TERM FREQUENCIES, not the
+    raw token stream: the tf-side aggregate must sit BELOW the term join
+    in the plan (the 15x fix measured at 64x)."""
+    plan = physical_plan(qs["unigram_logprob"](spark, SF))
+    lines = plan.splitlines()
+    joins = [i for i, ln in enumerate(lines) if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln]
+    aggs = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
+    assert joins and aggs
+    # at least one aggregate below (larger line index than) the last join
+    assert max(aggs) > max(joins), plan
