@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hnsw_vector_db_spark.functions.text import HASH_MOD, minhash_params, poly_hash
@@ -85,6 +85,40 @@ def q_knn_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = knn_batch_twophase(queries, emb, k=5, metric="cosine")
     return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"), "rank")
+
+
+def q_knn_plan_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Catalyst-style optimizer rule end-to-end (SURVEY §4 item 3):
+    build the NAIVE crossJoin + row_number()<=k kNN plan, let
+    ``rewrite_knn_topk`` recognize it from the analyzed logical plan and
+    replan it through ``knn_auto`` (broadcast queries / two-phase BLAS —
+    never a cross join), and return the rewritten result. The oracle is
+    the same naive SQL as ``knn_batch`` — the rewrite must be invisible
+    in the output. Raises if the pattern fails to match (the rewrite
+    firing IS the point of the entry)."""
+    from hnsw_vector_db_spark.functions.distance import distance
+    from hnsw_vector_db_spark.plans.rewrite import rewrite_knn_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    naive = (
+        queries.crossJoin(emb)
+        .withColumn("dist", distance(F.col("query_vec"), F.col("embedding"), "cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "dist", "rank")
+    )
+    rewritten = rewrite_knn_topk(naive)
+    if rewritten is None:
+        raise AssertionError("naive kNN plan did not match the rewrite rule")
+    return rewritten.select(
+        "query_id", "vec_id", F.round("dist", 6).alias("dist"), "rank"
+    )
 
 
 def q_knn_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1898,9 +1932,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r2-green + 3 r3-green rows); entries past 50 all have green rows
     # from r3/r4 (CORRECTNESS_r03/r04.json).
     return {
-        # -- NEW in r5 (9): filtered ANN, HNSW at the >=0.9 recall bar,
+        # -- NEW in r5: filtered ANN, HNSW at the >=0.9 recall bar,
         # sequential funnel + cohort retention, unigram-LM quality score,
-        # Lloyd recentering + index rebalance, quality-aware dedup -------
+        # Lloyd recentering + index rebalance, quality-aware dedup,
+        # the naive-kNN Catalyst-style plan rewrite ----------------------
+        "knn_plan_rewrite": q_knn_plan_rewrite,
         "hnsw_recall_target": q_hnsw_recall_target,
         "ivf_filtered": q_ivf_filtered,
         "hnsw_filtered_recall": q_hnsw_filtered_recall,
@@ -2528,6 +2564,8 @@ SELECT query_id, vec_id, dist, rank::INTEGER AS rank FROM scored WHERE rank <= 5
 
     # the two-phase plan computes the SAME function -> same oracle
     sql["knn_twophase"] = sql["knn_batch"]
+    # the rewrite must be invisible in the output: same naive-kNN oracle
+    sql["knn_plan_rewrite"] = sql["knn_batch"]
 
     sql["knn_metadata"] = f"""
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
