@@ -87,6 +87,44 @@ def q_knn_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("dist", 6).alias("dist"), "rank")
 
 
+def q_vectorflow_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot codec as a REGISTERED Spark source/sink
+    (``format("vectorflow")``, PySpark 4 Python DataSource API): export
+    the embeddings table through ``df.write.format("vectorflow")`` (per-
+    task staged spills, driver-side assembly of the reference's layout,
+    `core/storage/engine.py:19-66`), read it back through
+    ``spark.read.format("vectorflow")`` (driver parses only the msgpack
+    topology; executors seek-read contiguous slabs of vectors.bin), and
+    emit the same hash row as snapshot_roundtrip — codec fidelity loss
+    breaks the hash."""
+    import tempfile
+    import warnings
+
+    from hnsw_vector_db_spark.functions.distance import norm
+    from hnsw_vector_db_spark.sources.vectorflow_datasource import register
+
+    register(spark)
+    emb = _emb(spark, sf_dir)
+    vectors = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+        F.to_json(F.struct("label")).alias("metadata"),
+    )
+    work = tempfile.mkdtemp(prefix="vf_ds_")
+    with warnings.catch_warnings():
+        # the vectors-only-adjacency warning is the point of this entry:
+        # we re-read vectors, not topology
+        warnings.simplefilter("ignore")
+        vectors.write.format("vectorflow").mode("overwrite").save(work)
+    back = spark.read.format("vectorflow").option("numPartitions", "8").load(work)
+    return back.select(
+        F.col("id").alias("vec_id"),
+        F.size("vector").alias("dim"),
+        F.round(norm("vector"), 6).alias("norm"),
+        F.get_json_object("metadata", "$.label").cast("int").alias("label"),
+    )
+
+
 def q_knn_plan_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Catalyst-style optimizer rule end-to-end (SURVEY §4 item 3):
     build the NAIVE crossJoin + row_number()<=k kNN plan, let
@@ -1937,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Lloyd recentering + index rebalance, quality-aware dedup,
         # the naive-kNN Catalyst-style plan rewrite ----------------------
         "knn_plan_rewrite": q_knn_plan_rewrite,
+        "vectorflow_scan": q_vectorflow_scan,
         "hnsw_recall_target": q_hnsw_recall_target,
         "ivf_filtered": q_ivf_filtered,
         "hnsw_filtered_recall": q_hnsw_filtered_recall,
@@ -2701,6 +2740,8 @@ SELECT vec_id, len(embedding)::INTEGER AS dim,
        label::INTEGER AS label
 FROM embeddings
 """.strip()
+    # datasource roundtrip: same fidelity contract as snapshot_roundtrip
+    sql["vectorflow_scan"] = sql["snapshot_roundtrip"]
 
     # ADC over the seed codebook is deterministic end to end: same codes
     # (pq_encode CTE), same per-(m, code) query-block LUT, same sqrt-sum.

@@ -265,7 +265,7 @@ def read_snapshot_vectors(spark: SparkSession, path: str) -> DataFrame:
                 nid,
                 [float(x) for x in X[nd["vector_offset"]]],
                 int(nd["level"]),
-                json.dumps(md) if md is not None else None,
+                json.dumps(md, separators=(",", ":")) if md is not None else None,
             )
         )
     return spark.createDataFrame(
