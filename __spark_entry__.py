@@ -926,9 +926,10 @@ def q_api_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_json(F.struct("label")).alias("metadata"),
         )
         r = vt.batch_insert(rows)
+        c0 = vt.count()
         checks = [
             ("batch_insert", int(r["inserted"]), r["inserted"] == n0 and r["failed"] == 0),
-            ("count", vt.count(), vt.count() == n0),
+            ("count", c0, c0 == n0),
         ]
         qv = _query_vec(spark, sf_dir)
         hits = vt.search(qv, k=5).collect()
@@ -950,11 +951,11 @@ def q_api_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         checks.append(("filtered_search", len(filtered), bool(filtered) and even_ok))
         vid = vt.insert(qv, metadata={"src": "api"})
-        checks.append(("point_insert", int(vid), vid == n0 and vt.count() == n0 + 1))
+        c1 = vt.count()
+        checks.append(("point_insert", int(vid), vid == n0 and c1 == n0 + 1))
         deleted = vt.delete([vid])
-        checks.append(
-            ("delete", int(deleted), deleted == 1 and vt.count() == n0)
-        )
+        c2 = vt.count()
+        checks.append(("delete", int(deleted), deleted == 1 and c2 == n0))
         return spark.createDataFrame(
             checks, "step string, detail long, ok boolean"
         )
@@ -1046,6 +1047,16 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "funnel_seconds",
         "completed",
     )
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (tf-weighted mean -ln P(b|a) under corpus
+    MLE conditionals) — one order up from unigram_logprob; catches
+    shuffled-word/template noise unigram stats miss. Both probability
+    joins shuffle on their keys (bigram vocabularies are strictly bigger
+    than unigram ones — the exact anti-broadcast case). ORACLE-CHECKED
+    exactly."""
+    return text_analysis.bigram_logprob(_docs(spark, sf_dir))
 
 
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1981,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_filtered_recall": q_hnsw_filtered_recall,
         "funnel_steps": q_funnel_steps,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
         "ivf_recenter": q_ivf_recenter,
         "hnsw_rebalance": q_hnsw_rebalance,
         "cohort_retention": q_cohort_retention,
@@ -2901,6 +2913,26 @@ SELECT t.doc_id, sum(t.tf)::BIGINT AS n_tokens,
        round(sum(t.tf * (-ln(uv.cnt / ut.total))) / sum(t.tf), 6) + 0
          AS avg_neg_logprob
 FROM utf t JOIN uv USING (term) CROSS JOIN ut
+GROUP BY t.doc_id
+""".strip()
+    sql["bigram_logprob"] = """
+WITH btoks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks FROM documents),
+bg AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+         ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+    END) AS bigram
+  FROM btoks
+),
+btf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY doc_id, bigram),
+bc AS (SELECT bigram, sum(tf) AS cnt FROM btf GROUP BY bigram),
+cx AS (SELECT string_split(bigram, ' ')[1] AS ctx, sum(cnt)::DOUBLE AS ctx_cnt FROM bc GROUP BY 1)
+SELECT t.doc_id, sum(t.tf)::BIGINT AS n_bigrams,
+       round(sum(t.tf * (-ln(bc.cnt / cx.ctx_cnt))) / sum(t.tf), 6) + 0
+         AS avg_neg_logprob
+FROM btf t
+JOIN bc USING (bigram)
+JOIN cx ON string_split(t.bigram, ' ')[1] = cx.ctx
 GROUP BY t.doc_id
 """.strip()
 

@@ -96,6 +96,9 @@ HEADLINE += [
     "api_lifecycle",
     "hash_embed",
     "rag_search",
+    "knn_plan_rewrite",
+    "vectorflow_scan",
+    "bigram_logprob",
 ]
 
 

@@ -220,18 +220,26 @@ class VectorTable:
                 f"duplicate id {dup[0]['id']} within one batch: last-write-"
                 f"wins is undefined inside a single version — split the batch"
             )
-        valid, rejects = validate_vectors(src, self.meta["dim"], "vector")
-        n_failed = rejects.count()
+        n_src = src.count()
+        valid, _rejects = validate_vectors(src, self.meta["dim"], "vector")
+        # one agg answers three questions the old code asked with three
+        # jobs: how many valid, how many need minted ids, and the largest
+        # explicit id (max(id) ignores the minted rows' nulls)
+        n_valid, n_new, batch_max = valid.agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("id").isNull().cast("long")),
+            F.max("id"),
+        ).first()
+        n_valid, n_new = int(n_valid or 0), int(n_new or 0)
+        n_failed = n_src - n_valid
         # mint ids for id-less rows STRICTLY above every id in play
         need_ids = valid.filter(F.col("id").isNull())
         have_ids = valid.filter(F.col("id").isNotNull())
-        n_new = need_ids.count()
+        start = max(
+            self.meta["next_id"],
+            (int(batch_max) + 1) if batch_max is not None else 0,
+        )
         if n_new:
-            batch_max = have_ids.agg(F.max("id")).first()[0]
-            start = max(
-                self.meta["next_id"],
-                (int(batch_max) + 1) if batch_max is not None else 0,
-            )
             w = Window.orderBy(F.monotonically_increasing_id())
             need_ids = need_ids.withColumn(
                 "id", F.row_number().over(w) + F.lit(start - 1)
@@ -244,10 +252,13 @@ class VectorTable:
         growing = batch.join(current, "id", "left_anti")
         replacing = batch.join(current, "id", "left_semi")
         room = max(self.meta["max_elements"] - n_current, 0)
+        n_overflow = max(growing.count() - room, 0)
         wr = Window.orderBy(F.col("id"))
-        ranked = growing.withColumn("_rn", F.row_number().over(wr))
-        admitted = ranked.filter(F.col("_rn") <= room).drop("_rn")
-        n_overflow = ranked.filter(F.col("_rn") > room).count()
+        admitted = (
+            growing.withColumn("_rn", F.row_number().over(wr))
+            .filter(F.col("_rn") <= room)
+            .drop("_rn")
+        )
         batch = replacing.unionByName(admitted)
         self.meta["version"] += 1
         out = batch.select(
@@ -257,11 +268,17 @@ class VectorTable:
             F.lit(self.meta["version"]).alias("_version"),
             F.lit("upsert").alias("_op"),
         )
-        n_ok = out.count()
+        n_ok = n_valid - n_overflow
         self._append(out)
-        max_id = batch.agg(F.max("id")).first()[0]
-        if max_id is not None:
-            self.meta["next_id"] = max(self.meta["next_id"], int(max_id) + 1)
+        # next_id advances past every id the batch NAMED (admitted or not:
+        # an id refused for capacity must not be re-minted later) and past
+        # the minted block — the reference's current_id counter likewise
+        # only grows and tolerates holes (`graph.py:131-136`)
+        top = start + n_new - 1 if n_new else (batch_max if batch_max is not None else None)
+        if batch_max is not None:
+            top = max(int(top), int(batch_max))
+        if top is not None:
+            self.meta["next_id"] = max(self.meta["next_id"], int(top) + 1)
         self._save_meta()
         return {"inserted": n_ok, "failed": n_failed + n_overflow}
 
