@@ -255,6 +255,65 @@ def unigram_logprob(
     )
 
 
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram language-model quality score: per document, the tf-weighted
+    mean negative log of the corpus MLE conditional P(b|a) =
+    c(a,b) / c(a, ·) over the document's bigram instances — one order up
+    from :func:`unigram_logprob`, sharper at catching shuffled-word and
+    template noise that unigram statistics miss. No smoothing: every
+    scored bigram was observed in the corpus, so the MLE is finite and
+    exactly reproducible cross-engine.
+
+    Scale shape (the unigram lesson applied): bigram instances collapse
+    to per-doc BIGRAM FREQUENCIES first; corpus bigram counts aggregate
+    from that tf table, and context counts c(a, ·) aggregate from the
+    bigram counts (never a second pass over the token stream). Both
+    probability joins are SHUFFLES on their keys (bigram, then context
+    token) with no broadcast hint — bigram vocabularies are strictly
+    larger than unigram ones, the exact case where a forced broadcast
+    dies at 100 TB; AQE still promotes small corpora at runtime. Docs
+    with fewer than two tokens have no bigrams and drop out, same as
+    zero-token docs under unigram. Output (doc_id, n_bigrams,
+    avg_neg_logprob), oracle-checked exactly."""
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("toks"))
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.zip_with(
+                    F.expr("slice(toks, 1, size(toks) - 1)"),
+                    F.expr("slice(toks, 2, size(toks) - 1)"),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    tf = pairs.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("tf"))
+    bcnt = tf.groupBy("bigram").agg(F.sum("tf").alias("cnt"))
+    ctx = (
+        bcnt.withColumn("ctx", F.split("bigram", " ").getItem(0))
+        .groupBy("ctx")
+        .agg(F.sum("cnt").alias("ctx_cnt"))
+    )
+    scored = (
+        tf.withColumn("ctx", F.split("bigram", " ").getItem(0))
+        .join(bcnt, "bigram")
+        .join(ctx, "ctx")
+        .withColumn("_nlp", -F.log(F.col("cnt") / F.col("ctx_cnt")))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.round(F.sum(F.col("tf") * F.col("_nlp")) / F.sum("tf"), 6).alias(
+            "avg_neg_logprob"
+        ),
+    )
+
 def _hash_sparse(
     docs: DataFrame, dim: int, text_col: str, id_col: str
 ) -> DataFrame:

@@ -246,6 +246,52 @@ def test_unigram_vocab_side_never_hint_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+# ---- bigram LM quality -----------------------------------------------------
+
+def test_bigram_logprob_known_values(spark):
+    """Hand-computed MLE conditionals; docs with < 2 tokens drop out."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "a c"), (4, "x")],
+        "doc_id long, text string",
+    )
+    # bigram counts: (a b)=3, (b a)=1, (a c)=1; context counts: a.=4, b.=1
+    out = {r["doc_id"]: r for r in TA.bigram_logprob(docs).collect()}
+    p_ab, p_ba, p_ac = 3 / 4, 1 / 1, 1 / 4
+    exp1 = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["avg_neg_logprob"] - round(exp1, 6)) < 1e-9
+    assert abs(out[2]["avg_neg_logprob"] - round(-math.log(p_ab), 6)) < 1e-9
+    assert abs(out[3]["avg_neg_logprob"] - round(-math.log(p_ac), 6)) < 1e-9
+    assert 4 not in out  # a single-token doc has no bigrams
+    # rare continuation scores worse than the stereotypical one
+    assert out[3]["avg_neg_logprob"] > out[2]["avg_neg_logprob"]
+
+
+def test_bigram_joins_never_hint_broadcast(spark):
+    """Bigram vocabularies are strictly larger than unigram ones — the
+    probability joins must plan as shuffles, with NO hinted broadcast
+    anywhere (there is no single-row side in this operator)."""
+    from hnsw_vector_db_spark.plans.explain import (
+        broadcast_join_count,
+        physical_plan,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+        )
+        out = TA.bigram_logprob(docs)
+        plan = physical_plan(out)
+        assert broadcast_join_count(out) == 0, plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 # ---- BM25 ------------------------------------------------------------------
 
 def test_bm25_golden_values(spark):
