@@ -294,24 +294,33 @@ def bigram_logprob(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("bigram"),
     )
-    tf = pairs.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("tf"))
-    bcnt = tf.groupBy("bigram").agg(F.sum("tf").alias("cnt"))
+    # NO per-doc tf collapse here — the inverse of the unigram lesson,
+    # measured at 64x corpus replication (BASELINE.md): bigrams rarely
+    # repeat WITHIN a doc, so groupBy(doc, bigram) is a full-stream
+    # shuffle that shrinks nothing and then feeds two more stream-sized
+    # shuffles. Collapse only when the key actually collapses. Corpus
+    # counts instead aggregate straight off the instance stream, where
+    # partial aggregation does the shrinking (every corpus-repeated
+    # bigram combines map-side), and the stream crosses the network for
+    # exactly one join; the per-doc mean then partial-aggregates on
+    # doc_id into a tiny final shuffle.
+    bcnt = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
     ctx = (
         bcnt.withColumn("ctx", F.split("bigram", " ").getItem(0))
         .groupBy("ctx")
         .agg(F.sum("cnt").alias("ctx_cnt"))
     )
-    scored = (
-        tf.withColumn("ctx", F.split("bigram", " ").getItem(0))
-        .join(bcnt, "bigram")
+    # context counts fold into the VOCABULARY (both sides vocab-sized)
+    bstats = (
+        bcnt.withColumn("ctx", F.split("bigram", " ").getItem(0))
         .join(ctx, "ctx")
         .withColumn("_nlp", -F.log(F.col("cnt") / F.col("ctx_cnt")))
+        .select("bigram", "_nlp")
     )
+    scored = pairs.join(bstats, "bigram")
     return scored.groupBy(id_col).agg(
-        F.sum("tf").alias("n_bigrams"),
-        F.round(F.sum(F.col("tf") * F.col("_nlp")) / F.sum("tf"), 6).alias(
-            "avg_neg_logprob"
-        ),
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("_nlp") / F.count(F.lit(1)), 6).alias("avg_neg_logprob"),
     )
 
 def _hash_sparse(
