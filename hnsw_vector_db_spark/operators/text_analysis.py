@@ -280,19 +280,12 @@ def bigram_logprob(
     with fewer than two tokens have no bigrams and drop out, same as
     zero-token docs under unigram. Output (doc_id, n_bigrams,
     avg_neg_logprob), oracle-checked exactly."""
+    from hnsw_vector_db_spark.functions.text import word_ngrams
+
     toks = docs.select(F.col(id_col), tokens(text_col).alias("toks"))
     pairs = toks.select(
         F.col(id_col),
-        F.explode(
-            F.when(
-                F.size("toks") >= 2,
-                F.zip_with(
-                    F.expr("slice(toks, 1, size(toks) - 1)"),
-                    F.expr("slice(toks, 2, size(toks) - 1)"),
-                    lambda a, b: F.concat_ws(" ", a, b),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("bigram"),
+        F.explode(word_ngrams(F.col("toks"), 2)).alias("bigram"),
     )
     # NO per-doc tf collapse here — the inverse of the unigram lesson,
     # measured at 64x corpus replication (BASELINE.md): bigrams rarely

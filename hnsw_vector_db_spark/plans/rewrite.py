@@ -6,7 +6,10 @@ the Spark idiom is the opposite — a QUERY SHAPE is recognized and replanned
 by the optimizer. Python cannot register a JVM Catalyst rule, so this module
 does the same match-and-rebuild one level up: walk the ANALYZED logical plan
 via py4j, recognize the naive kNN pattern, and re-emit the computation
-through :func:`~hnsw_vector_db_spark.operators.knn.knn_auto` on DataFrames
+through :func:`~hnsw_vector_db_spark.operators.knn.knn_batch` (default; same
+SQL expressions, so every null/zero-norm edge behaves identically) or
+:func:`~.knn.knn_auto` (opt-in ``strategy="auto"``, two-phase BLAS at scale
+— numpy-path caveats disclosed on :func:`rewrite_knn_topk`) on DataFrames
 rebuilt from the join's own subtrees (``Dataset.ofRows``), so the inputs are
 the byte-identical plans and only the physical strategy changes.
 
@@ -28,11 +31,12 @@ ties make its output nondeterministic, and the rewrite resolves them by id
 (one of the naive plan's valid executions).
 
 Why rewrite at all: the naive plan shuffles Q·N joined rows into the window
-(bounded only by WindowGroupLimit's partial top-k), while ``knn_auto``
-broadcasts the query side so the corpus never moves, and above ~5e6
-candidate pairs switches to the two-phase BLAS path whose shuffle is
-Q·k·partitions — corpus-size-independent.  At 100 TB the naive form is a
-cross join over the whole corpus; the rewritten form is a scan.
+(bounded only by WindowGroupLimit's partial top-k), while the rewrite
+broadcasts the query side so the corpus never moves; ``strategy="auto"``
+additionally switches above ~5e6 candidate pairs to the two-phase BLAS path
+whose shuffle is Q·k·partitions — corpus-size-independent.  At 100 TB the
+naive form is a cross join over the whole corpus; the rewritten form is a
+scan.
 """
 
 from __future__ import annotations
@@ -101,9 +105,10 @@ class _Match:
     qvec: str
     id: str
     vec: str
-    dist_name: str
-    rank_name: str | None
-    out_cols: list[str]
+    # output projection as (role, name) pairs, role in qid/id/dist/rank —
+    # roles are resolved by exprId, never by name, so an id column that
+    # happens to be NAMED "dist" can't be mistaken for the distance
+    out_spec: list
     left_plan: object
     right_plan: object
 
@@ -136,7 +141,12 @@ def match_naive_knn(df: DataFrame):  # -> _Match | None
     if not isinstance(kv, int):
         return None
     k = kv if ccls == "LessThanOrEqual" else kv - 1
-    if k < 1:
+    from hnsw_vector_db_spark.operators.table import MAX_K
+
+    # outside the engine's request contract (k in [1, MAX_K],
+    # `api/rest/server.py:33`) the naive plan is left untouched — an
+    # optimizer rule must never turn a working plan into an exception
+    if k < 1 or k > MAX_K:
         return None
     rank_attr = cond.left()
 
@@ -202,7 +212,6 @@ def match_naive_knn(df: DataFrame):  # -> _Match | None
 
     # id: the second sort key and/or the right-side attr in the output
     out_attrs = _seq(root.output())
-    by_id = {a.exprId().id(): a for a in out_attrs}
     id_attr = tie_attr
     for a in out_attrs:
         if rset.contains(a) and a.exprId().id() != vec_attr.exprId().id():
@@ -221,10 +230,19 @@ def match_naive_knn(df: DataFrame):  # -> _Match | None
     }
     if any(a.exprId().id() not in allowed for a in out_attrs):
         return None
-    rank_name = by_id.get(rank_attr.exprId().id())
-    names = [qid_attr.name(), qvec_attr.name(), id_attr.name(), vec_attr.name()]
-    if len(set(names)) != 4:
-        return None  # name-based rebuild needs unambiguous columns
+    # the rebuild selects by NAME within each join side (then renames to
+    # sanitized internals), so only same-side collisions are ambiguous;
+    # queries.crossJoin(vectors) with both sides carrying an "id" column
+    # is fine
+    if qid_attr.name() == qvec_attr.name() or id_attr.name() == vec_attr.name():
+        return None
+    role_by_id = {
+        qid_attr.exprId().id(): "qid",
+        id_attr.exprId().id(): "id",
+        dist_attr.exprId().id(): "dist",
+        rank_attr.exprId().id(): "rank",
+    }
+    out_spec = [(role_by_id[a.exprId().id()], a.name()) for a in out_attrs]
 
     # metric: the dist expression must be one of our builder shapes
     from hnsw_vector_db_spark.functions.distance import METRICS, distance
@@ -255,49 +273,62 @@ def match_naive_knn(df: DataFrame):  # -> _Match | None
         qvec=qvec_attr.name(),
         id=id_attr.name(),
         vec=vec_attr.name(),
-        dist_name=by_id[dist_attr.exprId().id()].name()
-        if dist_attr.exprId().id() in by_id
-        else "dist",
-        rank_name=rank_name.name() if rank_name is not None else None,
-        out_cols=[a.name() for a in out_attrs],
+        out_spec=out_spec,
         left_plan=left,
         right_plan=right,
     )
 
 
-def rewrite_knn_topk(df: DataFrame, **knn_kw) -> DataFrame | None:
-    """Rewrite a naive crossJoin+rank kNN DataFrame through ``knn_auto``.
+def rewrite_knn_topk(
+    df: DataFrame, strategy: str = "batch", **knn_kw
+) -> DataFrame | None:
+    """Rewrite a naive crossJoin+rank kNN DataFrame; None when no match.
 
-    Returns the rewritten DataFrame (same columns, same rows), or None when
-    the plan doesn't match. ``knn_kw`` forwards to ``knn_auto`` (e.g.
-    ``approx=True``, ``corpus_rows=...``)."""
+    ``strategy="batch"`` (default) replans through ``knn_batch``:
+    broadcast queries + WindowGroupLimit over the SAME distance
+    expressions and window the naive plan used, so null vectors,
+    zero-norm cosine guards, and every SQL edge behave bit-identically —
+    the rewrite is observable only in the physical plan (and in tie
+    order, resolved by id, one of the naive plan's valid executions).
+
+    ``strategy="auto"`` replans through ``knn_auto``, which above ~5e6
+    candidate pairs switches to the two-phase BLAS path (shuffle bounded
+    by Q*k*partitions instead of Q*N). DISCLOSED semantic edges of that
+    numpy path vs the naive SQL: rows with null vectors error instead of
+    ranking nulls-first, and all-zero cosine vectors score the guard
+    value 1.0 instead of null. Opt in when the corpus is clean (the
+    validate_vectors gate) and the scale win matters. ``knn_kw``
+    forwards (e.g. ``approx=True``, ``corpus_rows=...``)."""
+    if strategy not in ("batch", "auto"):
+        raise ValueError(f"strategy must be 'batch' or 'auto', got {strategy!r}")
     m = match_naive_knn(df)
     if m is None:
         return None
-    from hnsw_vector_db_spark.operators.knn import knn_auto
+    from hnsw_vector_db_spark.operators.knn import knn_auto, knn_batch
 
     spark = df.sparkSession
-    queries = _of_rows(spark, m.left_plan).select(m.qid, m.qvec)
-    corpus = _of_rows(spark, m.right_plan).select(m.id, m.vec)
-    res = knn_auto(
+    # sanitized internal names: a user column named "dist"/"rank" must not
+    # collide with the kNN operators' own output columns
+    queries = _of_rows(spark, m.left_plan).select(
+        F.col(m.qid).alias("__rw_qid__"), F.col(m.qvec).alias("__rw_qvec__")
+    )
+    corpus = _of_rows(spark, m.right_plan).select(
+        F.col(m.id).alias("__rw_id__"), F.col(m.vec).alias("__rw_vec__")
+    )
+    fn = knn_batch if strategy == "batch" else knn_auto
+    res = fn(
         queries,
         corpus,
         k=m.k,
         metric=m.metric,
-        query_id_col=m.qid,
-        query_vec_col=m.qvec,
-        id_col=m.id,
-        vector_col=m.vec,
+        query_id_col="__rw_qid__",
+        query_vec_col="__rw_qvec__",
+        id_col="__rw_id__",
+        vector_col="__rw_vec__",
         **knn_kw,
     )
-    picks = []
-    for name in m.out_cols:
-        if name == m.dist_name:
-            picks.append(F.col("dist").alias(name))
-        elif m.rank_name is not None and name == m.rank_name:
-            picks.append(F.col("rank").alias(name))
-        else:
-            picks.append(F.col(name))
+    col_src = {"qid": "__rw_qid__", "id": "__rw_id__", "dist": "dist", "rank": "rank"}
+    picks = [F.col(col_src[role]).alias(name) for role, name in m.out_spec]
     return res.select(*picks)
 
 

@@ -193,6 +193,17 @@ class VectorFlowWriter(DataSourceWriter):
         pid = TaskContext.get().partitionId()
         ids, levels, vecs, meta = [], [], [], {}
         for row in iterator:
+            # fail fast: a single partition past the cap proves the table
+            # can't fit the format — stop before spilling the rest (the
+            # cross-partition total is still enforced at commit, which a
+            # many-small-partitions write only reaches after staging)
+            if len(ids) >= self.max_elements:
+                raise ValueError(
+                    f"partition {pid} alone exceeds max_elements="
+                    f"{self.max_elements} (the reference's one-process "
+                    "capacity, core/hnsw/graph.py:54); a table this size "
+                    "belongs in parquet"
+                )
             ids.append(int(row["id"]))
             levels.append(
                 int(row["level"])

@@ -158,6 +158,52 @@ def test_non_matching_plans_pass_through(spark, queries, corpus):
     assert with_knn_rewrite(by_rank) is by_rank
 
 
+def test_output_roles_resolved_by_exprid_not_name(spark, queries):
+    """An id column literally NAMED 'dist', with the distance column
+    dropped from the output, must keep its id values — roles are bound
+    by exprId, so the name collision is harmless."""
+    corpus = spark.range(50).select(
+        F.col("id").alias("dist"),
+        F.array(*[(F.col("id") * (i + 1)).cast("double") for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("dist").asc())
+    naive = (
+        queries.crossJoin(corpus)
+        .withColumn("d", distance("query_vec", "embedding", "euclidean"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "dist")
+    )
+    rw = rewrite_knn_topk(naive)
+    assert rw is not None
+    assert sorted(map(tuple, rw.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_k_outside_request_contract_passes_through(queries, corpus):
+    """k > MAX_K is outside the engine's request contract — the rule must
+    leave the working naive plan untouched, never raise."""
+    w = Window.partitionBy("query_id").orderBy("d")
+    naive = (
+        queries.crossJoin(corpus)
+        .withColumn("d", distance("query_vec", "embedding", "euclidean"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 1500)
+        .select("query_id", "vec_id", "d")
+    )
+    assert match_naive_knn(naive) is None
+    assert with_knn_rewrite(naive) is naive
+
+
+def test_auto_strategy_and_invalid_strategy(queries, corpus):
+    naive = _naive(queries, corpus, "euclidean", k=4)
+    auto = rewrite_knn_topk(naive, strategy="auto")
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, naive.collect()))
+    with pytest.raises(ValueError, match="strategy"):
+        rewrite_knn_topk(naive, strategy="nope")
+
+
 def test_with_knn_rewrite_rewrites_when_matched(queries, corpus):
     naive = _naive(queries, corpus, "euclidean")
     out = with_knn_rewrite(naive)
