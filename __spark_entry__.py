@@ -125,6 +125,41 @@ def q_vectorflow_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scale_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale linter (plans/lint.py) run over ten flagship queries —
+    PLAN-ONLY, zero Spark jobs beyond building the frames: each row pins
+    (query, n_errors, ok). ok is the always-true-when-correct boolean
+    (zero error-level findings: no cartesian products, no row-Python
+    UDFs, no broadcast() hints over unfiltered keyed aggregates — the
+    class of defect rounds 3-5 each caught by hand, now executable).
+    Rows-only: findings are engine-specific by nature. Warning-level
+    findings (deliberate bounded broadcasts, join-strategy choices) are
+    deliberately NOT pinned — they vary with planner statistics."""
+    from hnsw_vector_db_spark.plans.lint import lint_plan
+
+    names = [
+        "knn_cosine",
+        "knn_batch",
+        "bm25_topk",
+        "tfidf_top_terms",
+        "unigram_logprob",
+        "bigram_logprob",
+        "pricing_summary",
+        "minhash_lsh_neardup",
+        "knn_plan_rewrite",
+        "decontaminate",
+    ]
+    qs = queries()
+    rows = []
+    for name in names:
+        findings = lint_plan(qs[name](spark, sf_dir))
+        n_err = sum(1 for f in findings if f.level == "error")
+        rows.append((name, n_err, n_err == 0))
+    return spark.createDataFrame(
+        rows, "query string, n_errors int, ok boolean"
+    ).orderBy("query")
+
+
 def q_knn_plan_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Catalyst-style optimizer rule end-to-end (SURVEY §4 item 3):
     build the NAIVE crossJoin + row_number()<=k kNN plan, let
@@ -1987,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the naive-kNN Catalyst-style plan rewrite ----------------------
         "knn_plan_rewrite": q_knn_plan_rewrite,
         "vectorflow_scan": q_vectorflow_scan,
+        "scale_lint": q_scale_lint,
         "hnsw_recall_target": q_hnsw_recall_target,
         "ivf_filtered": q_ivf_filtered,
         "hnsw_filtered_recall": q_hnsw_filtered_recall,

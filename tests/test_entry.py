@@ -49,6 +49,7 @@ def test_oracle_keys_subset_of_queries():
         "hnsw_rebalance",
         "api_lifecycle",
         "sketch_accuracy",
+        "scale_lint",
     }
 
 
