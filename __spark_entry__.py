@@ -361,6 +361,13 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (trailing-90-day per-customer revenue) —
+    the frame-by-order-value window feature; one custkey shuffle, no
+    self-join. ORACLE-CHECKED against DuckDB's RANGE frame."""
+    return relational.rolling_revenue(load_table(spark, sf_dir, "orders"))
+
+
 def q_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.customer_order_ranks(load_table(spark, sf_dir, "orders"))
 
@@ -560,6 +567,44 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lang.filter(F.col("pred_lang") == "en").select("doc_id"), "doc_id", "left_semi")
         .filter(F.col("quality") >= 0.5)
         .select("doc_id", "n_tokens", "quality")
+    )
+
+
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM event-time join run to completion (two file-source
+    streams -> watermarked range join -> append-mode memory sink): every
+    (view, click) pair by the same user with the click inside the
+    30-minute attribution window. The oracle is the equivalent BATCH
+    range join — stream == batch on the same rows. State is evicted by
+    watermark + window, so the join holds (rate x horizon) rows, never
+    history (`streaming/joins.py`). The reference's only join is a
+    metadata dict lookup (`api/rest/server.py:174`)."""
+    import tempfile
+
+    from hnsw_vector_db_spark.streaming.joins import stream_view_click_join
+    from hnsw_vector_db_spark.streaming.windows import run_stream_as_batch
+
+    ev = _events(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="stream_attr_")
+    cols = ["event_id", "ts", "user_id", "value"]
+    ev.filter(F.col("event_type") == "view").select(*cols).write.parquet(f"{work}/views")
+    ev.filter(F.col("event_type") == "click").select(*cols).write.parquet(f"{work}/clicks")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    vstream = spark.readStream.schema(schema).parquet(f"{work}/views")
+    cstream = spark.readStream.schema(schema).parquet(f"{work}/clicks")
+    out = run_stream_as_batch(
+        stream_view_click_join(vstream, cstream),
+        f"{work}/ckpt",
+        name="stream_attribution_result",
+        output_mode="append",
+    )
+    return out.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        F.date_format("v_ts", TS_FMT_SPARK).alias("v_ts"),
+        F.date_format("c_ts", TS_FMT_SPARK).alias("c_ts"),
+        F.round("value", 6).alias("value"),
     )
 
 
@@ -2023,6 +2068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_plan_rewrite": q_knn_plan_rewrite,
         "vectorflow_scan": q_vectorflow_scan,
         "scale_lint": q_scale_lint,
+        "rolling_revenue": q_rolling_revenue,
+        "stream_attribution": q_stream_attribution,
         "hnsw_recall_target": q_hnsw_recall_target,
         "ivf_filtered": q_ivf_filtered,
         "hnsw_filtered_recall": q_hnsw_filtered_recall,
@@ -2727,6 +2774,18 @@ SELECT e.vec_id,
 FROM embeddings e LEFT JOIN rep r ON e.vec_id = r.v
 """.strip()
 
+    sql["stream_attribution"] = f"""
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       strftime(v.ts, '{TS_FMT_DUCK}') AS v_ts,
+       strftime(c.ts, '{TS_FMT_DUCK}') AS c_ts,
+       round(c.value, 6) + 0 AS value
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+""".strip()
+
     sql["stream_events_window"] = f"""
 SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '{TS_FMT_DUCK}') AS window_start,
        event_type,
@@ -3323,6 +3382,17 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY o.o_orderkey, o.o_orderdate
 ORDER BY revenue DESC, o.o_orderkey
 LIMIT 10
+""".strip()
+
+    sql["rolling_revenue"] = """
+SELECT o_custkey, o_orderkey,
+       datediff('day', DATE '1992-01-01', o_orderdate::DATE) AS d,
+       round(sum(o_totalprice) OVER w, 2) + 0 AS rolling_total,
+       count(*) OVER w AS n_in_window
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY datediff('day', DATE '1992-01-01', o_orderdate::DATE)
+             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
 """.strip()
 
     sql["order_ranks"] = """

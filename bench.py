@@ -99,6 +99,7 @@ HEADLINE += [
     "knn_plan_rewrite",
     "vectorflow_scan",
     "bigram_logprob",
+    "rolling_revenue",
 ]
 
 

@@ -205,6 +205,41 @@ def salted_agg(
     )
 
 
+def rolling_revenue(
+    orders: DataFrame, days: int = 90, epoch: str = "1992-01-01"
+) -> DataFrame:
+    """Per-customer rolling revenue over a time-RANGE window frame —
+    every order row carries the sum and count of that customer's orders
+    in the trailing ``days`` days (inclusive).
+
+    The RANGE frame (``rangeBetween(-days, currentRow)`` over a day
+    offset) is the window feature the rest of the suite doesn't touch:
+    the frame is defined by ORDER-VALUE distance, not row position, so
+    same-day orders all see each other symmetrically — deterministic
+    under ties with no row_number tiebreak needed. Plan: ONE shuffle on
+    o_custkey, one sort, a sliding-frame WindowExec — where the naive
+    SQL equivalent is an inequality self-join (O(n^2) per customer, and
+    a broadcast-nested-loop trap at scale). Output (o_custkey,
+    o_orderkey, d, rolling_total, n_in_window), oracle-checked exactly
+    against DuckDB's RANGE frame."""
+    d = F.datediff(F.to_date("o_orderdate"), F.lit(epoch).cast("date"))
+    base = orders.select(
+        "o_custkey", "o_orderkey", d.alias("d"), "o_totalprice"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("d"))
+        .rangeBetween(-days, Window.currentRow)
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        "d",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_total"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
 def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     """Per-group top-k (k most expensive orders per customer). Spark 4
     plans the rank filter as WindowGroupLimit pushed BELOW the exchange —

@@ -12,6 +12,7 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entry_mod
+from pyspark.sql import functions as F
 from hnsw_vector_db_spark.plans.explain import (
     assert_no_cartesian,
     broadcast_join_count,
@@ -160,3 +161,41 @@ def test_unigram_vocab_join_not_on_raw_tokens(spark, qs):
     assert joins and aggs
     # at least one aggregate below (larger line index than) the last join
     assert max(aggs) > max(joins), plan
+
+
+def test_rolling_revenue_range_frame_no_self_join(spark, qs):
+    """The trailing-90-day revenue runs as ONE custkey Exchange feeding a
+    RANGE-frame WindowExec — the naive inequality self-join formulation
+    (O(n^2) per customer) must never appear."""
+    df = qs["rolling_revenue"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "RangeFrame" in plan, plan
+
+
+def test_rolling_revenue_known_values(spark):
+    """Hand-computed RANGE frame incl. the same-day-symmetry property a
+    ROWS frame would get wrong."""
+    from hnsw_vector_db_spark.operators.relational import rolling_revenue
+
+    rows = [
+        (1, 101, "1992-01-01", 10.0),
+        (1, 102, "1992-01-31", 20.0),   # day 30: includes 101
+        (1, 103, "1992-07-01", 40.0),   # day 182: alone
+        (1, 104, "1992-07-01", 5.0),    # same day: sees 103 and vice versa
+        (2, 201, "1992-01-05", 7.0),
+    ]
+    orders = spark.createDataFrame(
+        [(c, o, d + " 00:00:00", p) for c, o, d, p in rows],
+        "o_custkey long, o_orderkey long, o_orderdate string, o_totalprice double",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    got = {
+        r["o_orderkey"]: (r["rolling_total"], r["n_in_window"])
+        for r in rolling_revenue(orders, days=90).collect()
+    }
+    assert got[101] == (10.0, 1)
+    assert got[102] == (30.0, 2)
+    assert got[103] == (45.0, 2)  # same-day symmetry: 103 sees 104
+    assert got[104] == (45.0, 2)  # ...and 104 sees 103
+    assert got[201] == (7.0, 1)

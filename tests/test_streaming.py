@@ -303,3 +303,57 @@ def test_corpus_stages_run_as_streaming_queries(spark, sf_dir, tmp_path):
     )
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_stream_stream_attribution_join_equals_batch(spark, tmp_path):
+    """Event-time stream-stream join run to completion == the batch range
+    join on the same rows; window boundaries inclusive on both ends."""
+    import datetime as dt
+
+    from hnsw_vector_db_spark.streaming.joins import stream_view_click_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    views = spark.createDataFrame(
+        [(1, m(0), 7, 0.0), (2, m(60), 7, 0.0), (3, m(0), 8, 0.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    clicks = spark.createDataFrame(
+        [
+            (10, m(10), 7, 1.5),   # matches view 1 (and not view 2: earlier)
+            (11, m(30), 7, 2.5),   # matches view 1 at the exact boundary
+            (12, m(85), 7, 3.5),   # matches view 2 only (25' after it)
+            (13, m(31), 8, 4.5),   # 31' after view 3: outside the window
+            (14, m(5), 9, 5.5),    # no view for user 9
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    views.write.parquet(str(tmp_path / "v"))
+    clicks.write.parquet(str(tmp_path / "c"))
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    vs = spark.readStream.schema(schema).parquet(str(tmp_path / "v"))
+    cs = spark.readStream.schema(schema).parquet(str(tmp_path / "c"))
+    out = run_stream_as_batch(
+        stream_view_click_join(vs, cs),
+        str(tmp_path / "ckpt"),
+        name="attr_test",
+        output_mode="append",
+    )
+    got = sorted((r["view_id"], r["click_id"]) for r in out.collect())
+    assert got == [(1, 10), (1, 11), (2, 12)]
+    # batch twin: identical pairs from a plain range join
+    cond = (
+        (views.user_id == clicks.user_id)
+        & (clicks.ts >= views.ts)
+        & (clicks.ts <= views.ts + F.expr("INTERVAL 30 minutes"))
+    )
+    batch = sorted(
+        (r["v"], r["c"])
+        for r in views.join(clicks, cond)
+        .select(views.event_id.alias("v"), clicks.event_id.alias("c"))
+        .collect()
+    )
+    assert got == batch
