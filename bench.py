@@ -119,14 +119,22 @@ def main() -> None:
         # min of 2 runs: run 1 pays whole-stage-codegen JIT for this
         # query's generated classes, run 2 measures the plan itself —
         # min-of-N is the standard way to report a compiled engine's
-        # steady-state cost
-        best, n = None, 0
+        # steady-state cost.
+        # The timed action is a NOOP SINK write, not count(): count()
+        # lets Catalyst prune every column-level expression (a pure
+        # projection query times as a bare scan — repetition_stats
+        # measured 0.12 s under count() vs 1.65 s real; BASELINE.md
+        # "bench action correction"). The noop sink consumes every
+        # output row in full, which is what the driver's toPandas
+        # comparison pays too.
+        best, df = None, None
         for _ in range(2):
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count()
+            df.write.format("noop").mode("overwrite").save()
             el = time.time() - t0
             best = el if best is None else min(best, el)
+        n = df.count()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
