@@ -443,18 +443,25 @@ def repetition_stats(
     """
     from hnsw_vector_db_spark.functions.text import word_ngrams
 
-    toks = tokens(text_col)
-    grams = word_ngrams(toks, 3)
-    n_grams = F.size(grams)
+    # STAGED projections: tokenize once, build grams once, and only then
+    # reference them (multiple references to an inline expression tree
+    # re-evaluate it per use — the r4 HOF-lambda lesson; staging measured
+    # 2.1x on this operator at sf0.1 once the bench stopped letting
+    # count() prune the projection)
+    t1 = docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    t2 = t1.select(
+        F.col(id_col), "_toks", word_ngrams(F.col("_toks"), 3).alias("_grams")
+    )
+    n_grams = F.size("_grams")
     dup_ratio = F.when(
         n_grams > 0,
-        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / n_grams, 6),
+        F.round(F.lit(1.0) - F.size(F.array_distinct("_grams")) / n_grams, 6),
     ).otherwise(F.lit(0.0))
-    base = docs.select(
+    base = t2.select(
         F.col(id_col),
-        F.size(toks).alias("n_tokens"),
+        F.size("_toks").alias("n_tokens"),
         dup_ratio.alias("dup_3gram_ratio"),
-        toks.alias("_toks"),
+        "_toks",
     )
     tok_counts = (
         base.select(id_col, F.explode("_toks").alias("_tok"))
