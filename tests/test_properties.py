@@ -387,3 +387,48 @@ def test_cohort_retention_matches_python_reference(spark, events_rows):
         agg.setdefault((monday.isoformat(), off), set()).add(u)
     expect = {k: len(v) for k, v in agg.items()}
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),          # custkey
+            st.integers(min_value=0, max_value=400),        # day offset
+            st.integers(min_value=1, max_value=500),        # price (int: exact)
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(min_value=0, max_value=120),                # window days
+)
+@settings(max_examples=30, deadline=None)
+def test_rolling_revenue_matches_python_reference(spark, order_rows, days):
+    """rolling_revenue == direct evaluation of the RANGE-frame spec on
+    arbitrary order streams, including same-day ties (every same-day row
+    sees every other — the property a ROWS frame would violate).
+    Integer prices keep the sums exact, so equality is strict."""
+    import datetime as dt
+
+    from hnsw_vector_db_spark.operators.relational import rolling_revenue
+
+    epoch = dt.date(1992, 1, 1)
+    rows = [
+        (i, c, dt.datetime.combine(epoch + dt.timedelta(days=d), dt.time()), float(p))
+        for i, (c, d, p) in enumerate(order_rows)
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    got = {
+        r["o_orderkey"]: (r["d"], r["rolling_total"], r["n_in_window"])
+        for r in rolling_revenue(orders, days=days).collect()
+    }
+    expect = {}
+    for i, (c, d, p) in enumerate(order_rows):
+        frame = [
+            (cj, dj, pj)
+            for (cj, dj, pj) in order_rows
+            if cj == c and d - days <= dj <= d
+        ]
+        expect[i] = (d, float(sum(pj for _, _, pj in frame)), len(frame))
+    assert got == expect
