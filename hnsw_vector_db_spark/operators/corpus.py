@@ -14,7 +14,8 @@ Scale notes (100 TB):
 - ``pack_sequences`` windows per *shard*, not globally — the global-order
   variant would funnel the corpus through one partition; the per-shard
   variant is embarrassingly parallel and is how real packers run.
-- ``stratified_sample`` broadcasts the (tiny) weights dim and filters on a
+- ``stratified_sample`` joins the (tiny) weights dim — AQE-broadcast at
+  runtime, never hint-forced — and filters on a
   hash inequality — predicate evaluated at scan, no shuffle, no count().
 - ``shard_shuffle`` is one hash-partitioned window — the standard
   "deterministic global shuffle" for training-data ordering: within-shard
@@ -196,14 +197,19 @@ def stratified_sample(
       - raising a source's frac only ADDS documents (nested samples);
       - no rand(), no count(), no per-stratum pass.
 
-    The weights join is broadcast (explicit hint) — the filter runs at the
-    scan with zero shuffle of the corpus. Strata with no weight row are
-    dropped (inner join), matching "sources not in the recipe are
-    excluded".
+    The weights join carries NO broadcast hint: a recipe keyed by
+    language is dozens of rows, but the same operator keyed by
+    url-host is millions, and a hint would force that to every
+    executor (the tfidf lesson — flagged by plans/lint.py's
+    hinted-broadcast-agg rule when weights is derived from a groupBy,
+    e.g. temperature_mix). AQE broadcasts the measured-small recipe at
+    runtime, so the common case still filters at the scan with zero
+    corpus shuffle. Strata with no weight row are dropped (inner
+    join), matching "sources not in the recipe are excluded".
     """
     u = _sample_u(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt)))
     return (
-        docs.join(F.broadcast(weights), on=strata_col, how="inner")
+        docs.join(weights, on=strata_col, how="inner")
         .filter(u < F.col("frac") * SAMPLE_GRAIN)
         .drop("frac")
     )

@@ -177,6 +177,10 @@ def test_sample_rate_tracks_weight(spark, docs, weights):
 
 
 def test_sample_weights_join_is_broadcast(spark, docs, weights):
+    """No hint in the operator (plans/lint.py hinted-broadcast-agg: a
+    hint would force million-strata recipes to every executor) — the
+    PLANNER must still broadcast the measured-small weights from size
+    stats, keeping the common case a zero-shuffle scan filter."""
     out = corpus.stratified_sample(docs, weights)
     assert broadcast_join_count(out) >= 1
     assert "SortMergeJoin" not in physical_plan(out)

@@ -128,22 +128,20 @@ def test_allowlist(spark, tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
-def test_flagship_queries_lint_clean(spark, sf_dir):
-    """The queries this repo benches must pass their own linter. The two
-    pandas-boundary entries (hnsw/multimodal) report info, never error."""
+def test_every_benched_query_lints_clean(spark, sf_dir):
+    """EVERY query bench.py reports a number for must pass the linter —
+    the executable form of the per-round plan audit. First run of this
+    sweep caught a real one: stratified_sample's weights-broadcast hint
+    (bounded for language recipes, unbounded for url-host strata),
+    since dropped in favor of the planner's stats decision."""
+    import bench
     import __spark_entry__ as em
 
     qs = em.queries()
-    for name in [
-        "knn_cosine",
-        "knn_batch",
-        "bm25_topk",
-        "tfidf_top_terms",
-        "unigram_logprob",
-        "bigram_logprob",
-        "pricing_summary",
-        "minhash_lsh_neardup",
-        "knn_plan_rewrite",
-        "decontaminate",
-    ]:
-        assert_scale_clean(qs[name](spark, sf_dir)), name
+    failures = []
+    for name in bench.HEADLINE:
+        try:
+            assert_scale_clean(qs[name](spark, sf_dir))
+        except AssertionError as ex:
+            failures.append(f"{name}: {ex}")
+    assert not failures, "\n".join(failures)
