@@ -3391,7 +3391,7 @@ LIMIT 10
 
     sql["rolling_revenue"] = """
 SELECT o_custkey, o_orderkey,
-       datediff('day', DATE '1992-01-01', o_orderdate::DATE) AS d,
+       datediff('day', DATE '1992-01-01', o_orderdate::DATE)::INTEGER AS d,
        round(sum(o_totalprice) OVER w, 2) + 0 AS rolling_total,
        count(*) OVER w AS n_in_window
 FROM orders

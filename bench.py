@@ -5,8 +5,10 @@ JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
 The reference publishes no numbers (BASELINE.md) — these wall-clocks are
-the living baseline. Each query runs once after a warmup query primes the
-JVM/parquet footers; timing includes full plan execution to a count/collect.
+the living baseline. Each query runs after a warmup query primes the
+JVM/parquet footers; the timed action is a NOOP-SINK WRITE (full plan
+execution with every output column materialized — count() lets Catalyst
+prune projection work; BASELINE.md "bench action correction").
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
 from hnsw_vector_db_spark.session import get_spark  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
@@ -127,14 +130,22 @@ def main() -> None:
         # "bench action correction"). The noop sink consumes every
         # output row in full, which is what the driver's toPandas
         # comparison pays too.
-        best, df = None, None
-        for _ in range(2):
+        best, n = None, 0
+        for i in range(2):
             t0 = time.time()
             df = fn(spark, sf_dir)
+            if i == 0:
+                # row count via an Observation on the warmup run — no
+                # third execution, and run 2 (the usual min) is untouched
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                df = df.observe(obs, F.count(F.lit(1)).alias("n"))
             df.write.format("noop").mode("overwrite").save()
             el = time.time() - t0
+            if i == 0:
+                n = obs.get["n"]
             best = el if best is None else min(best, el)
-        n = df.count()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 

@@ -48,3 +48,17 @@ def broadcast_join_count(df: DataFrame) -> int:
     latter is what an intentional broadcast cartesian plans as)."""
     plan = physical_plan(df)
     return plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
+
+
+def node_class(node) -> str:
+    """Simple class name of a JVM plan node (logical or physical)."""
+    return node.getClass().getSimpleName()
+
+
+def iter_tree(node):
+    """Depth-first walk of a JVM plan tree (logical or physical — both
+    expose children() the same way). Shared by the lint and rewrite
+    modules so tree-traversal fixes land once."""
+    yield node
+    for i in range(node.children().size()):
+        yield from iter_tree(node.children().apply(i))

@@ -75,39 +75,51 @@ class LintFinding:
     detail: str
 
 
-def _children(node) -> list:
-    return [node.children().apply(i) for i in range(node.children().size())]
+from hnsw_vector_db_spark.plans.explain import iter_tree, node_class
 
 
-def _walk(node):
-    yield node
-    for c in _children(node):
-        yield from _walk(c)
-
-
-def _lcls(node) -> str:
-    return node.getClass().getSimpleName()
-
-
-def _lwalk(node):
-    yield node
-    for i in range(node.children().size()):
-        yield from _lwalk(node.children().apply(i))
-
-
-def _first_aggs(node, saw_filter: bool = False):
-    """Yield (aggregate, filter_seen_above) for the TOPMOST Aggregate on
+def _first_aggs(node, filtered_output: bool = False):
+    """Yield (aggregate, output_filtered) for the TOPMOST Aggregate on
     each path — the node whose grouping decides the broadcast's
     cardinality. Deeper aggregates are that node's lineage, not its
     output, and must not flag (a single-row total OVER a keyed
-    vocabulary is still one row)."""
-    if _lcls(node) == "Aggregate":
-        yield node, saw_filter
+    vocabulary is still one row). A Filter ABOVE the aggregate subsets
+    the broadcast rows directly, whatever column it tests — recorded as
+    output_filtered."""
+    if node_class(node) == "Aggregate":
+        yield node, filtered_output
         return
-    if _lcls(node) == "Filter":
-        saw_filter = True
+    if node_class(node) == "Filter":
+        filtered_output = True
     for i in range(node.children().size()):
-        yield from _first_aggs(node.children().apply(i), saw_filter)
+        yield from _first_aggs(node.children().apply(i), filtered_output)
+
+
+def _refs_ids(expr) -> set:
+    it = expr.references().iterator()
+    out = set()
+    while it.hasNext():
+        out.add(it.next().exprId().id())
+    return out
+
+
+def _key_constrained_below(agg) -> bool:
+    """True iff some Filter BELOW the aggregate tests the GROUPING key's
+    own attributes — the only below-agg filter shape that bounds the key
+    domain. An incidental filter (non-null text, quality gate) reduces
+    rows but not distinct keys, and must NOT excuse the broadcast (the
+    escape a first version of this rule had)."""
+    key_ids = set()
+    ges = agg.groupingExpressions()
+    for i in range(ges.size()):
+        key_ids |= _refs_ids(ges.apply(i))
+    if not key_ids:
+        return False
+    for i in range(agg.children().size()):
+        for d in iter_tree(agg.children().apply(i)):
+            if node_class(d) == "Filter" and _refs_ids(d.condition()) & key_ids:
+                return True
+    return False
 
 
 def _hinted_broadcast_findings(analyzed) -> list["LintFinding"]:
@@ -115,31 +127,40 @@ def _hinted_broadcast_findings(analyzed) -> list["LintFinding"]:
     (ResolvedHint(strategy=broadcast) in the ANALYZED logical plan — only
     user hints appear there; planner/stats broadcasts don't)."""
     out: list[LintFinding] = []
-    for node in _lwalk(analyzed):
-        if _lcls(node) != "ResolvedHint":
+    for node in iter_tree(analyzed):
+        if node_class(node) != "ResolvedHint":
             continue
         if "broadcast" not in str(node.hints().toString()).lower():
             continue
-        for agg, filtered_above in _first_aggs(node):
+        for agg, output_filtered in _first_aggs(node):
             try:
-                if agg.groupingExpressions().size() == 0:
-                    # single-row global aggregate: sanctioned regardless of
-                    # what feeds it — ITS output is what gets broadcast
-                    continue
-            except Exception:
+                keyless = agg.groupingExpressions().size() == 0
+                filtered = output_filtered or _key_constrained_below(agg)
+            except Exception as ex:  # fail CLOSED: unclassifiable -> finding
+                out.append(
+                    LintFinding(
+                        "warning",
+                        "hinted-broadcast-agg",
+                        "broadcast() hint over an aggregate the linter "
+                        f"could not classify ({type(ex).__name__}) — "
+                        "review by hand",
+                    )
+                )
                 continue
-            filtered = filtered_above or any(
-                _lcls(d) == "Filter" for d in _lwalk(agg)
-            )
+            if keyless:
+                # single-row global aggregate: sanctioned regardless of
+                # what feeds it — ITS output is what gets broadcast
+                continue
             if filtered:
                 out.append(
                     LintFinding(
                         "warning",
                         "hinted-broadcast-agg",
                         "broadcast() hint over a keyed aggregate whose "
-                        "input IS filtered — the hint asserts the filter "
-                        "bounds the key domain (the bm25 query-terms "
-                        "shape); review that the bound holds at scale",
+                        "key domain or output IS filtered — the hint "
+                        "asserts that bound (the bm25 query-terms / "
+                        "exact-dedup collided shapes); review that it "
+                        "holds at scale",
                     )
                 )
             else:
@@ -147,8 +168,11 @@ def _hinted_broadcast_findings(analyzed) -> list["LintFinding"]:
                     LintFinding(
                         "error",
                         "hinted-broadcast-agg",
-                        "broadcast() hint over an UNFILTERED keyed "
-                        "aggregate: key cardinality grows with the data, "
+                        "broadcast() hint over a keyed aggregate with no "
+                        "filter on the key domain or on the aggregate "
+                        "output (an incidental row filter does not bound "
+                        "distinct keys): key cardinality grows with the "
+                        "data, "
                         "so the hint forces an unbounded table to the "
                         "driver and every executor (the tfidf lesson) — "
                         "drop the hint (AQE broadcasts genuinely small "
@@ -166,7 +190,7 @@ def lint_plan(df: DataFrame) -> list[LintFinding]:
     qe = df._jdf.queryExecution()
     findings: list[LintFinding] = _hinted_broadcast_findings(qe.analyzed())
     plan = qe.sparkPlan()
-    for node in _walk(plan):
+    for node in iter_tree(plan):
         name = node.nodeName()
         if name == "CartesianProduct":
             findings.append(

@@ -30,6 +30,7 @@ def stream_view_click_join(
     ts_col: str = "ts",
     key_col: str = "user_id",
     id_col: str = "event_id",
+    value_col: str = "value",
 ) -> DataFrame:
     """Inner event-time join: every (view, click) pair by the same user
     where the click lands in [view_ts, view_ts + attribution_window] —
@@ -51,7 +52,7 @@ def stream_view_click_join(
         F.col(key_col).alias("__c_user"),
         F.col(ts_col).alias("c_ts"),
         F.col(id_col).alias("click_id"),
-        F.col("value"),
+        F.col(value_col).alias("value"),
     )
     cond = (
         (F.col("__v_user") == F.col("__c_user"))

@@ -44,6 +44,35 @@ def test_hinted_broadcast_of_unfiltered_keyed_aggregate_is_error(tables):
         assert_scale_clean(bad)
 
 
+def test_incidental_row_filter_does_not_excuse_the_broadcast(tables):
+    """A filter that reduces ROWS but not DISTINCT KEYS (non-null gates,
+    quality cuts — present in nearly every real pipeline) must not
+    downgrade the error: only a filter on the grouping key's own
+    attributes, or on the aggregate's output, bounds the broadcast."""
+    a, _ = tables
+    vocab = (
+        a.filter(F.col("id").isNotNull())   # incidental: not on key k
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bad = a.join(F.broadcast(vocab), "k")
+    assert "hinted-broadcast-agg" in _rules(bad, "error")
+
+
+def test_post_aggregate_output_filter_is_warning(tables):
+    """The exact-dedup collided shape: filtering the aggregate's OUTPUT
+    (count > 1) subsets the broadcast itself — review, not rewrite."""
+    a, _ = tables
+    collided = (
+        a.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+    df = a.join(F.broadcast(collided), "k")
+    assert "hinted-broadcast-agg" in _rules(df, "warning")
+    assert "hinted-broadcast-agg" not in _rules(df, "error")
+
+
 def test_hinted_broadcast_of_filtered_keyed_aggregate_is_warning(tables):
     """The bm25 shape: the key domain is filtered before aggregating —
     the hint asserts boundedness, so the linter asks for review, not
