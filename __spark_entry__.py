@@ -361,6 +361,18 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded edit-distance similarity join (FastSS deletion-neighborhood
+    candidates -> equi-join -> exact levenshtein verify; never all-pairs)
+    over supplier names. ORACLE-CHECKED against DuckDB's brute quadratic
+    levenshtein — the banded form is the engine path, the brute form the
+    checker."""
+    from hnsw_vector_db_spark.operators.dedup import edit_distance_pairs
+
+    sup = load_table(spark, sf_dir, "supplier")
+    return edit_distance_pairs(sup, "s_name", id_col="s_suppkey", max_dist=1)
+
+
 def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame (trailing-90-day per-customer revenue) —
     the frame-by-order-value window feature; one custkey shuffle, no
@@ -2075,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_lint": q_scale_lint,
         "rolling_revenue": q_rolling_revenue,
         "stream_attribution": q_stream_attribution,
+        "edit_neardup": q_edit_neardup,
         "hnsw_recall_target": q_hnsw_recall_target,
         "ivf_filtered": q_ivf_filtered,
         "hnsw_filtered_recall": q_hnsw_filtered_recall,
@@ -3387,6 +3400,13 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY o.o_orderkey, o.o_orderdate
 ORDER BY revenue DESC, o.o_orderkey
 LIMIT 10
+""".strip()
+
+    sql["edit_neardup"] = """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       levenshtein(a.s_name, b.s_name)::INTEGER AS dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
 """.strip()
 
     sql["rolling_revenue"] = """

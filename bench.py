@@ -103,6 +103,7 @@ HEADLINE += [
     "vectorflow_scan",
     "bigram_logprob",
     "rolling_revenue",
+    "edit_neardup",
 ]
 
 

@@ -24,7 +24,7 @@ Scale design notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hnsw_vector_db_spark.functions.text import (
@@ -593,4 +593,68 @@ def keep_best(
         F.col(id_col).alias("kept_id"),
         F.col(score_col).alias("best_score"),
         F.col("_n").alias("n_members"),
+    )
+def edit_distance_pairs(
+    df: DataFrame,
+    string_col: str,
+    id_col: str = "id",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Bounded edit-distance similarity join via deletion neighborhoods
+    (the FastSS family — Bocek et al., "Fast Similarity Search in Large
+    Dictionaries", 2007, public tech report): two strings within
+    Levenshtein distance d always share a member of each other's
+    up-to-d-deletions neighborhood, so candidates come from an EQUI-JOIN
+    on deletion keys and only candidates pay the exact ``levenshtein``
+    verify — never an all-pairs comparison.
+
+    Scale shape: each side explodes to at most 1 + L (d=1) or
+    ~1 + L + L^2/2 (d=2) keys per string of length L; the key join is a
+    plain shuffle equi-join (hot keys are structurally bounded by the
+    key length — a deletion key of length L-1 only collides with strings
+    of length L-1..L+1), and the verify is Spark's built-in codegen
+    ``levenshtein``. The DuckDB oracle runs the brute quadratic form —
+    feasible for the oracle's sample, which is exactly why the banded
+    form here is the engine path and the brute form is the checker.
+
+    Output: (id_a, id_b, dist) with id_a < id_b, distinct, exact.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError("max_dist must be 1 or 2 (deletion-neighborhood depth)")
+
+    def neighborhood(col: Column) -> Column:
+        # the string itself plus every single-character deletion
+        idx = F.sequence(F.lit(1), F.greatest(F.length(col), F.lit(0)))
+        dels = F.transform(
+            idx,
+            lambda i: F.concat(
+                col.substr(F.lit(1), i - F.lit(1)),
+                col.substr(i + F.lit(1), F.length(col)),
+            ),
+        )
+        return F.array_union(F.array(col), F.coalesce(dels, F.array()))
+
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(string_col).alias("_s")
+    ).filter(F.col("_s").isNotNull())
+    keys = base.select(
+        "_id", "_s", F.explode(neighborhood(F.col("_s"))).alias("_k")
+    )
+    if max_dist == 2:
+        keys = keys.unionByName(
+            keys.select(
+                "_id", "_s", F.explode(neighborhood(F.col("_k"))).alias("_k2")
+            ).select("_id", "_s", F.col("_k2").alias("_k"))
+        )
+    keys = keys.dropDuplicates(["_id", "_k"])
+    a = keys.toDF("id_a", "s_a", "_k")
+    b = keys.toDF("id_b", "s_b", "_k")
+    return (
+        a.join(b, "_k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "s_a", "s_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("dist", F.levenshtein("s_a", "s_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
     )

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from hnsw_vector_db_spark.operators import dedup
 from hnsw_vector_db_spark.sources.parquet import load_table
@@ -227,3 +228,56 @@ def test_keep_best_picks_highest_score_with_id_tiebreak(spark):
     assert out[1]["kept_id"] == 2          # 0.9 tie -> lower id wins
     assert out[1]["n_members"] == 3
     assert out[7]["kept_id"] == 7 and out[7]["n_members"] == 2
+
+
+# ---- edit_distance_pairs (FastSS) ------------------------------------------
+
+def test_edit_distance_pairs_known_values(spark):
+    """Substitution, deletion, and insertion neighbors at d=1; the
+    distance-2 closure appears only at d=2; unrelated strings never
+    pair."""
+    from hnsw_vector_db_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitten"), (3, "kitte"), (4, "kittten"), (5, "dog")],
+        "id long, s string",
+    )
+    d1 = sorted(map(tuple, edit_distance_pairs(df, "s", max_dist=1).collect()))
+    assert d1 == [(1, 2, 1), (1, 3, 1), (1, 4, 1)]
+    d2 = sorted(map(tuple, edit_distance_pairs(df, "s", max_dist=2).collect()))
+    assert d2 == d1 + [(2, 3, 2), (2, 4, 2), (3, 4, 2)]
+
+
+def test_edit_distance_pairs_equals_brute(spark):
+    """Candidate completeness: the deletion-neighborhood join finds every
+    brute-force pair (FastSS guarantee), on strings with dup values,
+    empties, and nulls."""
+    from hnsw_vector_db_spark.operators.dedup import edit_distance_pairs
+
+    rows = [(i, s) for i, s in enumerate(
+        ["abc", "abd", "ab", "abcd", "", "a", "xyz", "xy", "abc", None]
+    )]
+    df = spark.createDataFrame(rows, "id long, s string")
+    for d in (1, 2):
+        got = sorted(map(tuple, edit_distance_pairs(df, "s", max_dist=d).collect()))
+        a = df.toDF("id_a", "s_a")
+        b = df.toDF("id_b", "s_b")
+        brute = sorted(
+            map(
+                tuple,
+                a.join(b, F.col("id_a") < F.col("id_b"))
+                .withColumn("dist", F.levenshtein("s_a", "s_b"))
+                .filter(F.col("dist") <= d)
+                .select("id_a", "id_b", "dist")
+                .collect(),
+            )
+        )
+        assert got == brute, f"d={d}"
+
+
+def test_edit_distance_pairs_rejects_bad_depth(spark):
+    from hnsw_vector_db_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_pairs(df, "s", max_dist=3)
