@@ -2137,11 +2137,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "top_orders": q_top_orders,
         "order_ranks": q_order_ranks,
+        # ---- position > 50: green rows recorded in r02-r04 -------------
         "nation_rollup": q_nation_rollup,
         "orders_by_month": q_orders_by_month,
         "part_brand_stats": q_part_brand_stats,
         "lineitem_corr": q_lineitem_corr,
-        # ---- position > 50: green rows recorded in r02-r04 -------------
         "customer_cube": q_customer_cube,
         "assign_ids": q_assign_ids,
         "assign_ids_scalable": q_assign_ids_scalable,
