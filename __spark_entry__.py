@@ -361,6 +361,20 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization (Arrow-batched unicodedata, UAX #15) proven
+    round-trip: the ASCII corpus is deterministically decorated with
+    NFC accents (translate a/e/o -> á/é/ó), then normalized with
+    strip_accents + lowercase — the oracle replays BOTH steps with
+    DuckDB's translate/strip_accents/lower, and the result must equal
+    the original lowercase text byte-for-byte."""
+    docs = _docs(spark, sf_dir)
+    decorated = docs.select(
+        "doc_id", F.translate("text", "aeo", "\u00e1\u00e9\u00f3").alias("text")
+    )
+    return text_analysis.normalize_text(decorated)
+
+
 def q_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded edit-distance similarity join (FastSS deletion-neighborhood
     candidates -> equi-join -> exact levenshtein verify; never all-pairs)
@@ -2088,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_revenue": q_rolling_revenue,
         "stream_attribution": q_stream_attribution,
         "edit_neardup": q_edit_neardup,
+        "normalize_text": q_normalize_text,
         "hnsw_recall_target": q_hnsw_recall_target,
         "ivf_filtered": q_ivf_filtered,
         "hnsw_filtered_recall": q_hnsw_filtered_recall,
@@ -3400,6 +3415,13 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY o.o_orderkey, o.o_orderdate
 ORDER BY revenue DESC, o.o_orderkey
 LIMIT 10
+""".strip()
+
+    sql["normalize_text"] = """
+SELECT doc_id,
+       lower(strip_accents(nfc_normalize(
+           translate(text, 'aeo', '\u00e1\u00e9\u00f3')))) AS norm_text
+FROM documents
 """.strip()
 
     sql["edit_neardup"] = """

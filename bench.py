@@ -104,6 +104,7 @@ HEADLINE += [
     "bigram_logprob",
     "rolling_revenue",
     "edit_neardup",
+    "normalize_text",
 ]
 
 

@@ -397,3 +397,49 @@ def test_hash_embed_components_match_dense_nonzero(spark):
         for r in TA.hash_embed_components(docs, dim=32).collect()
     }
     assert comp == dense
+
+
+# ---- unicode normalization -------------------------------------------------
+
+def test_normalize_text_forms_and_flags(spark):
+    """NFD composes to NFC; accents strip; lowercase applies; NFKC folds
+    compatibility chars; nulls pass through; idempotent."""
+    docs = spark.createDataFrame(
+        [
+            (1, "Café NOISE"),     # NFD e + combining acute
+            (2, "École"),            # NFC É
+            (3, "ﬁne"),              # ﬁ ligature (NFKC folds to fi)
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["norm_text"] for r in TA.normalize_text(docs).collect()}
+    assert out[1] == "cafe noise"
+    assert out[2] == "ecole"
+    assert out[4] is None
+    nfkc = {
+        r["doc_id"]: r["norm_text"]
+        for r in TA.normalize_text(docs, form="NFKC").collect()
+    }
+    assert nfkc[3] == "fine"
+    # keep accents / case when asked
+    keep = {
+        r["doc_id"]: r["norm_text"]
+        for r in TA.normalize_text(
+            docs, lowercase=False, strip_accents=False
+        ).collect()
+    }
+    assert keep[1] == "Café NOISE"  # NFD -> NFC composition only
+    assert keep[2] == "École"
+    # idempotence
+    once = TA.normalize_text(docs).withColumnRenamed("norm_text", "text")
+    twice = {r["doc_id"]: r["norm_text"] for r in TA.normalize_text(once).collect()}
+    assert twice == out
+
+
+def test_normalize_text_rejects_unknown_form(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="normalization form"):
+        TA.normalize_text(docs, form="NFX")
