@@ -2151,8 +2151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "language_id": q_language_id,
         "top_orders": q_top_orders,
-        "order_ranks": q_order_ranks,
         # ---- position > 50: green rows recorded in r02-r04 -------------
+        "order_ranks": q_order_ranks,
         "nation_rollup": q_nation_rollup,
         "orders_by_month": q_orders_by_month,
         "part_brand_stats": q_part_brand_stats,
