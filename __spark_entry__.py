@@ -361,6 +361,23 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample with gap emission + forward fill (the
+    metrics-pipeline regularization step). Grid built per key from its
+    own [min, max] bucket — never a global-calendar cross join.
+    ORACLE-CHECKED exactly (time_bucket / generate_series / arg_max /
+    last_value IGNORE NULLS)."""
+    from hnsw_vector_db_spark.operators.events import resample_ffill
+
+    out = resample_ffill(_events(spark, sf_dir), every="1 hour")
+    return out.select(
+        "user_id",
+        F.date_format("bucket_start", TS_FMT_SPARK).alias("bucket_start"),
+        "value_ffill",
+        "is_gap",
+    )
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization (Arrow-batched unicodedata, UAX #15) proven
     round-trip: the ASCII corpus is deterministically decorated with
@@ -2103,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_attribution": q_stream_attribution,
         "edit_neardup": q_edit_neardup,
         "normalize_text": q_normalize_text,
+        "resample_ffill": q_resample_ffill,
         "hnsw_recall_target": q_hnsw_recall_target,
         "ivf_filtered": q_ivf_filtered,
         "hnsw_filtered_recall": q_hnsw_filtered_recall,
@@ -2150,8 +2168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_score": q_quality,
         "language_id": q_language_id,
-        "top_orders": q_top_orders,
         # ---- position > 50: green rows recorded in r02-r04 -------------
+        "top_orders": q_top_orders,
         "order_ranks": q_order_ranks,
         "nation_rollup": q_nation_rollup,
         "orders_by_month": q_orders_by_month,
@@ -3415,6 +3433,33 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY o.o_orderkey, o.o_orderdate
 ORDER BY revenue DESC, o.o_orderkey
 LIMIT 10
+""".strip()
+
+    sql["resample_ffill"] = f"""
+WITH ranked AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket, value AS v,
+         row_number() OVER (
+             PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
+             ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+b AS (SELECT user_id, bucket, v FROM ranked WHERE rn = 1),
+r AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM b GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket
+  FROM r
+),
+j AS (
+  SELECT g.user_id, g.bucket, b.v
+  FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket
+)
+SELECT user_id, strftime(bucket, '{TS_FMT_DUCK}') AS bucket_start,
+       round(last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0
+         AS value_ffill,
+       (v IS NULL) AS is_gap
+FROM j
 """.strip()
 
     sql["normalize_text"] = """

@@ -105,6 +105,7 @@ HEADLINE += [
     "rolling_revenue",
     "edit_neardup",
     "normalize_text",
+    "resample_ffill",
 ]
 
 

@@ -354,3 +354,60 @@ def interarrival_stats(
             F.max("_gap").alias("max_gap_s"),
         )
     )
+
+
+def resample_ffill(
+    events: DataFrame,
+    every: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-series regularization: bucket each key's events onto a fixed
+    grid, emit EVERY bucket between the key's first and last observation
+    (gaps included), and forward-fill missing values with the last
+    observed one — the resample step every metrics/feature pipeline runs
+    before joining series on time.
+
+    Per (key, bucket) the observed value is the LAST event's, with a
+    deterministic (ts, id) tiebreak (``max_by`` over a struct). The grid
+    is built per key from its own [min, max] bucket with
+    ``sequence(..., interval)`` + explode — no cross join against a
+    global calendar, so a key active for an hour costs one row, not the
+    corpus's whole time range. The forward fill is
+    ``last(ignorenulls)`` over a rows-frame window on the SAME key
+    partitioning. The first grid bucket always holds an observation, so
+    the fill never emits null. Output (key, bucket_start, value_ffill,
+    is_gap), oracle-checked exactly (DuckDB time_bucket /
+    generate_series / arg_max / last_value IGNORE NULLS)."""
+    bucket = F.window(F.col(ts_col), every)["start"]
+    b = (
+        events.groupBy(F.col(key_col), bucket.alias("bucket"))
+        .agg(
+            F.max_by(
+                F.col(value_col), F.struct(F.col(ts_col), F.col(id_col))
+            ).alias("_v")
+        )
+    )
+    r = b.groupBy(key_col).agg(
+        F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx")
+    )
+    grid = r.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_mn"), F.col("_mx"), F.expr(f"INTERVAL {every}"))
+        ).alias("bucket"),
+    )
+    j = grid.join(b, [key_col, "bucket"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.col(key_col),
+        F.col("bucket").alias("bucket_start"),
+        F.round(F.last("_v", ignorenulls=True).over(w), 6).alias("value_ffill"),
+        F.col("_v").isNull().alias("is_gap"),
+    )

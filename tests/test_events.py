@@ -184,3 +184,42 @@ def test_cohort_retention_known_answer(spark):
         ("2024-01-01", 2): 1,  # u1 view week 2
         ("2024-01-08", 0): 1,  # u2 signup itself counts at offset 0
     }
+
+
+def test_resample_ffill_known_values(spark):
+    """Grid spans [first, last] bucket per key; gaps forward-fill the
+    last observed value; within-bucket last-writer wins with (ts, id)
+    tiebreak; keys never bleed into each other."""
+    import datetime as dt
+
+    from hnsw_vector_db_spark.operators.events import resample_ffill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def h(hours, minutes=0):
+        return t0 + dt.timedelta(hours=hours, minutes=minutes)
+
+    rows = [
+        # user 1: values at hours 0 and 3, gap at 1-2
+        (10, h(0, 5), 1, 1.0),
+        (11, h(0, 50), 1, 2.0),   # same bucket, later ts -> wins
+        (12, h(3, 0), 1, 9.0),
+        # same-ts tiebreak: higher event_id wins
+        (13, h(3, 0), 1, 7.0),
+        # user 2: single event -> single-bucket grid
+        (20, h(5), 2, 4.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {
+        (r["user_id"], r["bucket_start"].hour): (r["value_ffill"], r["is_gap"])
+        for r in resample_ffill(ev, every="1 hour").collect()
+    }
+    assert got == {
+        (1, 0): (2.0, False),
+        (1, 1): (2.0, True),
+        (1, 2): (2.0, True),
+        (1, 3): (7.0, False),   # event_id 13 beats 12 at the same ts
+        (2, 5): (4.0, False),
+    }
