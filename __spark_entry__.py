@@ -2140,6 +2140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ivf_ann: predicate param on ivf_topk) ---------------------------
         "tfidf_top_terms": q_tfidf,
         "knn_twophase": q_knn_twophase,
+        # code changed late-r5: projection staging / weights-hint drop
+        "repetition_stats": q_repetition_stats,
+        "stratified_sample": q_stratified_sample,
+        "temperature_mix": q_temperature_mix,
         "hnsw_ann": q_hnsw_ann,
         "hnsw_recall": q_hnsw_recall,
         "hnsw_ef_sweep": q_hnsw_ef_sweep,
@@ -2165,10 +2169,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "fingerprint": q_fingerprint,
+        # ---- position > 50: green rows recorded in r02-r04 -------------
         "token_stats": q_token_stats,
         "quality_score": q_quality,
         "language_id": q_language_id,
-        # ---- position > 50: green rows recorded in r02-r04 -------------
         "top_orders": q_top_orders,
         "order_ranks": q_order_ranks,
         "nation_rollup": q_nation_rollup,
@@ -2191,11 +2195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_unpivot": q_lineitem_unpivot,
         "nation_balance_fo": q_nation_balance_fo,
         "customers_no_orders": q_customers_no_orders,
-        "stratified_sample": q_stratified_sample,
         "shard_shuffle": q_shard_shuffle,
-        "temperature_mix": q_temperature_mix,
         "lang_embedding_norms": q_lang_embedding_norms,
-        "repetition_stats": q_repetition_stats,
         "chunk_tokens": q_chunk_tokens,
         "pipeline_training_corpus": q_pipeline_training_corpus,
         "bm25_topk": q_bm25_topk,
