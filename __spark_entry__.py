@@ -2095,6 +2095,51 @@ def q_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over the event firehose: each
+    event scored against its OWN key's trailing-30-day baseline
+    (time-RANGE frame ending 1s before the row — the baseline never
+    includes the scored value; 30 days because the synthetic users
+    average ~2 events/day, so shorter windows rarely reach min_prior).
+    One shuffle on high-cardinality user_id; no baseline self-join."""
+    return events.anomaly_zscore(
+        _events(spark, sf_dir), window_s=86400 * 30, min_prior=5, z_cut=2.5
+    )
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build: per-user event_type change history
+    with valid_from/valid_to intervals and an is_current flag — the
+    CDC-to-warehouse transform, lag+lead over one (ts, id)-sorted
+    partitioning."""
+    return events.scd2_history(_events(spark, sf_dir))
+
+
+def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric Welch two-sample test (unequal-variance t statistic +
+    Welch–Satterthwaite df) between deterministic user arms — pure
+    conditional aggregation, one shuffle, map-side combined."""
+    return events.ab_welch(_events(spark, sf_dir))
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: fixed 24-bucket grid over
+    [0, 600k) — bucket id is a pure projection, the whole operator is
+    one small-key hash aggregation."""
+    return relational.value_histogram(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", 0.0, 600_000.0, 24
+    )
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI collocations (min pair count 5): phrase mining over
+    the corpus — instance-stream counting (the bigram_logprob lesson),
+    min-count df-cut BEFORE the vocabulary joins, TakeOrdered top-k."""
+    return text_analysis.pmi_collocations(
+        _docs(spark, sf_dir), min_count=5, top_k=20
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cosine top-10 with metadata enrichment on sf0.001 —
     the reference's POST /search end-to-end (SURVEY.md §3.1)."""
@@ -2112,7 +2157,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in r5: filtered ANN, HNSW at the >=0.9 recall bar,
         # sequential funnel + cohort retention, unigram-LM quality score,
         # Lloyd recentering + index rebalance, quality-aware dedup,
-        # the naive-kNN Catalyst-style plan rewrite ----------------------
+        # the naive-kNN Catalyst-style plan rewrite, and the late-r5
+        # analytics batch (anomaly/SCD2/AB-test/histogram/PMI) -----------
+        "anomaly_zscore": q_anomaly_zscore,
+        "scd2_history": q_scd2_history,
+        "ab_welch": q_ab_welch,
+        "value_histogram": q_value_histogram,
+        "pmi_collocations": q_pmi_collocations,
         "knn_plan_rewrite": q_knn_plan_rewrite,
         "vectorflow_scan": q_vectorflow_scan,
         "scale_lint": q_scale_lint,
@@ -3486,6 +3537,101 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey
              ORDER BY datediff('day', DATE '1992-01-01', o_orderdate::DATE)
              RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+""".strip()
+
+    sql["anomaly_zscore"] = """
+WITH s AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+         value,
+         count(*) OVER w AS n_prior,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sd
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 2592000 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, epoch_s, round(value, 6) + 0 AS value,
+       n_prior, round((value - mu) / sd, 4) + 0 AS z
+FROM s
+WHERE n_prior >= 5 AND sd > 0 AND abs(round((value - mu) / sd, 4)) >= 2.5
+""".strip()
+
+    sql["scd2_history"] = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+c AS (SELECT user_id, event_id, ts, event_type FROM o
+      WHERE prev IS NULL OR event_type <> prev)
+SELECT user_id, event_type AS state,
+       strftime(ts, '{TS_FMT_DUCK}') AS valid_from,
+       coalesce(strftime(lead(ts) OVER w2, '{TS_FMT_DUCK}'),
+                '9999-12-31 00:00:00') AS valid_to,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM c
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+""".strip()
+
+    sql["ab_welch"] = """
+WITH agg AS (
+  SELECT event_type,
+         count(*) FILTER (user_id % 2 = 0) AS n_a,
+         count(*) FILTER (user_id % 2 = 1) AS n_b,
+         avg(value) FILTER (user_id % 2 = 0) AS ma,
+         avg(value) FILTER (user_id % 2 = 1) AS mb,
+         var_samp(value) FILTER (user_id % 2 = 0) AS va,
+         var_samp(value) FILTER (user_id % 2 = 1) AS vb
+  FROM events GROUP BY event_type)
+SELECT event_type, n_a, n_b,
+       round(ma, 6) + 0 AS mean_a, round(mb, 6) + 0 AS mean_b,
+       round((ma - mb) / sqrt(va / n_a + vb / n_b), 4) + 0 AS t_stat,
+       round(pow(va / n_a + vb / n_b, 2) /
+             (pow(va / n_a, 2) / (n_a - 1) + pow(vb / n_b, 2) / (n_b - 1)),
+             2) + 0 AS df
+FROM agg
+""".strip()
+
+    sql["value_histogram"] = """
+SELECT CAST(least(floor((o_totalprice - 0.0) / 25000.0), 23) AS INTEGER) AS bucket,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS min_value,
+       round(max(o_totalprice), 2) AS max_value,
+       round(sum(o_totalprice), 2) AS sum_value,
+       round(CAST(least(floor((o_totalprice - 0.0) / 25000.0), 23) AS INTEGER)
+             * 25000.0 + 0.0, 2) AS bucket_lo
+FROM orders
+WHERE o_totalprice >= 0.0 AND o_totalprice < 600000.0 + 1e-9
+GROUP BY 1, 6
+""".strip()
+
+    sql["pmi_collocations"] = """
+WITH btoks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks FROM documents),
+bg AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+         ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+    END) AS bigram
+  FROM btoks
+),
+uni AS (SELECT unnest(toks) AS term FROM btoks),
+ucnt AS (SELECT term, count(*) AS cnt FROM uni GROUP BY term),
+ut AS (SELECT count(*) AS t_total FROM uni),
+bcnt AS (SELECT bigram, count(*) AS n_pair FROM bg GROUP BY bigram
+         HAVING count(*) >= 5),
+bt AS (SELECT count(*) AS b_total FROM bg),
+scored AS (
+  SELECT b.bigram, b.n_pair,
+         round(ln((b.n_pair / CAST(bt.b_total AS DOUBLE)) /
+                  ((ca.cnt / CAST(ut.t_total AS DOUBLE)) *
+                   (cb.cnt / CAST(ut.t_total AS DOUBLE)))), 6) + 0 AS pmi
+  FROM bcnt b
+  JOIN ucnt ca ON string_split(b.bigram, ' ')[1] = ca.term
+  JOIN ucnt cb ON string_split(b.bigram, ' ')[2] = cb.term
+  CROSS JOIN ut CROSS JOIN bt)
+SELECT CAST(row_number() OVER (ORDER BY pmi DESC, bigram) AS INTEGER) AS rank,
+       bigram, n_pair, pmi
+FROM scored ORDER BY pmi DESC, bigram LIMIT 20
 """.strip()
 
     sql["order_ranks"] = """

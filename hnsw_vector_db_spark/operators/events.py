@@ -411,3 +411,151 @@ def resample_ffill(
         F.round(F.last("_v", ignorenulls=True).over(w), 6).alias("value_ffill"),
         F.col("_v").isNull().alias("is_gap"),
     )
+
+
+def anomaly_zscore(
+    events: DataFrame,
+    window_s: int = 6 * 3600,
+    min_prior: int = 5,
+    z_cut: float = 3.0,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Rolling z-score anomaly detection: per key, each event's value is
+    scored against the mean/stddev of that key's OWN events in the
+    trailing ``window_s``-second time-RANGE frame ENDING ONE SECOND
+    BEFORE it (the current row never contaminates its own baseline);
+    rows with ``|z| >= z_cut`` and at least ``min_prior`` baseline
+    events flag as anomalies. The monitoring primitive every metrics
+    pipeline runs over its event firehose.
+
+    Scale shape: the rolling_revenue lesson — a time-RANGE window frame
+    over epoch seconds, ONE shuffle on the key (high-cardinality
+    user_id, not the handful of event_types), no self-join against the
+    baseline. Exclusive frame end (``-1 PRECEDING``) + sample stddev
+    are both ANSI window constructs -> oracle-checked exactly (z rounded
+    to 4 before the cut so the boundary comparison is bit-stable
+    cross-engine). Output (user_id, event_id, epoch_s, value, n_prior, z).
+    """
+    epoch = F.col(ts_col).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(epoch)
+        .rangeBetween(-window_s, -1)
+    )
+    scored = events.select(
+        F.col(key_col),
+        F.col(id_col),
+        epoch.alias("epoch_s"),
+        F.col(value_col).alias("_raw"),
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+        F.avg(value_col).over(w).alias("_mu"),
+        F.stddev_samp(value_col).over(w).alias("_sd"),
+    )
+    z = F.round((F.col("_raw") - F.col("_mu")) / F.col("_sd"), 4)
+    return (
+        scored.filter(
+            (F.col("n_prior") >= min_prior) & (F.col("_sd") > 0)
+        )
+        .select(
+            F.col(key_col),
+            F.col(id_col),
+            F.col("epoch_s"),
+            F.round("_raw", 6).alias(value_col),
+            F.col("n_prior"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= z_cut)
+    )
+
+
+def scd2_history(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+    open_end: str = "9999-12-31 00:00:00",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: collapse each key's
+    event stream into state VERSIONS — consecutive events with the same
+    ``state_col`` fold into one row carrying ``valid_from`` (first ts of
+    the run) and ``valid_to`` (ts of the NEXT state change, or the
+    ``open_end`` sentinel for the current state). The standard
+    change-data-capture -> warehouse-dimension transform.
+
+    Scale shape: lag to detect changes + lead for the closing edge, both
+    over the same ``partitionBy(key) orderBy(ts, id)`` — one Exchange,
+    one Sort, Catalyst plans the two window functions in a single
+    Window node per ordering. No self-join of the history against
+    itself. Deterministic (ts, id) tiebreak -> oracle-checked exactly.
+    Output (user_id, state, valid_from, valid_to, is_current).
+    """
+    fmt_spark = "yyyy-MM-dd HH:mm:ss"
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    changes = (
+        events.withColumn("_prev", F.lag(state_col).over(w))
+        .filter(
+            F.col("_prev").isNull() | (F.col(state_col) != F.col("_prev"))
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    nxt = F.lead(ts_col).over(w2)
+    return changes.select(
+        F.col(key_col),
+        F.col(state_col).alias("state"),
+        F.date_format(ts_col, fmt_spark).alias("valid_from"),
+        F.coalesce(F.date_format(nxt, fmt_spark), F.lit(open_end)).alias(
+            "valid_to"
+        ),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def ab_welch(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Two-sample Welch test statistics per experiment metric: users are
+    assigned to arms by ``key % 2`` (the deterministic stand-in for an
+    assignment table — swap in a broadcast-joined dim at will), and per
+    ``group_col`` the arms' value means are compared with the
+    unequal-variance t statistic and Welch–Satterthwaite degrees of
+    freedom. The A/B readout every experimentation pipeline computes.
+
+    Scale shape: pure conditional aggregation — one groupBy shuffle on
+    the metric key with map-side partial combine; the t/df arithmetic is
+    a projection over six aggregates. No per-arm passes, no join between
+    arms. Output (event_type, n_a, n_b, mean_a, mean_b, t_stat, df),
+    all rounded -> oracle-checked exactly (SQL FILTER twins).
+    """
+    arm_a = (F.col(key_col) % 2) == 0
+    agg = events.groupBy(group_col).agg(
+        F.count(F.when(arm_a, 1)).alias("n_a"),
+        F.count(F.when(~arm_a, 1)).alias("n_b"),
+        F.avg(F.when(arm_a, F.col(value_col))).alias("_ma"),
+        F.avg(F.when(~arm_a, F.col(value_col))).alias("_mb"),
+        F.var_samp(F.when(arm_a, F.col(value_col))).alias("_va"),
+        F.var_samp(F.when(~arm_a, F.col(value_col))).alias("_vb"),
+    )
+    sa = F.col("_va") / F.col("n_a")
+    sb = F.col("_vb") / F.col("n_b")
+    se2 = sa + sb
+    t = (F.col("_ma") - F.col("_mb")) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)
+    )
+    return agg.select(
+        group_col,
+        "n_a",
+        "n_b",
+        F.round("_ma", 6).alias("mean_a"),
+        F.round("_mb", 6).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df, 2).alias("df"),
+    )

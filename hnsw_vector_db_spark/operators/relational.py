@@ -288,3 +288,45 @@ def salted_distinct_count(
         F.countDistinct(dist_col).alias("_c")
     )
     return part.groupBy(key_col).agg(F.sum("_c").alias(out_col))
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str = "o_totalprice",
+    lo: float = 0.0,
+    hi: float = 600_000.0,
+    n_buckets: int = 24,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: fixed [lo, hi) bucket
+    grid, per-bucket count/min/max/sum — the profiling primitive behind
+    every data-quality dashboard and range-partitioner choice.
+
+    Scale shape: the bucket id is a pure projection (floor of a linear
+    map, clamped to the top bucket), so the whole operator is ONE hash
+    aggregation on a small integer key with map-side partial combine —
+    the histogram never materializes per-row state and the known [lo,
+    hi) bounds mean NO preliminary min/max pass over the data (when
+    bounds are unknown, that's one tiny extra aggregate). Output
+    (bucket, bucket_lo, n, min_value, max_value, sum_value),
+    oracle-checked exactly (identical floor arithmetic both engines).
+    """
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    return (
+        df.filter(
+            (F.col(value_col) >= lo) & (F.col(value_col) < hi + 1e-9)
+        )
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(value_col), 2).alias("min_value"),
+            F.round(F.max(value_col), 2).alias("max_value"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+        .withColumn(
+            "bucket_lo", F.round(F.col("bucket") * F.lit(width) + F.lit(lo), 2)
+        )
+    )

@@ -530,3 +530,75 @@ def normalize_text(
         return s.map(f)
 
     return docs.select(F.col(id_col), _norm(F.col(text_col)).alias("norm_text"))
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information: PMI(a,b) =
+    ln( P(ab) / (P(a) P(b)) ) with P(ab) = c(ab)/B over bigram
+    instances and P(w) = c(w)/T over token instances, restricted to
+    bigrams seen at least ``min_count`` times (the standard low-count
+    PMI guard). The phrase-mining step ("new york", "machine learning")
+    every tokenizer-training and corpus-exploration pipeline runs.
+
+    Scale shape: corpus bigram and unigram counts both aggregate
+    straight off their instance streams (partial combine does the
+    shrinking — the bigram_logprob lesson); the two probability joins
+    are SHUFFLES on vocabulary keys (bigram first CUT by min_count, so
+    the joined side is the small filtered vocabulary) with no broadcast
+    hint. Final top-k is a TakeOrdered over the vocabulary-sized scored
+    table — no per-doc work at all after counting. Deterministic
+    ordering: (rounded pmi DESC, bigram ASC). Output (rank, bigram,
+    n_pair, pmi), oracle-checked exactly.
+    """
+    from pyspark.sql import Window
+
+    from hnsw_vector_db_spark.functions.text import word_ngrams
+
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("toks"))
+    uni = toks.select(F.explode("toks").alias("term"))
+    ucnt = uni.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = uni.agg(F.sum(F.lit(1)).alias("t_total"))  # single row
+    pairs = toks.select(F.explode(word_ngrams(F.col("toks"), 2)).alias("bigram"))
+    bcnt = (
+        pairs.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    btotal = pairs.agg(F.sum(F.lit(1)).alias("b_total"))  # single row
+    split = F.split("bigram", " ")
+    scored = (
+        bcnt.withColumn("_a", split.getItem(0))
+        .withColumn("_b", split.getItem(1))
+        .join(ucnt.withColumnRenamed("term", "_a").withColumnRenamed("cnt", "_ca"), "_a")
+        .join(ucnt.withColumnRenamed("term", "_b").withColumnRenamed("cnt", "_cb"), "_b")
+        .join(F.broadcast(total))
+        .join(F.broadcast(btotal))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("b_total"))
+                    / (
+                        (F.col("_ca") / F.col("t_total"))
+                        * (F.col("_cb") / F.col("t_total"))
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    ranked = scored.select("bigram", "n_pair", "pmi").orderBy(
+        F.col("pmi").desc(), F.col("bigram")
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("bigram"))
+    return (
+        ranked.limit(top_k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "bigram", "n_pair", "pmi")
+    )

@@ -223,3 +223,145 @@ def test_resample_ffill_known_values(spark):
         (1, 3): (7.0, False),   # event_id 13 beats 12 at the same ts
         (2, 5): (4.0, False),
     }
+
+
+def test_anomaly_zscore_known_answer(spark):
+    """A spike against a varied 6-event baseline flags; the spike's own
+    value is excluded from its baseline (exclusive frame end); users
+    with fewer than min_prior baseline events never flag; a constant
+    baseline (sd == 0) never divides by zero."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # u1: alternating 10/11 baseline, then a 100.0 spike
+        (1, m(0), 1, 10.0), (2, m(10), 1, 11.0), (3, m(20), 1, 10.0),
+        (4, m(30), 1, 11.0), (5, m(40), 1, 10.0), (6, m(50), 1, 11.0),
+        (7, m(60), 1, 100.0),
+        # u2: only 3 prior events before its spike -> min_prior gate
+        (10, m(0), 2, 1.0), (11, m(1), 2, 2.0), (12, m(2), 2, 1.0),
+        (13, m(3), 2, 50.0),
+        # u3: constant baseline (sd = 0) then a spike -> sd > 0 gate
+        (20, m(0), 3, 5.0), (21, m(1), 3, 5.0), (22, m(2), 3, 5.0),
+        (23, m(3), 3, 5.0), (24, m(4), 3, 5.0), (25, m(5), 3, 99.0),
+    ]
+    ev = spark.createDataFrame(
+        [(i, t, u, v) for i, t, u, v in rows],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    out = E.anomaly_zscore(ev, window_s=3600 * 6, min_prior=5, z_cut=3.0)
+    got = {r["event_id"]: r for r in out.collect()}
+    assert set(got) == {7}
+    r = got[7]
+    assert r["n_prior"] == 6
+    # baseline mean 10.5, sample sd of [10,11]*3 = sqrt(0.3)
+    import math
+
+    expect_z = round((100.0 - 10.5) / math.sqrt(0.3), 4)
+    assert r["z"] == pytest.approx(expect_z)
+
+
+def test_anomaly_zscore_single_shuffle(spark, sf_dir):
+    from hnsw_vector_db_spark.plans.explain import shuffle_count
+    from hnsw_vector_db_spark.sources.parquet import load_events
+
+    out = E.anomaly_zscore(load_events(spark, sf_dir))
+    assert shuffle_count(out) == 1
+
+
+def test_scd2_history_known_answer(spark):
+    """Consecutive same-state events fold into one version; valid_to
+    chains to the next CHANGE (not the next event); the last version is
+    open-ended and current; same-ts ties order by event_id."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (1, m(0), 1, "free"), (2, m(10), 1, "free"),   # fold
+        (3, m(20), 1, "pro"),
+        (4, m(30), 1, "pro"), (5, m(40), 1, "free"),
+        # u2: two different states at the SAME ts -> event_id orders them
+        (10, m(0), 2, "b"), (11, m(0), 2, "a"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, t, u, s) for i, t, u, s in rows],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = E.scd2_history(ev).collect()
+    u1 = sorted(
+        [(r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+         for r in out if r["user_id"] == 1]
+    )
+    assert u1 == [
+        ("free", "2024-01-01 00:00:00", "2024-01-01 00:20:00", False),
+        ("free", "2024-01-01 00:40:00", "9999-12-31 00:00:00", True),
+        ("pro", "2024-01-01 00:20:00", "2024-01-01 00:40:00", False),
+    ]
+    u2 = {r["state"]: r for r in out if r["user_id"] == 2}
+    # event_id 10 ("b") precedes 11 ("a") at the same ts
+    assert not u2["b"]["is_current"] and u2["a"]["is_current"]
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    from hnsw_vector_db_spark.plans.explain import shuffle_count
+    from hnsw_vector_db_spark.sources.parquet import load_events
+
+    out = E.scd2_history(load_events(spark, sf_dir))
+    assert shuffle_count(out) == 1
+
+
+def test_ab_welch_matches_numpy(spark):
+    """Welch t and df against a straight numpy computation on the same
+    fixture (arms = user_id parity)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), "m", float(v + (i % 2) * 0.5))
+        for i, v in enumerate(rng.normal(10.0, 2.0, 400))
+    ]
+    ev = spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1), u, t, v) for u, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = E.ab_welch(ev).collect()[0]
+    a = np.array([v for u, _, v in rows if u % 2 == 0])
+    b = np.array([v for u, _, v in rows if u % 2 == 1])
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(se2)
+    df = se2**2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert r["n_a"] == len(a) and r["n_b"] == len(b)
+    assert r["mean_a"] == pytest.approx(round(float(a.mean()), 6))
+    assert r["t_stat"] == pytest.approx(round(float(t), 4))
+    assert r["df"] == pytest.approx(round(float(df), 2))
+
+
+def test_value_histogram_known_answer(spark):
+    """Bucket edges: floor mapping, top-bucket clamp, out-of-range rows
+    dropped, per-bucket min/max/sum exact."""
+    from hnsw_vector_db_spark.operators.relational import value_histogram
+
+    vals = [0.0, 9.9, 10.0, 15.0, 95.0, 99.9, 100.0, -1.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {
+        r["bucket"]: r
+        for r in value_histogram(df, "x", lo=0.0, hi=100.0, n_buckets=10).collect()
+    }
+    assert set(out) == {0, 1, 9}
+    assert out[0]["n"] == 2 and out[0]["min_value"] == 0.0 and out[0]["max_value"] == 9.9
+    assert out[1]["n"] == 2 and out[1]["sum_value"] == 25.0
+    # 95.0, 99.9 in bucket 9; 100.0 passes the < hi+1e-9 guard and the
+    # least() clamp folds it into the top bucket; -1.0 is dropped
+    assert out[9]["n"] == 3 and out[9]["max_value"] == 100.0
+    assert out[9]["bucket_lo"] == 90.0

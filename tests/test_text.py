@@ -443,3 +443,38 @@ def test_normalize_text_rejects_unknown_form(spark):
 
     with _pytest.raises(ValueError, match="normalization form"):
         TA.normalize_text(docs, form="NFX")
+
+
+def test_pmi_collocations_known_answer(spark):
+    """A deliberately repeated phrase out-scores a phrase whose words
+    are individually common; bigrams under min_count never appear; the
+    PMI value matches the hand computation."""
+    import math
+
+    # "alpha beta" appears 5x and its words appear ONLY together;
+    # "the cat" appears 5x but "the" also appears with other words.
+    docs = [
+        (1, "alpha beta " * 5 + "the cat sat"),
+        (2, "the cat ran and the cat hid and the cat slept"),
+        (3, "the dog the bird the fish " + "the cat " * 2),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = TA.pmi_collocations(df, min_count=5, top_k=10).collect()
+    by_bigram = {r["bigram"]: r for r in out}
+    assert "alpha beta" in by_bigram and "the cat" in by_bigram
+    assert by_bigram["alpha beta"]["pmi"] > by_bigram["the cat"]["pmi"]
+    assert by_bigram["alpha beta"]["rank"] == 1
+    # hand computation for "alpha beta"
+    toks = [t for _, text in docs for t in text.split()]
+    bigrams = []
+    for _, text in docs:
+        ws = text.split()
+        bigrams += [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+    T, B = len(toks), len(bigrams)
+    c_ab = bigrams.count("alpha beta")
+    c_a, c_b = toks.count("alpha"), toks.count("beta")
+    expect = round(math.log((c_ab / B) / ((c_a / T) * (c_b / T))), 6)
+    assert by_bigram["alpha beta"]["pmi"] == expect
+    assert by_bigram["alpha beta"]["n_pair"] == 5
+    # nothing below min_count
+    assert all(r["n_pair"] >= 5 for r in out)
