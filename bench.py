@@ -106,6 +106,12 @@ HEADLINE += [
     "edit_neardup",
     "normalize_text",
     "resample_ffill",
+    "anomaly_zscore",
+    "scd2_history",
+    "ab_welch",
+    "value_histogram",
+    "pmi_collocations",
+    "zorder_values",
 ]
 
 

@@ -238,3 +238,76 @@ def test_compact_table_rejects_partitioned_layout(spark, sf_dir, tmp_path):
     docs.write.partitionBy("lang").parquet(path)
     with pytest.raises(ValueError, match="no top-level parquet"):
         compact_table(spark, path)
+
+
+def test_zorder_write_tightens_both_dimensions(spark, sf_dir, tmp_path):
+    """Morton-clustered layout bounds footer ranges in BOTH dimensions:
+    the per-file (span_x * span_y) rectangle area is a small fraction of
+    the global domain area, so a filter on EITHER column prunes files —
+    the property single-column range clustering cannot give the trailing
+    dimension. Also: the z key is a bijection of the bucket pair (no
+    row loss), and zorder_sql mirrors zorder_key bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from hnsw_vector_db_spark.sources.layout import (
+        file_ranges,
+        zorder_key,
+        zorder_sql,
+        zorder_write,
+    )
+    from hnsw_vector_db_spark.sources.parquet import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    # both dims bucketed to the SAME 8-bit width — Morton interleaving
+    # only clusters a dimension whose bucket actually uses the high
+    # bits, so unequal widths leave the narrow dim unclustered
+    bounds = orders.agg(
+        F.max("o_custkey").alias("xhi"), F.max("o_totalprice").alias("yhi")
+    ).first()
+    x = F.least(F.floor(F.col("o_custkey") * 256.0 / (bounds["xhi"] + 1)), F.lit(255))
+    y = F.least(F.floor(F.col("o_totalprice") * 256.0 / (bounds["yhi"] + 1)), F.lit(255))
+    path = str(tmp_path / "zordered")
+    zorder_write(orders, path, x, y, n_files=16, bits=8)
+
+    assert spark.read.parquet(path).count() == orders.count()
+
+    def mean_span(col):
+        rs = file_ranges(path, col)
+        return sum(hi - lo for lo, hi in rs) / len(rs), rs
+
+    sx, rx = mean_span("o_custkey")
+    sy, _ = mean_span("o_totalprice")
+    gx = max(hi for _, hi in rx) - min(lo for lo, _ in rx)
+    row = orders.agg(
+        F.max("o_totalprice").alias("hi"), F.min("o_totalprice").alias("lo")
+    ).first()
+    gy = row["hi"] - row["lo"]
+    # with 16 z-ordered files, each file's rectangle is a small slice of
+    # the domain in the product — and BOTH single-dim spans shrink
+    assert sx / gx < 0.8 and sy / gy < 0.8
+    assert (sx / gx) * (sy / gy) < 0.30
+
+    # spark zorder_key == duckdb zorder_sql on the same buckets
+    import duckdb
+
+    zs = (
+        orders.select(
+            "o_orderkey", zorder_key(x, y, 8).alias("z")
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    zexpr = zorder_sql(
+        f"CAST(least(floor(o_custkey * 256.0 / {bounds['xhi'] + 1}), 255) AS BIGINT)",
+        f"CAST(least(floor(o_totalprice * 256.0 / {bounds['yhi'] + 1}), 255) AS BIGINT)",
+        8,
+    )
+    dz = con.execute(
+        f"SELECT o_orderkey, {zexpr} AS z FROM orders ORDER BY o_orderkey LIMIT 200"
+    ).fetchall()
+    assert [(r["o_orderkey"], r["z"]) for r in zs] == [tuple(t) for t in dz]
