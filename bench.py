@@ -114,6 +114,19 @@ HEADLINE += [
     "zorder_values",
 ]
 
+# late-r5 analytics batch 2 — data profiling, skyline, heavy hitters,
+# EMA, weighted sampling, PageRank, perceptual-hash near-dup; separate
+# group, earlier totals stay comparable
+HEADLINE += [
+    "profile_table",
+    "skyline",
+    "heavy_hitters",
+    "ema_smooth",
+    "weighted_sample",
+    "pagerank",
+    "phash_neardup",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -458,3 +458,36 @@ def strip_boilerplate(
             (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "wsample1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (top-k by the
+    Efraimidis-Spirakis exponential key, IPL 2006): each row draws
+    u = (hash(id||salt) + 0.5)/GRAIN in (0,1) and scores
+    key = ln(u)/w — taking the k LARGEST keys is exactly weighted
+    sampling without replacement with inclusion probability
+    proportional to w at each draw.
+
+    Why this shape at scale: no rand() (reruns and retries see the same
+    sample), no count() pre-pass, no shuffle of the corpus — the plan is
+    a projection + TakeOrderedAndProject (the same bounded-heap physical
+    op as single-query kNN), so 100 TB costs one scan. Rows with
+    non-positive weight are excluded (their key is undefined).
+    Deterministic tiebreak (key, id) pins the boundary.
+    """
+    u = (_sample_u(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt)))
+         + F.lit(0.5)) / F.lit(float(SAMPLE_GRAIN))
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    return (
+        docs.filter(w > 0)
+        .select(F.col(id_col), w.alias("weight"), key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

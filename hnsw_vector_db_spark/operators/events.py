@@ -559,3 +559,55 @@ def ab_welch(
         F.round(t, 4).alias("t_stat"),
         F.round(df, 2).alias("df"),
     )
+
+
+def ema_smooth(
+    events: DataFrame,
+    alpha: float = 0.3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key exponential moving average over event time:
+    ema_1 = x_1, ema_i = alpha*x_i + (1-alpha)*ema_{i-1}, ordered by
+    (ts, event_id).
+
+    The recurrence is inherently sequential per key, so it runs as ONE
+    grouped-map pandas pass (applyInPandas): one shuffle on the key,
+    per-task memory bounded by the largest key's row count (the same
+    bound sessionize/as-of already accept — for unbounded per-key
+    history, the streaming twin folds incrementally with
+    applyInPandasWithState instead). The fold multiplies in a fixed
+    literal order (alpha*x + (1-alpha)*prev) so any engine replaying the
+    same order reproduces the doubles bit-for-bit — the DuckDB oracle
+    replays it as a recursive CTE.
+
+    Output: (key, event_id, value, ema) — full precision; callers round
+    at the edge.
+    """
+    import pandas as pd
+
+    beta = 1.0 - alpha
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col])
+        vals = pdf[value_col].to_numpy()
+        out = vals.copy()
+        for i in range(1, len(out)):
+            out[i] = alpha * vals[i] + beta * out[i - 1]
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col].to_numpy(),
+                id_col: pdf[id_col].to_numpy(),
+                value_col: vals,
+                "ema": out,
+            }
+        )
+
+    schema = f"{key_col} long, {id_col} long, {value_col} double, ema double"
+    return (
+        events.select(key_col, ts_col, id_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(fold, schema=schema)
+    )

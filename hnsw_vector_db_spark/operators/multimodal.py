@@ -472,3 +472,173 @@ def frame_sample_plan(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
     )
+
+
+PHASH_BITS = 64
+
+
+def perturb_images(
+    media: DataFrame,
+    id_offset: int,
+    max_id: int | None = None,
+    delta: int = 1,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    modality_col: str = "modality",
+) -> DataFrame:
+    """Deterministic near-duplicate image twins: for each image row (id
+    <= max_id if given), decode the payload, nudge the top-left pixel
+    block by ``delta`` (clipped), re-encode with the SAME container, and
+    emit it as id + id_offset. The pixel change is tiny, so the twin's
+    perceptual hash lands within a few bits of the original — test
+    fixture machinery for near-dup evaluation (mapInPandas, decoder and
+    encoder both real)."""
+    import pandas as pd
+
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def run(batches):
+        for pdf in batches:
+            out_id, out_payload, out_mod = [], [], []
+            for i, p, m in zip(pdf[id_col], pdf[payload_col], pdf[modality_col]):
+                if max_id is not None and int(i) > max_id:
+                    continue
+                img = parse_ppm(bytes(p)) if m == "image_ppm" else (
+                    parse_png(bytes(p)) if m == "image_png" else None
+                )
+                if img is None:
+                    continue
+                img = img.copy()
+                img[:2, :2, :] = np.clip(
+                    img[:2, :2, :].astype(np.int32) + delta, 0, 255
+                ).astype(np.uint8)
+                out_id.append(int(i) + id_offset)
+                out_payload.append(
+                    encode_ppm(img) if m == "image_ppm" else encode_png(img)
+                )
+                out_mod.append(m)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(out_id, dtype="int64"),
+                    payload_col: pd.Series(out_payload, dtype=object),
+                    modality_col: pd.Series(out_mod, dtype=object),
+                    "payload_bytes": pd.Series(
+                        [len(b) for b in out_payload], dtype="int64"
+                    ),
+                }
+            )
+
+    schema = (
+        f"{id_col} long, {payload_col} binary, {modality_col} string, "
+        "payload_bytes long"
+    )
+    return media.mapInPandas(run, schema)
+
+
+def phash_features(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    modality_col: str = "modality",
+) -> DataFrame:
+    """64-bit average perceptual hash (aHash) per image: decode, grayscale
+    (channel mean), downsample to 8x8 by block means, bit i = pixel_i >
+    mean. Non-image rows are dropped. Arrow-batched mapInPandas — the
+    decode+hash is embarrassingly parallel, output is 16 bytes/row, so
+    the downstream near-dup join never touches pixels again (hash once,
+    join cheap — the same staging as minhash signatures)."""
+    import pandas as pd
+
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def ahash(img: np.ndarray) -> int:
+        gray = img.astype(np.float64).mean(axis=2)
+        h_, w_ = gray.shape
+        # block-mean downsample to 8x8 (exact when dims divide; trailing
+        # remainder folds into the last block)
+        ys = np.linspace(0, h_, 9).astype(int)
+        xs = np.linspace(0, w_, 9).astype(int)
+        small = np.array(
+            [
+                [gray[ys[r]:max(ys[r + 1], ys[r] + 1),
+                      xs[c]:max(xs[c + 1], xs[c] + 1)].mean()
+                 for c in range(8)]
+                for r in range(8)
+            ]
+        )
+        bits = (small > small.mean()).flatten()
+        h = 0
+        for b_i, bit in enumerate(bits):
+            if bit:
+                h |= 1 << b_i
+        if h >= 1 << 63:
+            h -= 1 << 64
+        return h
+
+    def run(batches):
+        for pdf in batches:
+            out_id, out_h = [], []
+            for i, p, m in zip(pdf[id_col], pdf[payload_col], pdf[modality_col]):
+                img = parse_ppm(bytes(p)) if m == "image_ppm" else (
+                    parse_png(bytes(p)) if m == "image_png" else None
+                )
+                if img is None:
+                    continue
+                out_id.append(int(i))
+                out_h.append(ahash(img))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(out_id, dtype="int64"),
+                    "phash": pd.Series(out_h, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=f"{id_col} long, phash long")
+
+
+def phash_near_dup(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Image near-dup pairs with hamming(phash) <= max_hamming, via the
+    same pigeonhole chunk equi-join as simhash_near_dup (dedup.py):
+    split the 64-bit hash into max_hamming+1 chunks — any pair within
+    the budget agrees exactly on >= 1 chunk, so candidates come from
+    equi-joins on (chunk_id, chunk_value), never a quadratic scan.
+    COMPLETE for the threshold by the pigeonhole principle. Output
+    (id_a, id_b, hamming int)."""
+    nchunks = max_hamming + 1
+    width = -(-PHASH_BITS // nchunks)
+    chunks = hashes.select(
+        F.col(id_col),
+        F.col("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("phash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("cval"),
+                    )
+                    for i in range(nchunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "phash", F.col("c.chunk").alias("chunk"), F.col("c.cval").alias("cval"))
+    a = chunks.toDF("id_a", "ph_a", "chunk", "cval")
+    b = chunks.toDF("id_b", "ph_b", "chunk", "cval")
+    return (
+        a.join(b, ["chunk", "cval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int"))
+    )

@@ -330,3 +330,81 @@ def value_histogram(
             "bucket_lo", F.round(F.col("bucket") * F.lit(width) + F.lit(lo), 2)
         )
     )
+
+
+def _local_skyline(mat, eps: float = 0.0):
+    """Indices of the Pareto front of ``mat`` (n x d, all-minimize).
+
+    Lex-sort rows ascending, then scan: after the sort a row can only be
+    dominated by an earlier row, so each row is checked against the
+    running skyline only — O(n * |skyline| * d), and |skyline| is small
+    on real data (O(log^(d-1) n) for independent dims).
+    """
+    import numpy as np
+
+    n = mat.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.lexsort(mat.T[::-1])  # primary key = column 0
+    sky: list[int] = []
+    sky_mat = np.empty((0, mat.shape[1]))
+    for i in order:
+        row = mat[i]
+        if sky:
+            le = (sky_mat <= row).all(axis=1)
+            lt = (sky_mat < row).any(axis=1)
+            if bool((le & lt).any()):
+                continue
+        sky.append(i)
+        sky_mat = np.vstack([sky_mat, row[None, :]])
+    return np.asarray(sky, dtype=np.int64)
+
+
+def skyline(
+    df: DataFrame,
+    minimize: list[str],
+    maximize: list[str] = (),
+) -> DataFrame:
+    """Pareto front (skyline): rows not dominated by any other row —
+    another row that is <= on every minimized dim, >= on every maximized
+    dim, and strictly better on at least one. Ties on every dim keep
+    both rows (neither strictly dominates).
+
+    Two-phase distributed shape (the classic partition-skyline theorem:
+    a global skyline point is undominated in its own partition, so
+    skyline(S) = skyline(union of per-partition skylines)):
+
+      1. per-partition skyline via mapInPandas, INCREMENTAL across Arrow
+         batches — memory is O(|front| + batch), never the partition;
+      2. the union of local fronts (small) collapses to one partition
+         for the exact global pass.
+
+    Rows with NULL in any dim are excluded (dominance is undefined).
+    At 100 TB phase 1 is a scan; phase 2's single partition holds only
+    sum-of-local-fronts rows. If a pathological dataset made local
+    fronts huge (e.g. perfectly anti-correlated dims), the same operator
+    recurses: grid-partition on dim quantiles and re-run phase 1.
+    """
+    import numpy as np
+    import pandas as pd
+
+    minimize = list(minimize)
+    maximize = list(maximize)
+    dims = minimize + maximize
+    if not dims:
+        raise ValueError("skyline needs at least one dimension")
+    sign = np.array([1.0] * len(minimize) + [-1.0] * len(maximize))
+
+    clean = df.na.drop(subset=dims)
+
+    def front(batches):
+        sky_pdf: pd.DataFrame | None = None
+        for pdf in batches:
+            both = pdf if sky_pdf is None else pd.concat([sky_pdf, pdf], ignore_index=True)
+            mat = both[dims].to_numpy(dtype=np.float64) * sign
+            sky_pdf = both.iloc[_local_skyline(mat)].reset_index(drop=True)
+        if sky_pdf is not None and len(sky_pdf):
+            yield sky_pdf
+
+    local = clean.mapInPandas(front, schema=clean.schema)
+    return local.repartition(1).mapInPandas(front, schema=clean.schema)

@@ -141,3 +141,70 @@ def sketch_accuracy(
         F.round(p50_err, 6).alias("p50_rel_err"),
         ((user_err <= max_rel_err) & (p50_err <= max_rel_err)).alias("ok"),
     ).orderBy(key_col)
+
+
+def profile_columns(
+    df: DataFrame,
+    numeric_cols: list[str],
+    string_cols: list[str],
+) -> DataFrame:
+    """Column-level data-quality profile: one output row per profiled
+    column with row/null/distinct counts and min/max.
+
+    The data-engineering "expectations" primitive (null-rate and
+    cardinality drift checks before a corpus enters training). Shape:
+    each column family is UNPIVOTed to ``(column, v)`` rows and
+    aggregated by column name. The melt multiplies scanned rows by the
+    column count, but partial aggregation collapses every partition to
+    one row per column before the shuffle, so the exchange carries
+    ~n_cols x n_partitions rows regardless of table size. The exact
+    ``n_distinct`` is the one term whose shuffle grows with data — it
+    carries one row per distinct (column, value) pair, the same bounded
+    "vocabulary" shape as tfidf's term key (use ``sketch_accuracy``'s
+    HLL tier instead when cardinality itself is huge).
+
+    Numeric min/max are rounded doubles; string min/max are exact; the
+    family that doesn't apply is NULL. Output sorted by column name.
+    """
+    if not numeric_cols and not string_cols:
+        raise ValueError("profile_columns needs at least one column")
+
+    def melt(cols: list[str], cast: str) -> DataFrame | None:
+        if not cols:
+            return None
+        pairs = ", ".join(f"'{c}', cast({c} as {cast})" for c in cols)
+        return df.selectExpr(f"stack({len(cols)}, {pairs}) as (col_name, v)")
+
+    def agg_num(m: DataFrame) -> DataFrame:
+        return m.groupBy("col_name").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("v").isNull(), 1)).alias("n_nulls"),
+            F.countDistinct("v").alias("n_distinct"),
+            (F.round(F.min("v"), 6) + F.lit(0.0)).alias("min_num"),
+            (F.round(F.max("v"), 6) + F.lit(0.0)).alias("max_num"),
+            F.lit(None).cast("string").alias("min_str"),
+            F.lit(None).cast("string").alias("max_str"),
+        )
+
+    def agg_str(m: DataFrame) -> DataFrame:
+        return m.groupBy("col_name").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("v").isNull(), 1)).alias("n_nulls"),
+            F.countDistinct("v").alias("n_distinct"),
+            F.lit(None).cast("double").alias("min_num"),
+            F.lit(None).cast("double").alias("max_num"),
+            F.min("v").alias("min_str"),
+            F.max("v").alias("max_str"),
+        )
+
+    parts = []
+    mn = melt(numeric_cols, "double")
+    if mn is not None:
+        parts.append(agg_num(mn))
+    ms = melt(string_cols, "string")
+    if ms is not None:
+        parts.append(agg_str(ms))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col_name")

@@ -602,3 +602,60 @@ def pmi_collocations(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .select("rank", "bigram", "n_pair", "pmi")
     )
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    k: int = 20,
+    capacity: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k most frequent terms: Misra-Gries candidate pass, then exact
+    counts for candidates only.
+
+    The full-vocabulary groupBy(term) shuffles one row per distinct term
+    — billions at web scale. Instead:
+
+      1. per-partition Misra-Gries summaries (capacity ``capacity``) via
+         mapInPandas over the token stream: bounded memory, one pass,
+         and the classic guarantee that any term with partition
+         frequency > n_p/capacity survives. Averaging over partitions,
+         every term with GLOBAL frequency > N/capacity appears in at
+         least one partition's summary, so with capacity >> N/freq(kth)
+         the true top-k are all candidates.
+      2. candidate terms (distinct union of summaries, <= capacity x
+         n_partitions rows, typically far fewer) semi-join back into the
+         token stream; the exact count shuffles only candidate rows.
+
+    The result is EXACT for the returned rows (counts come from the full
+    recount, not the sketch). If the k-th true count were <= N/capacity
+    the candidate set could miss it; production sizes capacity from k
+    and the expected skew (Zipf: the k-th term carries ~1/(k ln V) of
+    mass, so capacity ~ 50k is ample for k <= 1000). Deterministic
+    tiebreak: count desc, term asc.
+    """
+
+    def mg_candidates(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for term, cnt in pdf["term"].value_counts().items():
+                counters[term] = counters.get(term, 0) + int(cnt)
+            if len(counters) > capacity:
+                # batched Misra-Gries decrement: subtract the smallest
+                # count delta that leaves <= capacity survivors
+                delta = sorted(counters.values())[len(counters) - capacity - 1]
+                counters = {t: c - delta for t, c in counters.items() if c > delta}
+        if counters:
+            yield pd.DataFrame({"term": list(counters.keys())})
+
+    term_rows = docs.select(F.explode(tokens(text_col)).alias("term"))
+    candidates = (
+        term_rows.mapInPandas(mg_candidates, schema="term string").distinct()
+    )
+    exact = (
+        term_rows.join(candidates, "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return exact.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(k)

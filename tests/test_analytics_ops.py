@@ -1,0 +1,274 @@
+"""Round-5 analytics batch: profile, skyline, heavy hitters, EMA,
+weighted sampling, PageRank, perceptual-hash image near-dup — each vs a
+naive-Python or brute-force ground truth."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hnsw_vector_db_spark.operators.corpus import SAMPLE_GRAIN, weighted_sample
+from hnsw_vector_db_spark.operators.events import ema_smooth
+from hnsw_vector_db_spark.operators.graph import bipartite_edges, pagerank
+from hnsw_vector_db_spark.operators.multimodal import (
+    perturb_images,
+    phash_features,
+    phash_near_dup,
+    synthesize_media,
+)
+from hnsw_vector_db_spark.operators.relational import _local_skyline, skyline
+from hnsw_vector_db_spark.operators.stats import profile_columns
+from hnsw_vector_db_spark.operators.text_analysis import heavy_hitters
+
+
+# -- profile_columns -------------------------------------------------------
+
+
+def test_profile_columns_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1.0, "a"),
+            (2.5, "b"),
+            (None, "a"),
+            (2.5, None),
+        ],
+        "x double, s string",
+    )
+    rows = {r["col_name"]: r for r in profile_columns(df, ["x"], ["s"]).collect()}
+    x = rows["x"]
+    assert (x["n_rows"], x["n_nulls"], x["n_distinct"]) == (4, 1, 2)
+    assert (x["min_num"], x["max_num"]) == (1.0, 2.5)
+    assert x["min_str"] is None and x["max_str"] is None
+    s = rows["s"]
+    assert (s["n_rows"], s["n_nulls"], s["n_distinct"]) == (4, 1, 2)
+    assert (s["min_str"], s["max_str"]) == ("a", "b")
+    assert s["min_num"] is None
+
+
+def test_profile_columns_needs_columns(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        profile_columns(df, [], [])
+
+
+# -- skyline ---------------------------------------------------------------
+
+
+def _brute_skyline(mat: np.ndarray) -> set[int]:
+    """All-minimize Pareto front by the O(n^2) definition."""
+    keep = set()
+    for i in range(len(mat)):
+        dominated = False
+        for j in range(len(mat)):
+            if i == j:
+                continue
+            if (mat[j] <= mat[i]).all() and (mat[j] < mat[i]).any():
+                dominated = True
+                break
+        if not dominated:
+            keep.add(i)
+    return keep
+
+
+def test_local_skyline_matches_brute():
+    rng = np.random.default_rng(7)
+    for d in (1, 2, 3):
+        mat = rng.integers(0, 12, size=(80, d)).astype(float)
+        got = set(_local_skyline(mat).tolist())
+        assert got == _brute_skyline(mat)
+
+
+def test_skyline_distributed_matches_brute(spark):
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, float(x), float(y), float(z))
+        for i, (x, y, z) in enumerate(rng.integers(0, 15, size=(200, 3)))
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double, z double").repartition(7)
+    got = {r["id"] for r in skyline(df, minimize=["x", "y"], maximize=["z"]).collect()}
+    mat = np.array([[x, y, -z] for _, x, y, z in rows])
+    want = {rows[i][0] for i in _brute_skyline(mat)}
+    assert got == want
+
+
+def test_skyline_keeps_all_dim_ties(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 1.0, 1.0), (3, 2.0, 2.0)], "id long, x double, y double"
+    )
+    got = {r["id"] for r in skyline(df, minimize=["x", "y"]).collect()}
+    assert got == {1, 2}
+
+
+def test_skyline_drops_null_dims(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 0.5)], "id long, x double"
+    )
+    got = {r["id"] for r in skyline(df, minimize=["x"]).collect()}
+    assert got == {3}
+
+
+# -- heavy_hitters ---------------------------------------------------------
+
+
+def test_heavy_hitters_exact_under_decrements(spark):
+    # Zipf-ish corpus; capacity far below the vocabulary so the
+    # Misra-Gries decrement path actually runs, yet top-5 stays exact
+    # (their counts are way above N/capacity).
+    words = []
+    for i in range(40):
+        words += [f"hot{i}"] * (200 - 4 * i)
+    for i in range(400):
+        words += [f"cold{i}"] * 2
+    rng = np.random.default_rng(3)
+    rng.shuffle(words)
+    chunk = len(words) // 50
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i * chunk:(i + 1) * chunk])) for i in range(50)],
+        "doc_id long, text string",
+    ).repartition(5)
+    got = [(r["term"], r["cnt"]) for r in heavy_hitters(docs, k=5, capacity=64).collect()]
+    from collections import Counter
+
+    placed = Counter(words[: 50 * chunk])
+    want = sorted(placed.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == want
+
+
+def test_heavy_hitters_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(0, "b b a a c")], "doc_id long, text string"
+    )
+    got = [r["term"] for r in heavy_hitters(docs, k=2, capacity=16).collect()]
+    assert got == ["a", "b"]  # count desc, term asc
+
+
+# -- ema_smooth ------------------------------------------------------------
+
+
+def test_ema_matches_python_fold(spark):
+    import datetime as dt
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, int(i % 3), dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), float(v))
+        for i, v in enumerate(rng.uniform(0, 100, 60))
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {r["event_id"]: r["ema"] for r in ema_smooth(ev, alpha=0.3).collect()}
+    # python reference, same literal order
+    by_user: dict[int, list] = {}
+    for i, u, ts, v in sorted(rows, key=lambda r: (r[2], r[0])):
+        prev = by_user.get(u)
+        ema = v if prev is None else 0.3 * v + (1.0 - 0.3) * prev
+        by_user[u] = ema
+        assert got[i] == ema  # bit-exact: identical fold order
+
+
+# -- weighted_sample -------------------------------------------------------
+
+
+def test_weighted_sample_matches_reference(spark):
+    docs = spark.createDataFrame(
+        [(i, 10 + (i * 37) % 400) for i in range(300)], "doc_id long, n_chars long"
+    )
+    got = [r["doc_id"] for r in weighted_sample(docs, k=25).collect()]
+
+    def poly(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 131 + ord(ch)) % 2147483647
+        return h
+
+    keys = []
+    for i in range(300):
+        w = 10 + (i * 37) % 400
+        u = (poly(f"{i}#wsample1") % SAMPLE_GRAIN + 0.5) / float(SAMPLE_GRAIN)
+        keys.append((math.log(u) / w, -i))
+    want = [-i for _, i in sorted(keys, reverse=True)[:25]]
+    assert got == want
+
+
+def test_weighted_sample_excludes_nonpositive_weight(spark):
+    docs = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 10)], "doc_id long, n_chars long"
+    )
+    got = [r["doc_id"] for r in weighted_sample(docs, k=10).collect()]
+    assert got == [3]
+
+
+# -- pagerank --------------------------------------------------------------
+
+
+def test_pagerank_matches_numpy(spark):
+    edges_py = [(0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1), (3, 0), (0, 3)]
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=4).collect()}
+    nodes = sorted({n for e in edges_py for n in e})
+    outdeg = {n: sum(1 for s, _ in edges_py if s == n) for n in nodes}
+    rank = {n: 1.0 / len(nodes) for n in nodes}
+    for _ in range(4):
+        contrib = {n: 0.0 for n in nodes}
+        for s, d in edges_py:
+            contrib[d] += rank[s] / outdeg[s]
+        rank = {n: 0.15 / len(nodes) + 0.85 * contrib[n] for n in nodes}
+    for n in nodes:
+        assert got[n] == pytest.approx(rank[n], abs=1e-12)
+
+
+def test_pagerank_mass_conservation_no_dangling(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pr = pagerank(bipartite_edges(od, li), iterations=2)
+    total = pr.agg(F.sum("rank")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-9)  # symmetric graph: no leak
+
+
+def test_pagerank_rejects_negative_iterations(spark):
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(edges, iterations=-1)
+
+
+# -- perceptual hash -------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def small_media(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(90)
+    return synthesize_media(docs).filter(
+        F.col("modality").startswith("image")
+    ).cache()
+
+
+def test_phash_planted_twins_are_close(small_media):
+    twins = perturb_images(small_media, id_offset=100_000, delta=1)
+    hashes = phash_features(small_media.unionByName(twins))
+    h = {r["doc_id"]: r["phash"] for r in hashes.collect()}
+    planted = [(i, i + 100_000) for i in h if i < 100_000 and i + 100_000 in h]
+    assert len(planted) >= 20
+    close = [
+        (a, b) for a, b in planted if bin((h[a] ^ h[b]) & (2**64 - 1)).count("1") <= 6
+    ]
+    # a 1-step pixel nudge moves few aHash bits
+    assert len(close) >= 0.8 * len(planted)
+
+
+def test_phash_near_dup_complete_vs_brute(small_media):
+    twins = perturb_images(small_media, id_offset=100_000, delta=1)
+    hashes = phash_features(small_media.unionByName(twins)).cache()
+    h = {r["doc_id"]: r["phash"] for r in hashes.collect()}
+    ids = sorted(h)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin((h[a] ^ h[b]) & (2**64 - 1)).count("1") <= 6
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in phash_near_dup(hashes, max_hamming=6).collect()
+    }
+    assert got == want  # pigeonhole banding is complete AND exact

@@ -50,6 +50,7 @@ def test_oracle_keys_subset_of_queries():
         "api_lifecycle",
         "sketch_accuracy",
         "scale_lint",
+        "phash_neardup",
     }
 
 
