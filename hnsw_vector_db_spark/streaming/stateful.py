@@ -121,3 +121,81 @@ def stream_sessionize(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+EMA_OUT_SCHEMA = "user_id long, event_id long, value double, ema double"
+EMA_STATE_SCHEMA = "ema double"
+
+
+def _ema_fn(alpha: float):
+    beta = 1.0 - alpha
+
+    def fn(
+        key: tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - no timeouts configured
+            state.remove()
+            yield pd.DataFrame(
+                columns=["user_id", "event_id", "value", "ema"]
+            )
+            return
+        events = pd.concat(list(pdf_iter), ignore_index=True)
+        events = events.sort_values(["ts", "event_id"], kind="mergesort")
+        prev = state.get[0] if state.exists else None
+        vals = events["value"].to_numpy()
+        out = vals.copy()
+        for i in range(len(out)):
+            # identical literal order to the batch fold
+            # (operators/events.py::ema_smooth) -> bit-equal doubles
+            out[i] = vals[i] if prev is None else alpha * vals[i] + beta * prev
+            prev = out[i]
+        if prev is not None:
+            state.update((float(prev),))
+        yield pd.DataFrame(
+            {
+                "user_id": events["user_id"].to_numpy(),
+                "event_id": events["event_id"].to_numpy(),
+                "value": vals,
+                "ema": out,
+            }
+        )
+
+    return fn
+
+
+def stream_ema(
+    events_stream: DataFrame,
+    alpha: float = 0.3,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming per-key EMA: the online form of
+    ``operators/events.py::ema_smooth`` — the running-feature fold a
+    training ingest keeps per entity (user quality score, source
+    reputation) without ever re-reading history.
+
+    State is ONE double per key (the current EMA), updated per
+    micro-batch; output is append-mode, one row per event carrying its
+    smoothed value at fold time. Within a micro-batch rows fold in
+    (ts, event_id) order; ACROSS micro-batches rows fold in arrival
+    order — equal to the batch fold whenever the source delivers each
+    key's events in event-time order across batches (the test feeds
+    time-split files through maxFilesPerTrigger to pin stream == batch
+    exactly, late-arrival divergence included in the docstring contract,
+    not silently dropped: an out-of-order event still folds, at its
+    arrival position). No timeout is set — state is 8 bytes/key; add an
+    event-time timeout if the key domain is unbounded.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events_stream.select(key_col, ts_col, "event_id", "value")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _ema_fn(alpha),
+            EMA_OUT_SCHEMA,
+            EMA_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

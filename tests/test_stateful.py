@@ -197,3 +197,67 @@ def test_stream_sessionize_late_in_watermark_event(spark, tmp_path):
         if r.user_id == 1
     }
     assert got == {(1, _min(2), _min(20), 3, 7.0)}
+
+
+# -- stream_ema ------------------------------------------------------------
+
+EMA_SCHEMA = "event_id long, user_id long, ts timestamp, value double"
+
+
+def _run_ema_stream(spark, tmp_path, batches, alpha=0.3):
+    from hnsw_vector_db_spark.streaming.stateful import stream_ema
+
+    src = str(tmp_path / "ema_src")
+    for rows in batches:
+        spark.createDataFrame(rows, EMA_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(0.05)  # strictly increasing mtimes => deterministic order
+    stream = (
+        spark.readStream.schema(EMA_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_ema(stream, alpha=alpha)
+        .writeStream.format("memory")
+        .queryName("ema_result")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ema_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("ema_result").collect()
+
+
+def test_stream_ema_matches_batch_bit_exact(spark, tmp_path):
+    import numpy as np
+
+    from hnsw_vector_db_spark.operators.events import ema_smooth
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (i, int(i % 4), _min(i), float(v))
+        for i, v in enumerate(rng.uniform(0, 100, 48))
+    ]
+    # three time-split batches: every key's events arrive in event order
+    batches = [rows[:16], rows[16:32], rows[32:]]
+    got = {
+        r["event_id"]: r["ema"] for r in _run_ema_stream(spark, tmp_path, batches)
+    }
+    ev = spark.createDataFrame(rows, EMA_SCHEMA)
+    want = {r["event_id"]: r["ema"] for r in ema_smooth(ev, alpha=0.3).collect()}
+    assert got == want  # bit-exact: identical fold, state carried across batches
+
+
+def test_stream_ema_state_carries_across_batches(spark, tmp_path):
+    # one key, one event per batch: the second output MUST blend the
+    # first batch's state (not restart the fold)
+    batches = [
+        [(1, 7, _min(0), 10.0)],
+        [(2, 7, _min(1), 20.0)],
+    ]
+    got = {r["event_id"]: r["ema"] for r in _run_ema_stream(spark, tmp_path, batches)}
+    assert got[1] == 10.0
+    assert got[2] == 0.3 * 20.0 + (1.0 - 0.3) * 10.0
