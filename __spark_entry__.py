@@ -2452,6 +2452,16 @@ def q_quantile_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking via a Python UDTF in a LATERAL
+    join (width 32, stride 24) — the UDTF corner of the UDF/UDAF/UDTF
+    surface, schema declared at analysis time. The oracle replays the
+    built-in-equivalent pipeline (range + list_slice), which is also
+    this task's honest 100 TB form (text_analysis.py:window_chunk_udtf
+    docstring)."""
+    return text_analysis.window_chunks(_docs(spark, sf_dir), width=32, stride=24)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cosine top-10 with metadata enrichment on sf0.001 —
     the reference's POST /search end-to-end (SURVEY.md §3.1)."""
@@ -2481,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": q_bloom_semi_join,
         "incremental_agg": q_incremental_agg,
         "quantile_scale": q_quantile_scale,
+        "window_chunks": q_window_chunks,
         # -- NEW in r5: filtered ANN, HNSW at the >=0.9 recall bar,
         # sequential funnel + cohort retention, unigram-LM quality score,
         # Lloyd recentering + index rebalance, quality-aware dedup,
@@ -2520,8 +2531,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ivf_ann: predicate param on ivf_topk) ---------------------------
         "tfidf_top_terms": q_tfidf,
         "knn_twophase": q_knn_twophase,
-        # code changed late-r5: projection staging / weights-hint drop
-        "repetition_stats": q_repetition_stats,
         "hnsw_ann": q_hnsw_ann,
         "hnsw_recall": q_hnsw_recall,
         "hnsw_ef_sweep": q_hnsw_ef_sweep,
@@ -2536,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally by tests/test_entry.py::test_oracle_parity at sf0.001)
         "stratified_sample": q_stratified_sample,
         "temperature_mix": q_temperature_mix,
+        "repetition_stats": q_repetition_stats,
         "knn_euclidean": _mk_knn("euclidean"),
         "knn_manhattan": _mk_knn("manhattan"),
         "knn_dot": _mk_knn("dot_product"),
@@ -4027,6 +4037,20 @@ ORDER BY user_id, event_id
     # the streaming fold is bit-identical to the batch fold (stream ==
     # batch pinned in tests/test_stateful.py), so it shares the oracle
     sql["stream_ema"] = sql["ema_smooth"]
+
+    sql["window_chunks"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+  FROM documents),
+starts AS (
+  SELECT doc_id, w, unnest(range(0, len(w), 24)) AS s
+  FROM toks WHERE len(w) > 0)
+SELECT doc_id, (s / 24)::INT AS chunk_idx,
+       array_to_string(list_slice(w, s + 1, s + 32), ' ') AS chunk,
+       len(list_slice(w, s + 1, s + 32))::INT AS n_words
+FROM starts ORDER BY doc_id, chunk_idx
+""".strip()
 
     sql["incremental_agg"] = """
 SELECT event_type, count(*) AS cnt,

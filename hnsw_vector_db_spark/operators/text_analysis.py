@@ -659,3 +659,59 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return exact.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(k)
+
+
+def window_chunk_udtf(width: int, stride: int):
+    """Python UDTF (Spark 4 table function) emitting OVERLAPPING
+    word-window chunks of a document: rows (chunk_idx, chunk, n_words)
+    for word offsets 0, stride, 2*stride, ... — the sliding-context
+    chunking a training pipeline uses when adjacent chunks must share
+    context (plain ``chunk_docs``/``chunk_tokens`` are non-overlapping).
+    This is the UDTF corner of the UDF/UDAF/UDTF surface, registered
+    for LATERAL use in SQL with the output schema declared at analysis
+    time.
+
+    Honest scale note: a UDTF is row-Python (the slow path the plan
+    linter exists to flag); THIS task's 100 TB form is the built-in
+    posexplode(sequence) + slice pipeline, which is exactly what the
+    DuckDB oracle replays. The UDTF is the EXTENSION POINT: the same
+    shape carries any per-row Python generator (PDF outlines, code
+    ASTs) that has no built-in equivalent.
+    """
+    from pyspark.sql.functions import udtf
+
+    if width < 1 or stride < 1:
+        raise ValueError(f"width/stride must be >= 1, got {width}/{stride}")
+
+    @udtf(returnType="chunk_idx: int, chunk: string, n_words: int")
+    class WindowChunks:
+        def eval(self, text: str):
+            if text is None:
+                return
+            words = text.split()
+            for idx, start in enumerate(range(0, len(words), stride)):
+                piece = words[start:start + width]
+                yield idx, " ".join(piece), len(piece)
+
+    return WindowChunks
+
+
+def window_chunks(
+    docs: DataFrame,
+    width: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode documents into overlapping word-window chunks via the
+    registered UDTF in a LATERAL join. Output (doc_id, chunk_idx,
+    chunk, n_words)."""
+    spark = docs.sparkSession
+    spark.udtf.register("window_chunks_udtf", window_chunk_udtf(width, stride))
+    docs.select(id_col, text_col).createOrReplaceTempView("_docs_for_udtf")
+    return spark.sql(
+        f"""
+        SELECT d.{id_col}, s.chunk_idx, s.chunk, s.n_words
+        FROM _docs_for_udtf d, LATERAL window_chunks_udtf(d.{text_col}) s
+        """
+    )

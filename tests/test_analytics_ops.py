@@ -423,3 +423,41 @@ def test_quantile_scale_degenerate_group(spark):
     )
     rows = {r["id"]: r for r in quantile_scale(df, "g", "v", ["id"]).collect()}
     assert rows[1]["zscore"] == 0.0 and rows[1]["minmax"] == 0.5
+
+
+# -- window_chunks UDTF ----------------------------------------------------
+
+
+def test_window_chunks_matches_python(spark):
+    from hnsw_vector_db_spark.operators.text_analysis import window_chunks
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g"),      # 7 words, w=3 s=2 -> 4 chunks
+            (1, "x y z"),               # exactly one full window + tail
+            (2, ""),                    # empty -> no rows
+            (3, None),                  # null -> no rows
+            (4, "p q r s t u"),         # exact multiple of stride
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk"], r["n_words"])
+        for r in window_chunks(docs, width=3, stride=2).collect()
+    }
+    want = {}
+    for did, text in [(0, "a b c d e f g"), (1, "x y z"), (4, "p q r s t u")]:
+        words = text.split()
+        for idx, start in enumerate(range(0, len(words), 2)):
+            piece = words[start:start + 3]
+            want[(did, idx)] = (" ".join(piece), len(piece))
+    assert got == want
+
+
+def test_window_chunks_validates_params(spark):
+    from hnsw_vector_db_spark.operators.text_analysis import window_chunk_udtf
+
+    with pytest.raises(ValueError):
+        window_chunk_udtf(0, 2)
+    with pytest.raises(ValueError):
+        window_chunk_udtf(3, 0)
