@@ -592,7 +592,9 @@ def ema_smooth(
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, id_col])
-        vals = pdf[value_col].to_numpy()
+        # float64 regardless of the column's dtype — an int64 value
+        # column would otherwise truncate the recurrence on assignment
+        vals = pdf[value_col].to_numpy(dtype="float64")
         out = vals.copy()
         for i in range(1, len(out)):
             out[i] = alpha * vals[i] + beta * out[i - 1]

@@ -58,6 +58,7 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 3,
     damping: float = 0.85,
+    materialize: bool = True,
 ) -> DataFrame:
     """PageRank with a fixed iteration count over a directed edge list
     (src, dst). Returns (node, rank) for every node that has at least
@@ -77,6 +78,16 @@ def pagerank(
     """
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
+    if materialize:
+        # nodes, degrees, and every iteration's join all consume edges;
+        # without persisting, the (possibly join+distinct) edge
+        # derivation re-executes 2+iterations times inside ONE deep plan
+        # — at 64x data that recomputation blew past executor memory.
+        # Persist makes the docstring's "computed once" true; at cluster
+        # scale this is checkpoint-to-storage instead.
+        from pyspark.storagelevel import StorageLevel
+
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
     ).distinct()

@@ -537,11 +537,15 @@ def merge_agg_states(*states: DataFrame) -> DataFrame:
     state-sized inputs."""
     if not states:
         raise ValueError("merge_agg_states needs at least one state")
+    key_cols = [c for c in states[0].columns if c not in AGG_STATE_COLS]
+    if len(key_cols) != 1:
+        raise ValueError(
+            f"agg_state tables carry exactly one key column, got {key_cols}"
+        )
     out = states[0]
     for s in states[1:]:
         out = out.unionByName(s)
-    key_col = out.columns[0]
-    return out.groupBy(key_col).agg(
+    return out.groupBy(key_cols[0]).agg(
         F.sum("cnt").alias("cnt"),
         F.sum("vsum").alias("vsum"),
         F.min("vmin").alias("vmin"),

@@ -688,7 +688,12 @@ def window_chunk_udtf(width: int, stride: int):
         def eval(self, text: str):
             if text is None:
                 return
-            words = text.split()
+            # the explicit ASCII whitespace class of Java's \s+ — NOT
+            # str.split(), whose Unicode whitespace (U+00A0 etc.) would
+            # diverge from tokens() and the oracle's string_split_regex
+            import re
+
+            words = [w for w in re.split("[ \t\n\x0b\f\r]+", text) if w]
             for idx, start in enumerate(range(0, len(words), stride)):
                 piece = words[start:start + width]
                 yield idx, " ".join(piece), len(piece)

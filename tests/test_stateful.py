@@ -207,12 +207,22 @@ EMA_SCHEMA = "event_id long, user_id long, ts timestamp, value double"
 def _run_ema_stream(spark, tmp_path, batches, alpha=0.3):
     from hnsw_vector_db_spark.streaming.stateful import stream_ema
 
+    import glob
+    import os
+
     src = str(tmp_path / "ema_src")
+    batch_files = []
     for rows in batches:
+        before = set(glob.glob(f"{src}/*.parquet"))
         spark.createDataFrame(rows, EMA_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(src)
-        time.sleep(0.05)  # strictly increasing mtimes => deterministic order
+        batch_files.append(set(glob.glob(f"{src}/*.parquet")) - before)
+    # pin arrival order explicitly — mtime races would reorder batches
+    t0 = time.time()
+    for i, files in enumerate(batch_files):
+        for f in files:
+            os.utime(f, (t0 + 10 * i, t0 + 10 * i))
     stream = (
         spark.readStream.schema(EMA_SCHEMA)
         .option("maxFilesPerTrigger", 1)
