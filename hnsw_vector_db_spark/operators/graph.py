@@ -84,7 +84,14 @@ def pagerank(
         # derivation re-executes 2+iterations times inside ONE deep plan
         # — at 64x data that recomputation blew past executor memory.
         # Persist makes the docstring's "computed once" true; at cluster
-        # scale this is checkpoint-to-storage instead.
+        # scale this is checkpoint-to-storage instead. Lifecycle: the
+        # cache lives while the returned ranks plan is referenced;
+        # Spark's ContextCleaner reclaims it after the caller drops the
+        # result (back-to-back large runs in ONE session see transient
+        # memory pressure until then — measured and documented in
+        # BASELINE.md's 64x table). Costs ~2x at toy scale vs the lazy
+        # form; at 64x the lazy form re-derives the join+distinct per
+        # consumer and OOMs, so materialize defaults True.
         from pyspark.storagelevel import StorageLevel
 
         edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
