@@ -2470,6 +2470,48 @@ def q_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.window_chunks(_docs(spark, sf_dir), width=32, stride=24)
 
 
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation INSIDE the engine: the lexical
+    (BM25) top-10 for the RAG query, graded by the semantic relevance
+    of the same query (hash-embed cosine binned to 0-3), scored as
+    nDCG@10 (operators/evaluation.py). Ranks are taken over the ROUNDED
+    BM25 score (id tiebreak) so both engines rank identically even at
+    float boundaries. Output: one row per ranked position with the
+    (dcg, idcg, ndcg) summary repeated — every term of the metric
+    independently replayed by the oracle."""
+    from hnsw_vector_db_spark.operators.evaluation import ndcg_at_k
+
+    docs = _docs(spark, sf_dir)
+    bm25 = text_analysis.bm25_score(docs, RAG_QUERY.split(), top_k=10)
+    ranking = bm25.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    emb = text_analysis.hash_embed(docs, dim=64)
+    qdf = spark.createDataFrame([(0, RAG_QUERY)], "doc_id long, text string")
+    qv = [float(x) for x in text_analysis.hash_embed(qdf, dim=64).first()["embedding"]]
+    qlit = F.array(*[F.lit(x) for x in qv])
+    sim = F.aggregate(
+        F.zip_with(F.col("embedding"), qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    relevance = emb.select(
+        "doc_id",
+        F.least(F.lit(3), F.greatest(F.lit(0), F.floor(sim * 4))).cast("int").alias("rel"),
+    )
+    out = ndcg_at_k(ranking, relevance, k=10)
+    return out.select(
+        "rank", "doc_id", "rel",
+        (F.round("gain", 6) + F.lit(0)).alias("gain"),
+        (F.round("dcg", 6) + F.lit(0)).alias("dcg"),
+        (F.round("idcg", 6) + F.lit(0)).alias("idcg"),
+        (F.round("ndcg", 6) + F.lit(0)).alias("ndcg"),
+    ).orderBy("rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cosine top-10 with metadata enrichment on sf0.001 —
     the reference's POST /search end-to-end (SURVEY.md §3.1)."""
@@ -2507,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": q_incremental_agg,
         "quantile_scale": q_quantile_scale,
         "window_chunks": q_window_chunks,
+        "ndcg_eval": q_ndcg_eval,
         # -- NEW in r5: filtered ANN, HNSW at the >=0.9 recall bar,
         # sequential funnel + cohort retention, unigram-LM quality score,
         # Lloyd recentering + index rebalance, quality-aware dedup,
@@ -3570,9 +3613,7 @@ WHERE s.v <> 0 AND n.nrm > 0
 """.strip()
 
     rag_cos = _cos_dist("h.embedding", "q.embedding")
-    sql["rag_search"] = f"""
-WITH {hash_embed_ctes},
-qtoks AS (
+    q_embed_ctes = f"""qtoks AS (
   SELECT unnest(list_filter(string_split_regex('{RAG_QUERY}', '\\s+'),
                             t -> t <> '')) AS term),
 qsp AS (
@@ -3587,11 +3628,63 @@ qdense AS (
 qemb AS (
   SELECT list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
            AS embedding
-  FROM qdense)
+  FROM qdense)"""
+    sql["rag_search"] = f"""
+WITH {hash_embed_ctes},
+{q_embed_ctes}
 SELECT h.doc_id, round({rag_cos}, 6) + 0 AS dist
 FROM hemb h CROSS JOIN qemb q
 ORDER BY {rag_cos}, h.doc_id
 LIMIT 10
+""".strip()
+
+    # nDCG@10 of the lexical (BM25) ranking graded by the semantic
+    # (hash-embed cosine) relevance of the SAME query — every term of
+    # the metric replayed: embeddings, grades, gains, ideal ranking.
+    _ndcg_terms = ", ".join(f"'{t}'" for t in RAG_QUERY.split())
+    sql["ndcg_eval"] = f"""
+WITH {hash_embed_ctes},
+{q_embed_ctes},
+rel AS (
+  SELECT h.doc_id,
+         least(3, greatest(0, floor(list_dot_product(h.embedding::DOUBLE[], q.embedding::DOUBLE[]) * 4)))::INT AS rel
+  FROM hemb h CROSS JOIN qemb q),
+btoks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+bdl AS (SELECT doc_id, count(*) AS dl FROM btoks GROUP BY doc_id),
+bstats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM bdl),
+btf AS (
+  SELECT doc_id, term, count(*) AS tf FROM btoks
+  WHERE lower(term) IN ({_ndcg_terms}) GROUP BY doc_id, term),
+bdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM btoks
+  WHERE lower(term) IN ({_ndcg_terms}) GROUP BY term),
+bsum AS (
+  SELECT t.doc_id,
+         sum(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * (1.2 + 1)) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+         ) AS raw_score
+  FROM btf t JOIN bdf d USING (term) JOIN bdl l USING (doc_id) CROSS JOIN bstats s
+  GROUP BY t.doc_id),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(raw_score, 6) DESC, doc_id) AS rank
+  FROM bsum QUALIFY rank <= 10),
+graded AS (
+  SELECT r.rank, r.doc_id, coalesce(rel.rel, 0) AS rel,
+         (pow(2.0, coalesce(rel.rel, 0)) - 1.0) / log2(r.rank + 1.0) AS gain
+  FROM ranked r LEFT JOIN rel ON rel.doc_id = r.doc_id),
+dcg AS (SELECT sum(gain) AS dcg FROM graded),
+ideal AS (
+  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS irnk
+  FROM rel QUALIFY irnk <= 10),
+idcg AS (
+  SELECT sum((pow(2.0, rel) - 1.0) / log2(irnk + 1.0)) AS idcg FROM ideal)
+SELECT g.rank, g.doc_id, g.rel, round(g.gain, 6) + 0 AS gain,
+       round(d.dcg, 6) + 0 AS dcg, round(i.idcg, 6) + 0 AS idcg,
+       round(d.dcg / i.idcg, 6) + 0 AS ndcg
+FROM graded g CROSS JOIN dcg d CROSS JOIN idcg i
+ORDER BY g.rank
 """.strip()
 
     sql["cohort_retention"] = """

@@ -128,6 +128,7 @@ HEADLINE += [
     "bloom_semi_join",
     "incremental_agg",
     "quantile_scale",
+    "ndcg_eval",
 ]
 
 

@@ -461,3 +461,78 @@ def test_window_chunks_validates_params(spark):
         window_chunk_udtf(0, 2)
     with pytest.raises(ValueError):
         window_chunk_udtf(3, 0)
+
+
+# -- evaluation: nDCG@k, precision/recall@k --------------------------------
+
+
+def _hand_ndcg(ranked_rels, all_rels, k):
+    import math
+
+    dcg = sum(
+        (2**r - 1) / math.log2(i + 2) for i, r in enumerate(ranked_rels[:k])
+    )
+    ideal = sorted(all_rels, reverse=True)[:k]
+    idcg = sum((2**r - 1) / math.log2(i + 2) for i, r in enumerate(ideal))
+    return dcg / idcg if idcg > 0 else 0.0
+
+
+def test_ndcg_matches_hand_computation(spark):
+    from hnsw_vector_db_spark.operators.evaluation import ndcg_at_k
+
+    ranking = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank int"
+    )
+    relevance = spark.createDataFrame(
+        [(10, 1), (11, 3), (13, 2)], "doc_id long, rel int"  # 12 ungraded -> 0
+    )
+    rows = ndcg_at_k(ranking, relevance, k=3).collect()
+    assert len(rows) == 3
+    want = _hand_ndcg([1, 3, 0], [1, 3, 2, 0], 3)
+    assert rows[0]["ndcg"] == pytest.approx(want, abs=1e-12)
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    from hnsw_vector_db_spark.operators.evaluation import ndcg_at_k
+
+    relevance = spark.createDataFrame(
+        [(i, 5 - i) for i in range(5)], "doc_id long, rel int"
+    )
+    perfect = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_id long, rank int"
+    )
+    row = ndcg_at_k(perfect, relevance, k=5).collect()[0]
+    assert row["ndcg"] == pytest.approx(1.0, abs=1e-12)
+    reversed_ = spark.createDataFrame(
+        [(i, 5 - i) for i in range(5)], "doc_id long, rank int"
+    )
+    worse = ndcg_at_k(reversed_, relevance, k=5).collect()[0]["ndcg"]
+    assert worse < 1.0
+
+
+def test_precision_recall_at_k(spark):
+    from hnsw_vector_db_spark.operators.evaluation import precision_recall_at_k
+
+    ranking = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_id long, rank int"
+    )
+    relevant = spark.createDataFrame(
+        [(0,), (1,), (2,), (50,), (51,)], "doc_id long"
+    )
+    row = precision_recall_at_k(ranking, relevant, k=10).collect()[0]
+    assert row["hits"] == 3
+    assert row["precision"] == pytest.approx(0.3)
+    assert row["recall"] == pytest.approx(3 / 5)
+
+
+def test_eval_validates_k(spark):
+    from hnsw_vector_db_spark.operators.evaluation import (
+        ndcg_at_k,
+        precision_recall_at_k,
+    )
+
+    df = spark.createDataFrame([(1, 1)], "doc_id long, rank int")
+    with pytest.raises(ValueError):
+        ndcg_at_k(df, df, k=0)
+    with pytest.raises(ValueError):
+        precision_recall_at_k(df, df, k=0)
