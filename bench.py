@@ -129,6 +129,7 @@ HEADLINE += [
     "incremental_agg",
     "quantile_scale",
     "ndcg_eval",
+    "pipeline_entity_resolution",
 ]
 
 
