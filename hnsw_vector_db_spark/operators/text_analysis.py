@@ -637,9 +637,22 @@ def heavy_hitters(
     """
 
     def mg_candidates(batches):
+        # consumes DOCUMENT rows and tokenizes in pandas (ASCII \s+, the
+        # tokens() class) — Arrow then carries one row per doc, not one
+        # per token (~100x fewer rows through the Python boundary; the
+        # EXACT recount below still uses the JVM tokens() stream, so a
+        # tokenizer edge case can only ever cost a candidate, never a
+        # wrong count)
         counters: dict[str, int] = {}
         for pdf in batches:
-            for term, cnt in pdf["term"].value_counts().items():
+            terms = (
+                pdf[text_col]
+                .dropna()
+                .str.split("[ \t\n\x0b\f\r]+", regex=True)
+                .explode()
+            )
+            terms = terms[terms.notna() & (terms != "")]
+            for term, cnt in terms.value_counts().items():
                 counters[term] = counters.get(term, 0) + int(cnt)
             if len(counters) > capacity:
                 # batched Misra-Gries decrement: subtract the smallest
@@ -651,7 +664,9 @@ def heavy_hitters(
 
     term_rows = docs.select(F.explode(tokens(text_col)).alias("term"))
     candidates = (
-        term_rows.mapInPandas(mg_candidates, schema="term string").distinct()
+        docs.select(text_col)
+        .mapInPandas(mg_candidates, schema="term string")
+        .distinct()
     )
     exact = (
         term_rows.join(candidates, "term", "left_semi")
