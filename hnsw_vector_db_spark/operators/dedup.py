@@ -658,3 +658,81 @@ def edit_distance_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    n_clusters: int = 8,
+    eps: float = 0.35,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication",
+    2023, arXiv:2303.09540): cluster the embedding space with a coarse
+    quantizer, then WITHIN each cluster drop every point that has a
+    cosine near-duplicate (sim >= eps) ranked before it, where the
+    published keep-rule ranks cluster members by distance-to-centroid
+    DESCENDING (keep the outliers, drop the redundant core) with id as
+    the deterministic tiebreak.
+
+    This is the cluster-then-pairwise shape of the public SemDeDup
+    implementation: the pairwise similarity matrix is only ever computed
+    per-cluster, never corpus-wide. Determinism: centroids are the data
+    rows with ``id < n_clusters`` (the ``ivf_fit_seeded`` seed-row trick)
+    so the whole operator is relational algebra an independent SQL engine
+    replays bit-for-bit — assignment is euclidean argmin with seed-id
+    tiebreak, ranks are windows over rounded distances, and the drop rule
+    is one within-cell self-join.
+
+    Scale shape (100 TB): the only joins are (a) the broadcast argmin
+    against n_clusters seed rows and (b) a self-equi-join keyed on
+    ``cell`` — no corpus cross-join. Per-cluster pair cost is
+    (N/n_clusters)^2; SemDeDup's own recipe is to grow n_clusters
+    proportionally to N (the paper uses ~50k clusters for LAION-scale)
+    so cluster size — and with it the per-key join fanout — stays
+    constant and total cost stays linear. The window and the self-join
+    share the same hash partitioning on ``cell``, so Spark reuses one
+    exchange. The reference has no dedup surface at all; its nearest
+    germ is the visited-set pruning inside search
+    (`core/hnsw/graph.py:95,105`).
+
+    Output: one row per input vector — (vec_id, cell, cdist, kept) with
+    ``kept`` false iff a better-ranked member of the same cluster is a
+    near-duplicate. Survivor set = ``WHERE kept``.
+    """
+    from pyspark.sql.window import Window
+
+    from hnsw_vector_db_spark.functions.distance import dot_raw, select_normalized
+    from hnsw_vector_db_spark.operators.similarity import assign_to_centroids
+
+    seeds = vectors.filter(F.col(id_col) < n_clusters).select(
+        F.col(id_col).alias("seed_id"), F.col(vector_col).alias("seed_vec")
+    )
+    assigned = assign_to_centroids(
+        vectors, seeds, metric="euclidean", id_col=id_col, vector_col=vector_col
+    ).select(F.col(id_col), "cell", F.col("dist").alias("cdist"))
+    w = Window.partitionBy("cell").orderBy(F.col("cdist").desc(), F.col(id_col))
+    normed = select_normalized(
+        vectors.select(id_col, vector_col), vector_col, "_nv", id_col
+    )
+    base = assigned.withColumn("ord", F.row_number().over(w)).join(normed, id_col)
+    x = base.select(
+        F.col(id_col).alias("_idx"), "cell",
+        F.col("ord").alias("_ordx"), F.col("_nv").alias("_vx"),
+    )
+    y = base.select("cell", F.col("ord").alias("_ordy"), F.col("_nv").alias("_vy"))
+    dropped = (
+        x.join(y, "cell")
+        .filter(F.col("_ordy") < F.col("_ordx"))
+        .filter(F.round(dot_raw(F.col("_vx"), F.col("_vy")), 6) >= F.lit(eps))
+        .select(F.col("_idx").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        base.join(dropped, id_col, "left")
+        .select(
+            F.col(id_col), "cell", "cdist", F.col("_dup").isNull().alias("kept")
+        )
+    )

@@ -281,3 +281,47 @@ def test_edit_distance_pairs_rejects_bad_depth(spark):
     df = spark.createDataFrame([(1, "a")], "id long, s string")
     with pytest.raises(ValueError, match="max_dist"):
         edit_distance_pairs(df, "s", max_dist=3)
+
+
+def test_semantic_dedup_drop_rule(spark):
+    """SemDeDup keep-rule on a hand-built fixture: two clusters seeded by
+    ids 0 and 1; within a cluster the member FARTHEST from the centroid
+    ranks first and survives, while any later-ranked member whose cosine
+    sim to a prior survivor-or-not is >= eps is dropped."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),       # seed A (centroid)
+        (1, [0.0, 1.0, 0.0]),       # seed B (centroid)
+        (2, [0.9, 0.1, 0.0]),       # cluster A, near-dup of 0 (cos≈0.99)
+        (3, [0.6, 0.0, 0.8]),       # cluster A, far from centroid, not a dup
+        (4, [0.0, 0.95, 0.05]),     # cluster B, near-dup of 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in dedup.semantic_dedup(df, n_clusters=2, eps=0.9).collect()
+    }
+    assert len(out) == 5  # one row per input vector
+    # 3 is the cluster-A outlier: ranked first, kept.
+    assert out[3]["kept"]
+    # 2 sits between seed 0 and it; whichever of {0,2} ranks later is
+    # dropped (cos(0,2) ≈ 0.994 >= 0.9); the earlier-ranked one survives.
+    a_kept = [i for i in (0, 2) if out[i]["kept"]]
+    assert len(a_kept) == 1
+    # cluster B: 4 is farther from centroid 1 than 1 itself (dist 0 for
+    # the seed), so 4 ranks first and 1 is dropped as its near-dup.
+    assert out[4]["kept"] and not out[1]["kept"]
+    # every dropped row names a same-cell witness ranked before it
+    for r in out.values():
+        assert r["cell"] in (0, 1)
+
+
+def test_semantic_dedup_eps_monotone(spark, sf_dir):
+    """Raising eps (stricter near-dup bar) can only grow the survivor
+    set; eps > 1 keeps everything."""
+    df = load_table(spark, sf_dir, "embeddings")
+    kept = {}
+    for eps in (0.2, 0.6, 1.01):
+        out = dedup.semantic_dedup(df, n_clusters=8, eps=eps)
+        kept[eps] = {r["vec_id"] for r in out.filter("kept").collect()}
+    assert kept[0.2] <= kept[0.6] <= kept[1.01]
+    assert len(kept[1.01]) == df.count()
