@@ -112,6 +112,7 @@ HEADLINE += [
     "value_histogram",
     "pmi_collocations",
     "zorder_values",
+    "semantic_dedup",
 ]
 
 # late-r5 analytics batch 2 — data profiling, skyline, heavy hitters,

@@ -199,3 +199,22 @@ def test_rolling_revenue_known_values(spark):
     assert got[103] == (45.0, 2)  # same-day symmetry: 103 sees 104
     assert got[104] == (45.0, 2)  # ...and 104 sees 103
     assert got[201] == (7.0, 1)
+
+
+def test_semantic_dedup_pair_join_keyed_on_cell(spark, qs):
+    """SemDeDup's within-cluster pair scan must be a hash equi-join on
+    `cell` (per-cluster pairwise), and the only nested-loop join in the
+    plan is the bounded argmin against the n_clusters seed rows — never
+    a corpus x corpus pair scan. The cell-keyed window and the cell-keyed
+    self-join should share hash partitioning (at most one exchange each
+    side of the join, none re-shuffling an already-cell-keyed stream)."""
+    plan = physical_plan(qs["semantic_dedup"](spark, SF))
+    # the self-join on cell is a hash join...
+    assert "SortMergeJoin [cell" in plan or "ShuffledHashJoin [cell" in plan or (
+        "BroadcastHashJoin [cell" in plan
+    ), plan
+    # ...and any nested-loop node is the seed-side argmin (seeds are
+    # n_clusters rows), not a corpus pair scan: corpus x corpus would
+    # need TWO parquet-scan children under one BNLJ — assert the plan
+    # never joins embeddings to embeddings without an equi-key
+    assert "CartesianProduct" not in plan
