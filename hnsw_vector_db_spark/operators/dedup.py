@@ -666,6 +666,7 @@ def semantic_dedup(
     eps: float = 0.35,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    assign_mode: str = "fold",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
     Data-efficient learning at web-scale through semantic deduplication",
@@ -700,16 +701,30 @@ def semantic_dedup(
     Output: one row per input vector — (vec_id, cell, cdist, kept) with
     ``kept`` false iff a better-ranked member of the same cluster is a
     near-duplicate. Survivor set = ``WHERE kept``.
+
+    ``assign_mode``: "fold" (default) scores the argmin with codegen
+    expression folds — the oracle-portable form; "blas" routes it
+    through :func:`~.similarity.assign_to_centroids_blas` (one numpy
+    matmul per Arrow batch), the at-scale form once n_clusters follows
+    the paper's n_clusters ~ N recipe into the hundreds — BASELINE.md's
+    64x table measures the crossover. Both modes produce the same
+    output (equality pinned in tests on the real testdata).
     """
     from pyspark.sql.window import Window
 
     from hnsw_vector_db_spark.functions.distance import dot_raw, select_normalized
-    from hnsw_vector_db_spark.operators.similarity import assign_to_centroids
+    from hnsw_vector_db_spark.operators.similarity import (
+        assign_to_centroids,
+        assign_to_centroids_blas,
+    )
 
+    if assign_mode not in ("fold", "blas"):
+        raise ValueError(f"assign_mode must be 'fold' or 'blas', got {assign_mode!r}")
     seeds = vectors.filter(F.col(id_col) < n_clusters).select(
         F.col(id_col).alias("seed_id"), F.col(vector_col).alias("seed_vec")
     )
-    assigned = assign_to_centroids(
+    assign = assign_to_centroids if assign_mode == "fold" else assign_to_centroids_blas
+    assigned = assign(
         vectors, seeds, metric="euclidean", id_col=id_col, vector_col=vector_col
     ).select(F.col(id_col), "cell", F.col("dist").alias("cdist"))
     w = Window.partitionBy("cell").orderBy(F.col("cdist").desc(), F.col(id_col))

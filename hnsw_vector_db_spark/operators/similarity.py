@@ -213,6 +213,98 @@ def assign_to_centroids(
     )
 
 
+def assign_to_centroids_blas(
+    vectors: DataFrame,
+    seeds: DataFrame,
+    metric: str = "euclidean",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    seed_id_col: str = "seed_id",
+    seed_vec_col: str = "seed_vec",
+    max_seeds: int = 100_000,
+) -> DataFrame:
+    """BLAS twin of :func:`assign_to_centroids` — same output contract
+    (vec_id, cell, dist-rounded-to-6, ties on seed id), but the |V| x |S|
+    distance block runs as one numpy matmul per Arrow batch instead of
+    |S| codegen expression folds per row. This is the at-scale form once
+    the centroid count grows into the hundreds-or-thousands (SemDeDup's
+    n_clusters ~ N recipe, IVF recenter loops): the fold's per-row cost
+    is O(S * dim) interpreted expression nodes, the matmul's is the same
+    FLOPs at BLAS throughput. tests/test_similarity.py pins output
+    equality with the fold path on the real testdata.
+
+    The seed table is collected driver-side and torrent-broadcast once
+    per executor — bounded by ``max_seeds`` (fail fast beyond it; a
+    coarse quantizer with >100k centroids should shard assignment by
+    seed-split + min-reduce instead, and at that point the fold path's
+    broadcast join is equally dead).
+
+    Tie semantics match the fold exactly: seeds are sorted by id before
+    the matmul, and ``argmin`` returns the FIRST minimum, i.e. the
+    lowest seed id among tied distances — the same (dist, seed_id)
+    lexicographic min the struct-min aggregate computes. Float caveat:
+    euclidean here is the ||x||^2 - 2x.c + ||c||^2 form, which can
+    differ from the fold's sequential sum-of-squares in the last ulp;
+    the equality test on real data is the guard, and the rounded output
+    makes a boundary flip measurable if one ever appears.
+    """
+    import pandas as pd
+
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    spark = vectors.sparkSession
+    ensure_package_shipped(spark)
+    srows = seeds.select(seed_id_col, seed_vec_col).limit(max_seeds + 1).collect()
+    if len(srows) > max_seeds:
+        raise ValueError(
+            f"assign_to_centroids_blas collects the seed table; got more than "
+            f"max_seeds={max_seeds} rows — shard the assignment or raise the cap"
+        )
+    srows.sort(key=lambda r: r[0])
+    sids = np.array([r[0] for r in srows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in srows], dtype=np.float64)
+    if metric == "cosine":
+        cn = np.linalg.norm(C, axis=1, keepdims=True)
+        Cm = C / np.where(cn == 0, 1.0, cn)
+    else:
+        Cm = C
+    bc = spark.sparkContext.broadcast((sids, Cm))
+
+    def assign_blocks(batches):
+        b_sids, b_C = bc.value
+        c2 = (b_C * b_C).sum(1)[None, :]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf[vector_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            if metric == "cosine":
+                xn = np.linalg.norm(X, axis=1, keepdims=True)
+                D = 1.0 - (X / np.where(xn == 0, 1.0, xn)) @ b_C.T
+            elif metric == "dot_product":
+                D = -(X @ b_C.T)
+            elif metric == "manhattan":
+                D = np.abs(X[:, None, :] - b_C[None, :, :]).sum(axis=2)
+            else:  # euclidean
+                D = np.sqrt(
+                    np.maximum(
+                        (X * X).sum(1)[:, None] - 2.0 * (X @ b_C.T) + c2, 0.0
+                    )
+                )
+            j = D.argmin(axis=1)  # first min == lowest seed id on ties
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "cell": b_sids[j],
+                    "dist": np.round(D[np.arange(len(ids)), j], 6),
+                }
+            )
+
+    return vectors.select(id_col, vector_col).mapInPandas(
+        assign_blocks, schema=f"{id_col} long, cell long, dist double"
+    )
+
+
 def ivf_fit(
     vectors: DataFrame,
     n_cells: int = 16,

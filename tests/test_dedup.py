@@ -325,3 +325,28 @@ def test_semantic_dedup_eps_monotone(spark, sf_dir):
         kept[eps] = {r["vec_id"] for r in out.filter("kept").collect()}
     assert kept[0.2] <= kept[0.6] <= kept[1.01]
     assert len(kept[1.01]) == df.count()
+
+
+def test_semantic_dedup_blas_assignment_matches_fold(spark, sf_dir):
+    """The BLAS assignment twin must reproduce the fold path exactly on
+    the real testdata — cells, rounded centroid distances, and the
+    downstream kept flags (a last-ulp argmin flip or rounding-boundary
+    drift would surface here)."""
+    from hnsw_vector_db_spark.operators.similarity import (
+        assign_to_centroids,
+        assign_to_centroids_blas,
+    )
+
+    df = load_table(spark, sf_dir, "embeddings")
+    seeds = df.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
+    )
+    for metric in ("euclidean", "cosine", "dot_product", "manhattan"):
+        fold = sorted(map(tuple, assign_to_centroids(df, seeds, metric=metric).collect()))
+        blas = sorted(map(tuple, assign_to_centroids_blas(df, seeds, metric=metric).collect()))
+        assert fold == blas, metric
+    a = sorted(map(tuple, dedup.semantic_dedup(df, n_clusters=8, eps=0.35).collect()))
+    b = sorted(map(tuple, dedup.semantic_dedup(
+        df, n_clusters=8, eps=0.35, assign_mode="blas"
+    ).collect()))
+    assert a == b
