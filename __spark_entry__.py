@@ -2494,13 +2494,18 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hnsw_vector_db_spark.operators.evaluation import ndcg_at_k
 
     docs = _docs(spark, sf_dir)
-    bm25 = text_analysis.bm25_score(docs, RAG_QUERY.split(), top_k=10)
+    # over-fetch then re-cut to k over (ROUNDED score, doc_id): the
+    # oracle picks its top-10 SET by round(score,6) too, so a rounded
+    # tie straddling the k cut must resolve identically in both engines
+    # (ranking over the rounded score alone only fixed the order WITHIN
+    # an already-identical set)
+    bm25 = text_analysis.bm25_score(docs, RAG_QUERY.split(), top_k=50)
     ranking = bm25.select(
         "doc_id",
         F.row_number()
-        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .over(Window.orderBy(F.round("score", 6).desc(), F.col("doc_id").asc()))
         .alias("rank"),
-    )
+    ).filter(F.col("rank") <= 10)
     emb = text_analysis.hash_embed(docs, dim=64)
     qdf = spark.createDataFrame([(0, RAG_QUERY)], "doc_id long, text string")
     qv = [float(x) for x in text_analysis.hash_embed(qdf, dim=64).first()["embedding"]]
@@ -3897,10 +3902,14 @@ FROM ranked WHERE rn = 1
     # semantic_dedup: the ivf_assign argmin shape, then the SemDeDup
     # within-cluster drop rule (rank by centroid-distance DESC, id; drop
     # x if a better-ranked y in the same cell has cosine sim >= eps).
+    # greatest(.., 1e-300) guards the zero-norm case: Spark's
+    # select_normalized maps a zero vector to itself (normalized dot =
+    # 0), while a bare dot/(|x|*|y|) would be 0/0 = NaN in DuckDB —
+    # degenerate rows must agree between engine and oracle
     cos_xy = (
         "list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) / "
-        "(sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) * "
-        "sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[])))"
+        "greatest(sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[])), 1e-300)"
     )
     d_sd = _metric_sql("euclidean", "e.embedding", "s.semb")
     sql["semantic_dedup"] = f"""

@@ -1,8 +1,18 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
-"sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (r6 fix — BENCH_r05.json came back `parsed: null` because
+the single 79-query JSON line outgrew the driver's ~2 KB tail capture):
+
+* stdout FINAL line: ONE COMPACT JSON line (< ~800 bytes) —
+  {"metric": "headline_queries_total_wall", "value": total_sec,
+   "unit": "sec", "queries": {<group>: subtotal_sec, ...}, "sf": ...,
+   "n_queries": N, "detail": "BENCH_LOCAL.json"} — group subtotals, not
+  per-query, so the driver's tail capture always parses it.
+* full per-query detail (same shape as the old line, plus groups) is
+  written to BENCH_LOCAL.json next to this script and committed per
+  round, so the per-query series continues there.
 
 The reference publishes no numbers (BASELINE.md) — these wall-clocks are
 the living baseline. Each query runs after a warmup query primes the
@@ -25,113 +35,116 @@ from hnsw_vector_db_spark.session import get_spark  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
 
-# headline subset: the scan/join/agg-heavy queries that actually stress the
-# engine at sf0.1 (600k lineitem, 100k events), plus the vector/dedup core.
-HEADLINE = [
-    "knn_cosine",
-    "knn_batch",
-    "lsh_ann",
-    "similarity_join",
-    "embedding_neardup",
-    "exact_dedup",
-    "jaccard_pairs",
-    "minhash_lsh_neardup",
-    "simhash_neardup",
-    "token_stats",
-    "quality_score",
-    "tfidf_top_terms",
-    "pipeline_clean_corpus",
-    "pricing_summary",
-    "top_orders",
-    "order_ranks",
-    "orders_by_month",
-    "lineitem_corr",
-    "customer_cube",
-    "value_percentiles",
-    "events_window",
-    "events_sliding",
-    "sessionize",
-    "asof_join",
-    "range_join",
-    "ivf_ann",
-    "hnsw_ann",
-]
-
-# corpus-pipeline stages added in r2 — benched separately from the r1
-# set so totals stay comparable (BASELINE.md tracks the r1-subset total)
-HEADLINE += [
-    "chunk_docs",
-    "pack_sequences",
-    "pii_redact",
-    "stratified_sample",
-    "shard_shuffle",
-    "repetition_stats",
-    "pipeline_training_corpus",
-    "events_distinct_users",
-    "matryoshka_knn",
-    "hard_negatives",
-    "temperature_mix",
-]
-
-# retrieval additions in r4 — lexical BM25, hybrid RRF fusion, and int8
-# scalar-quantized kNN; again a separate group so earlier totals stay
-# comparable round over round
-HEADLINE += [
-    "bm25_topk",
-    "hybrid_rrf",
-    "sq_knn",
-    "mmr_rerank",
-]
-
-# r5 additions — filtered ANN on both index paths, the HNSW quality-bar
-# row, funnel/unigram analytics, and index rebalance; separate group,
-# earlier totals stay comparable
-HEADLINE += [
-    "ivf_filtered",
-    "hnsw_filtered_recall",
-    "hnsw_recall_target",
-    "funnel_steps",
-    "unigram_logprob",
-    "ivf_recenter",
-    "hnsw_rebalance",
-    "cohort_retention",
-    "dedup_keep_best",
-    "api_lifecycle",
-    "hash_embed",
-    "rag_search",
-    "knn_plan_rewrite",
-    "vectorflow_scan",
-    "bigram_logprob",
-    "rolling_revenue",
-    "edit_neardup",
-    "normalize_text",
-    "resample_ffill",
-    "anomaly_zscore",
-    "scd2_history",
-    "ab_welch",
-    "value_histogram",
-    "pmi_collocations",
-    "zorder_values",
-    "semantic_dedup",
-]
-
-# late-r5 analytics batch 2 — data profiling, skyline, heavy hitters,
-# EMA, weighted sampling, PageRank, perceptual-hash near-dup; separate
-# group, earlier totals stay comparable
-HEADLINE += [
-    "profile_table",
-    "skyline",
-    "heavy_hitters",
-    "ema_smooth",
-    "weighted_sample",
-    "pagerank",
-    "phash_neardup",
-    "bloom_semi_join",
-    "incremental_agg",
-    "quantile_scale",
-    "ndcg_eval",
-    "pipeline_entity_resolution",
-]
+# headline queries, grouped so per-round totals stay comparable: each
+# group's subtotal is tracked independently in BASELINE.md (adding a new
+# group never perturbs an old group's number).
+GROUPS: dict[str, list[str]] = {
+    # r1 set: the scan/join/agg-heavy queries that stress the engine at
+    # sf0.1 (600k lineitem, 100k events), plus the vector/dedup core.
+    "r1_core": [
+        "knn_cosine",
+        "knn_batch",
+        "lsh_ann",
+        "similarity_join",
+        "embedding_neardup",
+        "exact_dedup",
+        "jaccard_pairs",
+        "minhash_lsh_neardup",
+        "simhash_neardup",
+        "token_stats",
+        "quality_score",
+        "tfidf_top_terms",
+        "pipeline_clean_corpus",
+        "pricing_summary",
+        "top_orders",
+        "order_ranks",
+        "orders_by_month",
+        "lineitem_corr",
+        "customer_cube",
+        "value_percentiles",
+        "events_window",
+        "events_sliding",
+        "sessionize",
+        "asof_join",
+        "range_join",
+        "ivf_ann",
+        "hnsw_ann",
+    ],
+    # corpus-pipeline stages added in r2
+    "r2_corpus": [
+        "chunk_docs",
+        "pack_sequences",
+        "pii_redact",
+        "stratified_sample",
+        "shard_shuffle",
+        "repetition_stats",
+        "pipeline_training_corpus",
+        "events_distinct_users",
+        "matryoshka_knn",
+        "hard_negatives",
+        "temperature_mix",
+    ],
+    # retrieval additions in r4 — BM25, hybrid RRF fusion, int8 SQ kNN
+    "r4_retrieval": [
+        "bm25_topk",
+        "hybrid_rrf",
+        "sq_knn",
+        "mmr_rerank",
+    ],
+    # r5 additions — filtered ANN, recall bar, funnel/unigram analytics,
+    # index maintenance, dedup survivors, RAG, plan rewrite, format scan
+    "r5_main": [
+        "ivf_filtered",
+        "hnsw_filtered_recall",
+        "hnsw_recall_target",
+        "funnel_steps",
+        "unigram_logprob",
+        "ivf_recenter",
+        "hnsw_rebalance",
+        "cohort_retention",
+        "dedup_keep_best",
+        "api_lifecycle",
+        "hash_embed",
+        "rag_search",
+        "knn_plan_rewrite",
+        "vectorflow_scan",
+        "bigram_logprob",
+        "rolling_revenue",
+        "edit_neardup",
+        "normalize_text",
+        "resample_ffill",
+        "anomaly_zscore",
+        "scd2_history",
+        "ab_welch",
+        "value_histogram",
+        "pmi_collocations",
+        "zorder_values",
+        "semantic_dedup",
+    ],
+    # late-r5 analytics batch 2 — profiling, skyline, heavy hitters, EMA,
+    # weighted sampling, PageRank, pHash near-dup, Bloom join, etc.
+    "r5_analytics2": [
+        "profile_table",
+        "skyline",
+        "heavy_hitters",
+        "ema_smooth",
+        "weighted_sample",
+        "pagerank",
+        "phash_neardup",
+        "bloom_semi_join",
+        "incremental_agg",
+        "quantile_scale",
+        "ndcg_eval",
+        "pipeline_entity_resolution",
+    ],
+    # r6 additions — span-level exact dedup (Lee et al. 2021 class),
+    # approx-tier profiling, DSIR-class importance weighting
+    "r6_new": [
+        "span_dedup",
+        "profile_approx",
+        "dsir_weights",
+    ],
+}
 
 
 def main() -> None:
@@ -145,47 +158,81 @@ def main() -> None:
     queries["vector_stats"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        # min of 2 runs: run 1 pays whole-stage-codegen JIT for this
-        # query's generated classes, run 2 measures the plan itself —
-        # min-of-N is the standard way to report a compiled engine's
-        # steady-state cost.
-        # The timed action is a NOOP SINK write, not count(): count()
-        # lets Catalyst prune every column-level expression (a pure
-        # projection query times as a bare scan — repetition_stats
-        # measured 0.12 s under count() vs 1.65 s real; BASELINE.md
-        # "bench action correction"). The noop sink consumes every
-        # output row in full, which is what the driver's toPandas
-        # comparison pays too.
-        best, n = None, 0
-        for i in range(2):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            if i == 0:
-                # row count via an Observation on the warmup run — no
-                # third execution, and run 2 (the usual min) is untouched
-                from pyspark.sql import Observation
+    for group, names in GROUPS.items():
+        for name in names:
+            if name not in queries:
+                print(f"# SKIP {name}: not registered", file=sys.stderr)
+                continue
+            fn = queries[name]
+            # min of 2 runs: run 1 pays whole-stage-codegen JIT for this
+            # query's generated classes, run 2 measures the plan itself —
+            # min-of-N is the standard way to report a compiled engine's
+            # steady-state cost.
+            # The timed action is a NOOP SINK write, not count(): count()
+            # lets Catalyst prune every column-level expression (a pure
+            # projection query times as a bare scan — repetition_stats
+            # measured 0.12 s under count() vs 1.65 s real; BASELINE.md
+            # "bench action correction"). The noop sink consumes every
+            # output row in full, which is what the driver's toPandas
+            # comparison pays too.
+            best, n = None, 0
+            for i in range(2):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                if i == 0:
+                    # row count via an Observation on the warmup run — no
+                    # third execution, and run 2 (the usual min) is
+                    # untouched
+                    from pyspark.sql import Observation
 
-                obs = Observation()
-                df = df.observe(obs, F.count(F.lit(1)).alias("n"))
-            df.write.format("noop").mode("overwrite").save()
-            el = time.time() - t0
-            if i == 0:
-                n = obs.get["n"]
-            best = el if best is None else min(best, el)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+                    obs = Observation()
+                    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+                df.write.format("noop").mode("overwrite").save()
+                el = time.time() - t0
+                if i == 0:
+                    n = obs.get["n"]
+                best = el if best is None else min(best, el)
+            timings[name] = round(best, 3)
+            print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    subtotals = {
+        g: round(sum(timings[q] for q in names if q in timings), 3)
+        for g, names in GROUPS.items()
+    }
     total = round(sum(timings.values()), 3)
+
+    # full per-query record → file (the authoritative per-query series)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "groups": subtotals,
+                "sf": float(sf),
+                "n_queries": len(timings),
+            },
+            f,
+            indent=1,
+        )
+        f.write("\n")
+
+    # compact driver-parseable line → stdout (MUST stay < ~800 bytes:
+    # the driver's tail capture is ~2 KB and truncates from the front)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": subtotals,
                 "sf": float(sf),
+                "n_queries": len(timings),
+                "detail": "BENCH_LOCAL.json",
             }
         )
     )

@@ -723,6 +723,17 @@ def semantic_dedup(
     seeds = vectors.filter(F.col(id_col) < n_clusters).select(
         F.col(id_col).alias("seed_id"), F.col(vector_col).alias("seed_vec")
     )
+    # Seed rows come from the id range [0, n_clusters): on a sparse or
+    # non-zero-based id space the seed set would be silently partial and
+    # the operator would return fewer clusters — fail fast instead
+    # (same style as assign_to_centroids_blas's max_seeds check).
+    n_seeds = seeds.count()
+    if n_seeds < n_clusters:
+        raise ValueError(
+            f"semantic_dedup: only {n_seeds} of {n_clusters} seed ids exist "
+            f"in [0, {n_clusters}) — the id space must be dense and "
+            "zero-based, or pass a smaller n_clusters"
+        )
     assign = assign_to_centroids if assign_mode == "fold" else assign_to_centroids_blas
     assigned = assign(
         vectors, seeds, metric="euclidean", id_col=id_col, vector_col=vector_col

@@ -142,7 +142,12 @@ def _ema_fn(alpha: float):
         events = pd.concat(list(pdf_iter), ignore_index=True)
         events = events.sort_values(["ts", "event_id"], kind="mergesort")
         prev = state.get[0] if state.exists else None
-        vals = events["value"].to_numpy()
+        # float64 regardless of the column's dtype — an int64 value
+        # column would otherwise truncate alpha*x + beta*prev on
+        # assignment, silently breaking the documented bit-equality
+        # with the batch fold (operators/events.py::ema_smooth, which
+        # carries the same guard)
+        vals = events["value"].to_numpy(dtype="float64")
         out = vals.copy()
         for i in range(len(out)):
             # identical literal order to the batch fold
