@@ -2228,6 +2228,43 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB tier of the column profiler: same melt, but
+    ``n_distinct`` via approx_count_distinct (HLL++, rsd=0.02) so the
+    one cardinality-sized shuffle in profile_columns becomes a bounded
+    fixed-size-sketch aggregation (stats.py:profile_columns, approx=
+    True). Rows-only entry (HLL estimates aren't engine-portable);
+    correctness is pinned IN-ROW, sketch_accuracy-style: each row
+    carries the exact twin, the relative error, and ``ok`` = error
+    within 5*rsd — all-true iff the tier is wired correctly."""
+    from hnsw_vector_db_spark.operators.stats import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    num = ["l_quantity", "l_extendedprice", "l_discount"]
+    s = ["l_returnflag", "l_linestatus"]
+    rsd = 0.02
+    exact = profile_columns(li, num, s).select(
+        "col_name", F.col("n_distinct").alias("n_distinct_exact")
+    )
+    approx = profile_columns(li, num, s, approx=True, rsd=rsd).select(
+        "col_name", F.col("n_distinct").alias("n_distinct_approx")
+    )
+    rel_err = F.abs(
+        F.col("n_distinct_approx") - F.col("n_distinct_exact")
+    ) / F.col("n_distinct_exact")
+    return (
+        exact.join(approx, "col_name")
+        .select(
+            "col_name",
+            "n_distinct_exact",
+            "n_distinct_approx",
+            F.round(rel_err, 6).alias("rel_err"),
+            (rel_err <= 5 * rsd).alias("ok"),
+        )
+        .orderBy("col_name")
+    )
+
+
 def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto front of January-1995 lineitems: min price, min discount,
     max quantity. Two-phase partition skyline (local fronts via
@@ -2576,6 +2613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Efraimidis-Spirakis weighted sampling, PageRank, perceptual-
         # hash image near-dup (rows-only) ---------------------------------
         "profile_table": q_profile_table,
+        "profile_approx": q_profile_approx,
         "skyline": q_skyline,
         "heavy_hitters": q_heavy_hitters,
         "ema_smooth": q_ema_smooth,

@@ -660,13 +660,21 @@ def edit_distance_pairs(
     )
 
 
+# assign_mode="auto" crossover (measured, BASELINE.md "semantic_dedup"
+# 64x table): codegen fold wins small seed sets on startup cost; the
+# per-batch numpy matmul wins once the argmin scans "low hundreds" of
+# centroids (512 centroids: 5.4x faster at 64x rows). 128 splits the
+# measured points on the conservative side.
+_BLAS_CROSSOVER_CLUSTERS = 128
+
+
 def semantic_dedup(
     vectors: DataFrame,
     n_clusters: int = 8,
     eps: float = 0.35,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
-    assign_mode: str = "fold",
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
     Data-efficient learning at web-scale through semantic deduplication",
@@ -702,13 +710,19 @@ def semantic_dedup(
     ``kept`` false iff a better-ranked member of the same cluster is a
     near-duplicate. Survivor set = ``WHERE kept``.
 
-    ``assign_mode``: "fold" (default) scores the argmin with codegen
-    expression folds — the oracle-portable form; "blas" routes it
-    through :func:`~.similarity.assign_to_centroids_blas` (one numpy
-    matmul per Arrow batch), the at-scale form once n_clusters follows
-    the paper's n_clusters ~ N recipe into the hundreds — BASELINE.md's
-    64x table measures the crossover. Both modes produce the same
-    output (equality pinned in tests on the real testdata).
+    ``assign_mode``: "fold" scores the argmin with codegen expression
+    folds — the oracle-portable form; "blas" routes it through
+    :func:`~.similarity.assign_to_centroids_blas` (one numpy matmul per
+    Arrow batch), the at-scale form once n_clusters follows the paper's
+    n_clusters ~ N recipe into the hundreds. "auto" (default) picks by
+    the measured crossover: BASELINE.md's 64x table puts it at
+    "n_clusters in the low hundreds" (fold wins at n_clusters=8 on
+    startup cost — 1.77 s vs 1.89 s at 1x — while at n_clusters=512 the
+    blas matmul is 5.4x faster: 11.6 s vs 62.4 s at 64x), so auto takes
+    fold below ``_BLAS_CROSSOVER_CLUSTERS`` = 128 centroids and blas at
+    or above it. Both modes produce the same output (equality pinned in
+    tests on the real testdata), so auto never changes results — only
+    the physical assignment kernel.
     """
     from pyspark.sql.window import Window
 
@@ -718,8 +732,12 @@ def semantic_dedup(
         assign_to_centroids_blas,
     )
 
-    if assign_mode not in ("fold", "blas"):
-        raise ValueError(f"assign_mode must be 'fold' or 'blas', got {assign_mode!r}")
+    if assign_mode not in ("fold", "blas", "auto"):
+        raise ValueError(
+            f"assign_mode must be 'fold', 'blas' or 'auto', got {assign_mode!r}"
+        )
+    if assign_mode == "auto":
+        assign_mode = "blas" if n_clusters >= _BLAS_CROSSOVER_CLUSTERS else "fold"
     seeds = vectors.filter(F.col(id_col) < n_clusters).select(
         F.col(id_col).alias("seed_id"), F.col(vector_col).alias("seed_vec")
     )

@@ -147,6 +147,8 @@ def profile_columns(
     df: DataFrame,
     numeric_cols: list[str],
     string_cols: list[str],
+    approx: bool = False,
+    rsd: float = 0.02,
 ) -> DataFrame:
     """Column-level data-quality profile: one output row per profiled
     column with row/null/distinct counts and min/max.
@@ -160,14 +162,27 @@ def profile_columns(
     ~n_cols x n_partitions rows regardless of table size. The exact
     ``n_distinct`` is the one term whose shuffle grows with data — it
     carries one row per distinct (column, value) pair, the same bounded
-    "vocabulary" shape as tfidf's term key (use ``sketch_accuracy``'s
-    HLL tier instead when cardinality itself is huge).
+    "vocabulary" shape as tfidf's term key — the one shuffle in this
+    operator that grows with data (measured 13.2x wall at 64x rows;
+    BASELINE.md). ``approx=True`` switches that term to
+    ``approx_count_distinct`` (HyperLogLog++, relative error ``rsd``):
+    the HLL register block is fixed-size per (partition, column), so the
+    whole profile becomes a bounded map-side-combine aggregation whose
+    shuffle carries ~n_cols x n_partitions rows REGARDLESS of
+    cardinality — the tier you run at 100 TB. The exact tier keeps the
+    DuckDB oracle; the approx tier's error is pinned in-row by the
+    ``profile_approx`` driver entry (sketch_accuracy pattern).
 
     Numeric min/max are rounded doubles; string min/max are exact; the
     family that doesn't apply is NULL. Output sorted by column name.
     """
     if not numeric_cols and not string_cols:
         raise ValueError("profile_columns needs at least one column")
+
+    def nd(c: str):
+        if approx:
+            return F.approx_count_distinct(c, rsd=rsd).alias("n_distinct")
+        return F.countDistinct(c).alias("n_distinct")
 
     def melt(cols: list[str], cast: str) -> DataFrame | None:
         if not cols:
@@ -179,7 +194,7 @@ def profile_columns(
         return m.groupBy("col_name").agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count(F.when(F.col("v").isNull(), 1)).alias("n_nulls"),
-            F.countDistinct("v").alias("n_distinct"),
+            nd("v"),
             (F.round(F.min("v"), 6) + F.lit(0.0)).alias("min_num"),
             (F.round(F.max("v"), 6) + F.lit(0.0)).alias("max_num"),
             F.lit(None).cast("string").alias("min_str"),
@@ -190,7 +205,7 @@ def profile_columns(
         return m.groupBy("col_name").agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count(F.when(F.col("v").isNull(), 1)).alias("n_nulls"),
-            F.countDistinct("v").alias("n_distinct"),
+            nd("v"),
             F.lit(None).cast("double").alias("min_num"),
             F.lit(None).cast("double").alias("max_num"),
             F.min("v").alias("min_str"),

@@ -48,6 +48,58 @@ def test_profile_columns_exact(spark):
     assert s["min_num"] is None
 
 
+def test_profile_columns_approx_tier(spark):
+    """approx=True swaps the cardinality term for HLL++ but keeps every
+    other statistic identical — and on small exact cardinalities the
+    HLL estimate is exact, so the whole row matches the exact tier."""
+    df = spark.createDataFrame(
+        [(float(i % 7), str(i % 5)) for i in range(200)] + [(None, None)],
+        "x double, s string",
+    )
+    exact = {r["col_name"]: r for r in profile_columns(df, ["x"], ["s"]).collect()}
+    approx = {
+        r["col_name"]: r
+        for r in profile_columns(df, ["x"], ["s"], approx=True).collect()
+    }
+    for c in ("x", "s"):
+        e, a = exact[c], approx[c]
+        assert (a["n_rows"], a["n_nulls"]) == (e["n_rows"], e["n_nulls"])
+        assert (a["min_num"], a["max_num"]) == (e["min_num"], e["max_num"])
+        assert (a["min_str"], a["max_str"]) == (e["min_str"], e["max_str"])
+        # rsd=0.02 on single-digit true cardinality: HLL is exact
+        assert a["n_distinct"] == e["n_distinct"]
+
+
+def test_profile_approx_plan_has_no_distinct_expand(spark):
+    """The approx tier must aggregate HLL sketches map-side — the plan
+    may not contain the exact tier's per-distinct-value Expand/shuffle
+    (the one term that grows with cardinality at 100 TB)."""
+    def exchanges_on_value(plan: str) -> list[str]:
+        # the cardinality-sized exchange keys on (col_name, v) — any
+        # hashpartitioning carrying the melted value column v#NNN
+        return [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln and " v#" in ln
+        ]
+
+    df = spark.createDataFrame([(1.0, "a")], "x double, s string")
+    plan = (
+        profile_columns(df, ["x"], ["s"], approx=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    exact_plan = (
+        profile_columns(df, ["x"], ["s"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # HLL sketches fold map-side before the shuffle
+    assert "partial_approx_count_distinct" in plan
+    # sanity: the exact tier really does shuffle one row per (col, value)
+    assert exchanges_on_value(exact_plan)
+    # ...and the approx tier must not
+    assert not exchanges_on_value(plan)
+
+
 def test_profile_columns_needs_columns(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):

@@ -350,3 +350,57 @@ def test_semantic_dedup_blas_assignment_matches_fold(spark, sf_dir):
         df, n_clusters=8, eps=0.35, assign_mode="blas"
     ).collect()))
     assert a == b
+
+
+def test_semantic_dedup_auto_mode_dispatch(spark):
+    """auto assignment picks the measured-crossover side: fold below
+    _BLAS_CROSSOVER_CLUSTERS, blas at/above (BASELINE.md 64x table) —
+    checked via the dispatch itself, output equality between the two
+    kernels is pinned by test_semantic_dedup_blas_assignment_matches_fold."""
+    from unittest import mock
+
+    from hnsw_vector_db_spark.operators import dedup as dd
+
+    seen = {}
+
+    def fake_fold(*a, **k):
+        seen["mode"] = "fold"
+        raise RuntimeError("stop")
+
+    def fake_blas(*a, **k):
+        seen["mode"] = "blas"
+        raise RuntimeError("stop")
+
+    fake_df = mock.MagicMock()
+    # the seed-count fail-fast guard runs before assignment — make it pass
+    fake_df.filter.return_value.select.return_value.count.return_value = 10**9
+    with mock.patch(
+        "hnsw_vector_db_spark.operators.similarity.assign_to_centroids", fake_fold
+    ), mock.patch(
+        "hnsw_vector_db_spark.operators.similarity.assign_to_centroids_blas", fake_blas
+    ):
+        for n, want in [
+            (8, "fold"),
+            (dd._BLAS_CROSSOVER_CLUSTERS - 1, "fold"),
+            (dd._BLAS_CROSSOVER_CLUSTERS, "blas"),
+            (512, "blas"),
+        ]:
+            seen.clear()
+            try:
+                dd.semantic_dedup(fake_df, n_clusters=n)
+            except Exception:
+                pass
+            assert seen.get("mode") == want, (n, seen)
+
+
+def test_semantic_dedup_sparse_seed_space_raises(spark):
+    """Non-zero-based id space -> fewer than n_clusters seed rows must
+    fail fast, not silently return fewer clusters (r5 advice)."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(100 + i, [float(i), 0.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="seed ids exist"):
+        dedup.semantic_dedup(df, n_clusters=4)
