@@ -2265,6 +2265,21 @@ def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2021, arXiv:2107.06499):
+    every 5-token span repeated across >= 2 distinct documents is
+    excised everywhere except its globally-first occurrence; overlapping
+    dropped spans merge into [start_tok, end_tok) intervals per doc
+    (operators/dedup.py:span_dedup — sliding k-gram xxhash64 keys with
+    a collision witness, df-cut, one hash-keyed drop join, island-scan
+    interval merge; linear in token count, no suffix array, no pairs).
+    The oracle replays it by grouping on the span TEXT itself — the
+    hash+witness path must be invisible."""
+    from hnsw_vector_db_spark.operators.dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir), k=5, min_docs=2)
+
+
 def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto front of January-1995 lineitems: min price, min discount,
     max quantity. Two-phase partition skyline (local fronts via
@@ -2612,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two-phase skyline, Misra-Gries heavy hitters, per-key EMA,
         # Efraimidis-Spirakis weighted sampling, PageRank, perceptual-
         # hash image near-dup (rows-only) ---------------------------------
+        "span_dedup": q_span_dedup,
         "profile_table": q_profile_table,
         "profile_approx": q_profile_approx,
         "skyline": q_skyline,
@@ -4299,6 +4315,50 @@ SELECT col_name, count(*), count(*) FILTER (v IS NULL), count(DISTINCT v),
        NULL::DOUBLE, NULL::DOUBLE, min(v), max(v)
 FROM st GROUP BY col_name
 ORDER BY col_name
+""".strip()
+
+    # span_dedup: replay by grouping on the SPAN TEXT itself — the Spark
+    # side's xxhash64 key + collision witness must be invisible. Same
+    # tokenizer as the engine (_TOKS); spans are the k=5 sliding windows
+    # with their 0-based start positions carried as a struct so unnest
+    # keeps (pos, span) aligned.
+    _SPAN_K = 5
+    sql["span_dedup"] = f"""
+WITH st AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+occ AS (
+  SELECT doc_id, u['pos'] AS pos, u['span'] AS span FROM (
+    SELECT doc_id, unnest(
+      list_transform(range(1, len(toks) - {_SPAN_K} + 2),
+        i -> {{'pos': i - 1,
+              'span': array_to_string(toks[i:i + {_SPAN_K} - 1], ' ')}})) AS u
+    FROM st)
+),
+dup AS (SELECT span FROM occ GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+firsts AS (
+  SELECT span, doc_id AS fd, pos AS fp FROM (
+    SELECT span, doc_id, pos,
+           row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+    FROM occ) WHERE rn = 1),
+drops AS (
+  SELECT o.doc_id, o.pos
+  FROM occ o JOIN dup USING (span) JOIN firsts f USING (span)
+  WHERE NOT (o.doc_id = f.fd AND o.pos = f.fp)),
+m AS (
+  SELECT doc_id, pos,
+         max(pos + {_SPAN_K}) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM drops),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM m)
+SELECT doc_id, min(pos)::BIGINT AS start_tok,
+       (max(pos) + {_SPAN_K})::BIGINT AS end_tok,
+       (max(pos) + {_SPAN_K} - min(pos))::BIGINT AS n_tok_dropped,
+       count(*)::BIGINT AS n_spans
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, start_tok
 """.strip()
 
     sql["skyline"] = """

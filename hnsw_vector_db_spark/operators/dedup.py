@@ -780,3 +780,136 @@ def semantic_dedup(
             F.col(id_col), "cell", "cdist", F.col("_dup").isNull().alias("kept")
         )
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level exact deduplication (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" family,
+    arXiv:2107.06499): find every k-token span that repeats across at
+    least ``min_docs`` distinct documents, keep its globally-first
+    occurrence, and emit per-document DROP decisions as merged token
+    intervals — the span-level excision whole-document dedup cannot
+    express (two documents sharing one boilerplate paragraph are not
+    near-duplicates, but the paragraph should still appear once in a
+    training corpus).
+
+    The paper builds a corpus-wide suffix array; the Spark-native
+    equivalent is sliding k-gram hashing, which finds exactly the
+    duplicated spans of length >= k (a repeat of length L >= k is
+    recovered as its L-k+1 overlapping k-gram hits, which the interval
+    merge below reassembles into one [start, end) range):
+
+      1. occurrence stream: posexplode of the sliding k-token windows
+         (functions/text.py:word_ngrams — shift-and-zip, no per-element
+         re-tokenization) keyed by ``xxhash64(span)`` so the shuffle key
+         is a fixed 8 bytes, never the span text (exact_dedup's key
+         shape).
+      2. duplicated-span detection: one hash-keyed aggregation carrying
+         countDistinct(doc), a min/max(span) COLLISION WITNESS, and the
+         lexicographically-first (doc, pos) occurrence. Buckets whose
+         witness min==max are genuinely one span (the ~2^-64 common
+         case); colliding buckets — distinct spans sharing a hash — are
+         re-resolved exactly with a span-keyed pass over ONLY the
+         colliding rows (broadcast semi-join), so the result is
+         bit-identical to grouping on the span text itself.
+      3. drop set: occurrences of duplicated spans minus each span's
+         canonical first occurrence, one hash-keyed join.
+      4. per-document interval merge: overlapping/adjacent dropped
+         windows [pos, pos+k) collapse via the classic island scan (one
+         window over (doc, pos) — running max of span end, new island
+         when a gap appears).
+
+    Scale shape (100 TB): every stage is linear in token count — the
+    occurrence stream is narrow (no shuffle), the dup-detection
+    aggregation and the drop join shuffle 8-byte keys with map-side
+    partial aggregation, and the interval merge shuffles only dropped
+    positions (corpus overlap mass, not corpus mass). No suffix array,
+    no all-pairs stage, nothing keyed on unbounded text. The df-cut
+    (``min_docs``) bounds stage-3 fanout exactly as tf-idf's
+    document-frequency cut bounds its term join.
+
+    Returns one row per excised interval: (doc_id, start_tok, end_tok,
+    n_tok_dropped, n_spans) with end exclusive, positions 0-based,
+    sorted by (doc_id, start_tok). Reference repo has no dedup surface
+    at all (SURVEY.md §2) — this is part of the LLM-pipeline tier.
+    """
+    from pyspark.sql import Window
+
+    from hnsw_vector_db_spark.functions.text import word_ngrams
+
+    if k < 1:
+        raise ValueError(f"span length k must be >= 1, got {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+
+    occ = (
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col),
+            F.posexplode(word_ngrams(tokens(text_col), k)).alias("pos", "_span"),
+        )
+        .withColumn("_h", F.xxhash64("_span"))
+    )
+
+    first = F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p")))
+    per_hash = occ.groupBy("_h").agg(
+        F.countDistinct(id_col).alias("_nd"),
+        F.min("_span").alias("_smin"),
+        F.max("_span").alias("_smax"),
+        first.alias("_first"),
+    )
+    clean_dups = per_hash.filter(
+        (F.col("_nd") >= min_docs) & (F.col("_smin") == F.col("_smax"))
+    ).select("_h", "_first")
+    collided = per_hash.filter(F.col("_smin") != F.col("_smax")).select("_h")
+
+    not_canonical = ~(
+        (F.col(id_col) == F.col("_first.d")) & (F.col("pos") == F.col("_first.p"))
+    )
+    clean_drops = (
+        occ.join(clean_dups, "_h").filter(not_canonical).select(id_col, "pos")
+    )
+    # rare path: hash-colliding buckets re-resolved on the span text —
+    # approximately zero rows at any scale, so the broadcast is bounded
+    col_occ = occ.join(F.broadcast(collided), "_h", "left_semi")
+    col_dups = (
+        col_occ.groupBy("_span")
+        .agg(F.countDistinct(id_col).alias("_nd"), first.alias("_first"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_span", "_first")
+    )
+    col_drops = (
+        col_occ.join(col_dups, "_span").filter(not_canonical).select(id_col, "pos")
+    )
+    dropped = clean_drops.unionByName(col_drops)
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(k)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dropped.withColumn(
+        "_new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    ).withColumn("_isl", F.sum("_new").over(w))
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("start_tok"),
+            (F.max("pos") + F.lit(k)).cast("long").alias("end_tok"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+        .select(
+            id_col,
+            "start_tok",
+            "end_tok",
+            (F.col("end_tok") - F.col("start_tok")).alias("n_tok_dropped"),
+            "n_spans",
+        )
+        .orderBy(id_col, "start_tok")
+    )

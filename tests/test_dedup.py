@@ -404,3 +404,109 @@ def test_semantic_dedup_sparse_seed_space_raises(spark):
     )
     with _pytest.raises(ValueError, match="seed ids exist"):
         dedup.semantic_dedup(df, n_clusters=4)
+
+
+# -- span_dedup (Lee et al. 2021 substring-level exact dedup) --------------
+
+
+def _brute_span_dedup(texts, k, min_docs=2):
+    """Reference implementation: group sliding k-gram spans by TEXT,
+    drop every occurrence but the lexicographically-first (doc, pos),
+    merge overlapping dropped windows per doc."""
+    import re as _re
+    from collections import defaultdict
+
+    byspan = defaultdict(list)
+    for d, t in sorted(texts.items()):
+        toks = [x for x in _re.split(r"\s+", t) if x]
+        for p in range(len(toks) - k + 1):
+            byspan[" ".join(toks[p : p + k])].append((d, p))
+    drops = defaultdict(set)
+    for occs in byspan.values():
+        if len({d for d, _ in occs}) >= min_docs:
+            for d, p in sorted(occs)[1:]:
+                drops[d].add(p)
+    out = []
+    for d, ps in drops.items():
+        cur = None
+        for p in sorted(ps):
+            if cur is None or p > cur[1]:
+                if cur is not None:
+                    out.append((d, cur[0], cur[1], cur[1] - cur[0], cur[2]))
+                cur = [p, p + k, 0]
+            cur[1] = max(cur[1], p + k)
+            cur[2] += 1
+        if cur is not None:
+            out.append((d, cur[0], cur[1], cur[1] - cur[0], cur[2]))
+    return sorted(out)
+
+
+def test_span_dedup_planted_boilerplate(spark):
+    """Three docs share one boilerplate sentence: the first (min doc_id)
+    keeps it, the other two get exactly one merged drop interval at the
+    sentence's token offset."""
+    boiler = "all rights reserved by the original author"
+    texts = {
+        1: "alpha beta gamma " + boiler + " delta",
+        2: boiler + " unrelated trailing words here",
+        3: "x y " + boiler,
+        4: "completely unrelated document with no repeats at all",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in dedup.span_dedup(df, k=5, min_docs=2).collect()
+    )
+    assert got == _brute_span_dedup(texts, k=5)
+    # doc 1 is canonical (keeps the boilerplate); docs 2 and 3 drop a
+    # 7-token interval starting at their respective offsets
+    by_doc = {r[0]: r for r in got}
+    assert 1 not in by_doc
+    assert by_doc[2][1:4] == (0, 7, 7)
+    assert by_doc[3][1:4] == (2, 9, 7)
+
+
+def test_span_dedup_matches_brute_on_testdata(spark, sf_dir):
+    """Full equivalence against the span-text brute force on the real
+    documents table — proves the xxhash64 key + collision witness is
+    invisible (bit-identical to grouping on the span text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = sorted(tuple(r) for r in dedup.span_dedup(docs, k=5).collect())
+    assert got == _brute_span_dedup(texts, k=5)
+
+
+def test_span_dedup_within_doc_repeat_not_flagged(spark):
+    """A span repeated only WITHIN one doc does not meet min_docs=2 —
+    cross-document repetition is the Lee et al. criterion (within-doc
+    repetition is repetition_stats' job)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e a b c d e"), (2, "totally different text here now")],
+        "doc_id long, text string",
+    )
+    assert dedup.span_dedup(df, k=5, min_docs=2).count() == 0
+
+
+def test_span_dedup_long_shared_run_merges_to_one_interval(spark):
+    """A shared run of L tokens appears as L-k+1 overlapping k-gram hits
+    that must merge into ONE [start, end) interval of length L."""
+    shared = " ".join(f"t{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, shared), (2, "pre1 pre2 " + shared + " post")],
+        "doc_id long, text string",
+    )
+    rows = dedup.span_dedup(df, k=5, min_docs=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_id"], r["start_tok"], r["end_tok"]) == (2, 2, 14)
+    assert r["n_tok_dropped"] == 12 and r["n_spans"] == 8
+
+
+def test_span_dedup_validates_params(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.span_dedup(df, k=0)
+    with pytest.raises(ValueError):
+        dedup.span_dedup(df, min_docs=1)
