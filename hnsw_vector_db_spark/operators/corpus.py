@@ -491,3 +491,115 @@ def weighted_sample(
         .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def dsir_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    dim: int = 1024,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-class importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023,
+    arXiv:2302.03169): score every raw document by how much more likely
+    its hashed n-gram features are under a TARGET (in-domain) corpus
+    model than under the RAW corpus model. The weights feed
+    :func:`weighted_sample` for the paper's importance-resampling step —
+    the sample-selection tier of a training-data pipeline (which raw
+    web documents are worth training on, given a small quality corpus).
+
+    Model: both corpora are bag-of-hashed-n-gram multinomials over
+    ``dim`` buckets (unigrams + word bigrams, the paper's features,
+    hashed with the engine-portable poly_hash). Bucket probabilities are
+    Laplace-smoothed: p_b = (count_b + alpha) / (total + alpha*dim).
+    Per document, log_w = sum_b c_b * (ln p_target_b - ln p_raw_b) /
+    sum_b c_b — the paper's log importance weight, length-normalized so
+    a 10x longer document scores by its average token, not its length
+    (and so downstream exp(log_w) cannot overflow).
+
+    Scale shape (100 TB): the two corpus models are ``dim``-row tables —
+    aggregated with map-side partial counts and then BROADCAST; nothing
+    joins corpus-to-corpus. The only data-sized shuffles are the
+    (doc, bucket) count aggregation (at most ``dim`` rows per doc out of
+    the partial agg) and the final per-doc sum, both keyed on doc id.
+    The target corpus is typically tiny (a hand-picked quality set);
+    scoring cost is one pass over the raw corpus. No vocabulary table
+    exists at all — that is the point of hashing (same argument as
+    text_analysis.hash_embed).
+
+    Returns (id, n_feats, log_w) — log_w full precision; callers round
+    at the edge. Docs with no tokens drop out (no features to score).
+    """
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+
+    from hnsw_vector_db_spark.functions.text import word_ngrams
+
+    parallelism = raw_docs.sparkSession.sparkContext.defaultParallelism
+
+    def feat_buckets(docs: DataFrame) -> DataFrame:
+        # spread first: the docs scan is often a handful of file splits
+        # and the char-fold poly_hash over every unigram+bigram is the
+        # CPU cost — without the spread it runs on one core (measured
+        # 37.5x wall at 64x rows on a single-split replica vs ~8x
+        # spread; same note as dedup._doc_shingle_sets). The tiny raw-
+        # text shuffle buys full-width parallelism.
+        toks = tokens(text_col)
+        spread = docs.select(id_col, text_col).repartition(parallelism)
+        uni = spread.select(F.col(id_col), F.explode(toks).alias("_f"))
+        bi = spread.select(
+            F.col(id_col), F.explode(word_ngrams(toks, 2)).alias("_f")
+        )
+        return uni.unionByName(bi).select(
+            F.col(id_col), F.pmod(poly_hash(F.col("_f")), F.lit(dim)).alias("b")
+        )
+
+    # one tokenize+hash pass over the raw corpus: the per-doc counts are
+    # computed first and the raw model FOLDS OUT OF THEM ((id,b) rows,
+    # already partially aggregated) instead of re-scanning the corpus
+    per_doc = (
+        feat_buckets(raw_docs)
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    raw_m = per_doc.groupBy("b").agg(F.sum("_c").alias("_cr"))
+    tgt_m = feat_buckets(target_docs).groupBy("b").agg(
+        F.count(F.lit(1)).alias("_ct")
+    )
+    raw_n = raw_m.agg(F.sum("_cr").alias("_nr"))
+    tgt_n = tgt_m.agg(F.sum("_ct").alias("_nt"))
+
+    # per-bucket log ratio: ln((ct+a)/(nt+a*dim)) - ln((cr+a)/(nr+a*dim))
+    # — identical literal structure to the DuckDB oracle so integer-count
+    # inputs produce bit-identical doubles
+    a = float(alpha)
+    ad = float(alpha * dim)
+    lr_col = F.log(
+        (F.coalesce(F.col("_ct"), F.lit(0)).cast("double") + F.lit(a))
+        / (F.col("_nt").cast("double") + F.lit(ad))
+    ) - F.log(
+        (F.col("_cr").cast("double") + F.lit(a))
+        / (F.col("_nr").cast("double") + F.lit(ad))
+    )
+    lr = (
+        raw_m.join(tgt_m, "b", "left")
+        .crossJoin(F.broadcast(raw_n))
+        .crossJoin(F.broadcast(tgt_n))
+        .select("b", lr_col.alias("_lr"))
+    )
+
+    return (
+        per_doc.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("long").alias("n_feats"),
+            (
+                F.sum(F.col("_c").cast("double") * F.col("_lr"))
+                / F.sum(F.col("_c").cast("double"))
+            ).alias("log_w"),
+        )
+    )

@@ -670,9 +670,18 @@ def heavy_hitters(
         if len(counters):
             yield pd.DataFrame({"term": counters.index.to_numpy(dtype=object)})
 
-    term_rows = docs.select(F.explode(tokens(text_col)).alias("term"))
+    # spread first: the docs table often scans as a handful of file
+    # splits (one, for a replicated snapshot), and BOTH passes below are
+    # CPU-bound per row — without the spread the whole operator runs on
+    # one core (measured: 64x docs in 1 split = 14 s single-task vs ~2 s
+    # spread; the same note as dedup._doc_shingle_sets). One tiny
+    # shuffle of the raw text buys full-width parallelism.
+    spread = docs.select(text_col).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    term_rows = spread.select(F.explode(tokens(text_col)).alias("term"))
     candidates = (
-        docs.select(text_col)
+        spread
         .mapInPandas(mg_candidates, schema="term string")
         .distinct()
     )

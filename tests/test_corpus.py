@@ -372,3 +372,63 @@ def test_strip_boilerplate_reassembly_is_single_aggregate(spark):
     ])
     plan = physical_plan(corpus.strip_boilerplate(docs))
     assert "Window" not in plan, plan
+
+
+# -- dsir_weights (DSIR importance weighting, arXiv:2302.03169) -------------
+
+
+def test_dsir_in_domain_docs_score_higher(spark):
+    """Docs sharing the target domain's vocabulary must get higher
+    average log importance weight than out-of-domain docs."""
+    from hnsw_vector_db_spark.operators.corpus import dsir_weights
+
+    sci = [
+        "the experiment measured quantum decoherence rates",
+        "decoherence rates scale with the measured coupling",
+        "quantum coupling constants in the experiment",
+    ]
+    spam = [
+        "click here to win amazing free prizes now",
+        "free prizes await click now to win big",
+        "amazing offer win free money click here",
+    ]
+    raw = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(sci + spam)], "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [(100, "quantum experiment measured decoherence coupling rates")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["log_w"] for r in dsir_weights(raw, target, dim=256).collect()}
+    sci_avg = sum(got[i] for i in range(3)) / 3
+    spam_avg = sum(got[i] for i in range(3, 6)) / 3
+    assert sci_avg > spam_avg
+    assert all(got[i] > got[j] for i in range(3) for j in range(3, 6))
+
+
+def test_dsir_weights_validates_params(spark):
+    from hnsw_vector_db_spark.operators.corpus import dsir_weights
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dsir_weights(df, df, dim=1)
+    with pytest.raises(ValueError):
+        dsir_weights(df, df, alpha=0.0)
+
+
+def test_dsir_target_equals_raw_is_flat(spark):
+    """target == raw makes both models identical, so every log ratio —
+    and every document weight — is exactly zero."""
+    from hnsw_vector_db_spark.operators.corpus import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    rows = dsir_weights(df, df, dim=64).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert abs(r["log_w"]) < 1e-12
+    # n_feats = unigrams + bigrams
+    nf = {r["doc_id"]: r["n_feats"] for r in rows}
+    assert nf == {1: 3 + 2, 2: 4 + 3}
