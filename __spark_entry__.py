@@ -2084,6 +2084,61 @@ def q_sq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit binary quantization (similarity.py:bq_encode), long-form
+    (vec_id, word_idx, word) so the oracle hash-compares every packed
+    word — 32 sign bits per word via a Horner fold, replayed in DuckDB
+    with list_reduce over the same slices. The 32x-smaller sibling of
+    sq_encode; no training step, encode is one codegen projection."""
+    enc = similarity.bq_encode(_emb(spark, sf_dir), dim=64)
+    return enc.select("vec_id", F.posexplode("words")).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("word_idx"),
+        F.col("col").alias("word"),
+    )
+
+
+def q_bq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized two-phase kNN (similarity.py:bq_knn): Hamming
+    over packed sign bits (bit_count(xor), integer-exact shortlist ties)
+    then exact re-rank of the shortlist on the floats. The oracle
+    replays Hamming as the component sign-mismatch count — the same
+    integer bit_count(xor) produces — so the shortlist SET matches
+    exactly, then re-ranks with the same euclidean SQL as sq_knn."""
+    qv = _query_vec(spark, sf_dir)
+    return similarity.bq_knn(_emb(spark, sf_dir), qv, k=10, shortlist=50)
+
+
+MAXSIM_PHRASES = [
+    "vector index scan",
+    "stream window agg",
+    "customer order join",
+    "hash table merge",
+]
+
+
+def q_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (MaxSim, Khattab &
+    Zaharia SIGIR'20) executed as an inverted-index join — no dense
+    vectors, no cross join (similarity.py:maxsim_topk): documents
+    split into 32-token chunks, each chunk a sparse signed-hash
+    embedding with INTEGER bucket sums (text_analysis.py:
+    hash_embed_chunk_components); 4 query phrases embed the same way;
+    score(doc) = sum over phrases of max over chunks of cosine, where
+    every cosine is integer_dot / (nrm * qn) — bit-exact in any
+    engine. ORACLE-CHECKED end to end: DuckDB replays chunking,
+    hashing, the posting join, the zero-floor for missed chunks, and
+    the rounded-score rank cut."""
+    queries = spark.createDataFrame(
+        list(enumerate(MAXSIM_PHRASES)), "qid long, phrase string"
+    )
+    chunks = text_analysis.hash_embed_chunk_components(
+        _docs(spark, sf_dir), dim=64, chunk_tokens=32
+    )
+    qc = text_analysis.hash_embed_query_components(queries, dim=64)
+    return similarity.maxsim_topk(chunks, qc, k=10)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity re-rank (Carbonell & Goldstein, SIGIR'98) of the
     cosine top-50 shortlist — greedy argmax of lam*rel - (1-lam)*max-sim
@@ -2365,6 +2420,33 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the repeat BULK-shipment supplier
+    graph (l_quantity >= 46, co_supply_edges min_shared=2). The
+    restriction is the point, not a convenience: this corpus assigns
+    suppliers to lineitems uniformly, so the UNFILTERED projection is
+    the complete graph on all suppliers (measured: 499,500 =
+    C(1000,2) edges at sf0.1, avg pair multiplicity ~17) and its
+    triangle count is the degenerate C(n,3) — the textbook reason
+    one-mode projections are always thresholded before graph
+    analytics. Bulk-only + min_shared=2 leaves a sparse
+    repeat-relationship graph at every sf. Counting is degree
+    orientation (Suri & Vassilvitskii WWW'11,
+    operators/graph.py:triangle_count): out-degrees bounded O(sqrt(m))
+    so the wedge join is O(m^1.5) total even on hub-skewed graphs —
+    the naive neighbor join the DuckDB oracle runs (a<b<c triple join)
+    is quadratic in hub degree and only viable at oracle scale. Top-20
+    by (count desc, node)."""
+    from hnsw_vector_db_spark.operators.graph import (
+        co_supply_edges,
+        triangle_count,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 46)
+    edges = co_supply_edges(li, min_shared=2)
+    return triangle_count(edges, top_k=20)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 fixed iterations, d=0.85) over the symmetrized
     customer<->supplier trading graph; top-30 nodes. Each iteration is
@@ -2497,6 +2579,82 @@ def q_stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING gap-sessionization run to completion: the events table
+    split at the median timestamp into two time-ordered files, streamed
+    one-file-per-trigger through ``stream_sessionize``
+    (applyInPandasWithState, EventTimeTimeout — sessions close when a
+    same-user event arrives > gap later OR the watermark passes
+    last + gap), then a far-future sentinel file advances the watermark
+    so every real session times out and emits. The median split is
+    safe by construction: a session still open after batch 1 has
+    last > cut - 60min (else it timed out), and any batch-2 event that
+    could continue a timed-out session would need ts <= cut - 30min,
+    which contradicts ts >= cut — so stream sessions == batch sessions
+    exactly, and this STREAMING entry is oracle-checked against the
+    batch gaps-and-islands SQL (stream == batch == independent
+    engine). Output (user_id, session_start, session_end, n_events,
+    sum_value)."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+    import time as _time
+
+    from hnsw_vector_db_spark.streaming.stateful import stream_sessionize
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    cut = ev.agg(F.expr("percentile(cast(ts as double), 0.5)")).collect()[0][0]
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="stream_sess_")
+    ev.filter(F.col("ts").cast("double") < cut).coalesce(1).write.parquet(
+        f"{work}/src", mode="append"
+    )
+    first = set(_glob.glob(f"{work}/src/*.parquet"))
+    ev.filter(F.col("ts").cast("double") >= cut).coalesce(1).write.parquet(
+        f"{work}/src", mode="append"
+    )
+    second = set(_glob.glob(f"{work}/src/*.parquet")) - first
+    import datetime as _dt
+
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + _dt.timedelta(days=30), 0.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    sentinel.coalesce(1).write.parquet(f"{work}/src", mode="append")
+    # FileStreamSource orders by mtime: pin explicitly (the stream_ema
+    # mtime-race lesson)
+    t0 = _time.time()
+    for f in sorted(_glob.glob(f"{work}/src/*.parquet")):
+        off = 0 if f in first else (10 if f in second else 20)
+        _os.utime(f, (t0 + off, t0 + off))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/src")
+    )
+    q = (
+        stream_sessionize(stream, gap="30 minutes", watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("stream_sessionize_result")
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("stream_sessionize_result")
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.date_format("session_start", TS_FMT_SPARK).alias("session_start"),
+            F.date_format("session_end", TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+            (F.round("sum_value", 6) + F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
 def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime-filter semi-join: a from-scratch distributed Bloom filter
     (explode -> per-word bit_or -> 32 KB literal) built over high-balance
@@ -2622,14 +2780,53 @@ def q_pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape composed from individually-oracle-green stages, each
     scale-shaped (banded candidates — never all-pairs; min-label CC with
     checkpointed rounds; one component-keyed window for survivorship).
+
+    TIER 0 (r6): exact duplicates collapse to one representative BEFORE
+    LSH blocking (dedup.py:exact_groups) and component labels fan back
+    out after — d copies of a text cost the band join C(d,2) verify
+    pairs for zero information, which the 64x-replicated corpus turned
+    from theory into a >17-minute measured blow-up (BASELINE.md r6
+    table). Output is IDENTICAL to the uncollapsed pipeline (same
+    oracle): identical texts share quality, component labels are min
+    ids, and the survivor tiebreak (quality desc, id asc) lands on a
+    group representative by construction.
+
     Output (component, kept_id, best_score, n_members)."""
-    docs = _docs(spark, sf_dir)
+    # spread once at the top: the docs table often scans as one split and
+    # every full-corpus stage here (hash grouping, quality features) is
+    # CPU-bound narrow work that would otherwise run single-task — the
+    # heavy_hitters/_doc_shingle_sets pattern (64x: 89 s -> measured
+    # improvement in BASELINE.md r6 table)
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # persist the (id, rep) map — two longs per doc — because BOTH the
+    # distinct-docs semi-join and the component fan-out consume it, and
+    # lazily each consumer would re-run the full hash-group over the
+    # corpus text (the pagerank persist lesson, BASELINE.md r5);
+    # ContextCleaner reclaims it once the result is dropped
+    from pyspark import StorageLevel
+
+    exact_map = (
+        dedup.exact_groups(docs)
+        .select("doc_id", F.col("rep_id").alias("_xrep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    distinct_docs = docs.join(
+        exact_map.select(F.col("_xrep").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
     pairs = dedup.minhash_lsh_near_dup(
-        docs, k=LSH_K, bands=LSH_BANDS, threshold=JACCARD_THRESHOLD
+        distinct_docs, k=LSH_K, bands=LSH_BANDS, threshold=JACCARD_THRESHOLD
     )
-    comps = dedup.neardup_components(
-        docs.select("doc_id"), pairs.select("doc_a", "doc_b"), id_col="doc_id"
+    comps_d = dedup.neardup_components(
+        distinct_docs.select("doc_id"), pairs.select("doc_a", "doc_b"),
+        id_col="doc_id",
     )
+    comps = exact_map.join(
+        comps_d.select(F.col("doc_id").alias("_xrep"), "rep_id"), "_xrep"
+    ).select("doc_id", "rep_id")
     scores = text_analysis.quality_score(docs).select("doc_id", "quality")
     return dedup.keep_best(comps, scores, id_col="doc_id")
 
@@ -2644,17 +2841,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is a verification budget: the driver's correctness gate
     # checks the first 50 entries per round (empirical, r1-r5). Each round
     # the front 50 rotate: new entries + entries whose code changed this
-    # round first. r6: 3 new (span_dedup, dsir_weights, profile_approx)
-    # + 5 changed (profile_table: approx param added to profile_columns;
-    # heavy_hitters: vectorized MG merge + parallelism spread;
-    # semantic_dedup: auto assign dispatch + seed guard; ndcg_eval:
-    # rounded-score k-cut; stream_ema: float64 state fold) + the r5
-    # window remainder = exactly 50. To make room, three r5-green
-    # UNTOUCHED rows-only entries (hnsw_incremental, hnsw_delete,
-    # hnsw_graph_stats — each also pinned by pytest in-row booleans)
-    # moved just past the marker; entries past the marker all have green
-    # driver rows from r2-r5 (CORRECTNESS_r0*.json) and unchanged code,
-    # and every oracle entry is additionally pinned at sf0.001 by
+    # round first. r6: 8 new (span_dedup, dsir_weights, profile_approx,
+    # bq_encode, bq_knn, maxsim_search, stream_sessionize,
+    # triangle_count) + 6 changed (profile_table: approx param added to
+    # profile_columns; heavy_hitters: vectorized MG merge + parallelism
+    # spread; semantic_dedup: auto assign dispatch + seed guard;
+    # ndcg_eval: rounded-score k-cut; stream_ema: float64 state fold;
+    # pipeline_entity_resolution: tier-0 exact collapse) + the r5 window
+    # remainder = exactly 50. To make room, eight r5-green UNTOUCHED
+    # entries moved just past the marker (three rows-only hnsw lifecycle
+    # entries pinned by pytest in-row booleans, five oracle-green
+    # analytics entries pinned by test_oracle_parity); entries past the
+    # marker all have green driver rows from r2-r5
+    # (CORRECTNESS_r0*.json) and unchanged code, and every oracle entry
+    # is additionally pinned at sf0.001 by
     # tests/test_entry.py::test_oracle_parity.
     return {
         # -- NEW late-r5 analytics batch 2: data-quality profile,
@@ -2678,16 +2878,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_chunks": q_window_chunks,
         "ndcg_eval": q_ndcg_eval,
         "pipeline_entity_resolution": q_pipeline_entity_resolution,
+        "bq_encode": q_bq_encode,
+        "bq_knn": q_bq_knn,
+        "maxsim_search": q_maxsim_search,
+        "stream_sessionize": q_stream_sessionize,
+        "triangle_count": q_triangle_count,
         # -- NEW in r5: filtered ANN, HNSW at the >=0.9 recall bar,
         # sequential funnel + cohort retention, unigram-LM quality score,
         # Lloyd recentering + index rebalance, quality-aware dedup,
         # the naive-kNN Catalyst-style plan rewrite, and the late-r5
         # analytics batch (anomaly/SCD2/AB-test/histogram/PMI) -----------
-        "anomaly_zscore": q_anomaly_zscore,
-        "scd2_history": q_scd2_history,
-        "ab_welch": q_ab_welch,
-        "value_histogram": q_value_histogram,
-        "pmi_collocations": q_pmi_collocations,
         "zorder_values": q_zorder_values,
         "stream_dedup": q_stream_dedup,
         "knn_plan_rewrite": q_knn_plan_rewrite,
@@ -2720,6 +2920,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_recall": q_hnsw_recall,
         "hnsw_neighbor_invariant": q_hnsw_neighbor_invariant,
         # ---- position > 50 ----------------------------------------------
+        # late-r6 demotions: five r5-oracle-green analytics entries
+        # (anomaly_zscore .. pmi_collocations), untouched this round and
+        # locally pinned by test_oracle_parity — demoted to fit the five
+        # late-r6 entries (bq_encode/bq_knn/maxsim_search/
+        # stream_sessionize/triangle_count) in-window.
+        "anomaly_zscore": q_anomaly_zscore,
+        "scd2_history": q_scd2_history,
+        "ab_welch": q_ab_welch,
+        "value_histogram": q_value_histogram,
+        "pmi_collocations": q_pmi_collocations,
         # r6 demotions: three r5-green rows-only hnsw lifecycle entries,
         # untouched this round, each self-verifying via in-row booleans
         # that also run in pytest (test_hnsw_index) — demoted to fit the
@@ -3251,6 +3461,108 @@ LIMIT {k}
 """.strip()
 
 
+def _bq_encode_sql(dim: int = 64, bits_per_word: int = 32) -> str:
+    nwords = -(-dim // bits_per_word)
+    return f"""
+SELECT e.vec_id, w::INTEGER AS word_idx,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(
+             list_slice(e.embedding, w * {bits_per_word} + 1,
+                        (w + 1) * {bits_per_word}),
+             x -> CASE WHEN x > 0 THEN 1::BIGINT ELSE 0::BIGINT END)),
+         (acc, x) -> acc * 2 + x) AS word
+FROM embeddings e, range(0, {nwords}) t(w)
+""".strip()
+
+
+def _bq_knn_sql(k: int = 10, shortlist: int = 50, dim: int = 64) -> str:
+    # Hamming over sign bits == component sign-mismatch count; integer,
+    # so the shortlist (hamming, vec_id) cut is engine-exact
+    ham = (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> "
+        "CASE WHEN (c.embedding[i] > 0) <> (q.embedding[i] > 0) "
+        "THEN 1 ELSE 0 END))"
+    )
+    edist = _metric_sql("euclidean", "e.embedding", "q.embedding")
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+short AS (
+  SELECT c.vec_id FROM embeddings c, q
+  ORDER BY {ham}, c.vec_id LIMIT {shortlist})
+SELECT e.vec_id, round({edist}, 6) + 0 AS dist
+FROM embeddings e JOIN short USING (vec_id), q
+ORDER BY {edist}, e.vec_id
+LIMIT {k}
+""".strip()
+
+
+def _maxsim_sql(
+    phrases: list[str], k: int = 10, dim: int = 64, chunk: int = 32
+) -> str:
+    """Full replay of maxsim_search: chunk posting lists, query posting
+    lists, integer-numerator cosines, zero-floor for chunks a query
+    missed, 9-then-6 rounding, rank cut on (rounded score, doc_id)."""
+    vals = ", ".join(
+        f"({i}, '{p}')" for i, p in enumerate(phrases)
+    )
+    hb = _POLY.format(s="term")
+    hs = _POLY.format(s="(term || '#s')")
+    sgn = f"CASE WHEN {hs} % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    return f"""
+WITH qp(qid, phrase) AS (VALUES {vals}),
+qtok AS (
+  SELECT qid, unnest(list_filter(string_split_regex(phrase, '\\s+'),
+                                 t -> t <> '')) AS term
+  FROM qp),
+qsp AS (
+  SELECT qid, {hb} % {dim} AS b, sum({sgn}) AS v
+  FROM qtok GROUP BY qid, b),
+qnorm AS (SELECT qid, sqrt(sum(v * v)) AS qn FROM qsp GROUP BY qid),
+qc AS (
+  SELECT qid, b, v, qn FROM qsp JOIN qnorm USING (qid)
+  WHERE v <> 0 AND qn > 0),
+dtok AS (
+  SELECT doc_id,
+         (unnest(range(0, len(toks))) // {chunk})::INTEGER AS chunk_idx,
+         unnest(toks) AS term
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t),
+dsp AS (
+  SELECT doc_id, chunk_idx, {hb} % {dim} AS b, sum({sgn}) AS v
+  FROM dtok GROUP BY doc_id, chunk_idx, b),
+dnorm AS (
+  SELECT doc_id, chunk_idx, sqrt(sum(v * v)) AS nrm
+  FROM dsp GROUP BY doc_id, chunk_idx),
+dc AS (
+  SELECT doc_id, chunk_idx, b, v, nrm
+  FROM dsp JOIN dnorm USING (doc_id, chunk_idx)
+  WHERE v <> 0 AND nrm > 0),
+dots AS (
+  SELECT doc_id, chunk_idx, qid,
+         sum(d.v * q.v) / (max(d.nrm) * max(q.qn)) AS dot
+  FROM dc d JOIN qc q USING (b)
+  GROUP BY doc_id, chunk_idx, qid),
+nch AS (
+  SELECT doc_id, count(DISTINCT chunk_idx) AS n_chunks
+  FROM dc GROUP BY doc_id),
+best AS (
+  SELECT doc_id, qid, max(dot) AS best, count(*) AS n_hit
+  FROM dots GROUP BY doc_id, qid),
+adj AS (
+  SELECT b.doc_id, qid,
+         CASE WHEN n_hit < n_chunks THEN greatest(best, 0.0)
+              ELSE best END AS bb
+  FROM best b JOIN nch USING (doc_id)),
+sc AS (
+  SELECT doc_id, sum(round(bb, 9)) AS raw, count(*) AS n_terms
+  FROM adj GROUP BY doc_id)
+SELECT doc_id, round(raw, 6) + 0 AS maxsim_score, n_terms::INTEGER AS n_terms
+FROM sc
+QUALIFY row_number() OVER (ORDER BY round(raw, 6) DESC, doc_id) <= {k}
+ORDER BY round(raw, 6) DESC, doc_id
+""".strip()
+
+
 def _mmr_sql(k: int = 10, lam: float = 0.5, shortlist: int = 50) -> str:
     """Recursive-CTE replay of mmr_rerank's greedy selection: the
     anchor picks the relevance top-1; each recursive step takes
@@ -3686,6 +3998,9 @@ GROUP BY t.doc_id
     sql["hybrid_rrf"] = _hybrid_rrf_sql(BM25_TERMS)
     sql["sq_encode"] = _sq_encode_sql(64)
     sql["sq_knn"] = _sq_knn_sql(10, 50)
+    sql["bq_encode"] = _bq_encode_sql(64, 32)
+    sql["bq_knn"] = _bq_knn_sql(10, 50, 64)
+    sql["maxsim_search"] = _maxsim_sql(MAXSIM_PHRASES, 10, 64, 32)
     sql["mmr_rerank"] = _mmr_sql(10, 0.5, 50)
 
     sql["jaccard_pairs"] = (
@@ -4134,6 +4449,27 @@ SELECT user_id, session_id::BIGINT AS session_id,
 FROM sess GROUP BY user_id, session_id
 """.strip()
 
+    sql["stream_sessionize"] = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts), '{TS_FMT_DUCK}') AS session_end,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) + 0 AS sum_value
+FROM sess GROUP BY user_id, session_id
+""".strip()
+
     sql["asof_join"] = f"""
 WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
 signups AS (SELECT * FROM events WHERE event_type = 'signup')
@@ -4554,6 +4890,26 @@ r{K} AS (
     FROM edges e JOIN r{P} r ON r.node = e.src JOIN deg d ON d.src = e.src
     GROUP BY e.dst) s USING (node)
 )"""
+    sql["triangle_count"] = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_quantity >= 46),
+e AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM ps a JOIN ps b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (SELECT unnest([a, b, c]) AS node FROM tri)
+SELECT node, count(*)::BIGINT AS n_triangles
+FROM corners GROUP BY node
+ORDER BY n_triangles DESC, node
+LIMIT 20
+""".strip()
+
     sql["pagerank"] = f"""
 WITH pairs AS (
   SELECT DISTINCT o_custkey * 2 AS cust_node, l_suppkey * 2 + 1 AS supp_node

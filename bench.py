@@ -143,6 +143,11 @@ GROUPS: dict[str, list[str]] = {
         "span_dedup",
         "profile_approx",
         "dsir_weights",
+        "bq_encode",
+        "bq_knn",
+        "maxsim_search",
+        "triangle_count",
+        "stream_sessionize",
     ],
 }
 

@@ -592,8 +592,13 @@ def dsir_weights(
         .select("b", lr_col.alias("_lr"))
     )
 
+    # NO broadcast hint on lr: its key domain is provably <= dim rows
+    # (b = pmod(hash, dim)), but the linter can't see through pmod and
+    # the hinted-broadcast-agg rule exists precisely because "I know
+    # it's small" hints rot (the tfidf lesson) — AQE measures the
+    # ~dim-row side and promotes the broadcast at runtime for free
     return (
-        per_doc.join(F.broadcast(lr), "b")
+        per_doc.join(lr, "b")
         .groupBy(id_col)
         .agg(
             F.sum("_c").cast("long").alias("n_feats"),

@@ -77,6 +77,43 @@ def exact_dedup(
     return clean.unionByName(resolved)
 
 
+def exact_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The doc->group mapping form of :func:`exact_dedup`: every row gets
+    the MIN id among rows with identical text as ``rep_id`` (rows with
+    unique text map to themselves). Same plan shape — 8-byte
+    ``xxhash64`` group key with a min/max collision witness, colliding
+    buckets re-resolved exactly on the text.
+
+    This is the TIER-0 collapse a production near-dup pipeline runs
+    before LSH blocking: banded candidate generation fans out
+    quadratically per bucket, so feeding it d copies of the same text
+    costs C(d,2) verify pairs per band for zero information — collapse
+    to one representative first, fan component labels back out after
+    (measured: the r6 ER capstone on a 64x-replicated corpus ran >17
+    minutes uncollapsed vs seconds collapsed; BASELINE.md).
+
+    Returns (id, rep_id).
+    """
+    hashed = docs.select(F.col(id_col), F.col(text_col)).withColumn(
+        "_h", F.xxhash64(F.col(text_col))
+    )
+    per_hash = hashed.groupBy("_h").agg(
+        F.min(id_col).alias("rep_id"),
+        F.min(text_col).alias("_tmin"),
+        F.max(text_col).alias("_tmax"),
+    )
+    clean = per_hash.filter(F.col("_tmin") == F.col("_tmax")).select("_h", "rep_id")
+    clean_map = hashed.join(clean, "_h").select(F.col(id_col), F.col("rep_id"))
+    collided = per_hash.filter(F.col("_tmin") != F.col("_tmax")).select("_h")
+    col_rows = hashed.join(F.broadcast(collided), "_h", "left_semi")
+    col_map = col_rows.join(
+        col_rows.groupBy(text_col).agg(F.min(id_col).alias("rep_id")), text_col
+    ).select(F.col(id_col), F.col("rep_id"))
+    return clean_map.unionByName(col_map)
+
+
 def _doc_shingle_sets(
     docs: DataFrame, n: int, text_col: str, id_col: str
 ) -> DataFrame:

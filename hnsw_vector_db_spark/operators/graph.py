@@ -124,3 +124,110 @@ def pagerank(
             )
         )
     return ranks
+
+
+def co_supply_edges(lineitem: DataFrame, min_shared: int = 1) -> DataFrame:
+    """Supplier co-supply projection graph: an undirected edge between
+    two suppliers who both shipped at least ``min_shared`` distinct
+    parts in common (the one-mode projection of the part-supplier
+    bipartite graph, with the standard co-occurrence threshold). The
+    distinct (part, supplier) collapse happens FIRST, so per-part
+    fan-out is bounded by suppliers-per-part (single digits in an
+    orders stream), never by lineitem multiplicity.
+
+    min_shared matters at scale: with 1 the projection of a random
+    bipartite graph is near-dense (measured: avg degree ~220 on the
+    sf0.1 supplier graph, which makes ANY triangle algorithm pay for
+    ~40M wedges), while >= 2 keeps only repeat trading pairs — the
+    graph practitioners actually analyze, and orders of magnitude
+    sparser. Output canonical (u, v), u < v."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    ps = lineitem.select("l_partkey", "l_suppkey").distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_partkey") == F.col("b.l_partkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+    return (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(F.col("_shared") >= min_shared)
+        .select("u", "v")
+    )
+
+
+def triangle_count(
+    edges: DataFrame, u_col: str = "u", v_col: str = "v", top_k: int | None = None
+) -> DataFrame:
+    """Per-node triangle counts via degree orientation (the classic
+    MapReduce triangle algorithm, Suri & Vassilvitskii WWW'11): orient
+    every undirected edge from its (degree, id)-smaller endpoint to the
+    larger, enumerate wedges as pairs of out-edges at a common source,
+    and close each wedge with one equi-join against the oriented edge
+    list. Orientation bounds every out-degree by O(sqrt(m)), so the
+    wedge stage is O(m^1.5) TOTAL regardless of skew — a naive
+    neighbor-join explodes quadratically on hub nodes (a celebrity node
+    with 1M neighbors makes 10^12 wedges; oriented, those wedges are
+    charged to the low-degree endpoints instead). That bound is the
+    whole reason this is the 100 TB formulation; the DuckDB oracle uses
+    the naive a<b<c triple join, which is fine at oracle scale and
+    provably the same triangle set.
+
+    Each triangle is found exactly once (its orientation-ordered
+    wedge), then exploded to its 3 corners for per-node counts.
+    Output (node, n_triangles), optionally top_k by (count desc, node).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(u_col), F.col(v_col)).alias("a"),
+            F.greatest(F.col(u_col), F.col(v_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    fwd = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    oriented = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            F.struct(F.col("o1.dst_deg"), F.col("o1.dst"))
+            < F.struct(F.col("o2.dst_deg"), F.col("o2.dst"))
+        ),
+    ).select(
+        F.col("o1.src").alias("x"),
+        F.col("o1.dst").alias("y"),
+        F.col("o2.dst").alias("z"),
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("y"), F.col("dst").alias("z")),
+        ["y", "z"],
+        "left_semi",
+    )
+    counts = (
+        closed.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    if top_k is not None:
+        counts = counts.orderBy(
+            F.col("n_triangles").desc(), F.col("node").asc()
+        ).limit(top_k)
+    return counts

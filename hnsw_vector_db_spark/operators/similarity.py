@@ -1016,3 +1016,210 @@ def sq_knn(
         .limit(k)
         .select(id_col, F.round(F.col("_dist"), 6).alias("dist"))
     )
+
+
+def bq_encode(
+    vectors: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    bits_per_word: int = 32,
+) -> DataFrame:
+    """1-bit binary quantization (the RaBitQ/BQ serving-memory trick,
+    and the sign-bit half of classic SimHash): bit_i = (x_i > 0), packed
+    big-endian-within-word into ``ceil(dim/bits_per_word)`` integer
+    words via a Horner fold (word = fold(acc*2 + bit) over the slice).
+    32 bits/word keeps every word non-negative in a signed 64-bit lane,
+    so the packed value is identical in any engine (no sign-bit
+    wraparound to reason about) — the encode is oracle-checked
+    word-for-word.
+
+    vs the float table this is a 32x read-size cut (64 dims: 2 longs vs
+    64 floats); vs sq_encode a further 8x. At 100 TB the Hamming scan
+    over codes is the cheapest possible first pass: two xor+bit_count
+    per row, fully inside whole-stage codegen, no shuffle. Like
+    sq_encode there is NO training step and no codebook to ship.
+
+    Encoding is a single codegen projection (transform over word index,
+    aggregate Horner fold over each 32-slice); vectors shorter than
+    ``dim`` pack only their existing components (slice clamps — same
+    rule in DuckDB's list_slice, so the twin stays exact).
+
+    Output (id, words: array<long>).
+    """
+    if dim <= 0 or bits_per_word <= 0 or bits_per_word > 62:
+        raise ValueError("dim must be positive and 0 < bits_per_word <= 62")
+    nwords = -(-dim // bits_per_word)
+    v = F.col(vector_col).cast("array<double>")
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(nwords - 1)),
+        lambda w: F.aggregate(
+            F.slice(v, w * bits_per_word + 1, F.lit(bits_per_word)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2
+            + F.when(x > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        ),
+    )
+    return vectors.select(F.col(id_col), words.alias("words"))
+
+
+def pack_query_bits(
+    query: Sequence[float], dim: int, bits_per_word: int = 32
+) -> list[int]:
+    """Driver-side twin of :func:`bq_encode`'s packing for a literal
+    query vector — same Horner fold, same clamping of a short vector."""
+    nwords = -(-dim // bits_per_word)
+    out = []
+    for w in range(nwords):
+        acc = 0
+        for x in query[w * bits_per_word : (w + 1) * bits_per_word]:
+            acc = acc * 2 + (1 if x > 0 else 0)
+        out.append(acc)
+    return out
+
+
+def bq_knn(
+    vectors: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    shortlist: int = 50,
+    metric: str = "euclidean",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    dim: int | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Binary-quantized two-phase kNN: phase 1 ranks packed sign-bit
+    codes by Hamming distance to the query's packed bits
+    (sum of bit_count(xor) over words — integer math, so shortlist
+    ties are exact in any engine and break by id); phase 2 re-ranks
+    only the ``shortlist`` survivors with exact distances on the
+    original floats (broadcast semi-join, same serving shape as
+    sq_knn/PQ-ADC/matryoshka).
+
+    Hamming over sign bits is a proxy for angular distance (Goemans-
+    Williamson: P[sign mismatch] = angle/pi per hyperplane — here the
+    axis-aligned planes), so recall against EXACT euclidean top-k is
+    data-dependent; the shortlist knob is the recall dial, identical in
+    role to ef/nprobe, and shortlist >= N degrades gracefully to exact
+    kNN (property-tested). Fully SQL-expressible end to end — the
+    oracle replays Hamming as the sign-mismatch count, the same number
+    bit_count(xor) produces.
+
+    Output (id, dist) — exact distances of the shortlist's top-k.
+    """
+    from hnsw_vector_db_spark.operators.table import validate_k
+
+    validate_k(k)
+    if dim is None:
+        dim = len(query)
+    if codes is None:
+        codes = bq_encode(vectors, dim, id_col=id_col, vector_col=vector_col)
+    qwords = pack_query_bits(query, dim)
+    qarr_words = F.array(*[F.lit(int(w)).cast("long") for w in qwords])
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("words"), qarr_words, lambda a, b: F.bit_count(a.bitwiseXOR(b))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    short = (
+        codes.withColumn("_ham", hamming)
+        .orderBy(F.col("_ham").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+        .select(id_col)
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        vectors.join(F.broadcast(short), id_col, "left_semi")
+        .withColumn("_dist", distance(F.col(vector_col), qarr, metric))
+        .orderBy(F.col("_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round(F.col("_dist"), 6).alias("dist"))
+    )
+
+
+def maxsim_topk(
+    chunk_comps: DataFrame,
+    query_comps: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    SIGIR'20: MaxSim) over SPARSE multi-vector representations:
+    score(doc) = sum over query vectors q of max over doc chunks c of
+    cos(q, c), computed as an inverted-index join — query posting lists
+    (qid, b, v, qn) equi-join chunk posting lists (doc, chunk, b, v,
+    nrm) on the bucket, then two keyed aggregations. No dense vectors,
+    no cross join: exactly how a production multi-vector index executes
+    (posting lists + accumulate), and at 100 TB the bucket join is a
+    broadcast of the tiny query side over one scan of the posting
+    table, with both aggs partial-aggregated map-side on doc-keyed
+    groups.
+
+    Cross-engine exactness: cosine numerators are INTEGER sums (the
+    hash embeds are signed unit counts), divided once by (nrm * qn), so
+    per-chunk dots are bit-identical in any engine; per-query bests are
+    rounded to 9 decimals before the final sum, the final score to 6 —
+    the mmr_rerank rounding discipline. Chunks sharing NO bucket with a
+    query contribute dot 0, so when a query missed any of a doc's
+    chunks the best is floored at 0 (max includes the zero dots).
+
+    Output: top-k (doc, maxsim_score, n_terms) ranked by (rounded
+    score desc, doc id) — the rank cut uses the ROUNDED score on both
+    engines so a tie straddling k cannot flip membership.
+    """
+    from hnsw_vector_db_spark.operators.table import validate_k
+
+    validate_k(k)
+    dots = (
+        chunk_comps.join(
+            F.broadcast(
+                query_comps.select(
+                    "qid", "b", F.col("v").alias("qv"), "qn"
+                )
+            ),
+            "b",
+        )
+        .groupBy(id_col, "chunk_idx", "qid")
+        .agg(
+            F.sum(F.col("v") * F.col("qv")).alias("int_dot"),
+            F.max("nrm").alias("nrm"),
+            F.max("qn").alias("qn"),
+        )
+        .withColumn("dot", F.col("int_dot") / (F.col("nrm") * F.col("qn")))
+    )
+    n_chunks = (
+        chunk_comps.select(id_col, "chunk_idx")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+    )
+    best = dots.groupBy(id_col, "qid").agg(
+        F.max("dot").alias("best"), F.count(F.lit(1)).alias("n_hit")
+    )
+    adj = best.join(n_chunks, id_col).withColumn(
+        "bb",
+        F.when(
+            F.col("n_hit") < F.col("n_chunks"),
+            F.greatest(F.col("best"), F.lit(0.0)),
+        ).otherwise(F.col("best")),
+    )
+    scored = adj.groupBy(id_col).agg(
+        F.sum(F.round(F.col("bb"), 9)).alias("raw"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    # rank/cut on the ROUNDED score with id tiebreak via orderBy+limit:
+    # TakeOrderedAndProject (per-partition top-k, no global sort), and
+    # the same (rounded, id) cut rule the oracle's row_number applies
+    return (
+        scored.withColumn("_r6", F.round(F.col("raw"), 6))
+        .orderBy(F.col("_r6").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col),
+            (F.col("_r6") + F.lit(0.0)).alias("maxsim_score"),
+            F.col("n_terms").cast("int").alias("n_terms"),
+        )
+    )

@@ -752,3 +752,76 @@ def window_chunks(
         FROM _docs_for_udtf d, LATERAL window_chunks_udtf(d.{text_col}) s
         """
     )
+
+
+def hash_embed_chunk_components(
+    docs: DataFrame,
+    dim: int = 64,
+    chunk_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-level sparse hash embeddings: tokens partition into fixed
+    non-overlapping ``chunk_tokens`` windows by position, and each chunk
+    gets the same signed-bucket-sum representation as
+    :func:`hash_embed` — kept SPARSE as (id, chunk_idx, b, v, nrm) with
+    the INTEGER bucket sum ``v`` and the chunk L2 norm carried
+    separately. Downstream dot products then divide an exact integer
+    numerator by (nrm * query_norm) once, which is what keeps
+    late-interaction scores bit-identical across engines
+    (:func:`~hnsw_vector_db_spark.operators.similarity.maxsim_topk`).
+
+    Scale shape: posexplode -> one keyed aggregation on
+    (doc, chunk, bucket) -> a window-free norm agg on (doc, chunk);
+    at most ``dim`` rows per chunk survive. No dense arrays are ever
+    materialized — this IS the inverted-index (posting-list) layout of
+    a multi-vector index, the form a 100 TB late-interaction corpus is
+    actually stored in. All-zero chunks (token signs fully cancelled)
+    drop out, same rule as hash_embed.
+    """
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "term")
+    )
+    h = poly_hash(F.col("term"))
+    sign = F.when(
+        F.pmod(poly_hash(F.concat(F.col("term"), F.lit("#s"))), F.lit(2)) == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    sparse = (
+        toks.select(
+            F.col(id_col),
+            F.floor(F.col("pos") / chunk_tokens).cast("int").alias("chunk_idx"),
+            F.pmod(h, F.lit(dim)).alias("b"),
+            sign.alias("s"),
+        )
+        .groupBy(id_col, "chunk_idx", "b")
+        .agg(F.sum("s").alias("v"))
+    )
+    norms = sparse.groupBy(id_col, "chunk_idx").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    return (
+        sparse.join(norms, [id_col, "chunk_idx"])
+        .filter((F.col("v") != 0.0) & (F.col("nrm") > 0))
+        .select(F.col(id_col), "chunk_idx", "b", "v", "nrm")
+    )
+
+
+def hash_embed_query_components(
+    queries: DataFrame,
+    dim: int = 64,
+    text_col: str = "phrase",
+    id_col: str = "qid",
+) -> DataFrame:
+    """Whole-text sparse hash embedding for a (tiny) query-phrase table:
+    (qid, b, v, qn) with integer bucket sums and the phrase norm —
+    the query side of :func:`maxsim_topk`'s posting-list join."""
+    sparse = _hash_sparse(queries, dim, text_col, id_col)
+    norms = sparse.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qn")
+    )
+    return (
+        sparse.join(norms, id_col)
+        .filter((F.col("v") != 0.0) & (F.col("qn") > 0))
+        .select(F.col(id_col), "b", "v", "qn")
+    )

@@ -22,6 +22,9 @@ from hnsw_vector_db_spark.operators.multimodal import (
 from hnsw_vector_db_spark.operators.relational import _local_skyline, skyline
 from hnsw_vector_db_spark.operators.stats import profile_columns
 from hnsw_vector_db_spark.operators.text_analysis import heavy_hitters
+from hnsw_vector_db_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
 
 
 # -- profile_columns -------------------------------------------------------
@@ -588,3 +591,48 @@ def test_eval_validates_k(spark):
         ndcg_at_k(df, df, k=0)
     with pytest.raises(ValueError):
         precision_recall_at_k(df, df, k=0)
+
+
+# -- triangle counting -------------------------------------------------------
+
+def test_triangle_count_known_graph(spark):
+    """K4 plus a pendant vertex: each K4 node is in C(3,2)=3 triangles,
+    the pendant in none (and so absent from the output)."""
+    from hnsw_vector_db_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(k4 + [(3, 9)], "u long, v long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """Degree-oriented counts == brute-force enumeration on the real
+    co-supply graph (dedupes reversed/duplicate input edges too)."""
+    from itertools import combinations
+
+    from hnsw_vector_db_spark.operators.graph import (
+        co_supply_edges,
+        triangle_count,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    edges = co_supply_edges(li)
+    pairs = {(r["u"], r["v"]) for r in edges.collect()}
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    brute = {n: 0 for n in adj}
+    for n, nbrs in adj.items():
+        for x, y in combinations(sorted(nbrs), 2):
+            if y in adj.get(x, ()):  # noqa: SIM118 - set membership
+                brute[n] += 1
+    brute = {n: c for n, c in brute.items() if c}
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert got == brute
+    # feeding both directions of every edge must not change anything
+    rev = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    got2 = {r["node"]: r["n_triangles"]
+            for r in triangle_count(edges.unionByName(rev)).collect()}
+    assert got2 == brute

@@ -510,3 +510,22 @@ def test_span_dedup_validates_params(spark):
         dedup.span_dedup(df, k=0)
     with pytest.raises(ValueError):
         dedup.span_dedup(df, min_docs=1)
+
+
+def test_exact_groups_maps_every_row_to_min_id(docs):
+    got = {r["doc_id"]: r["rep_id"] for r in dedup.exact_groups(docs).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4}
+
+
+def test_exact_groups_consistent_with_exact_dedup(spark, sf_dir):
+    """exact_groups' representative set == exact_dedup's survivor set,
+    and every member maps to a rep with identical text."""
+    d = load_table(spark, sf_dir, "documents")
+    reps = {r["doc_id"] for r in dedup.exact_dedup(d).collect()}
+    gmap = {r["doc_id"]: r["rep_id"] for r in dedup.exact_groups(d).collect()}
+    assert set(gmap.values()) == reps
+    assert len(gmap) == d.count()
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    for i, rep in gmap.items():
+        assert texts[i] == texts[rep]
+        assert rep <= i

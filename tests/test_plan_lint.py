@@ -168,9 +168,10 @@ def test_every_benched_query_lints_clean(spark, sf_dir):
 
     qs = em.queries()
     failures = []
-    for name in bench.HEADLINE:
-        try:
-            assert_scale_clean(qs[name](spark, sf_dir))
-        except AssertionError as ex:
-            failures.append(f"{name}: {ex}")
+    for names in bench.GROUPS.values():
+        for name in names:
+            try:
+                assert_scale_clean(qs[name](spark, sf_dir))
+            except AssertionError as ex:
+                failures.append(f"{name}: {ex}")
     assert not failures, "\n".join(failures)

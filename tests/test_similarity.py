@@ -340,3 +340,190 @@ def test_sq_knn_recall_at_default_shortlist(spark, emb):
     got = {r["vec_id"] for r in sq_knn(emb, q, k=10, shortlist=50).collect()}
     want = {r["vec_id"] for r in knn_point(emb, q, k=10, metric="euclidean").collect()}
     assert len(got & want) >= 9
+
+
+# ---- binary quantization ---------------------------------------------------
+
+def test_bq_encode_matches_python_packer(spark, emb):
+    """Every packed word equals the driver-side Horner fold over the
+    same 32-bit slice — the cross-engine packing contract."""
+    import numpy as np
+
+    from hnsw_vector_db_spark.operators.similarity import (
+        bq_encode,
+        pack_query_bits,
+    )
+
+    orig = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.limit(100).collect()}
+    enc = bq_encode(emb.filter(F.col("vec_id") < 100), 64).collect()
+    assert len(enc) == len(orig)
+    for r in enc:
+        assert r["words"] == pack_query_bits(orig[r["vec_id"]], 64)
+        assert all(w >= 0 for w in r["words"])  # 32 bits/word: no sign wrap
+
+
+def test_bq_encode_validates_params(spark, emb):
+    from hnsw_vector_db_spark.operators.similarity import bq_encode
+
+    with pytest.raises(ValueError):
+        bq_encode(emb, 0)
+    with pytest.raises(ValueError):
+        bq_encode(emb, 64, bits_per_word=63)
+
+
+def test_bq_hamming_equals_sign_mismatch_count(spark, emb):
+    """bit_count(xor) over packed words == per-component sign-mismatch
+    count — the identity the SQL oracle relies on."""
+    import numpy as np
+
+    from hnsw_vector_db_spark.operators.similarity import (
+        bq_encode,
+        pack_query_bits,
+    )
+
+    rows = emb.filter(F.col("vec_id") < 100).collect()
+    X = {r["vec_id"]: np.asarray(r["embedding"]) for r in rows}
+    q = X[0]
+    qw = pack_query_bits(q, 64)
+    enc = {r["vec_id"]: r["words"]
+           for r in bq_encode(emb.filter(F.col("vec_id") < 100), 64).collect()}
+    for vid, words in enc.items():
+        ham_bits = sum(bin(a ^ b).count("1") for a, b in zip(words, qw))
+        ham_sign = int(((X[vid] > 0) != (q > 0)).sum())
+        assert ham_bits == ham_sign
+
+
+def test_bq_knn_matches_exact_with_wide_shortlist(spark, emb):
+    """shortlist >= corpus: the Hamming phase cannot lose the true
+    top-k; phase 2 is exact, so bq_knn == exact knn_point."""
+    from hnsw_vector_db_spark.operators.knn import knn_point
+    from hnsw_vector_db_spark.operators.similarity import bq_knn
+
+    q = emb.filter(F.col("vec_id") == 3).first()["embedding"]
+    n = emb.count()
+    got = [(r["vec_id"], r["dist"]) for r in
+           bq_knn(emb, q, k=10, shortlist=n, metric="euclidean").collect()]
+    want = [(r["vec_id"], round(r["dist"], 6)) for r in
+            knn_point(emb, q, k=10, metric="euclidean").collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-6
+
+
+def test_bq_knn_self_query_rank_one(spark, emb):
+    """The query vector itself has Hamming 0 and exact distance 0 — it
+    must always survive the shortlist and rank first."""
+    from hnsw_vector_db_spark.operators.similarity import bq_knn
+
+    q = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    top = bq_knn(emb, q, k=3, shortlist=50).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["dist"] == 0.0
+
+
+# ---- maxsim late interaction ----------------------------------------------
+
+def _np_maxsim(docs_rows, phrases, dim=64, chunk=32):
+    """Dense numpy twin of the sparse maxsim pipeline."""
+    import re
+
+    import numpy as np
+
+    def poly(s):
+        h = 0
+        for c in s:
+            h = (h * 131 + ord(c)) % 2147483647
+        return h
+
+    def embed_tokens(toks):
+        v = np.zeros(dim)
+        for t in toks:
+            sgn = 1.0 if poly(t + "#s") % 2 == 0 else -1.0
+            v[poly(t) % dim] += sgn
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else None
+
+    qvecs = [embed_tokens(re.findall(r"\S+", p)) for p in phrases]
+    scores = {}
+    for r in docs_rows:
+        toks = re.findall(r"\S+", r["text"])
+        cvecs = [embed_tokens(toks[i : i + chunk])
+                 for i in range(0, len(toks), chunk)]
+        cvecs = [c for c in cvecs if c is not None]
+        if not cvecs:
+            continue
+        total = 0.0
+        for q in qvecs:
+            if q is None:
+                continue
+            total += round(max(float(q @ c) for c in cvecs), 9)
+        scores[r["doc_id"]] = round(total, 6)
+    return scores
+
+
+def test_maxsim_matches_dense_numpy(spark, sf_dir):
+    """The sparse posting-list maxsim == the dense definition (cos of
+    unit vectors, max over chunks, sum over queries) on real docs."""
+    from hnsw_vector_db_spark.operators.similarity import maxsim_topk
+    from hnsw_vector_db_spark.operators.text_analysis import (
+        hash_embed_chunk_components,
+        hash_embed_query_components,
+    )
+
+    phrases = ["vector index scan", "stream window agg"]
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    queries = spark.createDataFrame(
+        list(enumerate(phrases)), "qid long, phrase string"
+    )
+    got = {
+        r["doc_id"]: r["maxsim_score"]
+        for r in maxsim_topk(
+            hash_embed_chunk_components(docs, 64, 32),
+            hash_embed_query_components(queries, 64),
+            k=60,
+        ).collect()
+    }
+    want = _np_maxsim(docs.collect(), phrases)
+    # operator emits every doc with >= 1 overlapping bucket; zero-score
+    # docs (no overlap at all with any phrase) are absent from `got`
+    for did, sc in got.items():
+        assert abs(want[did] - sc) < 2e-6, did
+    top_want = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    top_got = sorted(got.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [d for d, _ in top_want] == [d for d, _ in top_got]
+
+
+def test_maxsim_zero_floor_for_missed_chunks(spark):
+    """A doc whose chunks include one the query shares NO bucket with
+    must floor that query's best at 0 (a no-overlap chunk has dot 0),
+    never at the negative dot of an overlapping chunk."""
+    from hnsw_vector_db_spark.operators.similarity import maxsim_topk
+
+    # hand-built sparse comps: doc 1 has chunks 0 (overlap, negative
+    # dot) and 1 (no shared bucket)
+    chunk_comps = spark.createDataFrame(
+        [(1, 0, 3, -1.0, 1.0), (1, 1, 7, 1.0, 1.0)],
+        "doc_id long, chunk_idx int, b int, v double, nrm double",
+    )
+    query_comps = spark.createDataFrame(
+        [(0, 3, 1.0, 1.0)], "qid long, b int, v double, qn double"
+    )
+    out = maxsim_topk(chunk_comps, query_comps, k=5).collect()
+    assert len(out) == 1
+    assert out[0]["maxsim_score"] == 0.0  # floored, not -1.0
+
+
+def test_maxsim_no_floor_when_all_chunks_hit(spark):
+    """If the query overlaps EVERY chunk, the true (possibly negative)
+    max survives — the floor only stands in for unjoined zero dots."""
+    from hnsw_vector_db_spark.operators.similarity import maxsim_topk
+
+    chunk_comps = spark.createDataFrame(
+        [(1, 0, 3, -1.0, 1.0), (1, 1, 3, -2.0, 2.0)],
+        "doc_id long, chunk_idx int, b int, v double, nrm double",
+    )
+    query_comps = spark.createDataFrame(
+        [(0, 3, 1.0, 1.0)], "qid long, b int, v double, qn double"
+    )
+    out = maxsim_topk(chunk_comps, query_comps, k=5).collect()
+    assert out[0]["maxsim_score"] == -1.0  # max(-1, -1) over both chunks
