@@ -1199,6 +1199,17 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.bigram_logprob(_docs(spark, sf_dir))
 
 
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram quality score — the production
+    n-gram smoothing (absolute discount D=0.75 + continuation-
+    probability backoff), one up from bigram_logprob's raw MLE
+    (text_analysis.py:kneser_ney_logprob). Every model ingredient is
+    an integer count off the distinct-bigram table, so smoothing and
+    all reproduces bit-for-bit in DuckDB with the same literal
+    expression. ORACLE-CHECKED exactly."""
+    return text_analysis.kneser_ney_logprob(_docs(spark, sf_dir))
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality score (mean -ln p(token) under the corpus
     unigram distribution — the SQL-expressible cousin of the CCNet
@@ -2139,6 +2150,82 @@ def q_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.maxsim_topk(chunks, qc, k=10)
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. ACL'16) in pure Spark
+    expressions (operators/bpe.py): corpus -> distinct-word frequency
+    table once, then per merge one vocab-sized pair aggregation + one
+    codegen merge fold (no UDF anywhere). Rows-only by necessity
+    (iterative argmax is not a single SQL query); correctness is pinned
+    three ways: IN-ROW booleans (monotone_ok — support is provably
+    non-increasing over merges; merged_ok — merged symbol == left||
+    right), and tests/test_bpe.py pins the ENTIRE learned merge
+    sequence against an independent textbook Python implementation on
+    this same table. Output (step, left, right, merged, support,
+    monotone_ok, merged_ok)."""
+    from hnsw_vector_db_spark.operators import bpe
+
+    merges = bpe.bpe_train(_docs(spark, sf_dir), n_merges=24)
+    rows = [
+        (i + 1, m[0], m[1], m[0] + m[1], m[2]) for i, m in enumerate(merges)
+    ]
+    df = spark.createDataFrame(
+        rows, "step int, left string, right string, merged string, support long"
+    )
+    w = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, -1)
+    return df.select(
+        "step",
+        "left",
+        "right",
+        "merged",
+        "support",
+        F.coalesce(
+            F.col("support") <= F.min("support").over(w), F.lit(True)
+        ).alias("monotone_ok"),
+        (F.col("merged") == F.concat("left", "right")).alias("merged_ok"),
+    )
+
+
+def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split (corpus.py:grouped_split): whole
+    SOURCE domains land on one side via the portable hash — no stored
+    assignment table, no shuffle, stateless across re-runs and
+    incremental arrivals. Output: per-split doc/group counts plus an
+    aggregated no_leakage boolean (every source wholly on one side),
+    replayed exactly by the oracle."""
+    from hnsw_vector_db_spark.operators.corpus import grouped_split
+
+    split = grouped_split(_docs(spark, sf_dir), "source", test_pct=20)
+    leak = (
+        split.groupBy("source")
+        .agg(F.countDistinct("split").alias("_ns"))
+        .agg((F.max("_ns") == 1).alias("no_leakage"))
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .orderBy("split")
+    )
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss Rademacher projection 64 -> 16
+    (similarity.py:random_projection): the matrix is driver-generated
+    from the portable poly hash and enters BOTH plans as literals; each
+    output component is a strict left fold, so every projected value
+    hash-matches bit-for-bit. Long-form (vec_id, dim_idx, value).
+    JL distance-preservation is pinned in tests (test_similarity)."""
+    proj = similarity.random_projection(_emb(spark, sf_dir), 64, 16)
+    return proj.select("vec_id", F.posexplode("proj")).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("dim_idx"),
+        (F.round(F.col("col"), 6) + F.lit(0.0)).alias("value"),
+    )
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity re-rank (Carbonell & Goldstein, SIGIR'98) of the
     cosine top-50 shortlist — greedy argmax of lam*rel - (1-lam)*max-sim
@@ -2888,10 +2975,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Lloyd recentering + index rebalance, quality-aware dedup,
         # the naive-kNN Catalyst-style plan rewrite, and the late-r5
         # analytics batch (anomaly/SCD2/AB-test/histogram/PMI) -----------
-        "zorder_values": q_zorder_values,
-        "stream_dedup": q_stream_dedup,
-        "knn_plan_rewrite": q_knn_plan_rewrite,
-        "vectorflow_scan": q_vectorflow_scan,
         "scale_lint": q_scale_lint,
         "rolling_revenue": q_rolling_revenue,
         "stream_attribution": q_stream_attribution,
@@ -2904,6 +2987,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
+        "kneser_ney_logprob": q_kneser_ney,
+        "random_projection": q_random_projection,
+        "grouped_split": q_grouped_split,
+        "bpe_train": q_bpe_train,
         "ivf_recenter": q_ivf_recenter,
         "hnsw_rebalance": q_hnsw_rebalance,
         "cohort_retention": q_cohort_retention,
@@ -2925,6 +3012,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally pinned by test_oracle_parity — demoted to fit the five
         # late-r6 entries (bq_encode/bq_knn/maxsim_search/
         # stream_sessionize/triangle_count) in-window.
+        "zorder_values": q_zorder_values,
+        "stream_dedup": q_stream_dedup,
+        "knn_plan_rewrite": q_knn_plan_rewrite,
+        "vectorflow_scan": q_vectorflow_scan,
         "anomaly_zscore": q_anomaly_zscore,
         "scd2_history": q_scd2_history,
         "ab_welch": q_ab_welch,
@@ -3497,6 +3588,26 @@ LIMIT {k}
 """.strip()
 
 
+def _rp_sql(in_dim: int = 64, out_dim: int = 16, seed: int = 0) -> str:
+    """Replays random_projection with the SAME driver-generated literal
+    sign matrix and the same left fold per output component."""
+    from hnsw_vector_db_spark.operators.similarity import rp_sign_matrix
+
+    m = rp_sign_matrix(in_dim, out_dim, seed)
+    parts = []
+    for j in range(out_dim):
+        lits = ", ".join(f"{float(s)}" for s in m[j])
+        parts.append(
+            f"""SELECT vec_id, {j} AS dim_idx,
+  round(list_reduce(list_prepend(0.0::DOUBLE,
+    list_transform(range(1, {in_dim + 1}),
+      i -> e.embedding[i]::DOUBLE * ([{lits}])[i])),
+    (acc, x) -> acc + x) / sqrt({float(out_dim)}), 6) + 0 AS value
+FROM embeddings e"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def _maxsim_sql(
     phrases: list[str], k: int = 10, dim: int = 64, chunk: int = 32
 ) -> str:
@@ -3988,6 +4099,35 @@ JOIN cx ON string_split(t.bigram, ' ')[1] = cx.ctx
 GROUP BY t.doc_id
 """.strip()
 
+    sql["kneser_ney_logprob"] = """
+WITH btoks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks FROM documents),
+bg AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+         ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+    END) AS bigram
+  FROM btoks
+),
+btf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY doc_id, bigram),
+bc AS (SELECT bigram, sum(tf) AS cnt,
+              string_split(bigram, ' ')[1] AS _a,
+              string_split(bigram, ' ')[2] AS _b
+       FROM btf GROUP BY bigram),
+cx AS (SELECT _a, sum(cnt) AS ctx_cnt, count(*) AS n1_fwd FROM bc GROUP BY _a),
+ct AS (SELECT _b, count(*) AS n1_rev FROM bc GROUP BY _b),
+nt AS (SELECT count(*) AS n_types FROM bc),
+bs AS (
+  SELECT bc.bigram,
+         -ln(greatest(bc.cnt::DOUBLE - 0.75::DOUBLE, 0.0::DOUBLE) / cx.ctx_cnt::DOUBLE
+             + 0.75::DOUBLE * cx.n1_fwd::DOUBLE / cx.ctx_cnt::DOUBLE
+               * ct.n1_rev::DOUBLE / nt.n_types::DOUBLE) AS nlp
+  FROM bc JOIN cx USING (_a) JOIN ct USING (_b) CROSS JOIN nt)
+SELECT t.doc_id, sum(t.tf)::BIGINT AS n_bigrams,
+       round(sum(t.tf * bs.nlp) / sum(t.tf), 6) + 0 AS avg_neg_logprob
+FROM btf t JOIN bs USING (bigram)
+GROUP BY t.doc_id
+""".strip()
+
     sql["lsh_ann"] = _lsh_ann_sql(5, LSH_PLANES)
     sql["lsh_probe_recall"] = _lsh_probe_recall_sql(5, LSH_PLANES)
     sql["ivf_ann"] = _ivf_ann_sql(10, 8, 3)
@@ -4001,6 +4141,21 @@ GROUP BY t.doc_id
     sql["bq_encode"] = _bq_encode_sql(64, 32)
     sql["bq_knn"] = _bq_knn_sql(10, 50, 64)
     sql["maxsim_search"] = _maxsim_sql(MAXSIM_PHRASES, 10, 64, 32)
+    sql["random_projection"] = _rp_sql(64, 16, 0)
+    sql["grouped_split"] = """
+WITH sp AS (
+  SELECT doc_id, source,
+         CASE WHEN list_reduce(list_transform(string_split_regex((source || '#split'), ''), c -> unicode(c)::BIGINT), (a, c) -> (a * 131 + c) % 2147483647) % 100 < 20 THEN 'test' ELSE 'train' END AS split
+  FROM documents),
+leak AS (
+  SELECT max(ns) = 1 AS no_leakage FROM (
+    SELECT source, count(DISTINCT split) AS ns FROM sp GROUP BY source))
+SELECT split, count(*)::BIGINT AS n_docs,
+       count(DISTINCT source)::BIGINT AS n_groups, leak.no_leakage
+FROM sp CROSS JOIN leak
+GROUP BY split, leak.no_leakage
+ORDER BY split
+""".strip()
     sql["mmr_rerank"] = _mmr_sql(10, 0.5, 50)
 
     sql["jaccard_pairs"] = (

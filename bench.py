@@ -148,6 +148,10 @@ GROUPS: dict[str, list[str]] = {
         "maxsim_search",
         "triangle_count",
         "stream_sessionize",
+        "kneser_ney_logprob",
+        "random_projection",
+        "grouped_split",
+        "bpe_train",
     ],
 }
 

@@ -1223,3 +1223,69 @@ def maxsim_topk(
             F.col("n_terms").cast("int").alias("n_terms"),
         )
     )
+
+
+def rp_sign_matrix(in_dim: int, out_dim: int, seed: int = 0) -> list[list[int]]:
+    """Deterministic Rademacher (+-1) projection matrix, generated
+    driver-side from the engine-portable polynomial hash of
+    ``"rp:{seed}:{j}:{i}"`` — the same literals embed into the DuckDB
+    oracle, which is exactly how production ships a projection: the
+    matrix is built once and broadcast, never recomputed per row."""
+    def poly(s: str, base: int = 131, mod: int = 2147483647) -> int:
+        h = 0
+        for c in s:
+            h = (h * base + ord(c)) % mod
+        return h
+
+    return [
+        [1 if poly(f"rp:{seed}:{j}:{i}") % 2 == 0 else -1 for i in range(in_dim)]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    vectors: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a Rademacher matrix
+    (Achlioptas, JCSS 2003: +-1 entries satisfy the JL lemma — no
+    Gaussians needed): y_j = sum_i x_i * s_ji / sqrt(out_dim).
+    Pairwise distances are preserved within (1 +- eps) for
+    out_dim = O(ln n / eps^2), independent of in_dim — THE
+    dimensionality on-ramp for similarity search over fat embeddings
+    (project 4096 -> 64, index the projection, exact re-rank the
+    shortlist at full width; the sq_knn/bq_knn serving shape with a
+    width cut instead of a precision cut).
+
+    The matrix is driver-generated (:func:`rp_sign_matrix`) and enters
+    the plan as a LITERAL array — one codegen projection per row, no
+    join, no UDF, nothing recomputed per row. Each output component is
+    a strict left fold of x_i * (+-1) in ascending i, mirrored
+    fold-for-fold by the DuckDB oracle, so projected values are
+    bit-identical cross-engine. Output (id, proj array<double>).
+    """
+    if in_dim <= 0 or out_dim <= 0:
+        raise ValueError("in_dim and out_dim must be positive")
+    m = rp_sign_matrix(in_dim, out_dim, seed)
+    scale = float(out_dim) ** 0.5
+    v = F.col(vector_col).cast("array<double>")
+    rows = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(s)) for s in m[j]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(scale)
+        )
+        for j in range(out_dim)
+    ]
+    return vectors.select(F.col(id_col), F.array(*rows).alias("proj"))

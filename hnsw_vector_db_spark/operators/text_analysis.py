@@ -317,6 +317,83 @@ def bigram_logprob(
         F.round(F.sum("_nlp") / F.count(F.lit(1)), 6).alias("avg_neg_logprob"),
     )
 
+
+def kneser_ney_logprob(
+    docs: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram quality score (Kneser & Ney,
+    ICASSP'95; Chen & Goodman '98) — the smoothing actually used by
+    production n-gram LMs, one up from :func:`bigram_logprob`'s raw
+    MLE: P(b|a) = max(c(a,b) - D, 0)/c(a,.) + lam(a) * Pcont(b), with
+    lam(a) = D * N1+(a,.)/c(a,.) and the CONTINUATION probability
+    Pcont(b) = N1+(.,b)/N1+(.,.) — "how many contexts does b follow"
+    rather than "how often does b occur", the fix for Francisco-style
+    tokens that are frequent but glued to one context.
+
+    Every ingredient is an integer count over the distinct-bigram
+    table (c(a,b); N1+(a,.) and N1+(.,b) are row counts; N1+(.,.) its
+    size), so with an identical literal expression structure the
+    probabilities reproduce bit-for-bit in an independent engine —
+    smoothing included. Scale shape: identical to bigram_logprob (tf
+    collapse first; every model table aggregates off the distinct-
+    bigram table, never a second corpus pass; shuffle joins on term
+    keys with no broadcast hints — bigram vocabularies are the case
+    where a forced broadcast dies; the single-row N1+(.,.) total is
+    the only hinted broadcast). Output (doc_id, n_bigrams,
+    avg_neg_logprob) — lower = more stereotypical text."""
+    if not 0 < discount < 1:
+        raise ValueError(f"discount must be in (0,1), got {discount}")
+    from hnsw_vector_db_spark.functions.text import word_ngrams
+
+    d = float(discount)
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("toks"))
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col("toks"), 2)).alias("bigram"),
+    )
+    ptf = pairs.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("tf"))
+    bcnt = ptf.groupBy("bigram").agg(F.sum("tf").alias("cnt"))
+    split = bcnt.select(
+        "bigram",
+        "cnt",
+        F.split("bigram", " ").getItem(0).alias("_a"),
+        F.split("bigram", " ").getItem(1).alias("_b"),
+    )
+    ctx = split.groupBy("_a").agg(
+        F.sum("cnt").alias("ctx_cnt"),
+        F.count(F.lit(1)).alias("n1_fwd"),  # distinct continuations of a
+    )
+    cont = split.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("n1_rev")  # distinct contexts preceding b
+    )
+    ntypes = bcnt.agg(F.count(F.lit(1)).alias("n_types"))
+    # literal structure mirrored exactly in the oracle SQL:
+    # greatest(c - D, 0)/ctx + D * n1_fwd / ctx * n1_rev / n_types
+    p = F.greatest(
+        F.col("cnt").cast("double") - F.lit(d), F.lit(0.0)
+    ) / F.col("ctx_cnt").cast("double") + F.lit(d) * F.col("n1_fwd").cast(
+        "double"
+    ) / F.col("ctx_cnt").cast("double") * F.col("n1_rev").cast(
+        "double"
+    ) / F.col("n_types").cast("double")
+    bstats = (
+        split.join(ctx, "_a")
+        .join(cont, "_b")
+        .crossJoin(F.broadcast(ntypes))
+        .select("bigram", (-F.log(p)).alias("_nlp"))
+    )
+    scored = ptf.join(bstats, "bigram")
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.round(F.sum(F.col("tf") * F.col("_nlp")) / F.sum("tf"), 6).alias(
+            "avg_neg_logprob"
+        ),
+    )
+
+
 def _hash_sparse(
     docs: DataFrame, dim: int, text_col: str, id_col: str
 ) -> DataFrame:
@@ -779,7 +856,14 @@ def hash_embed_chunk_components(
     actually stored in. All-zero chunks (token signs fully cancelled)
     drop out, same rule as hash_embed.
     """
-    toks = docs.select(
+    # spread first: a single-split corpus scan would run the char-fold
+    # hashing of every token on ONE task (the dsir_weights/heavy_hitters
+    # lesson — measured 33x wall at 64x rows unspread vs ~8x spread);
+    # the tiny raw-text shuffle buys full-width parallelism and is free
+    # at real scale where the scan already has thousands of splits
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    spread = docs.select(F.col(id_col), F.col(text_col)).repartition(parallelism)
+    toks = spread.select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "term")
     )
     h = poly_hash(F.col("term"))

@@ -1,0 +1,97 @@
+"""BPE tokenizer training: the learned merge sequence must equal an
+independent textbook implementation (Sennrich et al., ACL 2016, Alg. 1)
+— supports included — on both a crafted corpus and the real documents
+table."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from hnsw_vector_db_spark.operators import bpe
+from hnsw_vector_db_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def ref_bpe(word_freqs: dict[str, int], n: int) -> list[tuple[str, str, int]]:
+    """Textbook BPE: greedy most-frequent adjacent pair, tie-break
+    (count desc, left asc, right asc), leftmost-non-overlapping apply."""
+    seg = {w: tuple(list(w) + [bpe.END]) for w in word_freqs}
+    out: list[tuple[str, str, int]] = []
+    for _ in range(n):
+        pc: Counter = Counter()
+        for w, f in word_freqs.items():
+            s = seg[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if c < 2:
+            break
+        out.append((a, b, c))
+        for w in seg:
+            s, i, ns = list(seg[w]), 0, []
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            seg[w] = tuple(ns)
+    return out
+
+
+def test_bpe_train_matches_textbook_on_classic_corpus(spark):
+    """The Sennrich paper's own example shape (low/lower/newest/widest)."""
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = bpe.bpe_train(docs, n_merges=10)
+    wf = Counter(text.split())
+    assert got == ref_bpe(wf, 10)
+    # first merge of this corpus is famously ('e','s') with support 9
+    assert got[0] == ("e", "s", 9)
+
+
+def test_bpe_train_matches_textbook_on_real_corpus(spark):
+    """Full merge-sequence equality (pairs AND supports) on the real
+    documents table — the strongest statement short of a SQL oracle,
+    which an iterative argmax cannot be."""
+    docs = load_table(spark, SF, "documents")
+    wf = Counter(
+        t
+        for r in docs.select("text").collect()
+        for t in r["text"].split()
+    )
+    got = bpe.bpe_train(docs, n_merges=16)
+    assert got == ref_bpe(wf, 16)
+    # support sequence is non-increasing (merge can only create pairs
+    # bounded by its own support)
+    sups = [c for _, _, c in got]
+    assert all(a >= b for a, b in zip(sups, sups[1:]))
+
+
+def test_bpe_segment_compression_consistency(spark):
+    text = " ".join(["low"] * 5 + ["newest"] * 6)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = bpe.bpe_train(docs, n_merges=8)
+    row = bpe.bpe_segment(docs, merges).first()
+    assert row["n_words"] == 11
+    assert row["n_chars"] == 5 * 3 + 6 * 6
+    # every word compresses to at least 1 symbol and at most chars+1
+    assert row["n_words"] <= row["n_subwords"] <= row["n_chars"] + row["n_words"]
+    # with enough merges the classic corpus collapses to ~1 symbol/word
+    assert row["n_subwords"] <= 2 * row["n_words"]
+    assert row["compression"] > 1.0
+
+
+def test_bpe_validates_params(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bpe.bpe_train(docs, n_merges=0)

@@ -432,3 +432,38 @@ def test_dsir_target_equals_raw_is_flat(spark):
     # n_feats = unigrams + bigrams
     nf = {r["doc_id"]: r["n_feats"] for r in rows}
     assert nf == {1: 3 + 2, 2: 4 + 3}
+
+
+# ---- grouped train/test split ----------------------------------------------
+
+def test_grouped_split_no_leakage(spark, docs):
+    """Every group lands wholly on one side — the defining property."""
+    from hnsw_vector_db_spark.operators.corpus import grouped_split
+
+    out = grouped_split(docs, "source", test_pct=30)
+    per_group = (
+        out.groupBy("source").agg(F.countDistinct("split").alias("ns")).collect()
+    )
+    assert all(r["ns"] == 1 for r in per_group)
+    sides = {r["split"] for r in out.select("split").distinct().collect()}
+    assert sides == {"train", "test"}
+
+
+def test_grouped_split_deterministic_and_salted(spark, docs):
+    from hnsw_vector_db_spark.operators.corpus import grouped_split
+
+    a = {(r["doc_id"], r["split"])
+         for r in grouped_split(docs, "source").collect()}
+    b = {(r["doc_id"], r["split"])
+         for r in grouped_split(docs, "source").collect()}
+    assert a == b  # stateless determinism
+    c = {(r["doc_id"], r["split"])
+         for r in grouped_split(docs, "source", salt="fold2").collect()}
+    assert a != c  # a new salt is a new fold
+
+
+def test_grouped_split_validates_pct(spark, docs):
+    from hnsw_vector_db_spark.operators.corpus import grouped_split
+
+    with pytest.raises(ValueError):
+        grouped_split(docs, "source", test_pct=101)

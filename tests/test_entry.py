@@ -51,6 +51,12 @@ def test_oracle_keys_subset_of_queries():
         "sketch_accuracy",
         "scale_lint",
         "phash_neardup",
+        # HLL estimates aren't engine-portable; error bound pinned in-row
+        "profile_approx",
+        # iterative argmax is not one SQL query; merge sequence pinned
+        # against a textbook implementation in tests/test_bpe.py and by
+        # in-row monotone_ok/merged_ok booleans
+        "bpe_train",
     }
 
 

@@ -527,3 +527,60 @@ def test_maxsim_no_floor_when_all_chunks_hit(spark):
     )
     out = maxsim_topk(chunk_comps, query_comps, k=5).collect()
     assert out[0]["maxsim_score"] == -1.0  # max(-1, -1) over both chunks
+
+
+# ---- random projection (JL) -------------------------------------------------
+
+def test_random_projection_basis_vectors(spark):
+    """Projecting e_i returns matrix column i / sqrt(out_dim) exactly."""
+    from hnsw_vector_db_spark.operators.similarity import (
+        random_projection,
+        rp_sign_matrix,
+    )
+
+    dim, k = 8, 4
+    m = rp_sign_matrix(dim, k)
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(dim)]) for i in range(dim)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["proj"] for r in random_projection(df, dim, k).collect()}
+    for i in range(dim):
+        want = [m[j][i] / k ** 0.5 for j in range(k)]
+        assert got[i] == want
+
+
+def test_random_projection_preserves_norms_on_average(spark, emb):
+    """E[||Px||^2] = ||x||^2 for Rademacher/sqrt(k) — the JL engine.
+    With k=32 the empirical mean squared-norm ratio over 200 real
+    embeddings must sit near 1."""
+    import numpy as np
+
+    from hnsw_vector_db_spark.operators.similarity import random_projection
+
+    sub = emb.filter(F.col("vec_id") < 200)
+    orig = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in sub.collect()}
+    proj = {r["vec_id"]: np.asarray(r["proj"])
+            for r in random_projection(sub, 64, 32).collect()}
+    ratios = [np.dot(proj[i], proj[i]) / np.dot(orig[i], orig[i])
+              for i in orig if np.dot(orig[i], orig[i]) > 0]
+    assert abs(float(np.mean(ratios)) - 1.0) < 0.15
+    # and pairwise DISTANCES too (the actual JL statement), sampled
+    ids = sorted(orig)[:40]
+    dr = []
+    for a in range(0, 40, 5):
+        for b in range(a + 1, 40, 7):
+            i, j = ids[a], ids[b]
+            do = np.linalg.norm(orig[i] - orig[j])
+            dp = np.linalg.norm(proj[i] - proj[j])
+            if do > 0:
+                dr.append((dp / do) ** 2)
+    assert abs(float(np.mean(dr)) - 1.0) < 0.25
+
+
+def test_random_projection_validates(spark, emb):
+    from hnsw_vector_db_spark.operators.similarity import random_projection
+
+    with pytest.raises(ValueError):
+        random_projection(emb, 0, 8)
+    with pytest.raises(ValueError):
+        random_projection(emb, 64, 0)
