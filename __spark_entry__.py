@@ -2150,6 +2150,82 @@ def q_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.maxsim_topk(chunks, qc, k=10)
 
 
+def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping (corpus.py:cap_per_group): at most 40 docs per
+    source survive, chosen by deterministic hash order so the kept set
+    is engine-stable; WindowGroupLimit pushes the cap below the
+    shuffle (plan-locked in tests). Output: per-source totals, kept
+    counts, and the capped boolean the oracle replays row-exactly."""
+    from hnsw_vector_db_spark.operators.corpus import cap_per_group
+
+    capped = cap_per_group(_docs(spark, sf_dir), "source", cap=40)
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+        )
+        .withColumn("capped", F.col("n_kept") < F.col("n_docs"))
+        .orderBy("source")
+    )
+
+
+# Fixed, corpus-independent merge sequence for bpe_encode — a cascade
+# (th+e</w>, er+</w>, at+ch</w>, in+e</w>) so multi-level merges are
+# exercised, applied IN ORDER exactly as a trained list would be.
+BPE_ENCODE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("e", "</w>"), ("th", "e</w>"), ("e", "r"),
+    ("er", "</w>"), ("a", "t"), ("c", "h"), ("ch", "</w>"),
+    ("at", "ch</w>"), ("o", "r"), ("r", "t"), ("i", "n"),
+    ("in", "e</w>"), ("s", "t"), ("a", "</w>"), ("d", "a"),
+]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION (bpe.py:bpe_segment): apply a fixed
+    merge sequence corpus-wide and report per-document token accounting
+    (n_words, n_chars, n_subwords, compression). Scale shape: the merge
+    folds run over the DISTINCT-WORD table (vocab-sized, Zipf-collapsed),
+    never the raw token stream — the stream is touched once for the tf
+    collapse and once for the final join. The DuckDB oracle replays the
+    fold exactly: leftmost-first non-overlapping pair merging over a
+    space-joined symbol string IS string replace with padded boundaries
+    (' l r ' -> ' lr '), nested once per merge in the same order."""
+    from hnsw_vector_db_spark.operators import bpe
+
+    return (
+        bpe.bpe_segment(_docs(spark, sf_dir), BPE_ENCODE_MERGES)
+        .withColumn("compression", F.round(F.col("compression"), 6) + F.lit(0.0))
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_encode_sql() -> str:
+    seg = "' ' || array_to_string(list_append(string_split_regex(word, ''), '</w>'), ' ') || ' '"
+    for l, r in BPE_ENCODE_MERGES:
+        seg = f"replace({seg}, ' {l} {r} ', ' {l}{r} ')"
+    return f"""
+WITH wtf AS (
+  SELECT doc_id, t.word, count(*)::BIGINT AS tf
+  FROM documents,
+       unnest(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS t(word)
+  GROUP BY doc_id, t.word),
+seg AS (
+  SELECT word,
+         len(string_split(trim({seg}), ' '))::BIGINT AS n_sub,
+         length(word)::BIGINT AS n_ch
+  FROM (SELECT DISTINCT word FROM wtf))
+SELECT wtf.doc_id,
+       sum(tf)::BIGINT AS n_words,
+       sum(tf * n_ch)::BIGINT AS n_chars,
+       sum(tf * n_sub)::BIGINT AS n_subwords,
+       round(sum(tf * n_ch)::DOUBLE / sum(tf * n_sub)::DOUBLE, 6) + 0 AS compression
+FROM wtf JOIN seg USING (word)
+GROUP BY wtf.doc_id
+ORDER BY wtf.doc_id
+""".strip()
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING (Sennrich et al. ACL'16) in pure Spark
     expressions (operators/bpe.py): corpus -> distinct-word frequency
@@ -2975,7 +3051,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Lloyd recentering + index rebalance, quality-aware dedup,
         # the naive-kNN Catalyst-style plan rewrite, and the late-r5
         # analytics batch (anomaly/SCD2/AB-test/histogram/PMI) -----------
-        "scale_lint": q_scale_lint,
         "rolling_revenue": q_rolling_revenue,
         "stream_attribution": q_stream_attribution,
         "edit_neardup": q_edit_neardup,
@@ -2991,6 +3066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "grouped_split": q_grouped_split,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
+        "cap_per_group": q_cap_per_group,
         "ivf_recenter": q_ivf_recenter,
         "hnsw_rebalance": q_hnsw_rebalance,
         "cohort_retention": q_cohort_retention,
@@ -3005,17 +3082,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf,
         "hnsw_ann": q_hnsw_ann,
         "hnsw_recall": q_hnsw_recall,
-        "hnsw_neighbor_invariant": q_hnsw_neighbor_invariant,
         # ---- position > 50 ----------------------------------------------
-        # late-r6 demotions: five r5-oracle-green analytics entries
-        # (anomaly_zscore .. pmi_collocations), untouched this round and
-        # locally pinned by test_oracle_parity — demoted to fit the five
-        # late-r6 entries (bq_encode/bq_knn/maxsim_search/
-        # stream_sessionize/triangle_count) in-window.
+        # late-r6 demotions: r5-green entries untouched this round, each
+        # locally pinned by test_oracle_parity — demoted to fit the late-r6
+        # entries (bq_encode/bq_knn/maxsim_search/stream_sessionize/
+        # triangle_count, then bpe_encode/cap_per_group) in-window.
+        "hnsw_neighbor_invariant": q_hnsw_neighbor_invariant,
         "zorder_values": q_zorder_values,
         "stream_dedup": q_stream_dedup,
         "knn_plan_rewrite": q_knn_plan_rewrite,
         "vectorflow_scan": q_vectorflow_scan,
+        "scale_lint": q_scale_lint,
         "anomaly_zscore": q_anomaly_zscore,
         "scd2_history": q_scd2_history,
         "ab_welch": q_ab_welch,
@@ -4142,6 +4219,23 @@ GROUP BY t.doc_id
     sql["bq_knn"] = _bq_knn_sql(10, 50, 64)
     sql["maxsim_search"] = _maxsim_sql(MAXSIM_PHRASES, 10, 64, 32)
     sql["random_projection"] = _rp_sql(64, 16, 0)
+    sql["bpe_encode"] = _bpe_encode_sql()
+    sql["cap_per_group"] = """
+WITH h AS (
+  SELECT source, doc_id,
+         list_reduce(list_transform(string_split_regex(doc_id::VARCHAR || '#cap1', ''), c -> unicode(c)::BIGINT), (a, c) -> (a * 131 + c) % 2147483647) AS ph
+  FROM documents),
+r AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ((ph * ph + ph) % 2147483647) % 10000, doc_id) AS rn
+  FROM h)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN rn <= 40 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN rn <= 40 THEN 1 ELSE 0 END) < count(*) AS capped
+FROM r GROUP BY source ORDER BY source
+""".strip()
     sql["grouped_split"] = """
 WITH sp AS (
   SELECT doc_id, source,

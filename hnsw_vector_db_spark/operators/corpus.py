@@ -642,3 +642,41 @@ def grouped_split(
     return df.withColumn(
         "split", F.when(bucket < test_pct, F.lit("test")).otherwise(F.lit("train"))
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "cap1",
+) -> DataFrame:
+    """Per-group document cap (domain capping — the anti-monoculture
+    stage every crawl pipeline runs: no single source may contribute
+    more than ``cap`` documents, so megasites can't dominate the
+    training mix). Which rows survive is decided by a DETERMINISTIC
+    hash order (poly hash of id + salt, id tiebreak), not arrival
+    order — so the kept set is stable across re-runs, engines, and
+    partitionings, and re-saltable for a different draw.
+
+    The poly fold is AFFINE in the salt characters (two salts differ by
+    a per-id-length constant mod p), so a raw re-salt would only rotate
+    the order, not re-deal it. A non-linear finalizer (h*h + h mod p)
+    breaks that affinity; the DuckDB oracle replays the identical
+    fold + finalizer, so the kept set stays engine-exact.
+
+    Scale shape: one hash-partitioned window per group — and because
+    rank() over (hash, id) needs no global order, the plan is a single
+    Exchange on group_col with WindowGroupLimit pushing the cap BELOW
+    the shuffle (map-side top-cap per partition, the same machinery as
+    top_orders_per_cust). Skewed megagroups cost their own partition
+    only. Output: input rows + kept boolean."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql.window import Window as W
+
+    h = poly_hash(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt)))
+    # h < 2^31 so h*h + h fits a long; the square de-linearizes the salt.
+    u = F.pmod(F.pmod(h * h + h, F.lit(2147483647)), F.lit(SAMPLE_GRAIN))
+    w = W.partitionBy(group_col).orderBy(u.asc(), F.col(id_col).asc())
+    return df.withColumn("kept", F.row_number().over(w) <= cap)

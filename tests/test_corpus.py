@@ -467,3 +467,45 @@ def test_grouped_split_validates_pct(spark, docs):
 
     with pytest.raises(ValueError):
         grouped_split(docs, "source", test_pct=101)
+
+
+# ---- cap_per_group -------------------------------------------------------
+
+def test_cap_per_group_caps_and_keeps_all_rows(spark, docs):
+    out = corpus.cap_per_group(docs, "source", cap=40)
+    assert out.count() == docs.count()  # annotates, never drops rows
+    per = (out.filter("kept").groupBy("source").count().collect())
+    assert per and all(r["count"] <= 40 for r in per)
+    # a group smaller than the cap keeps everything
+    sizes = {r["source"]: r["count"]
+             for r in docs.groupBy("source").count().collect()}
+    kept = {r["source"]: r["count"] for r in per}
+    for s, n in sizes.items():
+        assert kept.get(s, 0) == min(n, 40)
+
+
+def test_cap_per_group_deterministic_and_salted(spark, docs):
+    a = {r["doc_id"] for r in
+         corpus.cap_per_group(docs, "source", cap=5).filter("kept").collect()}
+    b = {r["doc_id"] for r in
+         corpus.cap_per_group(docs, "source", cap=5).filter("kept").collect()}
+    assert a == b  # hash order, not arrival order
+    c = {r["doc_id"] for r in
+         corpus.cap_per_group(docs, "source", cap=5, salt="cap2")
+         .filter("kept").collect()}
+    assert a != c  # re-salting draws a different survivor set
+
+
+def test_cap_per_group_plans_window_group_limit_below_exchange(spark, docs):
+    plan = physical_plan(
+        corpus.cap_per_group(docs, "source", cap=40).filter("kept"))
+    lines = plan.splitlines()
+    wgl = [i for i, ln in enumerate(lines) if "WindowGroupLimit" in ln]
+    exch = [i for i, ln in enumerate(lines) if "Exchange" in ln]
+    assert wgl and exch
+    assert max(wgl) > min(exch), plan  # map-side pre-prune below the shuffle
+
+
+def test_cap_per_group_validates_cap(spark, docs):
+    with pytest.raises(ValueError):
+        corpus.cap_per_group(docs, "source", cap=0)
