@@ -2150,6 +2150,73 @@ def q_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.maxsim_topk(chunks, qc, k=10)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED MinHash index
+    (dedup.py:build_dedup_index / incremental_dedup) — the production
+    pattern between crawl drops: the historical corpus (doc_id % 5 != 0)
+    is indexed ONCE to parquet (band keys + wide signatures); the new
+    batch (doc_id % 5 == 0) is then deduped by hashing ONLY the batch,
+    band-joining against the stored index, and scoring candidates by
+    signature-estimated Jaccard — historical text is never re-read.
+    The DuckDB oracle replays the whole chain (portable minhash, band
+    fold, estimator, best-match window) from the raw table. Output:
+    one row per new doc (doc_id, best_match, est_jaccard, is_dup)."""
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    path = tempfile.mkdtemp(prefix="dedup_index_")
+    dedup.build_dedup_index(old, path, k=LSH_K, bands=LSH_BANDS)
+    return dedup.incremental_dedup(
+        new,
+        spark.read.parquet(f"{path}/sigs"),
+        spark.read.parquet(f"{path}/bands"),
+        k=LSH_K,
+        bands=LSH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+    ).orderBy("doc_id")
+
+
+def _incremental_dedup_sql(k: int, bands: int, threshold: float) -> str:
+    r = k // bands
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {band} AS band, {_band_key_sql(band, r)} AS band_key FROM sig"
+        for band in range(bands)
+    )
+    n_eq = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+WITH {_minhash_sig_cte(k)},
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM bands n JOIN bands o
+    ON n.band = o.band AND n.band_key = o.band_key
+  WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+),
+est AS (
+  SELECT c.new_id, c.old_id, ({n_eq})::DOUBLE / {k}::DOUBLE AS est_jaccard
+  FROM cand c JOIN sig a ON a.doc_id = c.new_id JOIN sig b ON b.doc_id = c.old_id
+),
+best AS (
+  SELECT new_id, old_id, est_jaccard,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY est_jaccard DESC, old_id) AS rn
+  FROM est
+)
+SELECT d.doc_id,
+       coalesce(b.old_id, -1)::BIGINT AS best_match,
+       coalesce(b.est_jaccard, 0.0)::DOUBLE AS est_jaccard,
+       coalesce(b.est_jaccard, 0.0) >= {threshold} AS is_dup
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id
+WHERE d.doc_id % 5 = 0
+ORDER BY d.doc_id
+""".strip()
+
+
 def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain capping (corpus.py:cap_per_group): at most 40 docs per
     source survive, chosen by deterministic hash order so the kept set
@@ -3068,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "cap_per_group": q_cap_per_group,
+        "incremental_dedup": q_incremental_dedup,
         "ivf_recenter": q_ivf_recenter,
         "hnsw_rebalance": q_hnsw_rebalance,
         "cohort_retention": q_cohort_retention,
@@ -3081,12 +3149,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # path + legacy e_prot fix) ---------------------------------------
         "tfidf_top_terms": q_tfidf,
         "hnsw_ann": q_hnsw_ann,
-        "hnsw_recall": q_hnsw_recall,
         # ---- position > 50 ----------------------------------------------
         # late-r6 demotions: r5-green entries untouched this round, each
         # locally pinned by test_oracle_parity — demoted to fit the late-r6
         # entries (bq_encode/bq_knn/maxsim_search/stream_sessionize/
-        # triangle_count, then bpe_encode/cap_per_group) in-window.
+        # triangle_count, then bpe_encode/cap_per_group/incremental_dedup)
+        # in-window.
+        "hnsw_recall": q_hnsw_recall,
         "hnsw_neighbor_invariant": q_hnsw_neighbor_invariant,
         "zorder_values": q_zorder_values,
         "stream_dedup": q_stream_dedup,
@@ -4220,6 +4289,9 @@ GROUP BY t.doc_id
     sql["maxsim_search"] = _maxsim_sql(MAXSIM_PHRASES, 10, 64, 32)
     sql["random_projection"] = _rp_sql(64, 16, 0)
     sql["bpe_encode"] = _bpe_encode_sql()
+    sql["incremental_dedup"] = _incremental_dedup_sql(
+        LSH_K, LSH_BANDS, JACCARD_THRESHOLD
+    )
     sql["cap_per_group"] = """
 WITH h AS (
   SELECT source, doc_id,

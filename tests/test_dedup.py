@@ -529,3 +529,65 @@ def test_exact_groups_consistent_with_exact_dedup(spark, sf_dir):
     for i, rep in gmap.items():
         assert texts[i] == texts[rep]
         assert rep <= i
+
+
+# ---- incremental dedup vs persisted index ---------------------------------
+
+def test_incremental_dedup_planted_twin(spark, tmp_path):
+    from pyspark.sql import Row
+
+    old = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+        Row(doc_id=2, text="completely different historical content about spark"),
+        Row(doc_id=3, text="another unrelated record in the historical corpus"),
+    ])
+    new = spark.createDataFrame([
+        # exact copy of old doc 1 -> est_jaccard 1.0 against it
+        Row(doc_id=10, text="the quick brown fox jumps over the lazy dog today"),
+        Row(doc_id=11, text="fresh never before seen material with novel words"),
+        Row(doc_id=12, text="tiny"),  # too short to shingle (n=3)
+    ])
+    path = str(tmp_path / "idx")
+    dedup.build_dedup_index(old, path)
+    out = {r["doc_id"]: r for r in dedup.incremental_dedup(
+        new,
+        spark.read.parquet(f"{path}/sigs"),
+        spark.read.parquet(f"{path}/bands"),
+    ).collect()}
+    assert len(out) == 3  # every new doc gets a verdict row
+    assert out[10]["best_match"] == 1
+    assert out[10]["est_jaccard"] == 1.0 and out[10]["is_dup"]
+    assert out[11]["best_match"] == -1 and not out[11]["is_dup"]
+    assert out[12]["best_match"] == -1 and out[12]["est_jaccard"] == 0.0
+
+
+def test_incremental_dedup_never_rehashes_history(spark, tmp_path, sf_dir):
+    """The verdict for a batch must be identical whether the index was
+    built from the historical TEXT or loaded from the parquet artifact —
+    i.e. the artifact is sufficient and history is never re-read."""
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "idx")
+    dedup.build_dedup_index(old, path)
+    via_artifact = dedup.incremental_dedup(
+        new,
+        spark.read.parquet(f"{path}/sigs"),
+        spark.read.parquet(f"{path}/bands"),
+    )
+    from hnsw_vector_db_spark.operators.dedup import (
+        _band_keys, minhash_signature_wide,
+    )
+    wide = minhash_signature_wide(old)
+    via_live = dedup.incremental_dedup(new, wide, _band_keys(wide, 16, 4, "doc_id"))
+    a = sorted(map(tuple, via_artifact.collect()))
+    b = sorted(map(tuple, via_live.collect()))
+    assert a == b
+
+
+def test_incremental_dedup_validates_threshold(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c d")])
+    with pytest.raises(ValueError):
+        dedup.incremental_dedup(df, df, df, threshold=0.0)
