@@ -2489,6 +2489,46 @@ def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction lifecycle (sources/layout.py:compact_table
+    — the maintenance job every micro-batch sink needs): splinter
+    orders into 48 tiny files (the pathological layout a day of
+    triggers produces), compact back to the byte-budgeted file count,
+    then report CONTENT-derived stats read from the COMPACTED table
+    (row count + exact integer key sums) plus layout booleans.
+    Compaction must be a pure layout change, so the DuckDB oracle
+    computes the same stats over the ORIGINAL table and pins the
+    booleans TRUE; file counts themselves are environment facts, pinned
+    instead by tests/test_sources.py."""
+    import tempfile
+
+    from hnsw_vector_db_spark.sources.layout import compact_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="compact_") + "/orders"
+    orders.repartition(48).write.parquet(path)
+    stats = compact_table(spark, path, target_file_mb=8)
+    return (
+        spark.read.parquet(path)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum("o_custkey").cast("long").alias("cust_sum"),
+        )
+        .select(
+            "n_rows",
+            "key_sum",
+            "cust_sum",
+            F.lit(stats["files_after"] < stats["files_before"]).alias(
+                "compacted"
+            ),
+            F.lit(stats["files_after"] == stats["target_files"]).alias(
+                "target_hit"
+            ),
+        )
+    )
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 PMI collocations (min pair count 5): phrase mining over
     the corpus — instance-stream counting (the bigram_logprob lesson),
@@ -3136,6 +3176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "cap_per_group": q_cap_per_group,
         "incremental_dedup": q_incremental_dedup,
+        "compact_files": q_compact_files,
         "ivf_recenter": q_ivf_recenter,
         "hnsw_rebalance": q_hnsw_rebalance,
         "cohort_retention": q_cohort_retention,
@@ -3148,13 +3189,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hnsw_*: driver-side query routing + filtered-search over-fetch
         # path + legacy e_prot fix) ---------------------------------------
         "tfidf_top_terms": q_tfidf,
-        "hnsw_ann": q_hnsw_ann,
         # ---- position > 50 ----------------------------------------------
         # late-r6 demotions: r5-green entries untouched this round, each
         # locally pinned by test_oracle_parity — demoted to fit the late-r6
         # entries (bq_encode/bq_knn/maxsim_search/stream_sessionize/
-        # triangle_count, then bpe_encode/cap_per_group/incremental_dedup)
-        # in-window.
+        # triangle_count, then bpe_encode/cap_per_group/incremental_dedup/
+        # compact_files) in-window.
+        "hnsw_ann": q_hnsw_ann,
         "hnsw_recall": q_hnsw_recall,
         "hnsw_neighbor_invariant": q_hnsw_neighbor_invariant,
         "zorder_values": q_zorder_values,
@@ -4292,6 +4333,14 @@ GROUP BY t.doc_id
     sql["incremental_dedup"] = _incremental_dedup_sql(
         LSH_K, LSH_BANDS, JACCARD_THRESHOLD
     )
+    sql["compact_files"] = """
+SELECT count(*)::BIGINT AS n_rows,
+       sum(o_orderkey)::BIGINT AS key_sum,
+       sum(o_custkey)::BIGINT AS cust_sum,
+       TRUE AS compacted,
+       TRUE AS target_hit
+FROM orders
+""".strip()
     sql["cap_per_group"] = """
 WITH h AS (
   SELECT source, doc_id,
