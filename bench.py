@@ -152,6 +152,10 @@ GROUPS: dict[str, list[str]] = {
         "random_projection",
         "grouped_split",
         "bpe_train",
+        "bpe_encode",
+        "cap_per_group",
+        "incremental_dedup",
+        "compact_files",
     ],
 }
 

@@ -1021,9 +1021,17 @@ def incremental_dedup(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     from pyspark.sql.window import Window as W
 
+    from pyspark import StorageLevel
+
+    # persisted: the wide signature feeds BOTH the band-key branch and
+    # the estimate join — without it Spark re-shingles and re-hashes the
+    # whole batch TEXT twice (seen in the executed plan). The cache is
+    # k+1 ints per batch doc, orders of magnitude under the text bytes;
+    # MEMORY_AND_DISK so a huge batch spills instead of recomputing
+    # (same lifecycle call as graph.py:pagerank's edge list).
     wide_new = minhash_signature_wide(
         new_docs, k, n, seed, text_col, id_col, hash_fn
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bk_new = _band_keys(wide_new, k, bands, id_col).toDF(
         "new_id", "band", "band_key"
     )
