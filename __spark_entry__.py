@@ -2178,6 +2178,122 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental dedup run to completion
+    (streaming/dedup.py:start_streaming_incremental_dedup): historical
+    corpus (doc_id % 5 != 0) indexed as v_init; two micro-batches
+    (doc_id % 10 == 0, then % 10 == 5) stream through foreachBatch —
+    each scored against the newest committed index version and the
+    ACCEPTED docs' signatures appended as the next version, so batch 1
+    dedups against batch 0's survivors too. File order pinned by
+    explicit mtimes (the stream_ema lesson). The DuckDB oracle replays
+    the full sequential chain: verdicts for batch 0 vs the historical
+    index, then batch 1 vs historical ∪ batch-0-accepted — stream ==
+    sequential batch == independent engine. Output (doc_id, batch,
+    best_match, est_jaccard, is_dup)."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+    import time as _time
+
+    from hnsw_vector_db_spark.streaming.dedup import (
+        init_dedup_index_root,
+        start_streaming_incremental_dedup,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="stream_inc_dedup_")
+    docs.filter(F.col("doc_id") % 10 == 0).coalesce(1).write.parquet(
+        f"{work}/src", mode="append"
+    )
+    first = set(_glob.glob(f"{work}/src/*.parquet"))
+    docs.filter(F.col("doc_id") % 10 == 5).coalesce(1).write.parquet(
+        f"{work}/src", mode="append"
+    )
+    t0 = _time.time()
+    for f in _glob.glob(f"{work}/src/*.parquet"):
+        _os.utime(f, (t0, t0) if f in first else (t0 + 10, t0 + 10))
+    init_dedup_index_root(
+        docs.filter(F.col("doc_id") % 5 != 0), f"{work}/index",
+        k=LSH_K, bands=LSH_BANDS,
+    )
+    q = start_streaming_incremental_dedup(
+        spark,
+        f"{work}/src",
+        "doc_id long, text string",
+        f"{work}/index",
+        f"{work}/verdicts",
+        f"{work}/ckpt",
+        k=LSH_K,
+        bands=LSH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(*sorted(_glob.glob(f"{work}/verdicts/v*")))
+        .select("doc_id", "batch", "best_match", "est_jaccard", "is_dup")
+        .orderBy("doc_id")
+    )
+
+
+def _stream_incremental_dedup_sql(k: int, bands: int, threshold: float) -> str:
+    r = k // bands
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {band} AS band, {_band_key_sql(band, r)} AS band_key FROM sig"
+        for band in range(bands)
+    )
+    n_eq = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+
+    def _round(batch_pred: str, old_pred: str, batch_no: int) -> str:
+        """verdict CTEs for one micro-batch against an index predicate."""
+        b = batch_no
+        return f"""
+cand{b} AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM bands n JOIN bands o
+    ON n.band = o.band AND n.band_key = o.band_key
+  WHERE ({batch_pred.format(id='n.doc_id')}) AND ({old_pred.format(id='o.doc_id')})
+),
+est{b} AS (
+  SELECT c.new_id, c.old_id, ({n_eq})::DOUBLE / {k}::DOUBLE AS est_jaccard
+  FROM cand{b} c JOIN sig a ON a.doc_id = c.new_id JOIN sig b ON b.doc_id = c.old_id
+),
+best{b} AS (
+  SELECT new_id, old_id, est_jaccard,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY est_jaccard DESC, old_id) AS rn
+  FROM est{b}
+),
+verdict{b} AS (
+  SELECT d.doc_id, {b}::INTEGER AS batch,
+         coalesce(x.old_id, -1)::BIGINT AS best_match,
+         coalesce(x.est_jaccard, 0.0)::DOUBLE AS est_jaccard,
+         coalesce(x.est_jaccard, 0.0) >= {threshold} AS is_dup
+  FROM documents d
+  LEFT JOIN (SELECT * FROM best{b} WHERE rn = 1) x ON x.new_id = d.doc_id
+  WHERE {batch_pred.format(id='d.doc_id')}
+)""".strip()
+
+    round0 = _round("{id} % 10 = 0", "{id} % 5 <> 0", 0)
+    round1 = _round(
+        "{id} % 10 = 5",
+        "{id} % 5 <> 0 OR {id} IN (SELECT doc_id FROM verdict0 WHERE NOT is_dup)",
+        1,
+    )
+    return f"""
+WITH {_minhash_sig_cte(k)},
+bands AS ({band_rows}),
+{round0},
+{round1}
+SELECT * FROM verdict0
+UNION ALL
+SELECT * FROM verdict1
+ORDER BY doc_id
+""".strip()
+
+
 def _incremental_dedup_sql(k: int, bands: int, threshold: float) -> str:
     r = k // bands
     band_rows = "\nUNION ALL\n".join(
@@ -3176,6 +3292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "cap_per_group": q_cap_per_group,
         "incremental_dedup": q_incremental_dedup,
+        "stream_incremental_dedup": q_stream_incremental_dedup,
         "compact_files": q_compact_files,
         "ivf_recenter": q_ivf_recenter,
         "hnsw_rebalance": q_hnsw_rebalance,
@@ -3185,16 +3302,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_lifecycle": q_api_lifecycle,
         "hash_embed": q_hash_embed,
         "rag_search": q_rag_search,
-        # -- code changed in r5: re-verify (tfidf: broadcast hint dropped;
-        # hnsw_*: driver-side query routing + filtered-search over-fetch
-        # path + legacy e_prot fix) ---------------------------------------
-        "tfidf_top_terms": q_tfidf,
         # ---- position > 50 ----------------------------------------------
         # late-r6 demotions: r5-green entries untouched this round, each
         # locally pinned by test_oracle_parity — demoted to fit the late-r6
         # entries (bq_encode/bq_knn/maxsim_search/stream_sessionize/
         # triangle_count, then bpe_encode/cap_per_group/incremental_dedup/
-        # compact_files) in-window.
+        # stream_incremental_dedup/compact_files) in-window.
+        "tfidf_top_terms": q_tfidf,
         "hnsw_ann": q_hnsw_ann,
         "hnsw_recall": q_hnsw_recall,
         "hnsw_neighbor_invariant": q_hnsw_neighbor_invariant,
@@ -4331,6 +4445,9 @@ GROUP BY t.doc_id
     sql["random_projection"] = _rp_sql(64, 16, 0)
     sql["bpe_encode"] = _bpe_encode_sql()
     sql["incremental_dedup"] = _incremental_dedup_sql(
+        LSH_K, LSH_BANDS, JACCARD_THRESHOLD
+    )
+    sql["stream_incremental_dedup"] = _stream_incremental_dedup_sql(
         LSH_K, LSH_BANDS, JACCARD_THRESHOLD
     )
     sql["compact_files"] = """

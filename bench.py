@@ -155,6 +155,7 @@ GROUPS: dict[str, list[str]] = {
         "bpe_encode",
         "cap_per_group",
         "incremental_dedup",
+        "stream_incremental_dedup",
         "compact_files",
     ],
 }

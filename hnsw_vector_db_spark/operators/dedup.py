@@ -964,6 +964,7 @@ def build_dedup_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "portable",
+    collapse_identical: bool = True,
 ) -> None:
     """Persist the corpus's dedup INDEX — the artifact that makes dedup
     incremental: ``{path}/bands`` (id, band, band_key) for candidate
@@ -974,10 +975,28 @@ def build_dedup_index(
     hundreds of bytes, the same reason real pipelines snapshot MinHash
     state between crawl drops.
 
+    ``collapse_identical`` (default ON) stores ONE min-id representative
+    per distinct signature. This is result-IDENTICAL, not approximate:
+    the estimator depends only on the signature (sig-equal docs tie at
+    the same est), band keys are a function of the signature (candidate
+    coverage preserved), and the best-match tiebreak is min old id —
+    which the representative IS within its group, and the cross-group
+    argmax winner is always some group's representative. What it buys
+    is the tier-0 lesson applied to the index: on a dup-heavy corpus
+    (the realistic case) candidates per new doc otherwise multiply by
+    the duplication factor — measured 26.4x wall at 64x on the
+    64x-replicated corpus, collapsing back to scan-bound with the
+    representative index (BASELINE.md r6 table).
+
     For repeated daily runs, write ``bands`` bucketed by band_key
     (sources/bucketed.save_bucketed) so every future candidate join
     reads co-located buckets and skips the index-side exchange."""
     wide = minhash_signature_wide(docs, k, n, seed, text_col, id_col, hash_fn)
+    if collapse_identical:
+        mh = [f"mh{i}" for i in range(k)]
+        wide = wide.groupBy(*mh).agg(F.min(id_col).alias(id_col)).select(
+            id_col, *mh
+        )
     wide.write.parquet(f"{path}/sigs", mode="overwrite")
     _band_keys(wide, k, bands, id_col).write.parquet(
         f"{path}/bands", mode="overwrite"

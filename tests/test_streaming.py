@@ -357,3 +357,79 @@ def test_stream_stream_attribution_join_equals_batch(spark, tmp_path):
         .collect()
     )
     assert got == batch
+
+
+def test_streaming_incremental_dedup_equals_sequential_batches(
+    spark, sf_dir, tmp_path
+):
+    """Stream (foreachBatch + versioned index) verdicts == running
+    incremental_dedup sequentially with manual index evolution — and the
+    index root follows the v_init/v0/v1 + _LATEST pointer discipline."""
+    import glob
+    import time
+
+    from hnsw_vector_db_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+        minhash_signature_wide,
+        _band_keys,
+    )
+    from hnsw_vector_db_spark.sources.parquet import load_table
+    from hnsw_vector_db_spark.streaming.dedup import (
+        init_dedup_index_root,
+        start_streaming_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    b0 = docs.filter(F.col("doc_id") % 10 == 0)
+    b1 = docs.filter(F.col("doc_id") % 10 == 5)
+
+    src = str(tmp_path / "src")
+    b0.coalesce(1).write.parquet(src, mode="append")
+    first = set(glob.glob(f"{src}/*.parquet"))
+    b1.coalesce(1).write.parquet(src, mode="append")
+    t0 = time.time()
+    for f in glob.glob(f"{src}/*.parquet"):
+        os.utime(f, (t0, t0) if f in first else (t0 + 10, t0 + 10))
+
+    root = str(tmp_path / "index")
+    init_dedup_index_root(old, root)
+    q = start_streaming_incremental_dedup(
+        spark, src, "doc_id long, text string", root,
+        str(tmp_path / "verdicts"), str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    assert {"v_init", "v0", "v1", "_LATEST"} <= set(os.listdir(root))
+    with open(f"{root}/_LATEST") as fh:
+        assert fh.read().strip() == "v1"
+
+    streamed = sorted(
+        map(tuple, spark.read.parquet(f"{root.rsplit('/',1)[0]}/verdicts/v0",
+                                      f"{root.rsplit('/',1)[0]}/verdicts/v1")
+            .select("doc_id", "batch", "best_match", "est_jaccard", "is_dup")
+            .collect())
+    )
+
+    # manual sequential replay
+    man_root = str(tmp_path / "manidx")
+    build_dedup_index(old, man_root)
+    sigs = spark.read.parquet(f"{man_root}/sigs")
+    bands = spark.read.parquet(f"{man_root}/bands")
+    v0 = incremental_dedup(b0, sigs, bands)
+    acc0 = b0.join(v0.filter(~F.col("is_dup")).select("doc_id"),
+                   "doc_id", "left_semi")
+    w0 = minhash_signature_wide(acc0)
+    v1 = incremental_dedup(
+        b1, sigs.unionByName(w0),
+        bands.unionByName(_band_keys(w0, 16, 4, "doc_id")),
+    )
+    manual = sorted(
+        map(tuple,
+            v0.withColumn("batch", F.lit(0))
+            .unionByName(v1.withColumn("batch", F.lit(1)))
+            .select("doc_id", "batch", "best_match", "est_jaccard", "is_dup")
+            .collect())
+    )
+    assert streamed == manual
