@@ -221,30 +221,44 @@ def minhash_signature_wide(
     """Wide MinHash signature: (id, mh0..mh{k-1}).
 
     Shingles are hashed to ints; permutation i takes
-    min((a_i*h + b_i) mod p) over the doc's shingle set. One explode + one
-    groupBy with k partial-min aggregates — a single shuffle on doc id.
-    Docs with no shingles (shorter than n words) are dropped.
+    min((a_i*h + b_i) mod p) over the doc's shingle set — computed
+    SHUFFLE-FREE as per-row array expressions: one transform hashes the
+    doc's shingle array, then k array_min(transform(...)) take the
+    permutation minima, all inside whole-stage codegen. (The original
+    explode + groupBy form shipped one row per (doc, shingle) through a
+    hash aggregate — same values, but a 63M-row exchange at the 64x
+    scale point that this form simply doesn't have; measured in
+    BASELINE.md's r6 table.) Docs with no shingles (shorter than n
+    words) are dropped.
 
     ``hash_fn``: 'portable' (default) is the char-fold polynomial hash the
     DuckDB oracle reproduces bit-for-bit; 'native' swaps in JVM xxhash64
     (folded into the same [0, 2^31-1) range so the permutation arithmetic
-    stays exact) — measurably faster (BASELINE.md), same candidate-
-    generation QUALITY, different concrete buckets, so use it where no
-    cross-engine oracle is needed (production runs). The downstream
-    exact-Jaccard verify makes emitted pairs correct under either hash.
+    stays exact) — same candidate-generation QUALITY, different concrete
+    buckets, so use it where no cross-engine oracle is needed (production
+    runs). The downstream exact-Jaccard verify makes emitted pairs
+    correct under either hash.
     """
     params = minhash_params(k, seed)
-    shingle_hash = (
-        poly_hash(F.col("shingle"))
-        if hash_fn == "portable"
-        else F.pmod(F.xxhash64(F.col("shingle")), F.lit(HASH_MOD))
+
+    def shingle_hash(s: Column) -> Column:
+        if hash_fn == "portable":
+            return poly_hash(s)
+        return F.pmod(F.xxhash64(s), F.lit(HASH_MOD))
+
+    sh = _doc_shingle_sets(docs, n, text_col, id_col).filter(F.col("sz") > 0)
+    hashed = sh.select(
+        F.col(id_col), F.transform("shingle_arr", shingle_hash).alias("hs")
     )
-    sh = _doc_shingles(docs, n, text_col, id_col).withColumn("h", shingle_hash)
-    aggs = [
-        F.min(minhash_perm(F.col("h"), a, b)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(params)
+    def _perm_min(a: int, b: int) -> Column:
+        # closure, not default-arg lambda: pyspark reads the callable's
+        # arity to bind lambda variables
+        return F.array_min(F.transform("hs", lambda h: minhash_perm(h, a, b)))
+
+    mins = [
+        _perm_min(a, b).alias(f"mh{i}") for i, (a, b) in enumerate(params)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.select(F.col(id_col), *mins)
 
 
 def minhash_signature(
