@@ -1169,6 +1169,34 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (relational.py:salted_join): events.event_type
+    has a handful of distinct values — the worst-case skew shape, every
+    key hot — joined to a per-type dim under an 8-way salt so each hot
+    key spreads over 8 tasks instead of one reducer. The salt only
+    ROUTES rows: the result must be exactly the plain join, which is
+    what the oracle replays (plain SQL join + aggregate, no salt
+    anywhere). Plan shape (no broadcast, salted ShuffledHashJoin, salt
+    in the join keys) is locked in tests/test_plans.py."""
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("type_weight", F.length("event_type").cast("double"))
+    )
+    out = relational.salted_join(ev, dim, "event_type", n_salt=8)
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum(F.col("value") * F.col("type_weight")), 6) + F.lit(0.0)).alias(
+                "weighted_sum"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential first-touch funnel (view -> click -> purchase within
     24 h) — ONE shuffle: the three chained conditional minima are
@@ -3294,6 +3322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "stream_incremental_dedup": q_stream_incremental_dedup,
         "compact_files": q_compact_files,
+        "salted_join": q_salted_join,
         "ivf_recenter": q_ivf_recenter,
         "hnsw_rebalance": q_hnsw_rebalance,
         "cohort_retention": q_cohort_retention,
@@ -3301,13 +3330,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "api_lifecycle": q_api_lifecycle,
         "hash_embed": q_hash_embed,
-        "rag_search": q_rag_search,
         # ---- position > 50 ----------------------------------------------
         # late-r6 demotions: r5-green entries untouched this round, each
         # locally pinned by test_oracle_parity — demoted to fit the late-r6
         # entries (bq_encode/bq_knn/maxsim_search/stream_sessionize/
         # triangle_count, then bpe_encode/cap_per_group/incremental_dedup/
-        # stream_incremental_dedup/compact_files) in-window.
+        # stream_incremental_dedup/compact_files/salted_join) in-window.
+        "rag_search": q_rag_search,
         "tfidf_top_terms": q_tfidf,
         "hnsw_ann": q_hnsw_ann,
         "hnsw_recall": q_hnsw_recall,
@@ -4450,6 +4479,17 @@ GROUP BY t.doc_id
     sql["stream_incremental_dedup"] = _stream_incremental_dedup_sql(
         LSH_K, LSH_BANDS, JACCARD_THRESHOLD
     )
+    sql["salted_join"] = """
+WITH dim AS (
+  SELECT DISTINCT event_type, length(event_type)::DOUBLE AS type_weight
+  FROM events)
+SELECT e.event_type,
+       count(*)::BIGINT AS n,
+       round(sum(e.value * d.type_weight), 6) + 0 AS weighted_sum
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+""".strip()
     sql["compact_files"] = """
 SELECT count(*)::BIGINT AS n_rows,
        sum(o_orderkey)::BIGINT AS key_sum,

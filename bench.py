@@ -157,6 +157,7 @@ GROUPS: dict[str, list[str]] = {
         "incremental_dedup",
         "stream_incremental_dedup",
         "compact_files",
+        "salted_join",
     ],
 }
 

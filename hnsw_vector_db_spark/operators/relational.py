@@ -585,3 +585,41 @@ def quantile_scale(
         (F.round(mm, 6) + F.lit(0.0)).alias("minmax"),
         F.ntile(n_tiles).over(wo).alias("tile"),
     )
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for the case AQE can't fix: the dim side is
+    too big to broadcast AND the fact keys are skewed, so a plain
+    shuffled join lands every row of a hot key in ONE reducer. Salting
+    splits each fact key into ``n_salt`` sub-keys (deterministic
+    xxhash64 of the whole fact row, so re-runs partition identically)
+    and replicates each dim row ``n_salt`` times; the join runs on
+    (key..., salt), spreading a hot key over n_salt tasks at the cost of
+    an n_salt-times-larger dim shuffle — the standard trade, and why
+    n_salt should track the observed skew factor, not the cluster size.
+
+    The join RESULT is exactly ``facts JOIN dim ON on`` (the salt only
+    routes rows and is dropped); the driver oracle pins that identity.
+    AQE's skew-join split handles most cases without this (and is ON in
+    session.py) — use salted_join where AQE can't see the skew: a
+    single in-flight stage feeding a stateful op, hash aggregation over
+    composite hot keys, or engines/settings without runtime re-plan.
+    A ``shuffle_hash`` hint keeps the demo honest (a broadcastable dim
+    needs no salt — Spark would elide the skew problem entirely)."""
+    if n_salt < 1:
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.xxhash64(F.struct(*facts.columns)), F.lit(n_salt)).cast(
+        "int"
+    )
+    f = facts.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return f.join(d.hint("shuffle_hash"), keys + ["_salt"], how).drop("_salt")

@@ -636,3 +636,25 @@ def test_triangle_count_matches_brute_force(spark):
     got2 = {r["node"]: r["n_triangles"]
             for r in triangle_count(edges.unionByName(rev)).collect()}
     assert got2 == brute
+
+
+# ---- salted_join -----------------------------------------------------------
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import Row
+
+    from hnsw_vector_db_spark.operators.relational import salted_join
+
+    facts = spark.createDataFrame(
+        [Row(k="a", v=i) for i in range(50)]
+        + [Row(k="b", v=i) for i in range(3)]
+        + [Row(k="c", v=99)]  # no dim row -> dropped by inner join
+    )
+    dim = spark.createDataFrame([Row(k="a", w=1.0), Row(k="b", w=2.0)])
+    got = sorted(map(tuple, salted_join(facts, dim, "k", n_salt=4).collect()))
+    want = sorted(map(tuple, facts.join(dim, "k").collect()))
+    assert got == want  # the salt routes, never changes the result
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(facts, dim, "k", n_salt=0)

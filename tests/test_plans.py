@@ -218,3 +218,15 @@ def test_semantic_dedup_pair_join_keyed_on_cell(spark, qs):
     # need TWO parquet-scan children under one BNLJ — assert the plan
     # never joins embeddings to embeddings without an equi-key
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_spreads_hot_keys_no_broadcast(spark, qs):
+    """salted_join must plan a ShuffledHashJoin whose keys include the
+    salt (hot keys spread over n_salt tasks) — never a broadcast (which
+    would make the salt pointless) and never a plain single-key
+    shuffle."""
+    plan = physical_plan(qs["salted_join"](spark, SF))
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    join_line = next(ln for ln in plan.splitlines() if "ShuffledHashJoin" in ln)
+    assert "_salt" in join_line, join_line
