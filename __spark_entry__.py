@@ -1169,6 +1169,28 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search — every vector within euclidean 1.2 of the
+    query (similarity.py:radius_search_ivf): the range twin of top-k,
+    run through the IVF path with LOSSLESS triangle-inequality cell
+    pruning (cells with dist(q, centroid) > radius + cell residual are
+    never scanned — partition pruning when the table is cell-laid-out).
+    On this near-uniform synthetic embedding set every cell stays
+    admissible (the documented curse-of-dimensionality worst case); the
+    planted-cluster test in tests/test_similarity.py pins that pruning
+    actually fires on clustered data, and this oracle pins exactness —
+    pruned result == the plain full-scan filter."""
+    emb = _emb(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir, 0)
+    assigned, cents = similarity.ivf_fit_seeded(emb, n_cells=8)
+    hits, _n_probed, _n_cells = similarity.radius_search_ivf(
+        assigned, cents, qv, radius=1.2
+    )
+    return hits.select(
+        "vec_id", (F.round("dist", 6) + F.lit(0.0)).alias("dist")
+    ).orderBy("vec_id")
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join (relational.py:salted_join): events.event_type
     has a handful of distinct values — the worst-case skew shape, every
@@ -3323,19 +3345,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_incremental_dedup": q_stream_incremental_dedup,
         "compact_files": q_compact_files,
         "salted_join": q_salted_join,
+        "radius_search": q_radius_search,
         "ivf_recenter": q_ivf_recenter,
         "hnsw_rebalance": q_hnsw_rebalance,
         "cohort_retention": q_cohort_retention,
         "dedup_keep_best": q_dedup_keep_best,
         "semantic_dedup": q_semantic_dedup,
         "api_lifecycle": q_api_lifecycle,
-        "hash_embed": q_hash_embed,
         # ---- position > 50 ----------------------------------------------
         # late-r6 demotions: r5-green entries untouched this round, each
         # locally pinned by test_oracle_parity — demoted to fit the late-r6
         # entries (bq_encode/bq_knn/maxsim_search/stream_sessionize/
         # triangle_count, then bpe_encode/cap_per_group/incremental_dedup/
-        # stream_incremental_dedup/compact_files/salted_join) in-window.
+        # stream_incremental_dedup/compact_files/salted_join/radius_search)
+        # in-window.
+        "hash_embed": q_hash_embed,
         "rag_search": q_rag_search,
         "tfidf_top_terms": q_tfidf,
         "hnsw_ann": q_hnsw_ann,
@@ -4479,6 +4503,14 @@ GROUP BY t.doc_id
     sql["stream_incremental_dedup"] = _stream_incremental_dedup_sql(
         LSH_K, LSH_BANDS, JACCARD_THRESHOLD
     )
+    _eu = _metric_sql("euclidean", "e.embedding", "q.embedding")
+    sql["radius_search"] = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({_eu}, 6) + 0 AS dist
+FROM embeddings e, q
+WHERE {_eu} <= 1.2
+ORDER BY e.vec_id
+""".strip()
     sql["salted_join"] = """
 WITH dim AS (
   SELECT DISTINCT event_type, length(event_type)::DOUBLE AS type_weight

@@ -158,6 +158,7 @@ GROUPS: dict[str, list[str]] = {
         "stream_incremental_dedup",
         "compact_files",
         "salted_join",
+        "radius_search",
     ],
 }
 

@@ -584,3 +584,46 @@ def test_random_projection_validates(spark, emb):
         random_projection(emb, 0, 8)
     with pytest.raises(ValueError):
         random_projection(emb, 64, 0)
+
+
+# ---- radius search ---------------------------------------------------------
+
+def test_radius_search_ivf_prunes_clusters_and_stays_exact(spark):
+    """Planted 3-cluster fixture: the query sits in cluster 0, radius
+    small — triangle-inequality pruning must scan ONLY that cluster's
+    cell and still return exactly the brute-force hit set."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from hnsw_vector_db_spark.operators.similarity import (
+        radius_search_exact,
+        radius_search_ivf,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = np.array([[0.0] * 8, [100.0] * 8, [-100.0] * 8])
+    rows = []
+    for i in range(90):
+        c = i % 3
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in
+                                             centers[c] + rng.rand(8)]))
+    vecs = spark.createDataFrame(rows)
+    assigned = vecs.withColumn("cell", (F.col("vec_id") % 3).cast("int"))
+    q = [0.5] * 8
+    hits, n_probed, n_cells = radius_search_ivf(
+        assigned, centers, q, radius=2.0
+    )
+    assert n_cells == 3 and n_probed == 1  # two clusters pruned
+    got = sorted(map(tuple, hits.collect()))
+    want = sorted(map(tuple, radius_search_exact(vecs, q, 2.0).collect()))
+    assert got == want and got  # exact, and non-empty
+
+
+def test_radius_search_validates_radius(spark):
+    from pyspark.sql import Row
+
+    from hnsw_vector_db_spark.operators.similarity import radius_search_exact
+
+    df = spark.createDataFrame([Row(vec_id=0, embedding=[0.0, 0.0])])
+    with pytest.raises(ValueError):
+        radius_search_exact(df, [0.0, 0.0], -1.0)
