@@ -2704,6 +2704,28 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (stats.py:integrity_report) over the
+    TPC-H star: lineitem->orders, orders->customer, customer->nation,
+    plus a deliberately broken rule (orders joined to EVEN customer
+    keys only) so the operator demonstrably catches orphans, not just
+    blesses clean data. One anti join + one count per rule; the oracle
+    replays every count with NOT EXISTS."""
+    from hnsw_vector_db_spark.operators.stats import integrity_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    even_cust = cust.filter(F.col("c_custkey") % 2 == 0)
+    return integrity_report([
+        ("customer_nation", cust, "c_nationkey", nation, "n_nationkey"),
+        ("lineitem_orders", li, "l_orderkey", orders, "o_orderkey"),
+        ("orders_customer", orders, "o_custkey", cust, "c_custkey"),
+        ("orders_even_customers", orders, "o_custkey", even_cust, "c_custkey"),
+    ])
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level data-quality profile of lineitem (null/distinct/
     min/max per column) — the expectations primitive run before a
@@ -3346,19 +3368,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_files": q_compact_files,
         "salted_join": q_salted_join,
         "radius_search": q_radius_search,
+        "integrity_audit": q_integrity_audit,
         "ivf_recenter": q_ivf_recenter,
         "hnsw_rebalance": q_hnsw_rebalance,
         "cohort_retention": q_cohort_retention,
         "dedup_keep_best": q_dedup_keep_best,
         "semantic_dedup": q_semantic_dedup,
-        "api_lifecycle": q_api_lifecycle,
         # ---- position > 50 ----------------------------------------------
         # late-r6 demotions: r5-green entries untouched this round, each
         # locally pinned by test_oracle_parity — demoted to fit the late-r6
         # entries (bq_encode/bq_knn/maxsim_search/stream_sessionize/
         # triangle_count, then bpe_encode/cap_per_group/incremental_dedup/
-        # stream_incremental_dedup/compact_files/salted_join/radius_search)
-        # in-window.
+        # stream_incremental_dedup/compact_files/salted_join/radius_search/
+        # integrity_audit) in-window.
+        "api_lifecycle": q_api_lifecycle,
         "hash_embed": q_hash_embed,
         "rag_search": q_rag_search,
         "tfidf_top_terms": q_tfidf,
@@ -4503,6 +4526,36 @@ GROUP BY t.doc_id
     sql["stream_incremental_dedup"] = _stream_incremental_dedup_sql(
         LSH_K, LSH_BANDS, JACCARD_THRESHOLD
     )
+    sql["integrity_audit"] = """
+WITH r AS (
+  SELECT 'customer_nation' AS rule,
+         (SELECT count(*) FROM customer)::BIGINT AS n_child,
+         (SELECT count(*) FROM customer c WHERE NOT EXISTS
+            (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))::BIGINT AS n_orphans,
+         (SELECT count(*) FROM customer WHERE c_nationkey IS NULL)::BIGINT AS n_null_fk
+  UNION ALL
+  SELECT 'lineitem_orders',
+         (SELECT count(*) FROM lineitem)::BIGINT,
+         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT,
+         (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)::BIGINT
+  UNION ALL
+  SELECT 'orders_customer',
+         (SELECT count(*) FROM orders)::BIGINT,
+         (SELECT count(*) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT,
+         (SELECT count(*) FROM orders WHERE o_custkey IS NULL)::BIGINT
+  UNION ALL
+  SELECT 'orders_even_customers',
+         (SELECT count(*) FROM orders)::BIGINT,
+         (SELECT count(*) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey % 2 = 0
+               AND c.c_custkey = o.o_custkey))::BIGINT,
+         (SELECT count(*) FROM orders WHERE o_custkey IS NULL)::BIGINT
+)
+SELECT rule, n_child, n_orphans, n_null_fk, n_orphans = 0 AS ok
+FROM r ORDER BY rule
+""".strip()
     _eu = _metric_sql("euclidean", "e.embedding", "q.embedding")
     sql["radius_search"] = f"""
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)

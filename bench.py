@@ -159,6 +159,7 @@ GROUPS: dict[str, list[str]] = {
         "compact_files",
         "salted_join",
         "radius_search",
+        "integrity_audit",
     ],
 }
 

@@ -223,3 +223,55 @@ def profile_columns(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("col_name")
+
+
+def fk_orphans(
+    child: DataFrame, parent: DataFrame, fk: str, pk: str
+) -> DataFrame:
+    """Child rows whose foreign key has no parent — one LEFT ANTI join
+    keyed on the fk (broadcast when the parent key set is small, SMJ
+    otherwise; AQE picks). NULL fks are orphans by this definition
+    (an anti join keeps them since a null key matches nothing), which
+    is the audit-friendly reading: a fact row you cannot attach to a
+    dimension is unattached, whatever the reason."""
+    return child.join(
+        parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
+    )
+
+
+def integrity_report(
+    rules: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit over a star/snowflake layout — the
+    data-quality gate every fact/dim lake runs before publishing. Each
+    rule (name, child, fk, parent, pk) becomes one row: child count,
+    orphan count, null-fk count, and ok = no orphans. Per rule the cost
+    is one count aggregate + one anti join keyed on the fk — map-side
+    partial counts, no row ever leaves its table except as an
+    aggregate. The reference keeps referential integrity by in-process
+    dict lookup (`core/hnsw/graph.py:66`); at lake scale it is a
+    declarative scan you schedule."""
+    if not rules:
+        raise ValueError("integrity_report needs at least one rule")
+    parts = []
+    for name, child, fk, parent, pk in rules:
+        stats = child.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col(fk).isNull().cast("long")).alias("n_null_fk"),
+        )
+        orphans = fk_orphans(child, parent, fk, pk).agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+        parts.append(
+            stats.crossJoin(orphans).select(
+                F.lit(name).alias("rule"),
+                "n_child",
+                "n_orphans",
+                "n_null_fk",
+                (F.col("n_orphans") == 0).alias("ok"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("rule")

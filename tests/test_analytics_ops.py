@@ -658,3 +658,26 @@ def test_salted_join_equals_plain_join(spark):
 
     with _pytest.raises(ValueError):
         salted_join(facts, dim, "k", n_salt=0)
+
+
+# ---- integrity audit -------------------------------------------------------
+
+def test_integrity_report_finds_planted_orphans(spark):
+    from pyspark.sql import Row
+
+    from hnsw_vector_db_spark.operators.stats import fk_orphans, integrity_report
+
+    parent = spark.createDataFrame([Row(pk=1), Row(pk=2)])
+    child = spark.createDataFrame(
+        [Row(fk=1), Row(fk=1), Row(fk=2), Row(fk=9), Row(fk=None)]
+    )
+    orphans = fk_orphans(child, parent, "fk", "pk").collect()
+    assert sorted(r["fk"] for r in orphans if r["fk"] is not None) == [9]
+    assert sum(1 for r in orphans if r["fk"] is None) == 1  # null fk = orphan
+    rep = integrity_report([("r", child, "fk", parent, "pk")]).collect()
+    assert rep[0]["n_child"] == 5 and rep[0]["n_orphans"] == 2
+    assert rep[0]["n_null_fk"] == 1 and not rep[0]["ok"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        integrity_report([])
