@@ -1303,6 +1303,69 @@ def q_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral audio analysis, SELF-VERIFYING (multimodal.py:
+    audio_spectral_features — numpy rFFT in Arrow-batched mapInPandas):
+    each doc gets a REAL 16-bit PCM WAV of a pure sine at
+    200 + (doc_id % 16)*200 Hz (rate 8000, 2048 samples); the decode ->
+    window -> FFT chain must put the dominant bin within one bin width
+    (3.906 Hz) of the planted frequency on EVERY row, the sub-kHz band
+    ratio must flag exactly the tones below 1 kHz, and RMS must sit at
+    amp/sqrt(2). Rows-only (binary payloads aren't SQL); all three
+    booleans are in-row and must be true. Output one row per planted
+    frequency: (planted_hz, n, freq_ok, band_ok, rms_ok)."""
+    import math
+
+    import pandas as pd
+
+    from hnsw_vector_db_spark.operators.multimodal import (
+        audio_spectral_features,
+        encode_wav,
+    )
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    rate, n = 8000, 2048
+
+    def synth(batches):
+        import numpy as np
+
+        t = np.arange(n) / rate
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                f0 = 200.0 + (int(i) % 16) * 200.0
+                rows.append(bytearray(
+                    encode_wav(0.5 * np.sin(2 * np.pi * f0 * t), rate)
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": rows})
+
+    media = (
+        _docs(spark, sf_dir).select("doc_id")
+        .mapInPandas(synth, "doc_id long, payload binary")
+    )
+    feats = audio_spectral_features(media, n_fft=n)
+    planted = F.lit(200.0) + F.pmod(F.col("doc_id"), F.lit(16)).cast("double") * 200.0
+    bin_w = rate / n
+    return (
+        feats.withColumn("planted_hz", planted)
+        .groupBy("planted_hz")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(
+                F.abs(F.col("dominant_hz") - F.col("planted_hz")) <= bin_w
+            ).alias("freq_ok"),
+            F.min(
+                (F.col("low_band_ratio") > 0.9) == (F.col("planted_hz") < 1000.0)
+            ).alias("band_ok"),
+            F.min(
+                F.abs(F.col("rms") - F.lit(0.5 / math.sqrt(2))) < 0.01
+            ).alias("rms_ok"),
+        )
+        .orderBy("planted_hz")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode, SELF-VERIFYING: payloads are REAL containers
     synthesized deterministically from document bytes (doc_id%3 ->
@@ -3369,18 +3432,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "radius_search": q_radius_search,
         "integrity_audit": q_integrity_audit,
+        "audio_spectral": q_audio_spectral,
         "ivf_recenter": q_ivf_recenter,
         "hnsw_rebalance": q_hnsw_rebalance,
         "cohort_retention": q_cohort_retention,
         "dedup_keep_best": q_dedup_keep_best,
-        "semantic_dedup": q_semantic_dedup,
         # ---- position > 50 ----------------------------------------------
         # late-r6 demotions: r5-green entries untouched this round, each
         # locally pinned by test_oracle_parity — demoted to fit the late-r6
         # entries (bq_encode/bq_knn/maxsim_search/stream_sessionize/
         # triangle_count, then bpe_encode/cap_per_group/incremental_dedup/
         # stream_incremental_dedup/compact_files/salted_join/radius_search/
-        # integrity_audit) in-window.
+        # integrity_audit/audio_spectral) in-window.
+        "semantic_dedup": q_semantic_dedup,
         "api_lifecycle": q_api_lifecycle,
         "hash_embed": q_hash_embed,
         "rag_search": q_rag_search,

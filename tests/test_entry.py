@@ -57,6 +57,9 @@ def test_oracle_keys_subset_of_queries():
         # against a textbook implementation in tests/test_bpe.py and by
         # in-row monotone_ok/merged_ok booleans
         "bpe_train",
+        # binary WAV synth + rFFT aren't SQL; planted-sine recovery,
+        # band flag, and RMS are in-row booleans (all must be true)
+        "audio_spectral",
     }
 
 

@@ -371,3 +371,60 @@ def test_synthesize_media_empty_text_still_real_decodes(spark):
     media = synthesize_media(docs)
     got = {r["doc_id"]: r["codec"] for r in decode_features(media).collect()}
     assert got == {0: "ppm", 1: "png", 2: "wav"}
+
+
+# ---- spectral features -----------------------------------------------------
+
+def test_spectral_features_recover_planted_sine(spark):
+    import numpy as np
+
+    from hnsw_vector_db_spark.operators.multimodal import (
+        encode_wav,
+        parse_wav,
+        spectral_features_np,
+    )
+
+    rate, n = 8000, 2048
+    t = np.arange(n) / rate
+    for f0 in (440.0, 1500.0, 3000.0):
+        wav = encode_wav(0.5 * np.sin(2 * np.pi * f0 * t), rate)
+        mono, r, _ = parse_wav(wav)
+        feats = spectral_features_np(mono, r, n_fft=n)
+        bin_w = rate / n
+        assert abs(feats["dominant_hz"] - f0) <= bin_w, (f0, feats)
+        assert abs(feats["centroid_hz"] - f0) <= 25.0  # leakage tolerance
+        assert abs(feats["rms"] - 0.5 / np.sqrt(2)) < 0.01
+        assert (feats["low_band_ratio"] > 0.9) == (f0 < 1000.0)
+
+
+def test_spectral_features_silence_and_stronger_tone_wins(spark):
+    import numpy as np
+
+    from hnsw_vector_db_spark.operators.multimodal import spectral_features_np
+
+    z = spectral_features_np(np.zeros(512), 8000)
+    assert z["dominant_hz"] == 0.0 and z["rms"] == 0.0
+    t = np.arange(2048) / 8000.0
+    mix = 0.2 * np.sin(2 * np.pi * 500 * t) + 0.6 * np.sin(2 * np.pi * 2200 * t)
+    f = spectral_features_np(mix, 8000)
+    assert abs(f["dominant_hz"] - 2200) <= 8000 / 2048
+
+
+def test_audio_spectral_features_quarantines_bad_payloads(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from hnsw_vector_db_spark.operators.multimodal import (
+        audio_spectral_features,
+        encode_wav,
+    )
+
+    t = np.arange(2048) / 8000.0
+    good = encode_wav(0.5 * np.sin(2 * np.pi * 440 * t), 8000)
+    df = spark.createDataFrame([
+        Row(doc_id=1, payload=bytearray(good)),
+        Row(doc_id=2, payload=bytearray(b"not a wav at all")),
+    ])
+    out = {r["doc_id"]: r for r in audio_spectral_features(df).collect()}
+    assert abs(out[1]["dominant_hz"] - 440) <= 8000 / 2048
+    assert out[2]["dominant_hz"] is None  # quarantined, not crashed
