@@ -160,6 +160,7 @@ GROUPS: dict[str, list[str]] = {
         "salted_join",
         "radius_search",
         "integrity_audit",
+        "audio_spectral",
     ],
 }
 
