@@ -607,6 +607,13 @@ def ema_smooth(
             }
         )
 
+    # fold's globals are pandas-only today, but ship the package anyway:
+    # whether a grouped-map closure needs the module on workers is one
+    # refactor away from changing, and shipping is an idempotent no-op
+    # after the first call (the skyline order-dependence lesson)
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(events.sparkSession)
     schema = f"{key_col} long, {id_col} long, {value_col} double, ema double"
     return (
         events.select(key_col, ts_col, id_col, value_col)

@@ -406,6 +406,15 @@ def skyline(
         if sky_pdf is not None and len(sky_pdf):
             yield sky_pdf
 
+    # front closes over _local_skyline (a module-level function), which
+    # cloudpickle serializes BY REFERENCE — the worker must be able to
+    # import this package. Ship it explicitly: relying on an earlier
+    # operator having shipped it makes correctness depend on execution
+    # ORDER (caught by running skyline first in a fresh foreign-cwd
+    # session: ModuleNotFoundError on the Python worker).
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(clean.sparkSession)
     local = clean.mapInPandas(front, schema=clean.schema)
     return local.repartition(1).mapInPandas(front, schema=clean.schema)
 

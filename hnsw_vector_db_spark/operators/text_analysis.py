@@ -582,8 +582,11 @@ def normalize_text(
     (id_col, norm_text)."""
     from pyspark.sql.functions import pandas_udf
 
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
     if form not in ("NFC", "NFKC", "NFD", "NFKD"):
         raise ValueError(f"unknown normalization form {form!r}")
+    ensure_package_shipped(docs.sparkSession)
 
     @pandas_udf("string")
     def _norm(s: pd.Series) -> pd.Series:
@@ -753,6 +756,9 @@ def heavy_hitters(
     # one core (measured: 64x docs in 1 split = 14 s single-task vs ~2 s
     # spread; the same note as dedup._doc_shingle_sets). One tiny
     # shuffle of the raw text buys full-width parallelism.
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(docs.sparkSession)
     spread = docs.select(text_col).repartition(
         docs.sparkSession.sparkContext.defaultParallelism
     )

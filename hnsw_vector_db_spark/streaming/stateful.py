@@ -106,6 +106,9 @@ def stream_sessionize(
     gap (event-time timeout)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(events_stream.sparkSession)
     n, unit = gap.split()
     per = {"minute": 60, "minutes": 60, "second": 1, "seconds": 1, "hour": 3600, "hours": 3600}
     gap_us = int(n) * per[unit] * 1_000_000
@@ -193,6 +196,9 @@ def stream_ema(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(events_stream.sparkSession)
     return (
         events_stream.select(key_col, ts_col, "event_id", "value")
         .groupBy(key_col)
