@@ -161,6 +161,7 @@ GROUPS: dict[str, list[str]] = {
         "radius_search",
         "integrity_audit",
         "audio_spectral",
+        "label_propagation",
     ],
 }
 

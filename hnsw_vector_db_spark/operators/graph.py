@@ -231,3 +231,47 @@ def triangle_count(
             F.col("n_triangles").desc(), F.col("node").asc()
         ).limit(top_k)
     return counts
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007,
+    arXiv:0709.2938 — the near-linear community-detection baseline)
+    over an undirected edge list, made fully deterministic: every node
+    starts labeled with its own id; each iteration every node adopts
+    the most frequent label among its neighbors, ties broken by
+    smallest label; a FIXED iteration count (the pagerank discipline)
+    bounds lineage and makes the result an exact function of the graph
+    — which is what lets the DuckDB oracle replay every iteration.
+
+    Scale shape per iteration: one join of the (node, label) table to
+    the symmetrized edge list on the node key + one (node, label)
+    count aggregation + one per-node argmax (WindowGroupLimit top-1).
+    The edge list is the only large table and its join key partitioning
+    is reused across iterations. Output (node, label)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    from pyspark.sql.window import Window as W
+
+    fwd = edges.select(F.col(u_col).alias("src"), F.col(v_col).alias("dst"))
+    rev = edges.select(F.col(v_col).alias("src"), F.col(u_col).alias("dst"))
+    sym = fwd.unionByName(rev)
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = W.partitionBy("node").orderBy(F.col("n").desc(), F.col("label").asc())
+    for _ in range(iterations):
+        labels = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels

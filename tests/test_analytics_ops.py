@@ -681,3 +681,38 @@ def test_integrity_report_finds_planted_orphans(spark):
 
     with _pytest.raises(ValueError):
         integrity_report([])
+
+
+# ---- label propagation -----------------------------------------------------
+
+def test_label_propagation_two_cliques_converge(spark):
+    from pyspark.sql import Row
+
+    from hnsw_vector_db_spark.operators.graph import label_propagation
+
+    # two triangles bridged by nothing: each converges to its min label
+    edges = spark.createDataFrame(
+        [Row(u=1, v=2), Row(u=2, v=3), Row(u=1, v=3),
+         Row(u=10, v=11), Row(u=11, v=12), Row(u=10, v=12)]
+    )
+    out = {r["node"]: r["label"]
+           for r in label_propagation(edges, iterations=3).collect()}
+    assert {out[1], out[2], out[3]} == {1}
+    assert {out[10], out[11], out[12]} == {10}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        label_propagation(edges, iterations=0)
+
+
+def test_label_propagation_is_deterministic(spark):
+    from pyspark.sql import Row
+
+    from hnsw_vector_db_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [Row(u=i, v=(i * 7) % 23 + 30) for i in range(1, 20)]
+    )
+    a = sorted(map(tuple, label_propagation(edges, 3).collect()))
+    b = sorted(map(tuple, label_propagation(edges, 3).collect()))
+    assert a == b
