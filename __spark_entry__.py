@@ -361,6 +361,88 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority), adapted to this schema (no
+    o_shippriority column in the synthetic tables): top-10 unshipped
+    BUILDING-segment orders by revenue as of 1998-06-01. Plan: the
+    segment filter pushes into the customer scan, both date filters
+    push into their scans, the two joins broadcast the filtered small
+    sides, and the top-10 ranks over the ROUNDED revenue with
+    (date, orderkey) tiebreaks so the k-cut is engine-exact (the
+    ndcg_eval lesson)."""
+    cut = "1998-06-01"
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cut
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            (F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ) + F.lit(0.0)).alias("revenue")
+        )
+    )
+    w = Window.orderBy(
+        F.col("revenue").desc(), F.col("o_orderdate").asc(),
+        F.col("l_orderkey").asc(),
+    )
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", TS_FMT_SPARK).alias("o_orderdate"),
+            "revenue",
+        )
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue from 1997 orders where
+    the supplying and ordering nation coincide, per ASIA nation. The
+    six-table join tree is the classic snowflake: region->nation->
+    supplier broadcast down the dim chain, date filter pushed into the
+    orders scan, c_nationkey = s_nationkey applied as the join's
+    locality predicate."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            supp,
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(nation, supp["s_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            (F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ) + F.lit(0.0)).alias("revenue")
+        )
+        .orderBy("n_name")
+    )
+
+
 def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user hourly resample with gap emission + forward fill (the
     metrics-pipeline regularization step). Grid built per key from its
@@ -3493,16 +3575,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "integrity_audit": q_integrity_audit,
         "audio_spectral": q_audio_spectral,
         "label_propagation": q_label_propagation,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "ivf_recenter": q_ivf_recenter,
-        "hnsw_rebalance": q_hnsw_rebalance,
-        "cohort_retention": q_cohort_retention,
         # ---- position > 50 ----------------------------------------------
         # late-r6 demotions: r5-green entries untouched this round, each
         # locally pinned by test_oracle_parity — demoted to fit the late-r6
         # entries (bq_encode/bq_knn/maxsim_search/stream_sessionize/
         # triangle_count, then bpe_encode/cap_per_group/incremental_dedup/
         # stream_incremental_dedup/compact_files/salted_join/radius_search/
-        # integrity_audit/audio_spectral/label_propagation) in-window.
+        # integrity_audit/audio_spectral/label_propagation/tpch_q3/tpch_q5)
+        # in-window.
+        "hnsw_rebalance": q_hnsw_rebalance,
+        "cohort_retention": q_cohort_retention,
         "dedup_keep_best": q_dedup_keep_best,
         "semantic_dedup": q_semantic_dedup,
         "api_lifecycle": q_api_lifecycle,
@@ -4651,6 +4736,38 @@ GROUP BY t.doc_id
         LSH_K, LSH_BANDS, JACCARD_THRESHOLD
     )
     sql["label_propagation"] = _label_propagation_sql(3, 2)
+    sql["tpch_q3"] = f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '{TS_FMT_DUCK}') AS o_orderdate,
+       revenue
+FROM (
+  SELECT l.l_orderkey, o.o_orderdate,
+         round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) + 0 AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-06-01'
+    AND l.l_shipdate > TIMESTAMP '1998-06-01'
+  GROUP BY l.l_orderkey, o.o_orderdate)
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""".strip()
+    sql["tpch_q5"] = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) + 0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+ORDER BY n.n_name
+""".strip()
     sql["integrity_audit"] = """
 WITH r AS (
   SELECT 'customer_nation' AS rule,

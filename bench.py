@@ -162,6 +162,8 @@ GROUPS: dict[str, list[str]] = {
         "integrity_audit",
         "audio_spectral",
         "label_propagation",
+        "tpch_q3",
+        "tpch_q5",
     ],
 }
 
