@@ -443,6 +443,55 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    lost to 'R'-returned lineitems for 1997-Q1 orders, with their
+    nation. The k-cut ranks over the ROUNDED revenue with a custkey
+    tiebreak (engine-exact); the date filter pushes into the orders
+    scan, returnflag into lineitem, and the customer->nation dim chain
+    broadcasts."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            (F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ) + F.lit(0.0)).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
+    )
+
+
+def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day actives per calendar day
+    (events.py:rolling_actives): windowed COUNT(DISTINCT) is not
+    decomposable over a sliding frame, so the exact form collapses to
+    the distinct (day, user) table FIRST, fans each row out to its <= 7
+    trailing report days via a bounded range join, and counts distinct
+    per day — N x day-user rows joined, never N x raw events. Oracle
+    replays the identical day-grid range join."""
+    from hnsw_vector_db_spark.operators.events import rolling_actives
+
+    return rolling_actives(_events(spark, sf_dir), window_days=7)
+
+
 def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user hourly resample with gap emission + forward fill (the
     metrics-pipeline regularization step). Grid built per key from its
@@ -3558,7 +3607,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_recall_target": q_hnsw_recall_target,
         "ivf_filtered": q_ivf_filtered,
         "hnsw_filtered_recall": q_hnsw_filtered_recall,
-        "funnel_steps": q_funnel_steps,
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
         "kneser_ney_logprob": q_kneser_ney,
@@ -3577,6 +3625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q10": q_tpch_q10,
+        "rolling_actives": q_rolling_actives,
         "ivf_recenter": q_ivf_recenter,
         # ---- position > 50 ----------------------------------------------
         # late-r6 demotions: r5-green entries untouched this round, each
@@ -3584,8 +3634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries (bq_encode/bq_knn/maxsim_search/stream_sessionize/
         # triangle_count, then bpe_encode/cap_per_group/incremental_dedup/
         # stream_incremental_dedup/compact_files/salted_join/radius_search/
-        # integrity_audit/audio_spectral/label_propagation/tpch_q3/tpch_q5)
-        # in-window.
+        # integrity_audit/audio_spectral/label_propagation/tpch_q3/q5/q10/
+        # rolling_actives) in-window.
+        "funnel_steps": q_funnel_steps,
         "hnsw_rebalance": q_hnsw_rebalance,
         "cohort_retention": q_cohort_retention,
         "dedup_keep_best": q_dedup_keep_best,
@@ -4752,6 +4803,37 @@ FROM (
   GROUP BY l.l_orderkey, o.o_orderdate)
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
+""".strip()
+    sql["tpch_q10"] = """
+SELECT c_custkey, c_name, c_acctbal, n_name, revenue
+FROM (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+         round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) + 0 AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name)
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""".strip()
+    sql["rolling_actives"] = """
+WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM du),
+rolling AS (
+  SELECT g.day, count(DISTINCT d.user_id) AS rolling_actives
+  FROM days g JOIN du d
+    ON d.day <= g.day AND d.day >= g.day - INTERVAL 6 DAY
+  GROUP BY g.day),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY day)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau::BIGINT AS dau,
+       rolling.rolling_actives::BIGINT AS rolling_actives,
+       7 AS window_days
+FROM dau JOIN rolling ON dau.day = rolling.day
+ORDER BY day
 """.strip()
     sql["tpch_q5"] = """
 SELECT n.n_name,

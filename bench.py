@@ -164,6 +164,8 @@ GROUPS: dict[str, list[str]] = {
         "label_propagation",
         "tpch_q3",
         "tpch_q5",
+        "tpch_q10",
+        "rolling_actives",
     ],
 }
 

@@ -620,3 +620,51 @@ def ema_smooth(
         .groupBy(key_col)
         .applyInPandas(fold, schema=schema)
     )
+
+
+def rolling_actives(
+    events: DataFrame,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """DAU / trailing-N-day actives (the WAU/MAU family) per calendar
+    day — the product-analytics staple Spark's windowed COUNT(DISTINCT)
+    can't express directly (distinct isn't decomposable over a sliding
+    RANGE frame). Exact formulation: collapse the stream to the DISTINCT
+    (day, user) table first — the one data-sized aggregation; everything
+    after runs at (days x daily-actives) scale — then a bounded range
+    join fans each active-day row out to the <= N trailing report days
+    it supports, and one count-distinct per report day closes it. The
+    fan-out is exactly N, so the joined stream is N x the day-user
+    table, never N x the raw events. Output (day, dau, rolling_actives,
+    window_days)."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    du = (
+        events.select(F.to_date(ts_col).alias("day"), F.col(user_col))
+        .distinct()
+    )
+    days = du.select("day").distinct().alias("g")
+    d = du.alias("d")
+    joined = days.join(
+        d,
+        (F.col("d.day") <= F.col("g.day"))
+        & (F.col("d.day") >= F.date_sub(F.col("g.day"), window_days - 1)),
+    )
+    rolling = joined.groupBy(F.col("g.day").alias("day")).agg(
+        F.countDistinct(F.col(f"d.{user_col}")).alias("rolling_actives")
+    )
+    dau = du.groupBy("day").agg(
+        F.countDistinct(user_col).alias("dau")
+    )
+    return (
+        dau.join(rolling, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "rolling_actives",
+            F.lit(window_days).alias("window_days"),
+        )
+        .orderBy("day")
+    )

@@ -365,3 +365,36 @@ def test_value_histogram_known_answer(spark):
     # least() clamp folds it into the top bucket; -1.0 is dropped
     assert out[9]["n"] == 3 and out[9]["max_value"] == 100.0
     assert out[9]["bucket_lo"] == 90.0
+
+
+# ---- rolling actives -------------------------------------------------------
+
+def test_rolling_actives_hand_fixture(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from hnsw_vector_db_spark.operators.events import rolling_actives
+
+    def t(day, h=0):
+        return dt.datetime(2024, 1, day, h)
+
+    ev = spark.createDataFrame([
+        Row(ts=t(1), user_id=1), Row(ts=t(1, 5), user_id=1),  # dup same day
+        Row(ts=t(1), user_id=2),
+        Row(ts=t(2), user_id=2),
+        Row(ts=t(5), user_id=3),
+    ])
+    out = {r["day"]: r for r in rolling_actives(ev, window_days=3).collect()}
+    assert out["2024-01-01"]["dau"] == 2
+    assert out["2024-01-01"]["rolling_actives"] == 2
+    assert out["2024-01-02"]["dau"] == 1
+    assert out["2024-01-02"]["rolling_actives"] == 2  # users 1,2 in d1-d2
+    # day 5: 3-day window [3,5] only contains user 3; days 3-4 emit no
+    # row (grid is observed days only — documented)
+    assert out["2024-01-05"]["dau"] == 1
+    assert out["2024-01-05"]["rolling_actives"] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rolling_actives(ev, window_days=0)
