@@ -3627,7 +3627,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
         "rolling_actives": q_rolling_actives,
-        "ivf_recenter": q_ivf_recenter,
         # ---- position > 50 ----------------------------------------------
         # late-r6 demotions: r5-green entries untouched this round, each
         # locally pinned by test_oracle_parity — demoted to fit the late-r6
@@ -3636,6 +3635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream_incremental_dedup/compact_files/salted_join/radius_search/
         # integrity_audit/audio_spectral/label_propagation/tpch_q3/q5/q10/
         # rolling_actives) in-window.
+        "ivf_recenter": q_ivf_recenter,
         "funnel_steps": q_funnel_steps,
         "hnsw_rebalance": q_hnsw_rebalance,
         "cohort_retention": q_cohort_retention,
