@@ -354,7 +354,18 @@ def kneser_ney_logprob(
         F.col(id_col),
         F.explode(word_ngrams(F.col("toks"), 2)).alias("bigram"),
     )
-    ptf = pairs.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("tf"))
+    from pyspark import StorageLevel
+
+    # persisted: ptf is the one data-sized table and it feeds BOTH the
+    # model build (bcnt) and the final scoring join — unpersisted, the
+    # 64x run re-exploded and re-aggregated the whole bigram stream
+    # twice (the incremental_dedup wide_new lesson; measured in
+    # BASELINE.md's r6 table)
+    ptf = (
+        pairs.groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     bcnt = ptf.groupBy("bigram").agg(F.sum("tf").alias("cnt"))
     split = bcnt.select(
         "bigram",
