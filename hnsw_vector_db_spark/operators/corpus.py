@@ -561,10 +561,18 @@ def dsir_weights(
     # one tokenize+hash pass over the raw corpus: the per-doc counts are
     # computed first and the raw model FOLDS OUT OF THEM ((id,b) rows,
     # already partially aggregated) instead of re-scanning the corpus
+    from pyspark import StorageLevel
+
+    # persisted: per_doc is the one data-sized table and it feeds BOTH
+    # the raw corpus model and the final scoring join — unpersisted,
+    # the whole tokenize+hash+aggregate pass over the raw corpus runs
+    # twice (the kneser_ney/incremental_dedup wide_new lesson; 64x
+    # re-measured in BASELINE.md)
     per_doc = (
         feat_buckets(raw_docs)
         .groupBy(id_col, "b")
         .agg(F.count(F.lit(1)).alias("_c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     raw_m = per_doc.groupBy("b").agg(F.sum("_c").alias("_cr"))
     tgt_m = feat_buckets(target_docs).groupBy("b").agg(
