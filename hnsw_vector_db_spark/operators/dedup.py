@@ -899,6 +899,13 @@ def span_dedup(
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
 
+    from pyspark import StorageLevel
+
+    # persisted: the k-gram occurrence stream is the one data-sized
+    # table and has THREE consumers (df-cut aggregate, clean-drop join,
+    # collision re-resolve) — unpersisted, the tokenize+posexplode pass
+    # over the corpus runs three times (the wide_new fork lesson; 64x
+    # re-measured in BASELINE.md)
     occ = (
         docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
         .select(
@@ -906,6 +913,7 @@ def span_dedup(
             F.posexplode(word_ngrams(tokens(text_col), k)).alias("pos", "_span"),
         )
         .withColumn("_h", F.xxhash64("_span"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     first = F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p")))

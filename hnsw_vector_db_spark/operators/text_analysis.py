@@ -239,8 +239,16 @@ def unigram_logprob(
     instances, with the join input shrunk to distinct (doc, term) pairs.
     The only hinted broadcast is the single-row corpus total. Output
     (doc_id, n_tokens, avg_neg_logprob), oracle-checked exactly."""
+    from pyspark import StorageLevel
+
     toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persisted at the fork: tf feeds both the corpus model and the
+    # scoring join (the wide_new lesson — see kneser_ney_logprob)
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored = (
