@@ -200,6 +200,13 @@ def main() -> None:
             # comparison pays too.
             best, n = None, 0
             for i in range(2):
+                # bench action correction #2: several operators persist a
+                # forked intermediate (pagerank's edges, kneser_ney's
+                # bigram table, ...). Spark's CacheManager matches run 2's
+                # IDENTICAL logical plan against run 1's cache, so without
+                # clearing, min-of-2 times a cache READ, not the query
+                # (measured: kneser_ney 6.6 s cached vs 54 s cold at 64x).
+                spark.catalog.clearCache()
                 t0 = time.time()
                 df = fn(spark, sf_dir)
                 if i == 0:

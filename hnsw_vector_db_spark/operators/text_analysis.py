@@ -239,16 +239,13 @@ def unigram_logprob(
     instances, with the join input shrunk to distinct (doc, term) pairs.
     The only hinted broadcast is the single-row corpus total. Output
     (doc_id, n_tokens, avg_neg_logprob), oracle-checked exactly."""
-    from pyspark import StorageLevel
-
     toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    # persisted at the fork: tf feeds both the corpus model and the
-    # scoring join (the wide_new lesson — see kneser_ney_logprob)
-    tf = (
-        toks.groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # tf forks to the corpus model and the scoring join, but measured
+    # COLD at 64x a persist here is flat (15.0 s vs 15.6 s): the Zipf
+    # tf-collapse makes the recompute cheap while caching it costs a
+    # same-sized materialization — the fork-persist rule applies only
+    # when the recompute is the expensive part (see kneser_ney/dsir)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored = (
@@ -659,17 +656,29 @@ def pmi_collocations(
 
     from hnsw_vector_db_spark.functions.text import word_ngrams
 
+    from pyspark import StorageLevel
+
     toks = docs.select(F.col(id_col), tokens(text_col).alias("toks"))
     uni = toks.select(F.explode("toks").alias("term"))
-    ucnt = uni.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    total = uni.agg(F.sum(F.lit(1)).alias("t_total"))  # single row
+    # totals FOLD OUT of the vocab-sized count tables (sum of group
+    # counts == instance count), so each token/bigram stream is read
+    # exactly once; the count tables are persisted at their forks —
+    # vocab-sized caches, unlike the streams they'd otherwise re-derive
+    # (the wide_new fork lesson applied without caching stream bytes)
+    ucnt = (
+        uni.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total = ucnt.agg(F.sum("cnt").alias("t_total"))  # single row
     pairs = toks.select(F.explode(word_ngrams(F.col("toks"), 2)).alias("bigram"))
-    bcnt = (
+    bcnt_all = (
         pairs.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n_pair"))
-        .filter(F.col("n_pair") >= min_count)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    btotal = pairs.agg(F.sum(F.lit(1)).alias("b_total"))  # single row
+    btotal = bcnt_all.agg(F.sum("n_pair").alias("b_total"))  # single row
+    bcnt = bcnt_all.filter(F.col("n_pair") >= min_count)
     split = F.split("bigram", " ")
     scored = (
         bcnt.withColumn("_a", split.getItem(0))
