@@ -443,6 +443,30 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): one filtered scan + one
+    global sum — the canonical pushdown benchmark. All three predicates
+    reach the parquet scan as PushedFilters; 7 of 11 lineitem columns
+    are never read; the aggregate combines map-side to one row per
+    task. n_rows rides along so the oracle also pins the filter's
+    exact selectivity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             + F.lit(0.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
     lost to 'R'-returned lineitems for 1997-Q1 orders, with their
@@ -3605,7 +3629,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "resample_ffill": q_resample_ffill,
         "hnsw_recall_target": q_hnsw_recall_target,
-        "ivf_filtered": q_ivf_filtered,
         "hnsw_filtered_recall": q_hnsw_filtered_recall,
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
@@ -3626,6 +3649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
+        "tpch_q6": q_tpch_q6,
         "rolling_actives": q_rolling_actives,
         # ---- position > 50 ----------------------------------------------
         # late-r6 demotions: r5-green entries untouched this round, each
@@ -3635,6 +3659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream_incremental_dedup/compact_files/salted_join/radius_search/
         # integrity_audit/audio_spectral/label_propagation/tpch_q3/q5/q10/
         # rolling_actives) in-window.
+        "ivf_filtered": q_ivf_filtered,
         "ivf_recenter": q_ivf_recenter,
         "funnel_steps": q_funnel_steps,
         "hnsw_rebalance": q_hnsw_rebalance,
@@ -4803,6 +4828,15 @@ FROM (
   GROUP BY l.l_orderkey, o.o_orderdate)
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
+""".strip()
+    sql["tpch_q6"] = """
+SELECT round(sum(l_extendedprice * l_discount), 2) + 0 AS revenue,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
 """.strip()
     sql["tpch_q10"] = """
 SELECT c_custkey, c_name, c_acctbal, n_name, revenue

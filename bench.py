@@ -165,6 +165,7 @@ GROUPS: dict[str, list[str]] = {
         "tpch_q3",
         "tpch_q5",
         "tpch_q10",
+        "tpch_q6",
         "rolling_actives",
     ],
 }
