@@ -4221,9 +4221,9 @@ SELECT e.vec_id, w::INTEGER AS word_idx,
        list_reduce(
          list_prepend(0::BIGINT,
            list_transform(
-             list_slice(e.embedding, w * {bits_per_word} + 1,
-                        (w + 1) * {bits_per_word}),
-             x -> CASE WHEN x > 0 THEN 1::BIGINT ELSE 0::BIGINT END)),
+             range(w * {bits_per_word} + 1, (w + 1) * {bits_per_word} + 1),
+             i -> CASE WHEN i <= {dim} AND e.embedding[i] > 0
+                  THEN 1::BIGINT ELSE 0::BIGINT END)),
          (acc, x) -> acc * 2 + x) AS word
 FROM embeddings e, range(0, {nwords}) t(w)
 """.strip()

@@ -500,6 +500,7 @@ def dsir_weights(
     alpha: float = 1.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """DSIR-class importance weights (Xie et al., "Data Selection for
     Language Models via Importance Resampling", NeurIPS 2023,
@@ -574,6 +575,10 @@ def dsir_weights(
         .agg(F.count(F.lit(1)).alias("_c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # cache lifecycle: the returned lazy DataFrame references this cache
+    # — pass cache_handles to unpersist once the result is consumed
+    if cache_handles is not None:
+        cache_handles.append(per_doc)
     raw_m = per_doc.groupBy("b").agg(F.sum("_c").alias("_cr"))
     tgt_m = feat_buckets(target_docs).groupBy("b").agg(
         F.count(F.lit(1)).alias("_ct")

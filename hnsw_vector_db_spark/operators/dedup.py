@@ -726,6 +726,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     assign_mode: str = "auto",
+    validate_seeds: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
     Data-efficient learning at web-scale through semantic deduplication",
@@ -796,13 +797,23 @@ def semantic_dedup(
     # non-zero-based id space the seed set would be silently partial and
     # the operator would return fewer clusters — fail fast instead
     # (same style as assign_to_centroids_blas's max_seeds check).
-    n_seeds = seeds.count()
-    if n_seeds < n_clusters:
-        raise ValueError(
-            f"semantic_dedup: only {n_seeds} of {n_clusters} seed ids exist "
-            f"in [0, {n_clusters}) — the id space must be dense and "
-            "zero-based, or pass a smaller n_clusters"
-        )
+    # COST NOTE (r7, from ADVICE): the guard is one eager Spark job —
+    # an id-only count behind the pushed-down `id < n_clusters` filter,
+    # so it scans one column of a tiny key range, but it IS an extra
+    # action before the real query and it raises ValueError on sparse /
+    # non-zero-based id spaces that previously returned partial
+    # clusterings. Callers on a hot path who already know their id
+    # space is dense and zero-based pass validate_seeds=False to skip
+    # the job (results are unchanged either way when seeds are dense).
+    if validate_seeds:
+        n_seeds = seeds.select("seed_id").count()
+        if n_seeds < n_clusters:
+            raise ValueError(
+                f"semantic_dedup: only {n_seeds} of {n_clusters} seed ids "
+                f"exist in [0, {n_clusters}) — the id space must be dense "
+                "and zero-based, or pass a smaller n_clusters (skip this "
+                "check with validate_seeds=False)"
+            )
     assign = assign_to_centroids if assign_mode == "fold" else assign_to_centroids_blas
     assigned = assign(
         vectors, seeds, metric="euclidean", id_col=id_col, vector_col=vector_col
@@ -839,6 +850,7 @@ def span_dedup(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Substring-level exact deduplication (the Lee et al. 2021
     "Deduplicating Training Data Makes Language Models Better" family,
@@ -915,6 +927,12 @@ def span_dedup(
         .withColumn("_h", F.xxhash64("_span"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # cache lifecycle: the RETURNED lazy DataFrame references this cache
+    # for its whole lifetime — pass a list as cache_handles to receive it
+    # and .unpersist() once the result is consumed; otherwise a long-
+    # lived session holds the storage until ContextCleaner GCs the plan
+    if cache_handles is not None:
+        cache_handles.append(occ)
 
     first = F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p")))
     per_hash = occ.groupBy("_h").agg(
@@ -1037,6 +1055,7 @@ def incremental_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "portable",
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against a PERSISTED index (build_dedup_index)
     — the production shape: historical text is never touched, only the
@@ -1073,6 +1092,10 @@ def incremental_dedup(
     wide_new = minhash_signature_wide(
         new_docs, k, n, seed, text_col, id_col, hash_fn
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # cache lifecycle: see span_dedup — pass cache_handles to unpersist
+    # once the returned verdicts are consumed
+    if cache_handles is not None:
+        cache_handles.append(wide_new)
     bk_new = _band_keys(wide_new, k, bands, id_col).toDF(
         "new_id", "band", "band_key"
     )

@@ -620,9 +620,27 @@ def salted_join(
     single in-flight stage feeding a stateful op, hash aggregation over
     composite hot keys, or engines/settings without runtime re-plan.
     A ``shuffle_hash`` hint keeps the demo honest (a broadcastable dim
-    needs no salt — Spark would elide the skew problem entirely)."""
+    needs no salt — Spark would elide the skew problem entirely).
+
+    ``how`` is restricted to the fact-preserving modes (inner / left /
+    left_semi / left_anti / cross): the salt replicates every dim row
+    ``n_salt`` times, so any dim-preserving mode (right / full / outer)
+    would null-extend each UNMATCHED dim replica n_salt times and break
+    the documented identity — rejected with ValueError rather than
+    silently returning duplicated unmatched dim rows. (Matched dim rows
+    are fine in every mode: exactly one replica carries each fact row's
+    salt value.)"""
     if n_salt < 1:
         raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+    safe = {"inner", "left", "leftouter", "left_outer", "left_semi",
+            "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower().replace("_", "") not in {s.replace("_", "") for s in safe}:
+        raise ValueError(
+            f"salted_join(how={how!r}): dim-preserving joins (right/full/"
+            "outer) are unsound under dim replication — each unmatched dim "
+            f"row would appear n_salt={n_salt} times; use a plain join or "
+            "AQE skew handling for those modes"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt = F.pmod(F.xxhash64(F.struct(*facts.columns)), F.lit(n_salt)).cast(
         "int"

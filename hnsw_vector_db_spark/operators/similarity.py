@@ -1041,9 +1041,15 @@ def bq_encode(
     sq_encode there is NO training step and no codebook to ship.
 
     Encoding is a single codegen projection (transform over word index,
-    aggregate Horner fold over each 32-slice); vectors shorter than
-    ``dim`` pack only their existing components (slice clamps — same
-    rule in DuckDB's list_slice, so the twin stays exact).
+    aggregate Horner fold over FIXED bit positions): every word runs
+    exactly ``bits_per_word`` Horner steps over component indices
+    ``w*bpw+1 .. (w+1)*bpw``, and any position past the vector's length
+    (or past ``dim``) contributes a 0 bit. Fixed positions are the
+    correctness condition for the downstream Hamming xor — an earlier
+    draft folded over the CLAMPED slice, which packed a short vector's
+    bits into low-order positions while a full-width query word occupied
+    all ``bits_per_word``, silently comparing misaligned bits for
+    mixed-length data.
 
     Output (id, words: array<long>).
     """
@@ -1054,10 +1060,20 @@ def bq_encode(
     words = F.transform(
         F.sequence(F.lit(0), F.lit(nwords - 1)),
         lambda w: F.aggregate(
-            F.slice(v, w * bits_per_word + 1, F.lit(bits_per_word)),
+            # 1-based component positions for this word — fixed width, so
+            # short vectors zero-pad (element_at past size is NULL -> 0)
+            F.sequence(
+                w * bits_per_word + 1, (w + 1) * bits_per_word
+            ),
             F.lit(0).cast("long"),
-            lambda acc, x: acc * 2
-            + F.when(x > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+            # try_element_at: NULL past the vector's end (ANSI-safe) -> 0 bit
+            lambda acc, i: acc * 2
+            + F.when(
+                (i <= F.lit(dim)) & (F.try_element_at(v, i.cast("int")) > 0),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
         ),
     )
     return vectors.select(F.col(id_col), words.alias("words"))
@@ -1067,13 +1083,15 @@ def pack_query_bits(
     query: Sequence[float], dim: int, bits_per_word: int = 32
 ) -> list[int]:
     """Driver-side twin of :func:`bq_encode`'s packing for a literal
-    query vector — same Horner fold, same clamping of a short vector."""
+    query vector — same fixed-position Horner fold, zero-padding any
+    position past the vector's length (or past ``dim``)."""
     nwords = -(-dim // bits_per_word)
     out = []
     for w in range(nwords):
         acc = 0
-        for x in query[w * bits_per_word : (w + 1) * bits_per_word]:
-            acc = acc * 2 + (1 if x > 0 else 0)
+        for i in range(w * bits_per_word, (w + 1) * bits_per_word):
+            bit = 1 if (i < dim and i < len(query) and query[i] > 0) else 0
+            acc = acc * 2 + bit
         out.append(acc)
     return out
 

@@ -328,6 +328,7 @@ def kneser_ney_logprob(
     discount: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Interpolated Kneser-Ney bigram quality score (Kneser & Ney,
     ICASSP'95; Chen & Goodman '98) — the smoothing actually used by
@@ -371,6 +372,10 @@ def kneser_ney_logprob(
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # cache lifecycle: the returned lazy DataFrame references this cache
+    # — pass cache_handles to unpersist once the result is consumed
+    if cache_handles is not None:
+        cache_handles.append(ptf)
     bcnt = ptf.groupBy("bigram").agg(F.sum("tf").alias("cnt"))
     split = bcnt.select(
         "bigram",
@@ -634,6 +639,7 @@ def pmi_collocations(
     top_k: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Top-k collocations by pointwise mutual information: PMI(a,b) =
     ln( P(ab) / (P(a) P(b)) ) with P(ab) = c(ab)/B over bigram
@@ -670,6 +676,10 @@ def pmi_collocations(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # cache lifecycle: vocab-sized caches referenced by the returned
+    # plan — pass cache_handles to unpersist after consumption
+    if cache_handles is not None:
+        cache_handles.append(ucnt)
     total = ucnt.agg(F.sum("cnt").alias("t_total"))  # single row
     pairs = toks.select(F.explode(word_ngrams(F.col("toks"), 2)).alias("bigram"))
     bcnt_all = (
@@ -677,6 +687,8 @@ def pmi_collocations(
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cache_handles is not None:
+        cache_handles.append(bcnt_all)
     btotal = bcnt_all.agg(F.sum("n_pair").alias("b_total"))  # single row
     bcnt = bcnt_all.filter(F.col("n_pair") >= min_count)
     split = F.split("bigram", " ")

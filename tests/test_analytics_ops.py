@@ -660,6 +660,28 @@ def test_salted_join_equals_plain_join(spark):
         salted_join(facts, dim, "k", n_salt=0)
 
 
+def test_salted_join_rejects_dim_preserving_modes(spark):
+    """right/full/outer would null-extend each UNMATCHED dim row n_salt
+    times (r6 ADVICE) — must raise, not silently duplicate."""
+    from pyspark.sql import Row
+
+    import pytest as _pytest
+
+    from hnsw_vector_db_spark.operators.relational import salted_join
+
+    facts = spark.createDataFrame([Row(k="a", v=1)])
+    dim = spark.createDataFrame([Row(k="a", w=1.0), Row(k="z", w=9.0)])
+    for how in ("right", "rightouter", "full", "outer", "full_outer"):
+        with _pytest.raises(ValueError, match="dim-preserving"):
+            salted_join(facts, dim, "k", n_salt=4, how=how)
+    # fact-preserving modes stay allowed and exact
+    got = sorted(
+        map(tuple, salted_join(facts, dim, "k", n_salt=4, how="left").collect())
+    )
+    want = sorted(map(tuple, facts.join(dim, "k", "left").collect()))
+    assert got == want
+
+
 # ---- integrity audit -------------------------------------------------------
 
 def test_integrity_report_finds_planted_orphans(spark):

@@ -373,7 +373,9 @@ def test_semantic_dedup_auto_mode_dispatch(spark):
 
     fake_df = mock.MagicMock()
     # the seed-count fail-fast guard runs before assignment — make it pass
-    fake_df.filter.return_value.select.return_value.count.return_value = 10**9
+    # (guard path: vectors.filter(...).select(...).select("seed_id").count())
+    fake_df.filter.return_value.select.return_value.select.return_value\
+        .count.return_value = 10**9
     with mock.patch(
         "hnsw_vector_db_spark.operators.similarity.assign_to_centroids", fake_fold
     ), mock.patch(

@@ -363,6 +363,28 @@ def test_bq_encode_matches_python_packer(spark, emb):
         assert all(w >= 0 for w in r["words"])  # 32 bits/word: no sign wrap
 
 
+def test_bq_encode_short_vector_fixed_bit_positions(spark):
+    """A vector shorter than dim must pack into the SAME bit positions
+    as its zero-padded full-width twin (r6 ADVICE: the clamped-slice
+    fold put short vectors' bits in low-order positions, making the
+    Hamming xor compare misaligned bits for mixed-length data)."""
+    from hnsw_vector_db_spark.operators.similarity import (
+        bq_encode,
+        pack_query_bits,
+    )
+
+    short = [1.0, -1.0, 1.0]  # 3 components, dim=8
+    padded = short + [0.0] * 5
+    df = spark.createDataFrame(
+        [(0, short), (1, padded)], "vec_id long, embedding array<double>"
+    )
+    rows = {r["vec_id"]: r["words"] for r in bq_encode(df, 8, bits_per_word=8).collect()}
+    assert rows[0] == rows[1]  # fixed positions: padding is a no-op
+    assert rows[0] == pack_query_bits(short, 8, bits_per_word=8)
+    # bit 0 (x=1.0) is the HIGH-order bit of the 8-bit word: 1,0,1,0...0
+    assert rows[0] == [0b10100000]
+
+
 def test_bq_encode_validates_params(spark, emb):
     from hnsw_vector_db_spark.operators.similarity import bq_encode
 
