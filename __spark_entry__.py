@@ -503,6 +503,117 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept waiting) — the hardest standard
+    join-planning shape: a SEMI and an ANTI correlation on the SAME
+    fact table, both keyed on l_orderkey with an l_suppkey inequality.
+    Adapted to this schema (no l_receiptdate/l_commitdate in the
+    synthetic lineitem): the "late" predicate is l_returnflag = 'R',
+    which preserves the planner shape exactly — the anti subquery
+    carries the same extra predicate as the outer block, the semi does
+    not.
+
+    The shape: l1 = 'R' lines of 'F'-status orders; EXISTS another
+    supplier's line on the same order (left_semi, equi on orderkey +
+    suppkey inequality as the join residual); NOT EXISTS another
+    supplier's 'R' line on the same order (left_anti, same key shape);
+    then supplier/nation broadcast dims and a count per supplier.
+    Plan-locked: both correlations plan as real joins (no cartesian,
+    no per-row subquery), anti after semi, TakeOrderedAndProject k-cut.
+    numwait is an integer count — the top-100 cut is engine-exact with
+    the s_name tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders_f = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l1 = l1.join(orders_f, l1["l_orderkey"] == orders_f["o_orderkey"]).drop(
+        "o_orderkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    waiting = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("_ok2"))
+        & (F.col("l_suppkey") != F.col("_sk2")),
+        "left_semi",
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    sole_blame = waiting.join(
+        l3,
+        (F.col("l_orderkey") == F.col("_ok3"))
+        & (F.col("l_suppkey") != F.col("_sk3")),
+        "left_anti",
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        sole_blame.join(
+            F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"]
+        )
+        .join(
+            F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"]
+        )
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose TOTAL lineitem
+    quantity exceeds 280 (HAVING-sum semi-join — the aggregate-derived
+    IN-subquery shape), re-joined to lineitem/orders/customer for the
+    report. Threshold 280 sits just above the synthetic data's p99
+    (~265), matching TPC-H's intent of a sub-1% cut; yields 9/84/912
+    groups at sf0.001/0.01/0.1.
+
+    Plan: the HAVING filter collapses lineitem to qualifying orderkeys
+    FIRST (partial sums map-side), then a left_semi prunes lineitem
+    before the wide joins; top-100 cut over the STORED o_totalprice
+    (parquet-identical in both engines — no float computation in the
+    ordering key) with (o_orderdate, o_orderkey) tiebreaks because
+    sf0.1 has 257 duplicated totalprice values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 280)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg((F.round(F.sum("l_quantity"), 2) + F.lit(0.0)).alias("sum_qty"))
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", TS_FMT_SPARK).alias("o_orderdate"),
+            (F.round("o_totalprice", 2) + F.lit(0.0)).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
 def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU + trailing-7-day actives per calendar day
     (events.py:rolling_actives): windowed COUNT(DISTINCT) is not
@@ -862,6 +973,21 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     pairs = similarity.similarity_join(emb, threshold=SIM_THRESHOLD)
     return dedup.neardup_components(emb, pairs)
+
+
+def q_cc_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star steps
+    (Kiveris et al., SoCC 2014) — the O(log d)-round SCALE tier of
+    neardup_components (operators/dedup.py:connected_components_twophase),
+    run on the SAME cosine near-dup pairs and pinned to the SAME
+    recursive-CTE oracle: both forms must produce identical
+    (vec_id, rep_id, is_dup) labels. Min-label propagation needs
+    O(diameter) rounds and now RAISES past its cap; this form is what
+    versioned-boilerplate chains (v1 ~ v2 ~ ... ~ v50, diameter 50)
+    require at corpus scale."""
+    emb = _emb(spark, sf_dir)
+    pairs = similarity.similarity_join(emb, threshold=SIM_THRESHOLD)
+    return dedup.connected_components_twophase(emb, pairs)
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3592,6 +3718,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is additionally pinned at sf0.001 by
     # tests/test_entry.py::test_oracle_parity.
     return {
+        # -- NEW in r7: large-star/small-star CC scale tier, TPC-H
+        # multi-correlation shapes -----------------------------------------
+        "cc_scale": q_cc_scale,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q18": q_tpch_q18,
         # -- NEW late-r5 analytics batch 2: data-quality profile,
         # two-phase skyline, Misra-Gries heavy hitters, per-key EMA,
         # Efraimidis-Spirakis weighted sampling, PageRank, perceptual-
@@ -4688,6 +4819,10 @@ SELECT node AS vec_id, min(r) AS rep_id, min(r) <> node AS is_dup
 FROM reach GROUP BY node
 """.strip()
 
+    # the large-star/small-star scale tier must agree with min-label
+    # propagation label-for-label — same transitive-closure oracle
+    sql["cc_scale"] = sql["neardup_components"]
+
     sql["label_centroids"] = """
 WITH dims AS (
   SELECT label, i::INTEGER AS dim_idx,
@@ -4853,6 +4988,42 @@ FROM (
   GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name)
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
+""".strip()
+    sql["tpch_q21"] = """
+SELECT s.s_name, n.n_name, count(*)::BIGINT AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s.s_name, n.n_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100
+""".strip()
+    sql["tpch_q18"] = f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '{TS_FMT_DUCK}') AS o_orderdate,
+       round(o.o_totalprice, 2) + 0 AS o_totalprice,
+       round(sum(l.l_quantity), 2) + 0 AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 280)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
+LIMIT 100
 """.strip()
     sql["rolling_actives"] = """
 WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),

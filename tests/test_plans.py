@@ -112,6 +112,39 @@ def test_not_exists_plans_as_anti_join(spark, qs):
     assert_no_cartesian(qs["customers_no_orders"](spark, SF))
 
 
+def test_tpch_q21_semi_and_anti_plan_as_joins(spark, qs):
+    """Q21's two self-correlations on lineitem must both plan as real
+    joins — one LeftSemi, one LeftAnti, the anti applied AFTER the semi
+    (plan order is inside-out: the semi join node sits under the anti
+    node) — never a per-row subquery, nested loop, or cartesian."""
+    df = qs["tpch_q21"](spark, SF)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_cartesian(df)
+    # anti-after-semi: in the formatted plan tree the LAST-applied join
+    # appears first (outermost); the anti must be applied to the semi's
+    # output, so its node id is smaller (earlier in the dump)
+    anti_pos = plan.index("LeftAnti")
+    semi_pos = plan.index("LeftSemi")
+    assert anti_pos < semi_pos, "anti join must consume the semi's output"
+    # the report-side dim joins broadcast
+    assert broadcast_join_count(df) >= 2
+
+
+def test_tpch_q18_having_semi_before_wide_joins(spark, qs):
+    """Q18's HAVING-sum subquery must collapse lineitem to qualifying
+    orderkeys and semi-join BEFORE the customer/orders joins — a
+    LeftSemi with a partial-aggregate input, no nested loop."""
+    df = qs["tpch_q18"](spark, SF)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_cartesian(df)
+    assert has_take_ordered(df)  # the top-100 cut is a bounded heap
+
+
 def test_pivot_is_single_aggregate(spark, qs):
     # pivot with explicit values = ONE aggregate pass over orders (no
     # distinct-scan for values, no union of per-status re-scans)
