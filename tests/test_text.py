@@ -554,3 +554,55 @@ def test_kneser_ney_validates_discount(spark):
         TA.kneser_ney_logprob(docs, discount=0.0)
     with _pytest.raises(ValueError):
         TA.kneser_ney_logprob(docs, discount=1.0)
+
+
+# ---- window_chunks: built-in plan vs UDTF capability proof -----------------
+
+def test_window_chunks_builtin_equals_udtf(spark, docs):
+    """The r7 built-in plan (sequence/posexplode/slice — the benched
+    driver entry) must be row-identical to the Python-UDTF form it
+    replaced, including chunk_idx enumeration and the short final
+    window."""
+    sample = docs.limit(60)
+    a = sorted(
+        map(tuple, TA.window_chunks(sample, width=32, stride=24).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            TA.window_chunks(sample, width=32, stride=24, impl="udtf").collect(),
+        )
+    )
+    assert a == b and a
+
+
+def test_window_chunks_builtin_edge_cases(spark):
+    """Zero-token and NULL docs emit no rows (UDTF generator parity);
+    a doc shorter than width yields exactly one short chunk."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "   "), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = TA.window_chunks(df, width=5, stride=3).collect()
+    assert [(r["doc_id"], r["chunk_idx"], r["chunk"], r["n_words"]) for r in rows] == [
+        (1, 0, "a b c", 3)
+    ]
+    # overlapping windows enumerate 0,1,2... at each stride offset
+    df2 = spark.createDataFrame([(7, "w1 w2 w3 w4 w5")], "doc_id long, text string")
+    got = sorted(
+        (r["chunk_idx"], r["chunk"], r["n_words"])
+        for r in TA.window_chunks(df2, width=3, stride=2).collect()
+    )
+    assert got == [(0, "w1 w2 w3", 3), (1, "w3 w4 w5", 3), (2, "w5", 1)]
+
+
+def test_window_chunks_validates_params(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        TA.window_chunks(df, width=0)
+    with _pytest.raises(ValueError):
+        TA.window_chunks(df, stride=0)
+    with _pytest.raises(ValueError):
+        TA.window_chunks(df, impl="nope")
