@@ -1706,6 +1706,91 @@ def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG header tier, SELF-VERIFYING (multimodal.py:image_meta —
+    marker-segment walk, SOF0/SOF2 + EXIF orientation, NO entropy
+    decode): every doc gets a synthesized JFIF stream with PLANTED
+    dimensions/components/progressive/orientation derived from doc_id,
+    every 17th payload corrupted (SOI zeroed). The header parse must
+    recover every planted field on valid rows and quarantine corrupt
+    rows to NULLs + parse_ok=false. Rows-only (binary payloads aren't
+    SQL); output groups by planted shape class with in-row booleans
+    that must all be true: (n_components, progressive, n, dims_ok,
+    orient_ok, quarantine_ok). This upgrades jpeg from the r6 'stub
+    boundary' disposition: resolution/aspect gates now run on the
+    dominant real-world format at O(header bytes) per row."""
+    import pandas as pd
+
+    from hnsw_vector_db_spark.operators.multimodal import image_meta
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+
+    def synth(batches):
+        from hnsw_vector_db_spark.operators.multimodal import encode_jpeg_stub
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                payload = encode_jpeg_stub(
+                    16 + (i % 64),
+                    16 + ((i * 7) % 64),
+                    1 if i % 5 == 0 else 3,
+                    progressive=i % 2 == 1,
+                    orientation=1 + (i % 8) if i % 3 != 0 else None,
+                )
+                if i % 17 == 0:  # plant corruption: zeroed SOI
+                    payload = b"\x00\x00" + payload[2:]
+                rows.append(bytearray(payload))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": rows})
+
+    media = (
+        _docs(spark, sf_dir).select("doc_id")
+        .mapInPandas(synth, "doc_id long, payload binary")
+    )
+    meta = image_meta(media)
+    i = F.col("doc_id")
+    corrupt = i % 17 == F.lit(0)
+    exp_w = (F.lit(16) + F.pmod(i, F.lit(64))).cast("int")
+    exp_h = (F.lit(16) + F.pmod(i * 7, F.lit(64))).cast("int")
+    exp_nc = F.when(i % 5 == 0, 1).otherwise(3)
+    exp_prog = i % 2 == F.lit(1)
+    exp_orient = F.when(i % 3 != 0, (F.lit(1) + F.pmod(i, F.lit(8))).cast("int"))
+    valid_ok = (
+        (F.col("width") == exp_w)
+        & (F.col("height") == exp_h)
+        & (F.col("n_components") == exp_nc)
+        & (F.col("precision") == 8)
+        & (F.col("progressive") == exp_prog)
+        & F.col("orientation").eqNullSafe(exp_orient)
+        & F.col("parse_ok")
+    )
+    return (
+        meta.withColumn("_corrupt", corrupt)
+        .groupBy(exp_nc.alias("n_components"), exp_prog.alias("progressive"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.when(~F.col("_corrupt"), valid_ok).otherwise(True)).alias(
+                "dims_ok"
+            ),
+            F.min(
+                F.when(
+                    ~F.col("_corrupt") & (i % 3 != 0),
+                    F.col("orientation").isNotNull(),
+                ).otherwise(True)
+            ).alias("orient_ok"),
+            F.min(
+                F.when(
+                    F.col("_corrupt"),
+                    ~F.col("parse_ok") & F.col("width").isNull(),
+                ).otherwise(True)
+            ).alias("quarantine_ok"),
+        )
+        .orderBy("n_components", "progressive")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode, SELF-VERIFYING: payloads are REAL containers
     synthesized deterministically from document bytes (doc_id%3 ->
@@ -3727,6 +3812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_scale": q_cc_scale,
         "tpch_q21": q_tpch_q21,
         "tpch_q18": q_tpch_q18,
+        "image_meta": q_image_meta,
         # -- NEW late-r5 analytics batch 2: data-quality profile,
         # two-phase skyline, Misra-Gries heavy hitters, per-key EMA,
         # Efraimidis-Spirakis weighted sampling, PageRank, perceptual-

@@ -12,9 +12,13 @@ Codec status: binary PPM (P6) and PNG (8-bit grey/RGB/RGBA,
 non-interlaced — stdlib-zlib inflate + all five scanline filters)
 images decode and resize FOR REAL, and RIFF PCM WAV audio decodes FOR
 REAL (header/chunk parse, pixel stats, nearest-neighbor resample, PCM
-sample math; golden-byte tests in tests/test_multimodal.py). Formats
-the sandbox genuinely cannot support (jpeg, mp3, video) fall through
-to a deterministic hash stub at the single documented swap point
+sample math; golden-byte tests in tests/test_multimodal.py). JPEG has
+a HEADER TIER since r7 (``parse_jpeg_header``/``image_meta``: SOF
+dimensions + EXIF orientation, no entropy decode — the
+resolution/aspect/format gates run on the dominant real-world format
+at O(header bytes) per row). Full-pixel formats the sandbox genuinely
+cannot support (jpeg entropy data, mp3, video) fall through to a
+deterministic hash stub at the single documented swap point
 (``_decode_one`` / ``_resize_one``) where a production build plugs
 PIL/torchaudio/ffmpeg; the Spark plumbing is identical either way,
 and ``decode_features`` reports which codec handled each row.
@@ -724,3 +728,200 @@ def audio_spectral_features(
         "sample_rate int"
     )
     return media.mapInPandas(run, schema)
+
+
+# ---- JPEG header tier (r7) --------------------------------------------------
+# A full pure-python JPEG entropy decode is out of proportion for this
+# sandbox, but the FILTERING tier of an image pipeline (resolution /
+# aspect-ratio / component / progressive gates) needs only the marker
+# segments — SOF0/SOF2 frame headers and the EXIF orientation tag — all
+# public spec (ITU-T T.81 §B; TIFF 6.0 §8 for EXIF IFD0). This upgrades
+# jpeg from "stub boundary" to "header tier": real-world images can be
+# gated on dimensions/orientation WITHOUT decoding pixels, which is also
+# exactly what production curation does before spending GPU decode.
+
+# every SOFn marker carrying frame dimensions (C4=DHT, C8=JPG, CC=DAC
+# are NOT frame headers)
+_JPEG_SOF = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+     0xCE, 0xCF}
+)
+
+
+def _parse_exif_orientation(tiff: bytes) -> int | None:
+    """Orientation (tag 0x0112, SHORT, 1..8) from a TIFF blob (the bytes
+    after APP1's 'Exif\\0\\0'). Both byte orders. None when absent or
+    malformed — the caller treats that as 'no orientation metadata'."""
+    if len(tiff) < 14:
+        return None
+    if tiff[:2] == b"II":
+        endian = "little"
+    elif tiff[:2] == b"MM":
+        endian = "big"
+    else:
+        return None
+    if int.from_bytes(tiff[2:4], endian) != 42:
+        return None
+    off = int.from_bytes(tiff[4:8], endian)
+    if off + 2 > len(tiff):
+        return None
+    n_entries = int.from_bytes(tiff[off : off + 2], endian)
+    for k in range(n_entries):
+        e = off + 2 + 12 * k
+        if e + 12 > len(tiff):
+            return None
+        if int.from_bytes(tiff[e : e + 2], endian) == 0x0112:
+            if int.from_bytes(tiff[e + 2 : e + 4], endian) != 3:  # SHORT
+                return None
+            val = int.from_bytes(tiff[e + 8 : e + 10], endian)
+            return val if 1 <= val <= 8 else None
+    return None
+
+
+def parse_jpeg_header(payload: bytes) -> dict | None:
+    """Walk a JPEG's marker segments up to SOS and return frame metadata:
+    {width, height, n_components, precision, progressive, orientation}.
+    None for non-JPEG / truncated / corrupt-before-SOS input (quarantine
+    semantics — same contract as parse_ppm/parse_png). Never touches
+    entropy-coded data, so cost is O(header bytes) regardless of image
+    size."""
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    n = len(payload)
+    i = 2
+    frame: dict | None = None
+    orientation: int | None = None
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            return None  # garbage between segments before SOS
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
+            i += 2
+            continue
+        if i + 4 > n:
+            return None
+        seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seglen < 2 or i + 2 + seglen > n:
+            return None
+        body = payload[i + 4 : i + 2 + seglen]
+        if marker in _JPEG_SOF:
+            if len(body) < 6:
+                return None
+            frame = {
+                "precision": body[0],
+                "height": int.from_bytes(body[1:3], "big"),
+                "width": int.from_bytes(body[3:5], "big"),
+                "n_components": body[5],
+                "progressive": marker == 0xC2,
+            }
+        elif marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            orientation = _parse_exif_orientation(body[6:])
+        if marker == 0xDA:  # SOS: header section over, entropy data next
+            break
+        i += 2 + seglen
+    if frame is None:
+        return None
+    frame["orientation"] = orientation
+    return frame
+
+
+def encode_jpeg_stub(
+    width: int,
+    height: int,
+    n_components: int = 3,
+    progressive: bool = False,
+    orientation: int | None = None,
+) -> bytes:
+    """Synthesize a structurally-valid JPEG header stream (SOI + JFIF
+    APP0 + optional EXIF APP1 + SOF0/SOF2 + SOS + EOI, no entropy data)
+    — the golden-bytes generator for the header tier's tests and driver
+    entry (the testdata ships no real JPEGs)."""
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError(f"dims out of JPEG range: {width}x{height}")
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01" + b"\x00\x00")
+    if orientation is not None:
+        tiff = (
+            b"II" + (42).to_bytes(2, "little") + (8).to_bytes(4, "little")
+            + (1).to_bytes(2, "little")
+            + (0x0112).to_bytes(2, "little") + (3).to_bytes(2, "little")
+            + (1).to_bytes(4, "little")
+            + int(orientation).to_bytes(2, "little") + b"\x00\x00"
+            + (0).to_bytes(4, "little")
+        )
+        out += seg(0xE1, b"Exif\x00\x00" + tiff)
+    sof = (
+        bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes([n_components])
+    )
+    for c in range(n_components):
+        sof += bytes([c + 1, 0x11, 0])
+    out += seg(0xC2 if progressive else 0xC0, sof)
+    sos = (
+        bytes([n_components])
+        + b"".join(bytes([c + 1, 0]) for c in range(n_components))
+        + bytes([0, 63, 0])
+    )
+    out += seg(0xDA, sos)
+    return out + b"\xff\xd9"
+
+
+def image_meta(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """JPEG header metadata extraction as an Arrow-batched mapInPandas
+    stage: (id, width, height, n_components, precision, progressive,
+    orientation, parse_ok). Unparseable payloads quarantine to NULLs +
+    parse_ok=false instead of failing the job (the decode_features
+    contract). Cost per row is O(header bytes) — the gate a 100 TB image
+    crawl runs BEFORE spending any pixel decode."""
+    import pandas as pd
+
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def run(batches):
+        for pdf in batches:
+            metas = [
+                parse_jpeg_header(bytes(p) if p is not None else None)
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": [m["width"] if m else None for m in metas],
+                    "height": [m["height"] if m else None for m in metas],
+                    "n_components": [
+                        m["n_components"] if m else None for m in metas
+                    ],
+                    "precision": [m["precision"] if m else None for m in metas],
+                    "progressive": [
+                        m["progressive"] if m else None for m in metas
+                    ],
+                    "orientation": [
+                        (m["orientation"] if m["orientation"] is not None
+                         else None) if m else None
+                        for m in metas
+                    ],
+                    "parse_ok": [m is not None for m in metas],
+                }
+            )
+
+    schema = (
+        f"{id_col} long, width int, height int, n_components int, "
+        "precision int, progressive boolean, orientation int, "
+        "parse_ok boolean"
+    )
+    return media.select(id_col, payload_col).mapInPandas(run, schema)

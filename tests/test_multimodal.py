@@ -428,3 +428,100 @@ def test_audio_spectral_features_quarantines_bad_payloads(spark):
     out = {r["doc_id"]: r for r in audio_spectral_features(df).collect()}
     assert abs(out[1]["dominant_hz"] - 440) <= 8000 / 2048
     assert out[2]["dominant_hz"] is None  # quarantined, not crashed
+
+
+# ---- JPEG header tier (r7) --------------------------------------------------
+
+def test_jpeg_header_roundtrip_golden():
+    """encode_jpeg_stub -> parse_jpeg_header round-trips every field
+    across baseline/progressive, grey/RGB, all 8 orientations."""
+    from hnsw_vector_db_spark.operators.multimodal import (
+        encode_jpeg_stub,
+        parse_jpeg_header,
+    )
+
+    for w, h, nc, prog, orient in [
+        (1, 1, 1, False, None),
+        (640, 480, 3, False, 1),
+        (65535, 65535, 3, True, 8),
+        (17, 9, 1, True, None),
+        (224, 224, 3, False, 6),
+    ]:
+        m = parse_jpeg_header(encode_jpeg_stub(w, h, nc, prog, orient))
+        assert m == {
+            "precision": 8, "height": h, "width": w, "n_components": nc,
+            "progressive": prog, "orientation": orient,
+        }
+
+
+def test_jpeg_header_big_endian_exif():
+    """Hand-built MM (big-endian) TIFF blob — the parser must honor the
+    byte-order mark, not assume II."""
+    from hnsw_vector_db_spark.operators.multimodal import (
+        encode_jpeg_stub,
+        parse_jpeg_header,
+    )
+
+    tiff = (
+        b"MM" + (42).to_bytes(2, "big") + (8).to_bytes(4, "big")
+        + (1).to_bytes(2, "big")
+        + (0x0112).to_bytes(2, "big") + (3).to_bytes(2, "big")
+        + (1).to_bytes(4, "big") + (5).to_bytes(2, "big") + b"\x00\x00"
+        + (0).to_bytes(4, "big")
+    )
+    app1 = b"Exif\x00\x00" + tiff
+    seg = bytes([0xFF, 0xE1]) + (len(app1) + 2).to_bytes(2, "big") + app1
+    base = encode_jpeg_stub(10, 20, 3)
+    jpg = base[:2] + seg + base[2:]
+    assert parse_jpeg_header(jpg)["orientation"] == 5
+
+
+def test_jpeg_header_rejects_corrupt():
+    from hnsw_vector_db_spark.operators.multimodal import (
+        encode_jpeg_stub,
+        parse_jpeg_header,
+    )
+
+    good = encode_jpeg_stub(64, 64, 3, orientation=3)
+    assert parse_jpeg_header(None) is None
+    assert parse_jpeg_header(b"") is None
+    assert parse_jpeg_header(b"\x89PNG") is None
+    assert parse_jpeg_header(b"\x00\x00" + good[2:]) is None  # bad SOI
+    assert parse_jpeg_header(good[:7]) is None  # truncated mid-segment
+    # EXIF garbage degrades to orientation=None, not a parse failure
+    mangled = good.replace(b"II", b"XX")
+    m = parse_jpeg_header(mangled)
+    assert m is not None and m["orientation"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encode_jpeg_stub(0, 5)
+    with _pytest.raises(ValueError):
+        encode_jpeg_stub(5, 70000)
+
+
+def test_image_meta_operator_quarantines(spark):
+    """image_meta over a mixed batch: valid rows extract every field,
+    corrupt rows quarantine to NULLs + parse_ok=false."""
+    from hnsw_vector_db_spark.operators.multimodal import (
+        encode_jpeg_stub,
+        image_meta,
+    )
+
+    rows = [
+        (0, encode_jpeg_stub(100, 50, 3, False, 6)),
+        (1, encode_jpeg_stub(8, 8, 1, True, None)),
+        (2, b"not a jpeg"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r.asDict() for r in image_meta(df).collect()}
+    assert got[0] == {
+        "doc_id": 0, "width": 100, "height": 50, "n_components": 3,
+        "precision": 8, "progressive": False, "orientation": 6,
+        "parse_ok": True,
+    }
+    assert got[1]["progressive"] is True and got[1]["orientation"] is None
+    for bad in (2, 3):
+        assert got[bad]["parse_ok"] is False
+        assert got[bad]["width"] is None and got[bad]["orientation"] is None
