@@ -1791,6 +1791,46 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QC_DIM, QC_ITERS, QC_LR, QC_AUC_FLOOR = 256, 8, 5.0, 0.8
+QC_MARKER = "spark"
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine TRAINED quality classifier (operators/classifier.py):
+    logistic regression over hash_embed features, 8 full-batch gradient
+    iterations from zero weights, lr=5 — every iteration is one codegen
+    margin projection (weights as a literal array) plus ONE keyed
+    aggregation over the exploded feature stream; driver state is the
+    256-float weight vector. ORACLE-CHECKED END TO END: DuckDB replays
+    the ENTIRE training loop as 8 chained CTE iterations (the
+    ema_smooth/pagerank replay pattern) and must reproduce every learned
+    weight at 6dp, plus the holdout rank-AUC (deterministic rounded-
+    margin + doc_id ranking).
+
+    Label: planted signal — y = document contains the token 'spark'
+    (the testdata's lang/source columns are assigned independently of
+    the text, so no NATURAL label is learnable from it; a planted
+    marker makes learnability measurable, the audio_spectral
+    planted-sine pattern). Train = doc_id % 5 != 0; holdout AUC must
+    clear 0.8 ('auc_ok' row — measured 0.86-0.95 across sf0.001-0.1,
+    vs 0.5 for the unlearnable lang label).
+
+    This completes the quality tier: heuristics (quality_score) ->
+    n-gram LM (unigram/bigram/kneser_ney) -> DSIR importance weights ->
+    trained classifier, all Spark-first, all oracle-checked."""
+    from hnsw_vector_db_spark.operators.classifier import quality_classifier
+
+    docs = _docs(spark, sf_dir)
+    label = F.array_contains(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""),
+        QC_MARKER,
+    )
+    return quality_classifier(
+        docs, label, dim=QC_DIM, n_iters=QC_ITERS, lr=QC_LR,
+        auc_floor=QC_AUC_FLOOR,
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode, SELF-VERIFYING: payloads are REAL containers
     synthesized deterministically from document bytes (doc_id%3 ->
@@ -3813,6 +3853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "tpch_q18": q_tpch_q18,
         "image_meta": q_image_meta,
+        "quality_classifier": q_quality_classifier,
         # -- NEW late-r5 analytics batch 2: data-quality profile,
         # two-phase skyline, Misra-Gries heavy hitters, per-key EMA,
         # Efraimidis-Spirakis weighted sampling, PageRank, perceptual-
@@ -4435,6 +4476,102 @@ LIMIT {k}
 """.strip()
 
 
+def _quality_classifier_sql(
+    dim: int = 256,
+    n_iters: int = 8,
+    lr: float = 5.0,
+    marker: str = "spark",
+    holdout_mod: int = 5,
+    auc_floor: float = 0.8,
+) -> str:
+    """Replay the ENTIRE logistic-regression training loop as chained
+    CTEs: w0 = zeros; each iteration computes every doc's sigmoid margin
+    from the previous weight list, the per-feature gradient as one keyed
+    aggregation, and the next weight list — the exact computation the
+    Spark operator runs (classifier.py:logreg_train), independently
+    re-derived. Weight/AUC values round to 6dp (exp() ulp differences
+    between libm and the JVM sit ~1e-13, seven orders under the bin).
+
+    The chained CTEs are AS MATERIALIZED: DuckDB inlines CTEs by
+    default, and w{{t}} is referenced twice per level (p{{t+1}} and the
+    w{{t+1}} update), so the un-materialized chain re-evaluates the
+    whole upstream 2^n_iters times — measured as a >5 min hang at
+    n_iters=8 vs ~1 s materialized."""
+    hb = _POLY.format(s="term")
+    hs = _POLY.format(s="(term || '#s')")
+    ctes = [
+        f"toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents)",
+        f"""hsp AS (
+  SELECT doc_id, {hb} % {dim} AS b,
+         sum(CASE WHEN {hs} % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toks) GROUP BY doc_id, b)""",
+        """hagg AS (
+  SELECT doc_id, list(b ORDER BY b) AS bs, list(v ORDER BY b) AS vs
+  FROM hsp GROUP BY doc_id)""",
+        f"""hdense AS (
+  SELECT doc_id, list_transform(range(0, {dim}),
+                                i -> coalesce(vs[list_position(bs, i)], 0.0)) AS raw
+  FROM hagg)""",
+        """hemb AS (
+  SELECT doc_id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS emb
+  FROM hdense WHERE sqrt(list_dot_product(raw, raw)) > 0)""",
+        f"""lab AS (
+  SELECT doc_id, CASE WHEN list_contains(toks, '{marker}') THEN 1.0 ELSE 0.0 END AS y
+  FROM toks)""",
+        "data AS MATERIALIZED (SELECT h.doc_id, h.emb, l.y FROM hemb h JOIN lab l USING (doc_id))",
+        f"train AS MATERIALIZED (SELECT * FROM data WHERE doc_id % {holdout_mod} <> 0)",
+        f"ho AS MATERIALIZED (SELECT * FROM data WHERE doc_id % {holdout_mod} = 0)",
+        "ntr AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM train)",
+        f"w0 AS MATERIALIZED (SELECT list_transform(range(0, {dim}), j -> 0.0) AS w)",
+    ]
+    for t in range(1, n_iters + 1):
+        ctes.append(
+            f"""p{t} AS MATERIALIZED (
+  SELECT d.doc_id, d.y, d.emb,
+         1.0 / (1.0 + exp(-list_dot_product(d.emb, w.w))) AS p
+  FROM train d, w{t - 1} w)"""
+        )
+        ctes.append(
+            f"""g{t} AS MATERIALIZED (
+  SELECT j, sum((p.p - p.y) * p.emb[j + 1]) / (SELECT n FROM ntr) AS g
+  FROM p{t} p, range(0, {dim}) t(j) GROUP BY j)"""
+        )
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT list(wv - {lr} * gv ORDER BY j) AS w
+  FROM (SELECT g.j AS j, w.w[g.j + 1] AS wv, g.g AS gv
+        FROM g{t} g, w{t - 1} w))"""
+        )
+    ctes += [
+        f"wf AS (SELECT w FROM w{n_iters})",
+        f"""weights AS (
+  SELECT 'weight' AS part, j::INTEGER AS idx, round(w[j + 1], 6) + 0 AS value
+  FROM wf, range(0, {dim}) t(j))""",
+        """sc AS (
+  SELECT h.doc_id, h.y, list_dot_product(h.emb, w.w) AS m FROM ho h, wf w)""",
+        """rk AS (
+  SELECT doc_id, y,
+         row_number() OVER (ORDER BY round(m, 6) ASC, doc_id ASC) AS r
+  FROM sc)""",
+        """agg AS (
+  SELECT sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)::DOUBLE AS np,
+         sum(CASE WHEN y <> 1.0 THEN 1 ELSE 0 END)::DOUBLE AS nn,
+         sum(CASE WHEN y = 1.0 THEN r END)::DOUBLE AS rs
+  FROM rk)""",
+        "aucv AS (SELECT (rs - np * (np + 1) / 2.0) / (np * nn) AS auc, np, nn FROM agg)",
+    ]
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT part, idx, value FROM weights
+UNION ALL SELECT 'auc', -1, round(auc, 6) + 0 FROM aucv
+UNION ALL SELECT 'auc_ok', -1,
+  CASE WHEN auc >= {auc_floor} THEN 1.0 ELSE 0.0 END FROM aucv
+UNION ALL SELECT 'n_pos', -1, np FROM aucv
+UNION ALL SELECT 'n_neg', -1, nn FROM aucv
+""".strip()
+
+
 def _bq_encode_sql(dim: int = 64, bits_per_word: int = 32) -> str:
     nwords = -(-dim // bits_per_word)
     return f"""
@@ -5025,6 +5162,9 @@ GROUP BY t.doc_id
     sql["hybrid_rrf"] = _hybrid_rrf_sql(BM25_TERMS)
     sql["sq_encode"] = _sq_encode_sql(64)
     sql["sq_knn"] = _sq_knn_sql(10, 50)
+    sql["quality_classifier"] = _quality_classifier_sql(
+        QC_DIM, QC_ITERS, QC_LR, QC_MARKER, 5, QC_AUC_FLOOR
+    )
     sql["bq_encode"] = _bq_encode_sql(64, 32)
     sql["bq_knn"] = _bq_knn_sql(10, 50, 64)
     sql["maxsim_search"] = _maxsim_sql(MAXSIM_PHRASES, 10, 64, 32)

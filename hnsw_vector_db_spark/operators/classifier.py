@@ -1,0 +1,219 @@
+"""In-engine trainable quality classifier: logistic regression over
+hashing-trick features, trained by deterministic full-batch gradient
+descent where every per-iteration quantity is a Spark keyed aggregation
+— no MLlib, no opaque optimizer state, every number independently
+replayable by a SQL engine via chained CTEs (the ema_smooth/pagerank
+oracle pattern).
+
+This completes the data-quality tier (heuristics -> n-gram LM scores ->
+DSIR importance weights -> TRAINED classifier): the fastText-style
+quality model of production curation pipelines (e.g. the GPT-3/LLaMA
+"books-vs-crawl" classifier), expressed Spark-first. Features are the
+engine's deterministic :func:`~.text_analysis.hash_embed` vectors
+(Weinberger et al., ICML 2009), so the whole text -> features -> model
+-> score chain is cross-engine exact — which no model-based encoder or
+MLlib fit can offer an oracle for.
+
+Scale shape (100 TB): each training iteration is
+  (1) one codegen projection computing every doc's margin as a
+      literal-order fold over its feature array (weights enter the plan
+      as a literal array — no join), and
+  (2) ONE keyed aggregation over the exploded (feature-index, value)
+      stream for the gradient — dim keys, map-side partial combine, a
+      shuffle of at most tasks x dim rows.
+The driver-side state is the dim-length weight vector (a few KB) —
+never data-sized. Fixed iteration count, no early-stop data dependence:
+the training loop is replayable to the bit by construction.
+
+Reference repo has no training surface at all (SURVEY.md §2); this is
+part of the LLM-pipeline tier the build prompt mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _margin(weights: list[float]) -> Column:
+    """Margin = <embedding, w> as a LITERAL-ORDER left fold (position 0
+    first — the exact order DuckDB's list_dot_product replays), with the
+    weights embedded as an array literal so scoring is a pure codegen
+    projection, no join."""
+    wlit = F.array(*[F.lit(float(x)) for x in weights])
+    return F.aggregate(
+        F.zip_with(F.col("embedding"), wlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def logreg_train(
+    data: DataFrame,
+    n_iters: int = 8,
+    lr: float = 5.0,
+    dim: int = 256,
+    id_col: str = "doc_id",
+) -> list[float]:
+    """Full-batch logistic-regression training over ``data`` with columns
+    (id_col, embedding array<double>, y double in {0,1}). Returns the
+    learned weight list (length ``dim``), starting from zeros.
+
+    Per iteration: p_i = sigmoid(<x_i, w>); g_j = sum_i (p_i - y_i) *
+    x_ij / n; w_j -= lr * g_j — the textbook gradient, with the per-j
+    sum as ONE groupBy("j") aggregation over the posexploded feature
+    stream (map-side combine shrinks it to dim rows per task before the
+    shuffle). The dim-row gradient collect is the only driver traffic.
+
+    ``data`` is persisted for the loop (each iteration re-reads it) and
+    unpersisted before returning."""
+    if n_iters < 1 or lr <= 0 or dim < 1:
+        raise ValueError(f"bad hyperparams: n_iters={n_iters} lr={lr} dim={dim}")
+    from pyspark import StorageLevel
+
+    data = data.select(id_col, "embedding", "y").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        n = data.count()
+        if n == 0:
+            raise ValueError("logreg_train: empty training set")
+        w = [0.0] * dim
+        for _ in range(n_iters):
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w)))
+            resid = data.select(
+                (p - F.col("y")).alias("_r"),
+                F.posexplode("embedding").alias("j", "x"),
+            )
+            grad = (
+                resid.groupBy("j")
+                .agg((F.sum(F.col("x") * F.col("_r")) / F.lit(float(n))).alias("g"))
+                .collect()
+            )
+            gmap = {r["j"]: r["g"] for r in grad}
+            w = [w[j] - lr * gmap.get(j, 0.0) for j in range(dim)]
+        return w
+    finally:
+        data.unpersist()
+
+
+def logreg_score(
+    data: DataFrame, weights: list[float], id_col: str = "doc_id"
+) -> DataFrame:
+    """Score (id, embedding, ...) rows with a trained weight vector:
+    output (id_col, margin, p) — one codegen projection, weights as a
+    literal array, no join, no Python."""
+    m = _margin(weights)
+    return data.select(
+        F.col(id_col),
+        m.alias("margin"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-m))).alias("p"),
+    )
+
+
+def rank_auc(
+    scored: DataFrame,
+    label_col: str = "y",
+    score_col: str = "margin",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """AUC by the rank-sum (Mann-Whitney) identity over a DETERMINISTIC
+    ranking: rank = row_number over (round(score, 6), id) — the rounded-
+    score + id tiebreak makes the rank assignment engine-exact (the
+    ndcg_eval lesson), so the AUC value itself is oracle-checkable.
+    (This is the tie-broken variant, not the tie-averaged one; with a
+    continuous score the two coincide almost surely.)
+    Output: one row (n_pos, n_neg, auc)."""
+    rk = scored.select(
+        F.col(label_col).alias("_y"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.round(F.col(score_col), 6).asc(), F.col(id_col).asc()
+            )
+        )
+        .alias("_r"),
+    )
+    return rk.agg(
+        F.sum(F.when(F.col("_y") == 1.0, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("_y") != 1.0, 1).otherwise(0)).alias("n_neg"),
+    ).crossJoin(
+        rk.filter(F.col("_y") == 1.0).agg(F.sum("_r").alias("_rs"))
+    ).select(
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("_rs") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )
+
+
+def quality_classifier(
+    docs: DataFrame,
+    label: Column,
+    dim: int = 256,
+    n_iters: int = 8,
+    lr: float = 5.0,
+    holdout_mod: int = 5,
+    auc_floor: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end trainable quality classifier: hash_embed features,
+    ``label`` (any 0/1 Column over the docs), train on
+    ``id % holdout_mod != 0``, evaluate on the held-out rest. Output is
+    LONG-FORM so one driver entry carries the whole model AND its
+    evaluation: rows (part, idx, value) =
+      ('weight', j, w_j rounded 6)  for every j — the learned model,
+      ('auc', -1, holdout AUC rounded 6),
+      ('auc_ok', -1, 1.0 iff auc >= auc_floor) — the in-row gate,
+      ('n_pos', -1, ...), ('n_neg', -1, ...) — holdout class counts.
+    Docs whose hash_embed drops out (no tokens / zero norm) are excluded
+    by construction in BOTH engines."""
+    from hnsw_vector_db_spark.operators.text_analysis import hash_embed
+
+    emb = hash_embed(docs, dim=dim, text_col=text_col, id_col=id_col)
+    labeled = emb.join(
+        docs.select(F.col(id_col), label.cast("double").alias("y")), id_col
+    )
+    train = labeled.filter(F.col(id_col) % holdout_mod != 0)
+    holdout = labeled.filter(F.col(id_col) % holdout_mod == 0)
+    w = logreg_train(train, n_iters=n_iters, lr=lr, dim=dim, id_col=id_col)
+    spark = docs.sparkSession
+    weights_df = spark.createDataFrame(
+        [("weight", j, float(x)) for j, x in enumerate(w)],
+        "part string, idx int, value double",
+    ).select("part", "idx", (F.round("value", 6) + F.lit(0.0)).alias("value"))
+    scored = logreg_score(holdout, w, id_col=id_col).join(
+        holdout.select(id_col, "y"), id_col
+    )
+    auc_rows = rank_auc(scored, id_col=id_col).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("auc").alias("part"),
+                    F.lit(-1).alias("idx"),
+                    (F.round("auc", 6) + F.lit(0.0)).alias("value"),
+                ),
+                F.struct(
+                    F.lit("auc_ok").alias("part"),
+                    F.lit(-1).alias("idx"),
+                    F.when(F.col("auc") >= auc_floor, 1.0)
+                    .otherwise(0.0)
+                    .alias("value"),
+                ),
+                F.struct(
+                    F.lit("n_pos").alias("part"),
+                    F.lit(-1).alias("idx"),
+                    F.col("n_pos").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("n_neg").alias("part"),
+                    F.lit(-1).alias("idx"),
+                    F.col("n_neg").cast("double").alias("value"),
+                ),
+            )
+        ).alias("_s")
+    ).select("_s.part", "_s.idx", "_s.value")
+    return weights_df.unionByName(auc_rows)
