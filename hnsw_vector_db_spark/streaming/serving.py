@@ -17,8 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 QUERY_SCHEMA = "query_id long, query_vec array<float>"
 
 
-def read_query_stream(spark: SparkSession, query_dir: str) -> DataFrame:
-    return spark.readStream.schema(QUERY_SCHEMA).parquet(query_dir)
+def read_query_stream(
+    spark: SparkSession, query_dir: str, schema: str = QUERY_SCHEMA
+) -> DataFrame:
+    return spark.readStream.schema(schema).parquet(query_dir)
 
 
 def start_knn_serving(
@@ -29,6 +31,7 @@ def start_knn_serving(
     checkpoint_dir: str,
     k: int = 10,
     metric: str = "cosine",
+    query_schema: str = QUERY_SCHEMA,
 ):
     """Answer each micro-batch of queries with exact batch kNN against the
     (cached) corpus and write (query_id, vec_id, dist, rank) to a parquet
@@ -54,7 +57,11 @@ def start_knn_serving(
         res.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     return (
-        read_query_stream(spark, query_dir)
+        # pass "query_id long, query_vec array<double>" as query_schema
+        # when downstream consumers compare distances cross-engine: the
+        # float32 default costs ~1e-7 relative on the query side, which
+        # a 6dp-rounded oracle can see
+        read_query_stream(spark, query_dir, schema=query_schema)
         .writeStream.foreachBatch(_answer)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
