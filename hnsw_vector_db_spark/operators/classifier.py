@@ -81,10 +81,16 @@ def logreg_train(
         w = [0.0] * dim
         for _ in range(n_iters):
             p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w)))
+            # The x != 0 filter is semantically exact (zero features
+            # contribute zero gradient) and load-bearing: hash features
+            # are ~80% zeros at typical doc lengths, and the projection
+            # carrying the margin fold is re-evaluated per GENERATED row
+            # by the Generate (the hash_embed_components trap) — measured
+            # 69.4 s -> 5.4 s per iteration at 64x with the filter.
             resid = data.select(
                 (p - F.col("y")).alias("_r"),
                 F.posexplode("embedding").alias("j", "x"),
-            )
+            ).filter(F.col("x") != 0)
             grad = (
                 resid.groupBy("j")
                 .agg((F.sum(F.col("x") * F.col("_r")) / F.lit(float(n))).alias("g"))
@@ -173,6 +179,9 @@ def quality_classifier(
     by construction in BOTH engines."""
     from hnsw_vector_db_spark.operators.text_analysis import hash_embed
 
+    # spread the CPU-bound tokenize+hash pass: the docs table often scans
+    # as a handful of splits (the dsir/heavy_hitters single-split lesson)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     emb = hash_embed(docs, dim=dim, text_col=text_col, id_col=id_col)
     labeled = emb.join(
         docs.select(F.col(id_col), label.cast("double").alias("y")), id_col
