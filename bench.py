@@ -175,6 +175,7 @@ GROUPS: dict[str, list[str]] = {
         "cc_scale",
         "tpch_q21",
         "tpch_q18",
+        "tpch_q2",
         "image_meta",
         "quality_classifier",
         "stream_knn",

@@ -145,6 +145,19 @@ def test_tpch_q18_having_semi_before_wide_joins(spark, qs):
     assert has_take_ordered(df)  # the top-100 cut is a bounded heap
 
 
+def test_tpch_q2_correlated_min_decorrelates(spark, qs):
+    """Q2's correlated min subquery must decorrelate to a per-partkey
+    aggregate + equi-join — never a per-row subquery execution or a
+    nested loop."""
+    df = qs["tpch_q2"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_cartesian(df)
+    # the decorrelated min shows up as an extra aggregate over ps
+    assert plan.count("HashAggregate") >= 2
+    assert has_take_ordered(df)
+
+
 def test_pivot_is_single_aggregate(spark, qs):
     # pivot with explicit values = ONE aggregate pass over orders (no
     # distinct-scan for values, no union of per-status re-scans)
