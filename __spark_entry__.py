@@ -614,6 +614,37 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal (Wenzek et al., LREC
+    2020; corpus.py:strip_boilerplate_lines): drop every line occurring
+    byte-equal in >= 5 distinct docs of the same source domain — the
+    nav-menu/cookie-banner stripper that runs BEFORE document dedup.
+    The testdata's single-line texts get a deterministic 3-line
+    decoration both engines replay: a per-SOURCE nav header (appears in
+    every doc of the domain -> must be stripped), a per-DOC unique
+    'uid-<id>' line (must be kept), and the original text (stripped
+    only where the corpus really does contain >= 5 exact copies within
+    the source — real semantics, oracle-replayed). One explode + one
+    keyed distinct-doc count + one line-key equi-join; reassembly is a
+    per-doc sort on the carried line number. ORACLE-CHECKED end to end
+    (text_clean strings included)."""
+    from hnsw_vector_db_spark.operators.corpus import strip_boilerplate_lines
+
+    docs = _docs(spark, sf_dir)
+    decorated = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("NAV "), F.col("source"), F.lit(" HOME ABOUT CONTACT\n"),
+            F.lit("uid-"), F.col("doc_id").cast("string"), F.lit("\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+        ).alias("text"),
+    )
+    return strip_boilerplate_lines(
+        decorated, min_docs=5, scope_col="source"
+    )
+
+
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (minimum-cost supplier) — the CORRELATED MIN
     subquery: for each qualifying part, keep exactly the suppliers whose
@@ -3953,6 +3984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "tpch_q18": q_tpch_q18,
         "tpch_q2": q_tpch_q2,
+        "boilerplate_strip": q_boilerplate_strip,
         "image_meta": q_image_meta,
         "quality_classifier": q_quality_classifier,
         "stream_knn": q_stream_knn,
@@ -3970,7 +4002,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_entity_resolution": q_pipeline_entity_resolution,
         "bq_encode": q_bq_encode,
         "bq_knn": q_bq_knn,
-        "maxsim_search": q_maxsim_search,
         "stream_sessionize": q_stream_sessionize,
         "triangle_count": q_triangle_count,
         # -- NEW in r5: filtered ANN, HNSW at the >=0.9 recall bar,
@@ -4013,6 +4044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted to fit the six new r7 entries and the four
         # promoted-changed ones in-window.
         "ndcg_eval": q_ndcg_eval,
+        "maxsim_search": q_maxsim_search,
         "profile_table": q_profile_table,
         "profile_approx": q_profile_approx,
         "skyline": q_skyline,
@@ -5356,6 +5388,30 @@ WHERE o.o_orderkey IN (
 GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
 ORDER BY o.o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
 LIMIT 100
+""".strip()
+    sql["boilerplate_strip"] = """
+WITH dec AS (
+  SELECT doc_id, source,
+         'NAV ' || source || ' HOME ABOUT CONTACT' || chr(10) ||
+         'uid-' || doc_id || chr(10) || coalesce(text, '') AS text2
+  FROM documents),
+ls AS (SELECT doc_id, source, string_split(text2, chr(10)) AS arr FROM dec),
+l0 AS (SELECT doc_id, source, arr,
+              unnest(generate_series(1, len(arr)::BIGINT)) AS i
+       FROM ls),
+l AS (SELECT doc_id, source, (i - 1)::INT AS ln, arr[i] AS line FROM l0),
+boiler AS (
+  SELECT source, line FROM l GROUP BY source, line
+  HAVING count(DISTINCT doc_id) >= 5),
+k AS (
+  SELECT l.doc_id, l.ln, l.line, b.line IS NULL AS keep
+  FROM l LEFT JOIN boiler b ON b.source = l.source AND b.line = l.line)
+SELECT doc_id,
+       count(*)::INT AS n_lines_in,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::INT AS n_lines_kept,
+       coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY ln),
+                '') AS text_clean
+FROM k GROUP BY doc_id
 """.strip()
     sql["tpch_q2"] = """
 WITH ps AS (

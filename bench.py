@@ -176,6 +176,7 @@ GROUPS: dict[str, list[str]] = {
         "tpch_q21",
         "tpch_q18",
         "tpch_q2",
+        "boilerplate_strip",
         "image_meta",
         "quality_classifier",
         "stream_knn",

@@ -693,3 +693,77 @@ def cap_per_group(
     u = F.pmod(F.pmod(h * h + h, F.lit(2147483647)), F.lit(SAMPLE_GRAIN))
     w = W.partitionBy(group_col).orderBy(u.asc(), F.col(id_col).asc())
     return df.withColumn("kept", F.row_number().over(w) <= cap)
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 5,
+    scope_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal (Wenzek et al.,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data", LREC 2020 — public): drop every LINE that occurs, byte-equal,
+    in at least ``min_docs`` distinct documents (within ``scope_col`` —
+    e.g. the source domain — when given, corpus-wide otherwise). This is
+    the nav-menu / cookie-banner / footer stripper every web-crawl
+    pipeline runs BEFORE document-level dedup: two pages sharing a
+    boilerplate header are not near-duplicates, but the header should
+    not survive into training text. The span-level sibling
+    (:func:`~.dedup.span_dedup`) excises repeated TOKEN runs; this
+    operator's unit is the visual line, CCNet's definition.
+
+    Scale shape: one posexplode of the line-split (no pairwise
+    anything), one keyed aggregation counting DISTINCT docs per
+    (scope, line) — map-side partial aggregation collapses the stream
+    because boilerplate is by definition high-frequency — and one
+    equi-join back on the line key. Reassembly is a per-doc
+    collect_list + array_sort on the carried line_no (deterministic,
+    no window). Empty-after-strip docs survive with text_clean = ''.
+
+    Output: (id_col, n_lines_in, n_lines_kept, text_clean), one row per
+    input doc. Oracle-checkable end to end (split_part/unnest + count
+    distinct + string_agg ORDER BY replays it exactly)."""
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    scope = F.col(scope_col) if scope_col else F.lit("")
+    lines = docs.select(
+        F.col(id_col),
+        scope.alias("_scope"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_ln", "_line"),
+    )
+    freq = (
+        lines.groupBy("_scope", "_line")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_scope", "_line", F.lit(True).alias("_boiler"))
+    )
+    kept = (
+        lines.join(freq, ["_scope", "_line"], "left")
+        .withColumn("_keep", F.col("_boiler").isNull())
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines_in"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"),
+                            F.struct(F.col("_ln"), F.col("_line")),
+                        )
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )
+    return reassembled.select(
+        F.col(id_col),
+        F.col("n_lines_in").cast("int").alias("n_lines_in"),
+        F.col("n_lines_kept").cast("int").alias("n_lines_kept"),
+        "text_clean",
+    )

@@ -509,3 +509,54 @@ def test_cap_per_group_plans_window_group_limit_below_exchange(spark, docs):
 def test_cap_per_group_validates_cap(spark, docs):
     with pytest.raises(ValueError):
         corpus.cap_per_group(docs, "source", cap=0)
+
+
+# ---- CCNet-style line-level boilerplate removal (r7) ------------------------
+
+def test_strip_boilerplate_planted_header(spark):
+    """A line planted in every doc of a scope is stripped; per-doc unique
+    lines and under-threshold lines survive; scope isolates counting."""
+    from hnsw_vector_db_spark.operators.corpus import strip_boilerplate_lines
+
+    rows = []
+    for i in range(6):  # scope A: header in all 6 docs (>= min_docs 5)
+        rows.append((i, "A", f"NAV HOME\nuid-{i}\nbody {i}"))
+    for i in range(6, 9):  # scope B: same header but only 3 docs -> kept
+        rows.append((i, "B", f"NAV HOME\nuid-{i}"))
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in strip_boilerplate_lines(
+            df, min_docs=5, scope_col="src"
+        ).collect()
+    }
+    for i in range(6):
+        assert got[i]["n_lines_in"] == 3 and got[i]["n_lines_kept"] == 2
+        assert got[i]["text_clean"] == f"uid-{i}\nbody {i}"
+    for i in range(6, 9):  # under threshold in B: everything kept
+        assert got[i]["n_lines_kept"] == 2
+        assert got[i]["text_clean"].startswith("NAV HOME\n")
+
+
+def test_strip_boilerplate_empty_after_strip(spark):
+    """A doc that is ALL boilerplate survives as an empty string row
+    (never dropped — downstream joins rely on id completeness)."""
+    from hnsw_vector_db_spark.operators.corpus import strip_boilerplate_lines
+
+    rows = [(i, "COOKIE BANNER") for i in range(5)] + [(99, "unique line")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in strip_boilerplate_lines(df, min_docs=5).collect()}
+    assert len(got) == 6
+    for i in range(5):
+        assert got[i]["n_lines_kept"] == 0 and got[i]["text_clean"] == ""
+    assert got[99]["text_clean"] == "unique line"
+
+
+def test_strip_boilerplate_validates_min_docs(spark):
+    import pytest as _pytest
+
+    from hnsw_vector_db_spark.operators.corpus import strip_boilerplate_lines
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        strip_boilerplate_lines(df, min_docs=1)
