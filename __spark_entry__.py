@@ -1061,6 +1061,35 @@ def q_cc_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components_twophase(emb, pairs)
 
 
+def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL connected components (dedup.py:
+    connected_components_incremental): the corpus splits into a
+    HISTORICAL tier (vec_id % 4 != 0, labeled first) and a new BATCH
+    (vec_id % 4 == 0) folded in afterwards — history enters as O(nodes)
+    star edges (rep map), never its raw pairs, via the identity
+    CC(star(G1) ∪ E2) == CC(G1 ∪ E2). The ORACLE is the full
+    recompute over ALL nodes and ALL pairs (the neardup_components
+    recursive CTE) — the incremental path must be label-identical to
+    it, which is the whole contract. Completes the CC lifecycle:
+    batch (neardup_components) -> scale (cc_scale) -> incremental
+    (this), mirroring the incremental_dedup / hnsw_incremental tiers."""
+    emb = _emb(spark, sf_dir)
+    all_pairs = similarity.similarity_join(emb, threshold=SIM_THRESHOLD)
+    hist = emb.filter(F.col("vec_id") % 4 != 0)
+    hist_pairs = all_pairs.filter(
+        (F.col("id_a") % 4 != 0) & (F.col("id_b") % 4 != 0)
+    )
+    batch_pairs = all_pairs.filter(
+        (F.col("id_a") % 4 == 0) | (F.col("id_b") % 4 == 0)
+    )
+    prev = dedup.connected_components_twophase(hist, hist_pairs)
+    return dedup.connected_components_incremental(
+        prev,
+        emb.filter(F.col("vec_id") % 4 == 0).select("vec_id"),
+        batch_pairs,
+    )
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form (label, dim_idx, value, n): scalar rows hash-compare
     robustly where a raw array column would be formatting-sensitive."""
@@ -3981,6 +4010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HAVING-sum semi), JPEG header tier, trained quality classifier,
         # streaming ANN serving ---------------------------------------------
         "cc_scale": q_cc_scale,
+        "cc_incremental": q_cc_incremental,
         "tpch_q21": q_tpch_q21,
         "tpch_q18": q_tpch_q18,
         "tpch_q2": q_tpch_q2,
@@ -4002,7 +4032,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_entity_resolution": q_pipeline_entity_resolution,
         "bq_encode": q_bq_encode,
         "bq_knn": q_bq_knn,
-        "stream_sessionize": q_stream_sessionize,
         "triangle_count": q_triangle_count,
         # -- NEW in r5: filtered ANN, HNSW at the >=0.9 recall bar,
         # sequential funnel + cohort retention, unigram-LM quality score,
@@ -4045,6 +4074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # promoted-changed ones in-window.
         "ndcg_eval": q_ndcg_eval,
         "maxsim_search": q_maxsim_search,
+        "stream_sessionize": q_stream_sessionize,
         "profile_table": q_profile_table,
         "profile_approx": q_profile_approx,
         "skyline": q_skyline,
@@ -5183,6 +5213,8 @@ FROM reach GROUP BY node
     # the large-star/small-star scale tier must agree with min-label
     # propagation label-for-label — same transitive-closure oracle
     sql["cc_scale"] = sql["neardup_components"]
+    # the incremental fold must equal the FULL recompute over all pairs
+    sql["cc_incremental"] = sql["neardup_components"]
 
     sql["label_centroids"] = """
 WITH dims AS (

@@ -173,6 +173,7 @@ GROUPS: dict[str, list[str]] = {
     # classifier, streaming ANN serving
     "r7_new": [
         "cc_scale",
+        "cc_incremental",
         "tpch_q21",
         "tpch_q18",
         "tpch_q2",

@@ -537,6 +537,52 @@ def neardup_components(
     )
 
 
+def connected_components_incremental(
+    prev_labels: DataFrame,
+    new_nodes: DataFrame,
+    new_pairs: DataFrame,
+    id_col: str = "vec_id",
+    max_iters: int = 40,
+) -> DataFrame:
+    """INCREMENTAL connected components: fold a batch of new nodes and
+    new near-dup pairs into a PERSISTED labeling without re-reading the
+    historical pair set — the index-maintenance tier of the dedup CC
+    family (batch: :func:`neardup_components`; scale:
+    :func:`connected_components_twophase`; this: the per-batch form an
+    always-on ingest pipeline runs).
+
+    Correctness rests on a graph identity: a component's star edges
+    (node -> rep) are a connectivity-preserving summary of ALL its
+    historical edges, so CC( star(G1) ∪ E2 ) == CC( G1 ∪ E2 ). The
+    history therefore enters as O(nodes) rep edges — independent of how
+    many raw pairs ever existed — and the union runs through the
+    O(log d) large-star/small-star tier. Representatives stay the
+    component MIN, so labels are stable (a component's rep changes only
+    if the batch merges it with a lower-id component), and the output
+    is provably identical to a full recompute over the union — which is
+    exactly what the driver oracle replays.
+
+    ``prev_labels``: (id_col, rep_id[, is_dup]) from any CC operator
+    here. ``new_nodes``: (id_col, ...) ids NEW in this batch (ids
+    already labeled are fine — dedup'd). Output: the full updated
+    labeling, same contract as the batch forms."""
+    star = prev_labels.filter(
+        F.col("rep_id") != F.col(id_col)
+    ).select(F.col(id_col).alias("doc_a"), F.col("rep_id").alias("doc_b"))
+    a, b = new_pairs.columns[0], new_pairs.columns[1]
+    pairs = star.unionByName(
+        new_pairs.select(F.col(a).alias("doc_a"), F.col(b).alias("doc_b"))
+    )
+    nodes = (
+        prev_labels.select(F.col(id_col))
+        .unionByName(new_nodes.select(F.col(id_col)))
+        .distinct()
+    )
+    return connected_components_twophase(
+        nodes, pairs, id_col=id_col, max_iters=max_iters
+    )
+
+
 def _cc_large_star(edges: DataFrame) -> DataFrame:
     """One large-star step over an oriented (u > v) edge set: every
     neighbor of u STRICTLY LARGER than u re-attaches to m = min(Γ(u) ∪

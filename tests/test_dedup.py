@@ -249,6 +249,62 @@ def test_neardup_components_raises_on_unconverged_deep_chain(spark):
     assert all(r["rep_id"] == 0 for r in got)
 
 
+def test_cc_incremental_equals_full_recompute(spark):
+    """Folding a batch into a persisted labeling via star edges must be
+    label-identical to the full recompute over the union — including a
+    batch edge that MERGES two historical components (the rep of the
+    higher component must drop to the union min)."""
+    import random
+
+    rng = random.Random(11)
+    n = 300
+    all_edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(220)]
+    hist_e = [(u, v) for u, v in all_edges if u % 4 != 0 and v % 4 != 0]
+    batch_e = [(u, v) for u, v in all_edges if u % 4 == 0 or v % 4 == 0]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "vec_id long")
+    hist_n = nodes.filter("vec_id % 4 != 0")
+    prev = dedup.connected_components_twophase(
+        hist_n, spark.createDataFrame(hist_e, "doc_a long, doc_b long")
+    )
+    got = sorted(
+        map(
+            tuple,
+            dedup.connected_components_incremental(
+                prev,
+                nodes.filter("vec_id % 4 = 0"),
+                spark.createDataFrame(batch_e, "doc_a long, doc_b long"),
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            dedup.neardup_components(
+                nodes, spark.createDataFrame(all_edges, "doc_a long, doc_b long")
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_cc_incremental_merges_components_via_batch_edge(spark):
+    """Two historical components {1,2} and {5,6}; batch node 4 bridges
+    them — everyone must re-label to the union min 1."""
+    hist_n = spark.createDataFrame([(1,), (2,), (5,), (6,)], "vec_id long")
+    prev = dedup.connected_components_twophase(
+        hist_n, spark.createDataFrame([(1, 2), (5, 6)], "doc_a long, doc_b long")
+    )
+    out = {
+        r["vec_id"]: r["rep_id"]
+        for r in dedup.connected_components_incremental(
+            prev,
+            spark.createDataFrame([(4,)], "vec_id long"),
+            spark.createDataFrame([(2, 4), (4, 5)], "doc_a long, doc_b long"),
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 4: 1, 5: 1, 6: 1}
+
+
 def test_twophase_cc_no_edges_all_singletons(spark):
     nodes = spark.createDataFrame([(3,), (9,)], "vec_id long")
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
