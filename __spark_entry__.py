@@ -1061,6 +1061,20 @@ def q_cc_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components_twophase(emb, pairs)
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard (operators/stats.py:corpus_report):
+    document count, exact-duplicate count, mean heuristic quality, mean
+    token length, and language mix per source domain — the one table a
+    curator reads before setting domain mixes and filter thresholds,
+    composed from the oracle-green quality_score + exact_groups pieces.
+    One groupBy(source) over n_sources keys; everything collapses
+    map-side. ORACLE-CHECKED (quality CTE + min-over-text dup window +
+    one grouped aggregate)."""
+    from hnsw_vector_db_spark.operators.stats import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir))
+
+
 def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL connected components (dedup.py:
     connected_components_incremental): the corpus splits into a
@@ -4011,6 +4025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming ANN serving ---------------------------------------------
         "cc_scale": q_cc_scale,
         "cc_incremental": q_cc_incremental,
+        "corpus_report": q_corpus_report,
         "tpch_q21": q_tpch_q21,
         "tpch_q18": q_tpch_q18,
         "tpch_q2": q_tpch_q2,
@@ -4032,7 +4047,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_entity_resolution": q_pipeline_entity_resolution,
         "bq_encode": q_bq_encode,
         "bq_knn": q_bq_knn,
-        "triangle_count": q_triangle_count,
         # -- NEW in r5: filtered ANN, HNSW at the >=0.9 recall bar,
         # sequential funnel + cohort retention, unigram-LM quality score,
         # Lloyd recentering + index rebalance, quality-aware dedup,
@@ -4075,6 +4089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_eval": q_ndcg_eval,
         "maxsim_search": q_maxsim_search,
         "stream_sessionize": q_stream_sessionize,
+        "triangle_count": q_triangle_count,
         "profile_table": q_profile_table,
         "profile_approx": q_profile_approx,
         "skyline": q_skyline,
@@ -5762,6 +5777,47 @@ SELECT doc_id, n_tok::INTEGER AS n_tokens,
            + 0.2 * (1.0 - least(punct_ratio * 5, 1.0))
            + 0.1 * least(stop_ratio * 5, 1.0), 6) AS quality
 FROM feat
+""".strip()
+
+    sql["corpus_report"] = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+         length(text) AS n_chars
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+         len(list_filter(toks, w -> list_contains([{stop_list}], lower(w))))::DOUBLE
+           / greatest(len(toks), 1) AS stop_ratio,
+         len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1) AS distinct_ratio
+  FROM t
+),
+q AS (
+  SELECT doc_id, n_tok,
+         round(0.4 * (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * distinct_ratio
+             + 0.2 * (1.0 - least(punct_ratio * 5, 1.0))
+             + 0.1 * least(stop_ratio * 5, 1.0), 6) AS quality
+  FROM feat
+),
+d AS (
+  SELECT doc_id, source, lang,
+         (doc_id <> min(doc_id) OVER (PARTITION BY text)) AS is_dup
+  FROM documents
+)
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN d.is_dup THEN 1 ELSE 0 END)::BIGINT AS n_exact_dups,
+       round(avg(q.quality), 6) + 0 AS avg_quality,
+       round(avg(q.n_tok), 6) + 0 AS avg_tokens,
+       sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+       round(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) + 0 AS pct_en
+FROM d JOIN q USING (doc_id)
+GROUP BY d.source
 """.strip()
 
     _er_r = LSH_K // LSH_BANDS

@@ -174,6 +174,7 @@ GROUPS: dict[str, list[str]] = {
     "r7_new": [
         "cc_scale",
         "cc_incremental",
+        "corpus_report",
         "tpch_q21",
         "tpch_q18",
         "tpch_q2",

@@ -275,3 +275,68 @@ def integrity_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("rule")
+
+
+def corpus_report(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    lang_col: str = "lang",
+):
+    """Per-source curation dashboard — the one-table summary a data
+    curator reads before deciding domain mixes and filters: document
+    count, exact-duplicate count (tier-0 dedup signal), mean heuristic
+    quality, mean token length, and language mix. Composes the
+    individually-oracle-green pieces (quality_score, exact_groups) into
+    the report their outputs exist to feed.
+
+    Scale shape: quality features are a pure projection; the exact-dup
+    map is one 8-byte-hash keyed aggregation (dedup.exact_groups); the
+    report itself is one groupBy(source) over n_sources keys — partial
+    aggregation collapses everything map-side, the final exchange
+    carries n_sources rows per task. No joins beyond the id-keyed
+    feature attach. Output one row per source:
+    (source, n_docs, n_exact_dups, avg_quality, avg_tokens, n_en,
+    pct_en), fully oracle-checkable."""
+    from pyspark.sql import functions as F
+
+    from hnsw_vector_db_spark.operators.dedup import exact_groups
+    from hnsw_vector_db_spark.operators.text_analysis import quality_score
+
+    q = quality_score(docs, text_col=text_col, id_col=id_col).select(
+        id_col, "n_tokens", "quality"
+    )
+    dup = exact_groups(docs, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), (F.col("rep_id") != F.col(id_col)).alias("_is_dup")
+    )
+    base = (
+        docs.select(id_col, source_col, lang_col)
+        .join(q, id_col)
+        .join(dup, id_col)
+    )
+    return (
+        base.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_is_dup"), 1).otherwise(0)).alias(
+                "n_exact_dups"
+            ),
+            (F.round(F.avg("quality"), 6) + F.lit(0.0)).alias("avg_quality"),
+            (F.round(F.avg("n_tokens"), 6) + F.lit(0.0)).alias("avg_tokens"),
+            F.sum(F.when(F.col(lang_col) == "en", 1).otherwise(0)).alias(
+                "n_en"
+            ),
+            (
+                F.round(
+                    F.sum(
+                        F.when(F.col(lang_col) == "en", 1).otherwise(0)
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("pct_en"),
+        )
+        .orderBy(source_col)
+    )

@@ -738,3 +738,26 @@ def test_label_propagation_is_deterministic(spark):
     a = sorted(map(tuple, label_propagation(edges, 3).collect()))
     b = sorted(map(tuple, label_propagation(edges, 3).collect()))
     assert a == b
+
+
+# ---- corpus_report (r7 curation dashboard) ----------------------------------
+
+def test_corpus_report_hand_fixture(spark):
+    """Planted fixture: source A has one exact-dup pair and one English
+    doc of three; source B is all-unique all-en."""
+    from hnsw_vector_db_spark.operators.stats import corpus_report
+
+    rows = [
+        (0, "the same text here ok", "en", "A"),
+        (1, "the same text here ok", "de", "A"),   # exact dup of 0
+        (2, "completely different words", "en", "A"),
+        (3, "unique one", "en", "B"),
+        (4, "unique two", "en", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {r["source"]: r.asDict() for r in corpus_report(df).collect()}
+    assert got["A"]["n_docs"] == 3 and got["A"]["n_exact_dups"] == 1
+    assert got["A"]["n_en"] == 2
+    assert got["B"]["n_docs"] == 2 and got["B"]["n_exact_dups"] == 0
+    assert got["B"]["pct_en"] == 1.0
+    assert 0.0 <= got["A"]["avg_quality"] <= 1.0
