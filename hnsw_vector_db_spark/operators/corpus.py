@@ -731,7 +731,12 @@ def strip_boilerplate_lines(
     lines = docs.select(
         F.col(id_col),
         scope.alias("_scope"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("_ln", "_line"),
+        # coalesce: split(NULL) feeds posexplode zero rows, which would
+        # silently DROP null-text docs from the output — the contract is
+        # one row per input doc, so null text behaves as ''.
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("_ln", "_line"),
     )
     freq = (
         lines.groupBy("_scope", "_line")

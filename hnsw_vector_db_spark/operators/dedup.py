@@ -576,6 +576,10 @@ def connected_components_incremental(
     nodes = (
         prev_labels.select(F.col(id_col))
         .unionByName(new_nodes.select(F.col(id_col)))
+        # pair endpoints too: an id appearing only in new_pairs still
+        # influences connectivity and must come back labeled, not vanish
+        .unionByName(new_pairs.select(F.col(a).alias(id_col)))
+        .unionByName(new_pairs.select(F.col(b).alias(id_col)))
         .distinct()
     )
     return connected_components_twophase(

@@ -633,7 +633,7 @@ def salted_join(
     if n_salt < 1:
         raise ValueError(f"n_salt must be >= 1, got {n_salt}")
     safe = {"inner", "left", "leftouter", "left_outer", "left_semi",
-            "leftsemi", "left_anti", "leftanti", "cross"}
+            "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
     if how.lower().replace("_", "") not in {s.replace("_", "") for s in safe}:
         raise ValueError(
             f"salted_join(how={how!r}): dim-preserving joins (right/full/"

@@ -682,6 +682,26 @@ def test_salted_join_rejects_dim_preserving_modes(spark):
     assert got == want
 
 
+def test_salted_join_accepts_bare_semi_anti_aliases(spark):
+    """Spark's JoinType parser accepts bare 'semi'/'anti' for
+    left_semi/left_anti; both are fact-preserving so the guard must
+    allow them (r7 ADVICE)."""
+    from pyspark.sql import Row
+
+    from hnsw_vector_db_spark.operators.relational import salted_join
+
+    facts = spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)])
+    dim = spark.createDataFrame([Row(k="a", w=1.0)])
+    semi = sorted(
+        map(tuple, salted_join(facts, dim, "k", n_salt=4, how="semi").collect())
+    )
+    assert semi == sorted(map(tuple, facts.join(dim, "k", "semi").collect()))
+    anti = sorted(
+        map(tuple, salted_join(facts, dim, "k", n_salt=4, how="anti").collect())
+    )
+    assert anti == sorted(map(tuple, facts.join(dim, "k", "anti").collect()))
+
+
 # ---- integrity audit -------------------------------------------------------
 
 def test_integrity_report_finds_planted_orphans(spark):

@@ -552,6 +552,18 @@ def test_strip_boilerplate_empty_after_strip(spark):
     assert got[99]["text_clean"] == "unique line"
 
 
+def test_strip_boilerplate_null_text_survives(spark):
+    """split(NULL) emits no posexplode rows, which used to drop the doc
+    entirely (r7 ADVICE) — NULL text must behave as '' and keep its row."""
+    from hnsw_vector_db_spark.operators.corpus import strip_boilerplate_lines
+
+    rows = [(i, "COOKIE BANNER") for i in range(5)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in strip_boilerplate_lines(df, min_docs=5).collect()}
+    assert len(got) == 6
+    assert got[99]["n_lines_in"] == 1 and got[99]["text_clean"] == ""
+
+
 def test_strip_boilerplate_validates_min_docs(spark):
     import pytest as _pytest
 

@@ -305,6 +305,25 @@ def test_cc_incremental_merges_components_via_batch_edge(spark):
     assert out == {1: 1, 2: 1, 4: 1, 5: 1, 6: 1}
 
 
+def test_cc_incremental_labels_pair_only_ids(spark):
+    """Ids appearing ONLY in new_pairs (in neither prev_labels nor
+    new_nodes) still influence connectivity and must come back labeled
+    (r7 ADVICE) — here 7 bridges {1,2} to {5,6} and is itself output."""
+    hist_n = spark.createDataFrame([(1,), (2,), (5,), (6,)], "vec_id long")
+    prev = dedup.connected_components_twophase(
+        hist_n, spark.createDataFrame([(1, 2), (5, 6)], "doc_a long, doc_b long")
+    )
+    out = {
+        r["vec_id"]: r["rep_id"]
+        for r in dedup.connected_components_incremental(
+            prev,
+            spark.createDataFrame([], "vec_id long"),
+            spark.createDataFrame([(2, 7), (7, 5)], "doc_a long, doc_b long"),
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 5: 1, 6: 1, 7: 1}
+
+
 def test_twophase_cc_no_edges_all_singletons(spark):
     nodes = spark.createDataFrame([(3,), (9,)], "vec_id long")
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
