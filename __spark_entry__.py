@@ -2001,6 +2001,40 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QCS_FRAC, QCS_AUC_FLOOR = 0.5, 0.75
+
+
+def q_quality_classifier_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED training tier of the quality classifier (r7 judge #1):
+    identical model and planted-marker label as ``quality_classifier``,
+    but trained on the deterministic poly-hash subsample
+    ``sample_filter(doc_id, 0.5)`` of the train split — the 100 TB
+    shape, where full-batch GD's per-iteration cost is linear in the
+    corpus but a curator's model only needs a representative sample.
+    The persisted loop input shrinks to O(frac * n) rows, so holding
+    the sample budget fixed (frac ~ target_n / corpus_n) makes
+    per-iteration cost FLAT in corpus size; the holdout evaluation
+    stays full (train on a sample, score everything once).
+
+    ORACLE-CHECKED END TO END like the full-batch entry: DuckDB replays
+    the 8-iteration training loop over the SAME hash-sampled stream
+    (the sample predicate is poly_hash — portable by construction) and
+    must reproduce every learned weight at 6dp plus the holdout
+    rank-AUC. auc_floor relaxes 0.8 -> 0.75 for the halved training
+    set (measured 0.80-0.93 across sf0.001-0.01)."""
+    from hnsw_vector_db_spark.operators.classifier import quality_classifier
+
+    docs = _docs(spark, sf_dir)
+    label = F.array_contains(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""),
+        QC_MARKER,
+    )
+    return quality_classifier(
+        docs, label, dim=QC_DIM, n_iters=QC_ITERS, lr=QC_LR,
+        auc_floor=QCS_AUC_FLOOR, sample_frac=QCS_FRAC,
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode, SELF-VERIFYING: payloads are REAL containers
     synthesized deterministically from document bytes (doc_id%3 ->
@@ -4032,6 +4066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": q_boilerplate_strip,
         "image_meta": q_image_meta,
         "quality_classifier": q_quality_classifier,
+        "quality_classifier_sampled": q_quality_classifier_sampled,
         "stream_knn": q_stream_knn,
         # -- promoted-changed in r7 (see header comment) ---------------------
         "neardup_components": q_neardup_components,
@@ -4660,6 +4695,8 @@ def _quality_classifier_sql(
     marker: str = "spark",
     holdout_mod: int = 5,
     auc_floor: float = 0.8,
+    sample_thr: int | None = None,
+    sample_salt: str = "train",
 ) -> str:
     """Replay the ENTIRE logistic-regression training loop as chained
     CTEs: w0 = zeros; each iteration computes every doc's sigmoid margin
@@ -4696,7 +4733,16 @@ def _quality_classifier_sql(
   SELECT doc_id, CASE WHEN list_contains(toks, '{marker}') THEN 1.0 ELSE 0.0 END AS y
   FROM toks)""",
         "data AS MATERIALIZED (SELECT h.doc_id, h.emb, l.y FROM hemb h JOIN lab l USING (doc_id))",
-        f"train AS MATERIALIZED (SELECT * FROM data WHERE doc_id % {holdout_mod} <> 0)",
+        # hash-sampled training tier (classifier.py:sample_filter): keep
+        # a train row iff poly_hash(id || '#salt') % GRAIN < thr — the
+        # exact predicate the Spark side applies, replayed byte-for-byte
+        f"""train AS MATERIALIZED (SELECT * FROM data WHERE doc_id % {holdout_mod} <> 0{
+            ""
+            if sample_thr is None
+            else " AND "
+            + _POLY.format(s=f"(doc_id::VARCHAR || '#{sample_salt}')")
+            + f" % 10000 < {sample_thr}"
+        })""",
         f"ho AS MATERIALIZED (SELECT * FROM data WHERE doc_id % {holdout_mod} = 0)",
         "ntr AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM train)",
         f"w0 AS MATERIALIZED (SELECT list_transform(range(0, {dim}), j -> 0.0) AS w)",
@@ -5345,6 +5391,10 @@ GROUP BY t.doc_id
     sql["sq_knn"] = _sq_knn_sql(10, 50)
     sql["quality_classifier"] = _quality_classifier_sql(
         QC_DIM, QC_ITERS, QC_LR, QC_MARKER, 5, QC_AUC_FLOOR
+    )
+    sql["quality_classifier_sampled"] = _quality_classifier_sql(
+        QC_DIM, QC_ITERS, QC_LR, QC_MARKER, 5, QCS_AUC_FLOOR,
+        sample_thr=int(QCS_FRAC * 10000),
     )
     sql["bq_encode"] = _bq_encode_sql(64, 32)
     sql["bq_knn"] = _bq_knn_sql(10, 50, 64)

@@ -93,3 +93,53 @@ def test_quality_classifier_planted_marker_end_to_end(spark):
     assert 0.8 <= parts["auc"][0][1] <= 1.0
     # nonzero model: training actually moved weights
     assert any(v != 0.0 for _, v in parts["weight"])
+
+
+def test_sample_filter_is_deterministic_and_nested(spark):
+    """Hash-sample membership is a pure function of (id, salt): two runs
+    agree exactly, raising frac only ADDS rows (nested samples), and the
+    selected fraction lands near frac."""
+    from hnsw_vector_db_spark.operators.classifier import sample_filter
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    s1 = {r["doc_id"] for r in df.filter(sample_filter("doc_id", 0.3)).collect()}
+    s2 = {r["doc_id"] for r in df.filter(sample_filter("doc_id", 0.3)).collect()}
+    assert s1 == s2
+    s_big = {r["doc_id"] for r in df.filter(sample_filter("doc_id", 0.6)).collect()}
+    assert s1 <= s_big
+    assert 0.2 < len(s1) / 2000 < 0.4 and 0.5 < len(s_big) / 2000 < 0.7
+    with pytest.raises(ValueError):
+        sample_filter("doc_id", 0.0)
+    with pytest.raises(ValueError):
+        sample_filter("doc_id", 1.1)
+
+
+def test_logreg_sampled_equals_manual_subset(spark):
+    """logreg_train(sample_frac=f) == logreg_train on the pre-filtered
+    subset — sampling only selects rows, never changes the math."""
+    from hnsw_vector_db_spark.operators.classifier import sample_filter
+
+    df, _, _ = _toy(spark, n=80)
+    w_s = logreg_train(df, n_iters=3, lr=2.0, dim=4, sample_frac=0.5)
+    manual = df.filter(sample_filter("doc_id", 0.5))
+    assert manual.count() < 80
+    w_m = logreg_train(manual, n_iters=3, lr=2.0, dim=4)
+    assert w_s == w_m
+
+
+def test_quality_classifier_sampled_holdout_stays_full(spark):
+    """sample_frac shrinks only the TRAIN side: holdout class counts
+    (n_pos + n_neg) must equal the full-batch run's — score everything,
+    train on a sample."""
+    from hnsw_vector_db_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF, "documents")
+    label = F.array_contains(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""), "spark"
+    )
+    full = {r["part"]: r["value"] for r in quality_classifier(
+        docs, label, dim=64, n_iters=2, lr=5.0).filter("part != 'weight'").collect()}
+    samp = {r["part"]: r["value"] for r in quality_classifier(
+        docs, label, dim=64, n_iters=2, lr=5.0, sample_frac=0.5,
+    ).filter("part != 'weight'").collect()}
+    assert (samp["n_pos"], samp["n_neg"]) == (full["n_pos"], full["n_neg"])
