@@ -685,6 +685,53 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION twin of tpch_q2 (r7 judge #2): same result, ONE
+    lineitem pass. The correlated form is the planner test — Catalyst
+    decorrelates it correctly but evaluates the `ps` CTE twice (Spark
+    does not materialize CTEs), so the lineitem aggregate runs twice:
+    12.9x at 64x, the r7 suite's worst relational ratio. The shape a
+    pipeline should run replaces the correlated MIN with
+    `rank() OVER (PARTITION BY l_partkey ORDER BY unit_cost) = 1`
+    (rank, not row_number: ties at the min are Q2 semantics): one
+    lineitem scan -> one (partkey,suppkey) aggregate -> one window over
+    the ALREADY-AGGREGATED ps relation. The rank=1 filter triggers
+    Spark's WindowGroupLimit, so the per-partkey top-1 cut happens
+    map-side BEFORE the window exchange — the second shuffle moves
+    ~one row per (partkey, rank-1 tie), not all of ps. Plan-locked:
+    exactly one lineitem FileScan (vs 2 in tpch_q2) + WindowGroupLimit.
+
+    Deliberately NOT the fork-persist variant: persisting ps trades a
+    second scan for a full materialization of a data-scaling relation;
+    the window form needs neither (PLANS.md r8 audit). Oracle: DuckDB
+    runs the CORRELATED form — the two formulations must agree row for
+    row, which is also a semantics proof for the rewrite."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_q2f_part")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q2f_li")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("_q2f_supp")
+    return spark.sql(
+        """
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 round(min(l_extendedprice / l_quantity), 2) + 0.0 AS unit_cost
+          FROM _q2f_li GROUP BY l_partkey, l_suppkey),
+        best AS (
+          SELECT l_partkey, l_suppkey, unit_cost,
+                 rank() OVER (PARTITION BY l_partkey
+                              ORDER BY unit_cost) AS rk
+          FROM ps)
+        SELECT p.p_partkey, p.p_brand, s.s_name,
+               round(s.s_acctbal, 2) + 0.0 AS s_acctbal, b.unit_cost
+        FROM _q2f_part p
+        JOIN best b ON b.l_partkey = p.p_partkey AND b.rk = 1
+        JOIN _q2f_supp s ON s.s_suppkey = b.l_suppkey
+        WHERE p.p_size < 15
+        ORDER BY s_acctbal DESC, p.p_partkey ASC, s.s_name ASC
+        LIMIT 100
+        """
+    )
+
+
 def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU + trailing-7-day actives per calendar day
     (events.py:rolling_actives): windowed COUNT(DISTINCT) is not
@@ -4063,6 +4110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "tpch_q18": q_tpch_q18,
         "tpch_q2": q_tpch_q2,
+        "tpch_q2_fast": q_tpch_q2_fast,
         "boilerplate_strip": q_boilerplate_strip,
         "image_meta": q_image_meta,
         "quality_classifier": q_quality_classifier,
@@ -5526,6 +5574,11 @@ WHERE p.p_size < 15
 ORDER BY s_acctbal DESC, p.p_partkey ASC, s.s_name ASC
 LIMIT 100
 """.strip()
+    # the production twin's oracle is the CORRELATED formulation — the
+    # two shapes agreeing row-for-row proves the window rewrite's
+    # semantics (ties at the per-part min included by rank, not
+    # row_number), on top of the usual cross-engine value check
+    sql["tpch_q2_fast"] = sql["tpch_q2"]
     sql["rolling_actives"] = """
 WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
 days AS (SELECT DISTINCT day FROM du),

@@ -158,6 +158,27 @@ def test_tpch_q2_correlated_min_decorrelates(spark, qs):
     assert has_take_ordered(df)
 
 
+def test_tpch_q2_fast_single_lineitem_scan(spark, qs):
+    """The production twin must read lineitem ONCE (the correlated form
+    pays a second full aggregate — Spark doesn't materialize CTEs) and
+    push the rank=1 cut map-side via WindowGroupLimit."""
+    df = qs["tpch_q2_fast"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("FileScan parquet") == 3  # lineitem + part + supplier
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_cartesian(df)
+    assert has_take_ordered(df)
+
+
+def test_tpch_q2_fast_matches_correlated_form(spark, qs):
+    """Window-rank rewrite == correlated-MIN original, row for row
+    (ties at the per-part min are kept by both)."""
+    fast = sorted(map(tuple, qs["tpch_q2_fast"](spark, SF).collect()))
+    slow = sorted(map(tuple, qs["tpch_q2"](spark, SF).collect()))
+    assert fast == slow
+
+
 def test_pivot_is_single_aggregate(spark, qs):
     # pivot with explicit values = ONE aggregate pass over orders (no
     # distinct-scan for values, no union of per-status re-scans)
