@@ -3242,14 +3242,16 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING (Sennrich et al. ACL'16) in pure Spark
     expressions (operators/bpe.py): corpus -> distinct-word frequency
     table once, then per merge one vocab-sized pair aggregation + one
-    codegen merge fold (no UDF anywhere). Rows-only by necessity
-    (iterative argmax is not a single SQL query); correctness is pinned
-    three ways: IN-ROW booleans (monotone_ok — support is provably
-    non-increasing over merges; merged_ok — merged symbol == left||
-    right), and tests/test_bpe.py pins the ENTIRE learned merge
-    sequence against an independent textbook Python implementation on
-    this same table. Output (step, left, right, merged, support,
-    monotone_ok, merged_ok)."""
+    codegen merge fold (no UDF anywhere). ORACLE-CHECKED since r8: the
+    DuckDB twin replays the ENTIRE 24-step training loop as chained
+    MATERIALIZED CTEs (_bpe_train_sql — pair-count argmax + an
+    index-fold merge application with the same leftmost-nonoverlapping
+    skip semantics), so every learned merge, its support, and the early
+    stop are cross-engine exact. Belt and braces: IN-ROW booleans
+    (monotone_ok — support is provably non-increasing; merged_ok), and
+    tests/test_bpe.py pins the merge sequence against an independent
+    textbook Python implementation. Output (step, left, right, merged,
+    support, monotone_ok, merged_ok)."""
     from hnsw_vector_db_spark.operators import bpe
 
     merges = bpe.bpe_train(_docs(spark, sf_dir), n_merges=24)
@@ -4843,6 +4845,82 @@ UNION ALL SELECT 'n_neg', -1, nn FROM aucv
 """.strip()
 
 
+def _bpe_train_sql(n_merges: int = 24) -> str:
+    """Replay the ENTIRE BPE training loop (bpe.py:bpe_train) as chained
+    MATERIALIZED CTEs — one (pair-count, argmax, merge-apply) triple per
+    step, the _quality_classifier_sql pattern. The merge application is
+    the delicate part: Spark runs a leftmost-first NON-OVERLAPPING fold
+    with a skip flag over the symbol array; DuckDB replays it with
+    list_reduce over the index range and a STRING-ENCODED accumulator
+    (flag char + chr(31)-joined output — list_reduce's accumulator must
+    be element-typed). A string replace() would NOT be equivalent:
+    adjacent matches share the boundary delimiter, so replace misses the
+    second of two back-to-back merges ([a,b,a,b] -> [ab,a,b], fold gives
+    [ab,ab]). Early stop (top support < 2) replays via the cnt >= 2
+    filter on each argmax — an empty m{t} propagates: seg{t} keeps
+    parts unchanged (LEFT JOIN + NULL guard), so every later argmax is
+    empty too and the row just doesn't exist, matching Spark's break.
+    Tie-break (cnt DESC, l ASC, r ASC) is binary-collation string order
+    in both engines. MATERIALIZED throughout: DuckDB inlines CTEs by
+    default and each seg{t} is consumed twice (pc{t+1} and seg{t+1}) —
+    unmaterialized, the chain re-evaluates upstream 2^n_merges times."""
+    fold = (
+        "string_split(substr(list_reduce("
+        "list_prepend('0', list_transform(range(1, len(parts) + 1), "
+        "i -> i::VARCHAR)), "
+        "(acc, xi) -> CASE "
+        "WHEN acc[1] = '1' THEN '0' || substr(acc, 2) "
+        "WHEN parts[xi::INT] = m.l AND xi::INT < len(parts) "
+        "AND parts[xi::INT + 1] = m.r "
+        "THEN '1' || substr(acc, 2) || chr(31) || m.l || m.r "
+        "ELSE '0' || substr(acc, 2) || chr(31) || parts[xi::INT] END"
+        "), 3), chr(31))"
+    )
+    ctes = [
+        f"""wf AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS wfreq FROM (
+    SELECT unnest({_TOKS}) AS word FROM documents) GROUP BY word)""",
+        """seg0 AS MATERIALIZED (
+  SELECT wfreq, list_append(string_split(word, ''), '</w>') AS parts
+  FROM wf)""",
+    ]
+    for t in range(1, n_merges + 1):
+        p = t - 1
+        ctes.append(
+            f"""pc{t} AS MATERIALIZED (
+  SELECT pr.l AS l, pr.r AS r, sum(wfreq)::BIGINT AS cnt FROM (
+    SELECT wfreq, unnest(list_transform(range(1, len(parts)),
+                         i -> {{'l': parts[i], 'r': parts[i + 1]}})) AS pr
+    FROM seg{p}) GROUP BY pr.l, pr.r)"""
+        )
+        ctes.append(
+            f"""m{t} AS MATERIALIZED (
+  SELECT l, r, cnt FROM pc{t} WHERE cnt >= 2
+  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"""
+        )
+        ctes.append(
+            f"""seg{t} AS MATERIALIZED (
+  SELECT wfreq, CASE WHEN m.l IS NULL THEN parts ELSE {fold} END AS parts
+  FROM seg{p} LEFT JOIN m{t} m ON TRUE)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT {t} AS step, l, r, cnt FROM m{t}"
+        for t in range(1, n_merges + 1)
+    )
+    ctes.append(f"ms AS ({union})")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT step::INTEGER AS step, l AS "left", r AS "right", l || r AS merged,
+       cnt AS support,
+       coalesce(cnt <= min(cnt) OVER (ORDER BY step
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), TRUE)
+         AS monotone_ok,
+       TRUE AS merged_ok
+FROM ms ORDER BY step
+""".strip()
+
+
 def _bq_encode_sql(dim: int = 64, bits_per_word: int = 32) -> str:
     nwords = -(-dim // bits_per_word)
     return f"""
@@ -5449,6 +5527,7 @@ GROUP BY t.doc_id
     sql["maxsim_search"] = _maxsim_sql(MAXSIM_PHRASES, 10, 64, 32)
     sql["random_projection"] = _rp_sql(64, 16, 0)
     sql["bpe_encode"] = _bpe_encode_sql()
+    sql["bpe_train"] = _bpe_train_sql(24)
     sql["incremental_dedup"] = _incremental_dedup_sql(
         LSH_K, LSH_BANDS, JACCARD_THRESHOLD
     )
