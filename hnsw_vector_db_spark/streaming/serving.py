@@ -12,6 +12,7 @@ executors and a 10^5-query burst costs the same plan as 10 queries.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 QUERY_SCHEMA = "query_id long, query_vec array<float>"
@@ -61,6 +62,75 @@ def start_knn_serving(
         # when downstream consumers compare distances cross-engine: the
         # float32 default costs ~1e-7 relative on the query side, which
         # a 6dp-rounded oracle can see
+        read_query_stream(spark, query_dir, schema=query_schema)
+        .writeStream.foreachBatch(_answer)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_knn_serving_ann(
+    spark: SparkSession,
+    query_dir: str,
+    index: DataFrame,
+    centroids: np.ndarray,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    ef: int = 64,
+    nprobe: int = 2,
+    metric: str = "cosine",
+    index_version: int | None = None,
+    table_version: int | None = None,
+    query_schema: str = QUERY_SCHEMA,
+):
+    """ANN-backed streaming serving — the shape that survives 100 TB.
+
+    :func:`start_knn_serving` answers each micro-batch with an EXACT
+    scan of the corpus: correct, and fine while the corpus is cacheable,
+    but the per-batch cost is O(corpus) forever. The reference's
+    /search loop (`api/rest/server.py:159-186`) is an INDEX lookup; this
+    is that lifecycle on a stream: each micro-batch runs
+    :func:`~..operators.hnsw_partition.hnsw_search` against the
+    PERSISTED per-cell index (built once by ``hnsw_build``, read back
+    from parquet), so per-batch cost is O(probed cells), independent of
+    corpus size. Same idempotent sink contract as the exact server
+    (per-``batch_id`` directory overwrite = effective exactly-once
+    under at-least-once foreachBatch replay).
+
+    Staleness guard (the api.py ``search_approx`` contract,
+    api.py:384): when ``index_version``/``table_version`` are supplied
+    they must match, else we refuse to START serving — an index that
+    predates the latest corpus write silently serves wrong neighbors
+    (the reference happily does; we don't). Versionless callers (ad-hoc
+    index + frozen corpus) may pass neither."""
+    from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_search
+
+    if (index_version is None) != (table_version is None):
+        raise ValueError(
+            "pass BOTH index_version and table_version (or neither): a "
+            "one-sided version can't prove freshness"
+        )
+    if index_version is not None and index_version != table_version:
+        raise RuntimeError(
+            f"index is stale (index_version={index_version} != "
+            f"table_version={table_version}); rebuild before serving — a "
+            "stale index silently drops every vector written since build"
+        )
+    index = index.cache()
+    index.count()  # materialize once; every micro-batch probes the cache
+
+    def _answer(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = hnsw_search(
+            index, batch_df, centroids, k=k, ef=ef, nprobe=nprobe,
+            metric=metric,
+        )
+        res.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
         read_query_stream(spark, query_dir, schema=query_schema)
         .writeStream.foreachBatch(_answer)
         .option("checkpointLocation", checkpoint_dir)

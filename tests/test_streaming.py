@@ -144,6 +144,58 @@ def test_streaming_knn_serving_matches_batch(spark, sf_dir, tmp_path):
     assert served == batch
 
 
+def test_streaming_ann_serving_matches_batch_hnsw_search(spark, sf_dir, tmp_path):
+    """ANN serving (start_knn_serving_ann): queries streamed in two
+    micro-batches against the persisted index get EXACTLY the batch
+    hnsw_search answers on the union (both are pure functions of the
+    index + query set), and the staleness guard refuses a version skew."""
+    import pytest as _pytest
+    from pyspark.sql import functions as SF
+
+    from hnsw_vector_db_spark.operators.hnsw_partition import (
+        hnsw_build,
+        hnsw_search,
+    )
+    from hnsw_vector_db_spark.operators.similarity import ivf_fit
+    from hnsw_vector_db_spark.sources.parquet import load_table
+    from hnsw_vector_db_spark.streaming.serving import start_knn_serving_ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_fit(emb, n_cells=4)
+    index = hnsw_build(assigned).cache()
+    queries = emb.filter(SF.col("vec_id") < 6).select(
+        SF.col("vec_id").alias("query_id"), SF.col("embedding").alias("query_vec")
+    )
+    qdir, out, ckpt = (str(tmp_path / d) for d in ("q", "out", "ckpt"))
+    queries.filter("query_id < 3").coalesce(1).write.mode("append").parquet(qdir)
+    queries.filter("query_id >= 3").coalesce(1).write.mode("append").parquet(qdir)
+    with _pytest.raises(RuntimeError, match="stale"):
+        start_knn_serving_ann(
+            spark, qdir, index, centroids, out, ckpt,
+            index_version=1, table_version=2,
+        )
+    with _pytest.raises(ValueError, match="BOTH"):
+        start_knn_serving_ann(
+            spark, qdir, index, centroids, out, ckpt, index_version=1,
+        )
+    q = start_knn_serving_ann(
+        spark, qdir, index, centroids, out, ckpt,
+        k=5, ef=64, nprobe=2, index_version=3, table_version=3,
+    )
+    q.awaitTermination()
+    served = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in hnsw_search(
+            index, queries, centroids, k=5, ef=64, nprobe=2
+        ).collect()
+    }
+    assert served == batch and len(served) == 30
+
+
 def test_streaming_index_maintenance(spark, sf_dir, tmp_path):
     """Streamed vector batches fold into the persisted HNSW index via the
     incremental merge; the committed version serves searches that find
