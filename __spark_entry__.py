@@ -685,6 +685,93 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-inventory suppliers) — the NESTED
+    semi-join over a subquery that itself contains BOTH another
+    semi-join and a CORRELATED aggregate, the remaining standard
+    mis-planning shape after the r7 trio (Q21 semi+anti, Q18
+    HAVING-semi, Q2 correlated MIN). Adapted to this schema (no
+    partsupp): the part-supplier relation derives from lineitem as
+    total_qty = sum(l_quantity) per (partkey, suppkey); a supplier
+    qualifies iff SOME of its parts matches the name filter AND its
+    total quantity exceeds 4x its 1996 shipped quantity for that part.
+
+    Planner hazards under test (all plan-locked):
+      - the outer IN must become a real left-semi JOIN, not a per-row
+        subquery;
+      - the inner correlated SUM must DECORRELATE to a grouped
+        aggregate + join;
+      - the empty-group case is load-bearing: a (partkey, suppkey) with
+        NO 1996 shipments yields sum = NULL, and `total_qty > 4*NULL`
+        must exclude the row (the classic decorrelation COUNT-bug
+        family) — no coalesce, so a wrong NULL-extension materially
+        changes the result and the oracle catches it.
+    Output (s_suppkey, s_name, n_name) for the NATION_1x block, ordered
+    by (s_name, s_suppkey)."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_q20_part")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q20_li")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("_q20_supp")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_q20_nat")
+    return spark.sql(
+        """
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey, sum(l_quantity) AS total_qty
+          FROM _q20_li GROUP BY l_partkey, l_suppkey)
+        SELECT s.s_suppkey, s.s_name, n.n_name
+        FROM _q20_supp s JOIN _q20_nat n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name LIKE 'NATION_1%'
+          AND s.s_suppkey IN (
+            SELECT ps.l_suppkey FROM ps
+            WHERE ps.l_partkey IN (SELECT p_partkey FROM _q20_part
+                                   WHERE p_name LIKE 'small%')
+              AND ps.total_qty > (
+                SELECT 4.0 * sum(l2.l_quantity) FROM _q20_li l2
+                WHERE l2.l_partkey = ps.l_partkey
+                  AND l2.l_suppkey = ps.l_suppkey
+                  AND l2.l_shipdate >= DATE '1996-01-01'
+                  AND l2.l_shipdate < DATE '1997-01-01'))
+        ORDER BY s.s_name, s.s_suppkey
+        """
+    )
+
+
+def q_tpch_q20_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION twin of tpch_q20, ONE lineitem pass: the correlated
+    windowed SUM and the total SUM share the (partkey, suppkey)
+    grouping, so conditional aggregation computes both in the SAME
+    aggregate — `sum(CASE WHEN shipdate in window THEN qty END)` is
+    NULL when no 1996 rows exist, which reproduces the correlated
+    subquery's empty-group NULL exclusion exactly (no coalesce, on
+    purpose). The decorrelated original scans lineitem twice (ps + the
+    correlated agg); this scans it once and replaces the decorrelation
+    join with a projection. Plan-locked to a single lineitem FileScan;
+    oracle = the correlated DuckDB form, so the driver check is also a
+    semantics proof for the conditional-aggregation rewrite."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_q20f_part")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q20f_li")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("_q20f_supp")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_q20f_nat")
+    return spark.sql(
+        """
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey, sum(l_quantity) AS total_qty,
+                 sum(CASE WHEN l_shipdate >= DATE '1996-01-01'
+                           AND l_shipdate < DATE '1997-01-01'
+                          THEN l_quantity END) AS win_qty
+          FROM _q20f_li GROUP BY l_partkey, l_suppkey)
+        SELECT s.s_suppkey, s.s_name, n.n_name
+        FROM _q20f_supp s JOIN _q20f_nat n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name LIKE 'NATION_1%'
+          AND s.s_suppkey IN (
+            SELECT ps.l_suppkey FROM ps
+            WHERE ps.l_partkey IN (SELECT p_partkey FROM _q20f_part
+                                   WHERE p_name LIKE 'small%')
+              AND ps.total_qty > 4.0 * ps.win_qty)
+        ORDER BY s.s_name, s.s_suppkey
+        """
+    )
+
+
 def q_tpch_q2_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION twin of tpch_q2 (r7 judge #2): same result, ONE
     lineitem pass. The correlated form is the planner test — Catalyst
@@ -4204,6 +4291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q2": q_tpch_q2,
         "tpch_q2_fast": q_tpch_q2_fast,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q20_fast": q_tpch_q20_fast,
         "boilerplate_strip": q_boilerplate_strip,
         "image_meta": q_image_meta,
         "quality_classifier": q_quality_classifier,
@@ -5750,6 +5839,26 @@ LIMIT 100
     # semantics (ties at the per-part min included by rank, not
     # row_number), on top of the usual cross-engine value check
     sql["tpch_q2_fast"] = sql["tpch_q2"]
+    sql["tpch_q20"] = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name LIKE 'NATION_1%'
+  AND s.s_suppkey IN (
+    SELECT ps.l_suppkey FROM ps
+    WHERE ps.l_partkey IN (SELECT p_partkey FROM part
+                           WHERE p_name LIKE 'small%')
+      AND ps.total_qty > (
+        SELECT 4.0 * sum(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = ps.l_partkey AND l2.l_suppkey = ps.l_suppkey
+          AND l2.l_shipdate >= DATE '1996-01-01'
+          AND l2.l_shipdate < DATE '1997-01-01'))
+ORDER BY s.s_name, s.s_suppkey
+""".strip()
+    # one-pass twin shares the correlated oracle (rewrite semantics proof)
+    sql["tpch_q20_fast"] = sql["tpch_q20"]
     sql["rolling_actives"] = """
 WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
 days AS (SELECT DISTINCT day FROM du),

@@ -158,6 +158,32 @@ def test_tpch_q2_correlated_min_decorrelates(spark, qs):
     assert has_take_ordered(df)
 
 
+def test_tpch_q20_nested_semi_decorrelates(spark, qs):
+    """Q20: the outer IN must plan as a real LeftSemi join and the inner
+    correlated SUM must decorrelate to a grouped aggregate + join —
+    never a per-row subquery or nested loop."""
+    df = qs["tpch_q20"](spark, SF)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_cartesian(df)
+    # ps aggregate + the decorrelated windowed aggregate
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q20_fast_single_lineitem_scan(spark, qs):
+    """The conditional-aggregation twin reads lineitem ONCE (the
+    decorrelated original reads it twice) and still semi-joins."""
+    df = qs["tpch_q20_fast"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("FileScan parquet") == 4  # lineitem+part+supplier+nation
+    assert "LeftSemi" in plan
+    assert_no_cartesian(df)
+    fast = sorted(map(tuple, df.collect()))
+    slow = sorted(map(tuple, qs["tpch_q20"](spark, SF).collect()))
+    assert fast == slow and len(fast) > 0
+
+
 def test_tpch_q2_fast_single_lineitem_scan(spark, qs):
     """The production twin must read lineitem ONCE (the correlated form
     pays a second full aggregate — Spark doesn't materialize CTEs) and
