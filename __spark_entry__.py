@@ -1195,18 +1195,54 @@ def q_cc_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components_twophase(emb, pairs)
 
 
-def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source curation dashboard (operators/stats.py:corpus_report):
-    document count, exact-duplicate count, mean heuristic quality, mean
-    token length, and language mix per source domain — the one table a
-    curator reads before setting domain mixes and filter thresholds,
-    composed from the oracle-green quality_score + exact_groups pieces.
-    One groupBy(source) over n_sources keys; everything collapses
-    map-side. ORACLE-CHECKED (quality CTE + min-over-text dup window +
-    one grouped aggregate)."""
-    from hnsw_vector_db_spark.operators.stats import corpus_report
+CR_DIM, CR_ITERS, CR_LR, CR_FRAC = 64, 4, 5.0, 0.5
 
-    return corpus_report(_docs(spark, sf_dir))
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard v2 (operators/stats.py:
+    corpus_report): ALL FOUR quality signals per source domain —
+    document count, exact-duplicate count, mean heuristic quality, mean
+    token length, language mix, PLUS the mean trained-classifier margin
+    and the mean DSIR importance log-weight — the one table a curator
+    reads before setting domain mixes and filter thresholds. The margin
+    column exercises the r8 sampled-training tier end to end: the
+    classifier trains on the poly-hash HALF-sample of the corpus
+    (logreg_train(sample_frac=0.5), dim=64, 4 iterations) and then
+    scores EVERY document — train on a budget, score everything once.
+    DSIR weights use the English subset as the target domain (the
+    dsir_weights entry's setup). Still ONE groupBy(source); the two new
+    signals attach by LEFT join so feature-dropout docs stay counted.
+    ORACLE-CHECKED end to end — the DuckDB twin replays the sampled
+    training loop (chained MATERIALIZED CTEs), the full-corpus scoring,
+    the DSIR models, and the grouped report."""
+    from hnsw_vector_db_spark.operators.classifier import (
+        logreg_score,
+        logreg_train,
+    )
+    from hnsw_vector_db_spark.operators.corpus import dsir_weights
+    from hnsw_vector_db_spark.operators.stats import corpus_report
+    from hnsw_vector_db_spark.operators.text_analysis import hash_embed
+
+    docs = _docs(spark, sf_dir)
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    emb = hash_embed(spread, dim=CR_DIM)
+    label = F.array_contains(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""),
+        QC_MARKER,
+    )
+    data = emb.join(
+        docs.select("doc_id", label.cast("double").alias("y")), "doc_id"
+    )
+    w = logreg_train(
+        data, n_iters=CR_ITERS, lr=CR_LR, dim=CR_DIM, sample_frac=CR_FRAC
+    )
+    margins = logreg_score(emb, w).select(
+        "doc_id", (F.round("margin", 6) + F.lit(0.0)).alias("margin")
+    )
+    dsir = dsir_weights(
+        spread, spread.filter(F.col("lang") == "en"), dim=1024, alpha=1.0
+    ).select("doc_id", (F.round("log_w", 6) + F.lit(0.0)).alias("log_w"))
+    return corpus_report(docs, margins=margins, dsir=dsir)
 
 
 def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4919,6 +4955,87 @@ LIMIT {k}
 """.strip()
 
 
+def _logreg_ctes(
+    dim: int,
+    n_iters: int,
+    lr: float,
+    marker: str,
+    holdout_mod: int | None,
+    sample_thr: int | None,
+    sample_salt: str = "train",
+) -> list[str]:
+    """Shared CTE chain replaying classifier.py:logreg_train: hash_embed
+    features -> planted-marker label -> train split (optional holdout
+    exclusion and/or poly-hash sample) -> n_iters gradient iterations ->
+    final weights ``wf``. Used by _quality_classifier_sql (with a
+    holdout + AUC tail) and the corpus_report v2 oracle (sampled train,
+    full-corpus scoring tail)."""
+    hb = _POLY.format(s="term")
+    hs = _POLY.format(s="(term || '#s')")
+    conds = []
+    if holdout_mod is not None:
+        conds.append(f"doc_id % {holdout_mod} <> 0")
+    if sample_thr is not None:
+        # hash-sampled training tier (classifier.py:sample_filter): keep
+        # a train row iff poly_hash(id || '#salt') % GRAIN < thr — the
+        # exact predicate the Spark side applies, replayed byte-for-byte
+        conds.append(
+            _POLY.format(s=f"(doc_id::VARCHAR || '#{sample_salt}')")
+            + f" % 10000 < {sample_thr}"
+        )
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    ctes = [
+        f"toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents)",
+        f"""hsp AS (
+  SELECT doc_id, {hb} % {dim} AS b,
+         sum(CASE WHEN {hs} % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toks) GROUP BY doc_id, b)""",
+        """hagg AS (
+  SELECT doc_id, list(b ORDER BY b) AS bs, list(v ORDER BY b) AS vs
+  FROM hsp GROUP BY doc_id)""",
+        f"""hdense AS (
+  SELECT doc_id, list_transform(range(0, {dim}),
+                                i -> coalesce(vs[list_position(bs, i)], 0.0)) AS raw
+  FROM hagg)""",
+        """hemb AS (
+  SELECT doc_id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS emb
+  FROM hdense WHERE sqrt(list_dot_product(raw, raw)) > 0)""",
+        f"""lab AS (
+  SELECT doc_id, CASE WHEN list_contains(toks, '{marker}') THEN 1.0 ELSE 0.0 END AS y
+  FROM toks)""",
+        "data AS MATERIALIZED (SELECT h.doc_id, h.emb, l.y FROM hemb h JOIN lab l USING (doc_id))",
+        f"train AS MATERIALIZED (SELECT * FROM data{where})",
+    ]
+    if holdout_mod is not None:
+        ctes.append(
+            f"ho AS MATERIALIZED (SELECT * FROM data WHERE doc_id % {holdout_mod} = 0)"
+        )
+    ctes += [
+        "ntr AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM train)",
+        f"w0 AS MATERIALIZED (SELECT list_transform(range(0, {dim}), j -> 0.0) AS w)",
+    ]
+    for t in range(1, n_iters + 1):
+        ctes.append(
+            f"""p{t} AS MATERIALIZED (
+  SELECT d.doc_id, d.y, d.emb,
+         1.0 / (1.0 + exp(-list_dot_product(d.emb, w.w))) AS p
+  FROM train d, w{t - 1} w)"""
+        )
+        ctes.append(
+            f"""g{t} AS MATERIALIZED (
+  SELECT j, sum((p.p - p.y) * p.emb[j + 1]) / (SELECT n FROM ntr) AS g
+  FROM p{t} p, range(0, {dim}) t(j) GROUP BY j)"""
+        )
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT list(wv - {lr} * gv ORDER BY j) AS w
+  FROM (SELECT g.j AS j, w.w[g.j + 1] AS wv, g.g AS gv
+        FROM g{t} g, w{t - 1} w))"""
+        )
+    ctes.append(f"wf AS (SELECT w FROM w{n_iters})")
+    return ctes
+
+
 def _quality_classifier_sql(
     dim: int = 256,
     n_iters: int = 8,
@@ -4942,62 +5059,9 @@ def _quality_classifier_sql(
     w{{t+1}} update), so the un-materialized chain re-evaluates the
     whole upstream 2^n_iters times — measured as a >5 min hang at
     n_iters=8 vs ~1 s materialized."""
-    hb = _POLY.format(s="term")
-    hs = _POLY.format(s="(term || '#s')")
-    ctes = [
-        f"toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents)",
-        f"""hsp AS (
-  SELECT doc_id, {hb} % {dim} AS b,
-         sum(CASE WHEN {hs} % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
-  FROM (SELECT doc_id, unnest(toks) AS term FROM toks) GROUP BY doc_id, b)""",
-        """hagg AS (
-  SELECT doc_id, list(b ORDER BY b) AS bs, list(v ORDER BY b) AS vs
-  FROM hsp GROUP BY doc_id)""",
-        f"""hdense AS (
-  SELECT doc_id, list_transform(range(0, {dim}),
-                                i -> coalesce(vs[list_position(bs, i)], 0.0)) AS raw
-  FROM hagg)""",
-        """hemb AS (
-  SELECT doc_id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS emb
-  FROM hdense WHERE sqrt(list_dot_product(raw, raw)) > 0)""",
-        f"""lab AS (
-  SELECT doc_id, CASE WHEN list_contains(toks, '{marker}') THEN 1.0 ELSE 0.0 END AS y
-  FROM toks)""",
-        "data AS MATERIALIZED (SELECT h.doc_id, h.emb, l.y FROM hemb h JOIN lab l USING (doc_id))",
-        # hash-sampled training tier (classifier.py:sample_filter): keep
-        # a train row iff poly_hash(id || '#salt') % GRAIN < thr — the
-        # exact predicate the Spark side applies, replayed byte-for-byte
-        f"""train AS MATERIALIZED (SELECT * FROM data WHERE doc_id % {holdout_mod} <> 0{
-            ""
-            if sample_thr is None
-            else " AND "
-            + _POLY.format(s=f"(doc_id::VARCHAR || '#{sample_salt}')")
-            + f" % 10000 < {sample_thr}"
-        })""",
-        f"ho AS MATERIALIZED (SELECT * FROM data WHERE doc_id % {holdout_mod} = 0)",
-        "ntr AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM train)",
-        f"w0 AS MATERIALIZED (SELECT list_transform(range(0, {dim}), j -> 0.0) AS w)",
-    ]
-    for t in range(1, n_iters + 1):
-        ctes.append(
-            f"""p{t} AS MATERIALIZED (
-  SELECT d.doc_id, d.y, d.emb,
-         1.0 / (1.0 + exp(-list_dot_product(d.emb, w.w))) AS p
-  FROM train d, w{t - 1} w)"""
-        )
-        ctes.append(
-            f"""g{t} AS MATERIALIZED (
-  SELECT j, sum((p.p - p.y) * p.emb[j + 1]) / (SELECT n FROM ntr) AS g
-  FROM p{t} p, range(0, {dim}) t(j) GROUP BY j)"""
-        )
-        ctes.append(
-            f"""w{t} AS MATERIALIZED (
-  SELECT list(wv - {lr} * gv ORDER BY j) AS w
-  FROM (SELECT g.j AS j, w.w[g.j + 1] AS wv, g.g AS gv
-        FROM g{t} g, w{t - 1} w))"""
-        )
+    ctes = _logreg_ctes(dim, n_iters, lr, marker, holdout_mod, sample_thr,
+                        sample_salt)
     ctes += [
-        f"wf AS (SELECT w FROM w{n_iters})",
         f"""weights AS (
   SELECT 'weight' AS part, j::INTEGER AS idx, round(w[j + 1], 6) + 0 AS value
   FROM wf, range(0, {dim}) t(j))""",
@@ -6162,35 +6226,75 @@ SELECT doc_id, n_tok::INTEGER AS n_tokens,
 FROM feat
 """.strip()
 
-    sql["corpus_report"] = f"""
-WITH t AS (
+    # corpus_report v2: quality/dup CTEs + the SAMPLED classifier
+    # training chain (dim=64, 4 iters, poly-hash half-sample, no
+    # holdout) scoring EVERY embedded doc + the DSIR models — all four
+    # quality signals in one grouped report. LEFT joins keep
+    # feature-dropout docs counted; avg() ignores their NULLs in both
+    # engines.
+    _cr_ctes = _logreg_ctes(
+        CR_DIM, CR_ITERS, CR_LR, QC_MARKER, None, int(CR_FRAC * 10000)
+    )
+    _cr_ctes.append(
+        """mg AS (
+  SELECT h.doc_id, round(list_dot_product(h.emb, w.w), 6) + 0 AS margin
+  FROM hemb h, wf w)"""
+    )
+    _cr_ctes += [
+        f"dt AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)",
+        """dfe AS (
+  SELECT doc_id, lang, unnest(toks) AS f FROM dt
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                ELSE list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i + 1]) END) AS f
+  FROM dt)""",
+        f"fb AS (SELECT doc_id, ({_poly_sql('f')}) % 1024 AS b, lang FROM dfe)",
+        "rawm AS (SELECT b, count(*)::DOUBLE AS cr FROM fb GROUP BY b)",
+        "rawn AS (SELECT sum(cr) AS nr FROM rawm)",
+        "tgtm AS (SELECT b, count(*)::DOUBLE AS ct FROM fb WHERE lang = 'en' GROUP BY b)",
+        "tgtn AS (SELECT sum(ct) AS nt FROM tgtm)",
+        """lrt AS (
+  SELECT r.b,
+         ln((coalesce(t.ct, 0.0::DOUBLE) + 1.0::DOUBLE)
+            / (tn.nt + 1024.0::DOUBLE))
+         - ln((r.cr + 1.0::DOUBLE) / (rn.nr + 1024.0::DOUBLE)) AS lr
+  FROM rawm r
+  CROSS JOIN rawn rn CROSS JOIN tgtn tn
+  LEFT JOIN tgtm t USING (b))""",
+        "dcx AS (SELECT doc_id, b, count(*)::DOUBLE AS c FROM fb GROUP BY doc_id, b)",
+        """dsw AS (
+  SELECT doc_id, round(sum(c * lr) / sum(c), 6) + 0 AS log_w
+  FROM dcx JOIN lrt USING (b) GROUP BY doc_id)""",
+        f"""t AS (
   SELECT doc_id, text, {_TOKS} AS toks,
          len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
          length(text) AS n_chars
-  FROM documents
-),
-feat AS (
+  FROM documents)""",
+        f"""feat AS (
   SELECT doc_id,
          len(toks) AS n_tok,
          punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
          len(list_filter(toks, w -> list_contains([{stop_list}], lower(w))))::DOUBLE
            / greatest(len(toks), 1) AS stop_ratio,
          len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1) AS distinct_ratio
-  FROM t
-),
-q AS (
+  FROM t)""",
+        """q AS (
   SELECT doc_id, n_tok,
          round(0.4 * (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
              + 0.3 * distinct_ratio
              + 0.2 * (1.0 - least(punct_ratio * 5, 1.0))
              + 0.1 * least(stop_ratio * 5, 1.0), 6) AS quality
-  FROM feat
-),
-d AS (
+  FROM feat)""",
+        """d AS (
   SELECT doc_id, source, lang,
          (doc_id <> min(doc_id) OVER (PARTITION BY text)) AS is_dup
-  FROM documents
-)
+  FROM documents)""",
+    ]
+    _cr_body = ",\n".join(_cr_ctes)
+    sql["corpus_report"] = f"""
+WITH {_cr_body}
 SELECT d.source,
        count(*)::BIGINT AS n_docs,
        sum(CASE WHEN d.is_dup THEN 1 ELSE 0 END)::BIGINT AS n_exact_dups,
@@ -6198,8 +6302,12 @@ SELECT d.source,
        round(avg(q.n_tok), 6) + 0 AS avg_tokens,
        sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
        round(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
-             / count(*), 6) + 0 AS pct_en
+             / count(*), 6) + 0 AS pct_en,
+       round(avg(mg.margin), 6) + 0 AS avg_margin,
+       round(avg(dsw.log_w), 6) + 0 AS avg_log_w
 FROM d JOIN q USING (doc_id)
+LEFT JOIN mg USING (doc_id)
+LEFT JOIN dsw USING (doc_id)
 GROUP BY d.source
 """.strip()
 
