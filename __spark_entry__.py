@@ -2222,6 +2222,45 @@ def q_stream_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DE_K, DE_BANDS, DE_THRESHOLD = 16, 8, 0.5
+DE_MOD, DE_DROP, DE_OFFSET = 5, 13, 1_000_000
+
+
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation (operators/evaluation.py:dedup_eval, r7
+    judge #8 — evaluation-as-operator, the ndcg_eval pattern): plant a
+    DETERMINISTIC near-dup for every doc_id % 5 == 0 document (drop
+    every 13th token, id + 1e6 — reconstructible by any engine), run
+    the production minhash_lsh_near_dup pipeline over the planted
+    corpus at k=16 / 8 bands (r=2 — the >=0.9-recall operating point:
+    P(candidate) = 1-(1-J^2)^8 ≈ 0.99 at the plant's J ≈ 0.65), and
+    measure recall against the COMPUTED truth (planted pairs whose
+    exact 3-gram Jaccard clears 0.5) plus the precision-is-1.0
+    guarantee the exact-verify stage provides. All counts are exact
+    integers — the whole row is ORACLE-CHECKED, making the dedup tier's
+    quality bar a driver-visible number like the ANN tier's recall
+    entries."""
+    from hnsw_vector_db_spark.operators.evaluation import dedup_eval
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    keep = F.filter(toks, lambda t, i: (i + 1) % DE_DROP != 0)
+    base = docs.filter(F.col("doc_id") % DE_MOD == 0)
+    variants = base.select(
+        (F.col("doc_id") + DE_OFFSET).alias("doc_id"),
+        F.array_join(keep, " ").alias("text"),
+    )
+    corpus = docs.unionByName(variants)
+    planted = base.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + DE_OFFSET).alias("doc_b"),
+    )
+    return dedup_eval(
+        corpus, planted, k=DE_K, bands=DE_BANDS, n=3,
+        threshold=DE_THRESHOLD,
+    )
+
+
 QC_DIM, QC_ITERS, QC_LR, QC_AUC_FLOOR = 256, 8, 5.0, 0.8
 QC_MARKER = "spark"
 
@@ -4335,6 +4374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_sampled": q_quality_classifier_sampled,
         "stream_knn": q_stream_knn,
         "stream_knn_ann": q_stream_knn_ann,
+        "dedup_eval": q_dedup_eval,
         # -- promoted-changed in r7 (see header comment) ---------------------
         "neardup_components": q_neardup_components,
         "dedup_keep_best": q_dedup_keep_best,
@@ -4675,6 +4715,88 @@ cand AS (
 {_jaccard_tail(threshold)}
 SELECT c.doc_a, c.doc_b, j.jaccard
 FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+""".strip()
+
+
+def _dedup_eval_sql(
+    k: int,
+    bands: int,
+    threshold: float,
+    mod: int,
+    drop: int,
+    offset: int,
+) -> str:
+    """Replay dedup_eval end to end: plant the deterministic variants
+    (drop every ``drop``-th token, id + offset), rebuild the full
+    minhash pipeline over the PLANTED corpus (the _minhash_lsh_sql
+    shape re-sourced from the union), compute the exact-Jaccard truth
+    for the planted pairs, and fold the counts."""
+    r = k // bands
+    params = minhash_params(k)
+    mins = ",\n    ".join(
+        f"min((h * {a} + {b}) % {HASH_MOD}) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {band} AS band, {_band_key_sql(band, r)} AS band_key FROM sig"
+        for band in range(bands)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {offset} AS doc_id,
+         array_to_string(
+           list_select(toks, list_filter(range(1, len(toks) + 1),
+                                         i -> i % {drop} != 0)), ' ') AS text
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+        WHERE doc_id % {mod} = 0)),
+toks AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+         ELSE list_transform(range(1, len(toks) - 1),
+                             i -> array_to_string(toks[i:i+2], ' '))
+    END)) AS shingle
+  FROM toks),
+hashed AS (SELECT doc_id, {_poly_sql('shingle')} AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM hashed GROUP BY doc_id),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+{_jaccard_tail(threshold)},
+found AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b),
+planted AS (
+  SELECT doc_id AS doc_a, doc_id + {offset} AS doc_b FROM documents
+  WHERE doc_id % {mod} = 0),
+truth AS (
+  SELECT p.doc_a, p.doc_b FROM planted p
+  JOIN jac j ON j.doc_a = p.doc_a AND j.doc_b = p.doc_b),
+fc AS (
+  SELECT count(*)::BIGINT AS n_found,
+         sum(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_found_planted,
+         sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_hit
+  FROM found f
+  LEFT JOIN planted p ON p.doc_a = f.doc_a AND p.doc_b = f.doc_b
+  LEFT JOIN truth t ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b),
+np AS (SELECT count(*)::BIGINT AS n_planted FROM planted),
+nt AS (SELECT count(*)::BIGINT AS n_truth FROM truth)
+SELECT {threshold}::DOUBLE AS threshold, n_planted, n_truth, n_found,
+       n_found_planted, n_hit,
+       (n_found - n_found_planted)::BIGINT AS n_extra,
+       round(n_hit::DOUBLE / n_truth, 6) + 0 AS recall,
+       round(n_hit::DOUBLE / n_found_planted, 6) + 0 AS precision,
+       (n_hit::DOUBLE / n_truth) >= 0.9 AS recall_ok
+FROM fc CROSS JOIN np CROSS JOIN nt
 """.strip()
 
 
@@ -6049,6 +6171,9 @@ ORDER BY split
 
     sql["minhash_signatures"] = _minhash_long_sql(MINHASH_K)
     sql["minhash_lsh_neardup"] = _minhash_lsh_sql(LSH_K, LSH_BANDS, JACCARD_THRESHOLD)
+    sql["dedup_eval"] = _dedup_eval_sql(
+        DE_K, DE_BANDS, DE_THRESHOLD, DE_MOD, DE_DROP, DE_OFFSET
+    )
 
     sql["simhash"] = f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM simsig"
 

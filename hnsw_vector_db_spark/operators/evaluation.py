@@ -112,3 +112,89 @@ def precision_recall_at_k(
             ).otherwise(F.lit(0.0)).alias("recall"),
         )
     )
+
+
+def dedup_eval(
+    docs: DataFrame,
+    planted_pairs: DataFrame,
+    k: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Evaluation-as-operator for the near-dup tier (the ndcg_eval
+    pattern applied to dedup): measure what
+    :func:`~.dedup.minhash_lsh_near_dup` actually achieves against a
+    KNOWN ground truth of ``planted_pairs`` ((doc_a, doc_b) rows whose
+    documents are near-duplicates by construction).
+
+    Ground truth is COMPUTED, not assumed: a planted pair counts as
+    true only if its exact n-gram Jaccard clears ``threshold``
+    (:func:`~.dedup.jaccard_pairs` with the planted pairs as the
+    candidate set — a pairwise join on the planted list, never
+    all-pairs). The measured quantities:
+
+      - ``recall`` = found ∩ truth / truth — the banding miss rate,
+        THE number an LSH configuration trades away (r rows per band:
+        P(candidate) = 1-(1-J^r)^bands);
+      - ``precision`` = found ∩ truth / found-planted — provably 1.0
+        because the pipeline exact-verifies every candidate; the eval
+        PINS that guarantee rather than assuming it;
+      - ``n_extra`` — found pairs outside the planted set (natural
+        near-dups in the corpus; informational, not errors).
+
+    All counts are exact integers (planted pairs are deterministic), so
+    the whole row is oracle-checkable. One row:
+    (threshold, n_planted, n_truth, n_found, n_found_planted, n_hit,
+    n_extra, recall, precision, recall_ok)."""
+    from hnsw_vector_db_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_near_dup,
+    )
+
+    pp = planted_pairs.select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long")
+    )
+    truth = jaccard_pairs(
+        docs, n, threshold, text_col, id_col, candidates=pp
+    ).select("doc_a", "doc_b")
+    found = minhash_lsh_near_dup(
+        docs, k=k, bands=bands, n=n, threshold=threshold,
+        text_col=text_col, id_col=id_col,
+    ).select("doc_a", "doc_b")
+    # ONE pass over the found stream: annotate membership with two left
+    # joins (planted and truth are bounded by the plant size — broadcast
+    # at runtime), fold every count in a single aggregate. The LSH
+    # pipeline is the expensive fork; never evaluate it three times.
+    ann = found.join(
+        pp.withColumn("_p", F.lit(True)), ["doc_a", "doc_b"], "left"
+    ).join(truth.withColumn("_t", F.lit(True)), ["doc_a", "doc_b"], "left")
+    fc = ann.agg(
+        F.count(F.lit(1)).alias("n_found"),
+        F.sum(F.when(F.col("_p"), 1).otherwise(0)).alias("n_found_planted"),
+        F.sum(
+            F.when(F.col("_p") & F.col("_t"), 1).otherwise(0)
+        ).alias("n_hit"),
+    )
+    n_planted = pp.agg(F.count(F.lit(1)).alias("n_planted"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    row = fc.crossJoin(n_planted).crossJoin(n_truth)  # 1-row scalar joins
+    return row.select(
+        (F.lit(threshold) + F.lit(0.0)).alias("threshold"),
+        "n_planted",
+        "n_truth",
+        "n_found",
+        "n_found_planted",
+        "n_hit",
+        (F.col("n_found") - F.col("n_found_planted")).alias("n_extra"),
+        (F.round(F.col("n_hit") / F.col("n_truth"), 6) + F.lit(0.0)).alias(
+            "recall"
+        ),
+        (
+            F.round(F.col("n_hit") / F.col("n_found_planted"), 6)
+            + F.lit(0.0)
+        ).alias("precision"),
+        (F.col("n_hit") / F.col("n_truth") >= 0.9).alias("recall_ok"),
+    )

@@ -580,6 +580,38 @@ def test_precision_recall_at_k(spark):
     assert row["recall"] == pytest.approx(3 / 5)
 
 
+def test_dedup_eval_counts_planted_truth_exactly(spark):
+    """Hand-built corpus: doc 0/1 are near-dups (planted pair, Jaccard
+    above threshold), doc 2/3 share nothing. Planted pairs: (0,1) true,
+    (2,3) false (Jaccard 0). recall counts only the true pair; the
+    false plant shrinks n_truth, not recall; precision stays 1.0."""
+    from hnsw_vector_db_spark.operators.evaluation import dedup_eval
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + " today"),
+            (2, "completely different words about spark physics"),
+            (3, "nothing shared here at all in any way whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    planted = spark.createDataFrame(
+        [(0, 1), (2, 3)], "doc_a long, doc_b long"
+    )
+    row = dedup_eval(
+        docs, planted, k=16, bands=8, n=3, threshold=0.5
+    ).collect()[0]
+    assert row["n_planted"] == 2
+    assert row["n_truth"] == 1          # (2,3) has Jaccard 0
+    assert row["n_hit"] == 1
+    assert row["recall"] == 1.0
+    assert row["precision"] == 1.0
+    assert row["recall_ok"]
+    assert row["n_extra"] == row["n_found"] - row["n_found_planted"]
+
+
 def test_eval_validates_k(spark):
     from hnsw_vector_db_spark.operators.evaluation import (
         ndcg_at_k,
