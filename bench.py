@@ -183,6 +183,24 @@ GROUPS: dict[str, list[str]] = {
         "quality_classifier",
         "stream_knn",
     ],
+    # r8 additions — Q20 nested semi (+ one-pass twin), Q2 production
+    # twin, hash-sampled classifier training, ANN-backed stream serving,
+    # planted near-dup eval
+    "r8_new": [
+        "tpch_q20",
+        "tpch_q20_fast",
+        "tpch_q2_fast",
+        "quality_classifier_sampled",
+        "stream_knn_ann",
+        "dedup_eval",
+        "tpch_q17",
+        "tpch_q17_fast",
+        "tpch_q13",
+        "tpch_q22",
+        "tpch_q19",
+        "url_dedup",
+        "wet_scan",
+    ],
 }
 
 
