@@ -819,6 +819,259 @@ def q_tpch_q2_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue) — the CORRELATED AVG
+    subquery: revenue from lineitem rows of brand-filtered parts whose
+    quantity falls below 20% of that PART's average quantity. The
+    fourth standard mis-planning shape after Q21 (semi+anti), Q18
+    (HAVING-semi), Q2 (correlated MIN), Q20 (nested semi over a
+    correlated SUM): here the correlated scalar is an AVG over the SAME
+    fact table the outer row comes from, so a naive plan re-scans
+    lineitem per row. Plan-locked: Catalyst must decorrelate to a
+    per-partkey grouped AVG + equi-join (>= 2 HashAggregates, no
+    nested loop).
+
+    The 0.2*avg cut is rounded to 6dp IN BOTH ENGINES before the
+    comparison (the repo's round-before-compare rule) so summation-
+    order ulp differences can't flip boundary rows. n_rows rides along
+    to pin the cut's exact selectivity, not just the sum."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_q17_part")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q17_li")
+    return spark.sql(
+        """
+        SELECT round(sum(l.l_extendedprice) / 7.0, 2) + 0.0 AS avg_yearly,
+               count(*) AS n_rows
+        FROM _q17_li l
+        JOIN _q17_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1' AND p.p_size < 25
+          AND l.l_quantity < (
+            SELECT round(0.2 * avg(l2.l_quantity), 6)
+            FROM _q17_li l2 WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
+def q_tpch_q17_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION twin of tpch_q17, ONE lineitem pass: the correlated
+    AVG is keyed on l_partkey alone and the brand filter only restricts
+    WHICH partkeys survive (never which rows within a partkey), so a
+    window AVG over the brand-joined rows equals the correlated
+    subquery exactly. The decorrelated original scans lineitem twice
+    (outer + the per-partkey AVG); this joins the broadcast-small
+    filtered part dim once and computes the cut with
+    avg(l_quantity) OVER (PARTITION BY l_partkey). Plan-locked to a
+    single lineitem FileScan; shares the correlated DuckDB oracle, so
+    the driver check is also a semantics proof for the window rewrite."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_q17f_part")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q17f_li")
+    return spark.sql(
+        """
+        WITH joined AS (
+          SELECT l.l_extendedprice, l.l_quantity,
+                 round(0.2 * avg(l.l_quantity)
+                       OVER (PARTITION BY l.l_partkey), 6) AS cut
+          FROM _q17f_li l
+          JOIN _q17f_part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_brand = 'Brand#1' AND p.p_size < 25)
+        SELECT round(sum(l_extendedprice) / 7.0, 2) + 0.0 AS avg_yearly,
+               count(*) AS n_rows
+        FROM joined WHERE l_quantity < cut
+        """
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (operators/web.py) — the
+    FIRST gate of a crawl pipeline: collapse scheme/host case, default
+    ports, ``www.``, trailing slashes, tracking params (utm_*/gclid/
+    fbclid), param order, and fragments, then ONE keyed aggregation per
+    canonical URL (min doc_id as the deterministic representative —
+    the exact_dedup survivor rule). Each doc gets a deterministic messy
+    URL synthesized from (doc_id, source) exercising every rule:
+    uppercase scheme+host, a default/kept/absent port by doc_id%4, a
+    root-path case (%7==6), a trailing slash (%3==0), an all-tracking
+    query that must drop its '?' (%13==7), sorted survivor params, and
+    a fragment. The ORACLE computes each canonical URL from FIRST
+    PRINCIPLES (doc_id arithmetic — independent of the regex parser),
+    so the driver check proves the parser, not just cross-engine
+    regex parity. Pure codegen Column expressions — no UDFs."""
+    from hnsw_vector_db_spark.operators.web import url_dedup
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(d % 4 == 0, F.lit(":80"))
+        .when(d % 4 == 1, F.lit(":443"))
+        .when(d % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 6, F.lit("")).otherwise(
+            F.concat(F.lit("/Posts/p"), (d % 7).cast("string"))
+        ),
+        F.when((d % 3 == 0) & (d % 7 != 6), F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 13 == 7, F.lit("?utm_campaign=x")).otherwise(
+            F.concat(
+                F.lit("?z=26&utm_source=feed&a="),
+                (d % 5).cast("string"),
+                F.when(d % 3 == 0, F.lit("&fbclid=XYZ")).otherwise(
+                    F.lit("")
+                ),
+            )
+        ),
+        F.lit("#sec"),
+        (d % 3).cast("string"),
+    )
+    return url_dedup(docs.select("doc_id", url.alias("url")))
+
+
+def q_wet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET (Common Crawl text-conversion archive) round-trip
+    (sources/wet.py): serialize the documents table as REAL WARC/1.0
+    WET shards — warcinfo lead record, conversion record per doc,
+    Content-Length framing in octets per ISO 28500 — then scan them
+    back through the binaryFile-based reader (one task per file, the
+    crawl-scale parallelism unit) and return every conversion record.
+
+    The parser's framing is under adversarial test: docs with
+    doc_id % 17 == 3 get a payload DECORATED with a fake record header
+    ("\\r\\nWARC/1.0\\r\\nWARC-Type: fake...") — a delimiter-splitting
+    parser would shatter those records; the Content-Length walker must
+    return them byte-intact. ORACLE: DuckDB derives (url,
+    content_length, text) straight from documents arithmetic
+    (octet_length of the decorated payload), fully independent of the
+    writer+parser under test."""
+    import tempfile
+
+    from hnsw_vector_db_spark.sources.wet import read_wet, write_wet
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://"),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        d.cast("string"),
+    )
+    trap = F.when(
+        d % 17 == 3,
+        F.lit("\r\nWARC/1.0\r\nWARC-Type: fake-not-a-record"),
+    ).otherwise(F.lit(""))
+    payload = F.concat(F.coalesce(F.col("text"), F.lit("")), trap)
+    work = tempfile.mkdtemp(prefix="wet_scan_")
+    manifest = write_wet(
+        docs.select(url.alias("url"), payload.alias("text")),
+        work,
+        n_files=8,
+    ).collect()  # bounded: one row per written shard
+    assert sum(r["n_records"] for r in manifest) == docs.count()
+    return (
+        read_wet(spark, work)
+        .filter(F.col("rec_type") == "conversion")
+        .select("url", "content_length", "text")
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution) — the OUTER-JOIN
+    aggregation shape: LEFT OUTER customer->orders with a NON-KEY
+    predicate (urgent orders only — ~11% of customers have none, so
+    the NULL-extension class is real at every sf) that must stay in
+    the join's ON clause: moving it to WHERE silently turns the join
+    inner and drops exactly those zero-urgent customers.
+    count(o_orderkey) counts NULL-extended rows as 0, then a second
+    aggregation builds the distribution. Both aggregation keys are
+    integers, so the oracle is exact with no rounding. Plan-locked:
+    a real outer hash join (no nested loop), two HashAggregate pairs,
+    and the c_count = 0 row present in the result."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_q13_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_q13_ord")
+    return spark.sql(
+        """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM _q13_cust c
+          LEFT OUTER JOIN _q13_ord o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority = '1-URGENT'
+          GROUP BY c.c_custkey) t
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+        """
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity) — scalar-subquery + anti
+    shape: customers from a fixed nation set with above-average
+    positive balance and NO RECENT orders (none since 2001-01-01 — the
+    churn adaptation: this synthetic data gives every customer ~10
+    orders over 1995-2001, so TPC-H's literal "no orders ever" is
+    vacuous here; the date predicate keeps the anti join at ~40%
+    selectivity and must stay inside the subquery), grouped by nation.
+    Two planner hazards in one query: the global AVG must plan as a
+    one-row scalar subquery broadcast (never a per-row
+    re-aggregation), and the NOT EXISTS must become a real LeftAnti
+    hash join on o_custkey with the date filter pushed into the orders
+    scan. The nation-set IN filter stands in for Q22's country-code
+    substring (this schema has no c_phone). AVG rounded to 6dp in both
+    engines before the comparison; totacctbal rounded at the end."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_q22_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_q22_ord")
+    return spark.sql(
+        """
+        SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+               round(sum(c_acctbal), 2) + 0.0 AS totacctbal
+        FROM _q22_cust c
+        WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+          AND c_acctbal > (
+            SELECT round(avg(c_acctbal), 6) FROM _q22_cust
+            WHERE c_acctbal > 0.0
+              AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+          AND NOT EXISTS (
+            SELECT 1 FROM _q22_ord o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= DATE '2001-01-01')
+        GROUP BY c_nationkey
+        ORDER BY cntrycode
+        """
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue) — the DISJUNCTIVE join predicate:
+    three OR'd brand/size/quantity bands, each repeating the
+    p_partkey = l_partkey equality. The planner hazard is extraction:
+    BooleanSimplification must factor the common equality out of the
+    OR so the join plans as a HASH join on partkey with the band
+    disjunction as a residual — a nested-loop evaluation of the raw OR
+    is quadratic. The per-side OR-filters (p_brand IN bands, quantity
+    range union) should additionally push into the scans as
+    DataFilters. Plan-locked: no BroadcastNestedLoopJoin, no
+    CartesianProduct, a broadcast/shuffled HASH join present."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_q19_part")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q19_li")
+    return spark.sql(
+        """
+        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0
+                 AS revenue,
+               count(*) AS n_rows
+        FROM _q19_li l JOIN _q19_part p
+          ON (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+              AND p.p_size BETWEEN 1 AND 5
+              AND l.l_quantity BETWEEN 1 AND 11)
+          OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#2'
+              AND p.p_size BETWEEN 1 AND 10
+              AND l.l_quantity BETWEEN 10 AND 20)
+          OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#3'
+              AND p.p_size BETWEEN 1 AND 15
+              AND l.l_quantity BETWEEN 20 AND 30)
+        """
+    )
+
+
 def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU + trailing-7-day actives per calendar day
     (events.py:rolling_actives): windowed COUNT(DISTINCT) is not
@@ -4368,6 +4621,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2_fast": q_tpch_q2_fast,
         "tpch_q20": q_tpch_q20,
         "tpch_q20_fast": q_tpch_q20_fast,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q17_fast": q_tpch_q17_fast,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q22": q_tpch_q22,
+        "tpch_q19": q_tpch_q19,
+        "url_dedup": q_url_dedup,
+        "wet_scan": q_wet_scan,
         "boilerplate_strip": q_boilerplate_strip,
         "image_meta": q_image_meta,
         "quality_classifier": q_quality_classifier,
@@ -6045,6 +6305,91 @@ ORDER BY s.s_name, s.s_suppkey
 """.strip()
     # one-pass twin shares the correlated oracle (rewrite semantics proof)
     sql["tpch_q20_fast"] = sql["tpch_q20"]
+    sql["tpch_q17"] = """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) + 0.0 AS avg_yearly,
+       count(*) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1' AND p.p_size < 25
+  AND l.l_quantity < (
+    SELECT round(0.2 * avg(l2.l_quantity), 6)
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""".strip()
+    # window twin shares the correlated oracle (rewrite semantics proof)
+    sql["tpch_q17_fast"] = sql["tpch_q17"]
+    sql["tpch_q13"] = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority = '1-URGENT'
+  GROUP BY c.c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""".strip()
+    sql["tpch_q22"] = """
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       round(sum(c_acctbal), 2) + 0.0 AS totacctbal
+FROM customer c
+WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND c_acctbal > (
+    SELECT round(avg(c_acctbal), 6) FROM customer
+    WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= DATE '2001-01-01')
+GROUP BY c_nationkey
+ORDER BY cntrycode
+""".strip()
+    # the oracle derives each canonical URL from doc_id ARITHMETIC —
+    # independent of the regex parser under test, so a parser defect
+    # cannot cancel out of both sides
+    sql["url_dedup"] = """
+WITH c AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+         || '://' || source || '.example.com'
+         || (CASE WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 6 THEN '/'
+                  ELSE '/Posts/p' || (doc_id % 7)::VARCHAR END)
+         || (CASE WHEN doc_id % 13 = 7 THEN ''
+                  ELSE '?a=' || (doc_id % 5)::VARCHAR || '&z=26' END)
+           AS url_canon,
+         source || '.example.com'
+         || (CASE WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END) AS host
+  FROM documents)
+SELECT url_canon, host,
+       count(*) AS n_docs, min(doc_id) AS rep_id
+FROM c GROUP BY url_canon, host
+""".strip()
+    # derived straight from documents arithmetic — independent of the
+    # WET writer AND parser under test (octets, not characters)
+    sql["wet_scan"] = """
+SELECT 'http://' || source || '.example.com/doc/' || doc_id::VARCHAR AS url,
+       strlen(
+         coalesce(text, '')
+         || CASE WHEN doc_id % 17 = 3
+                 THEN chr(13) || chr(10) || 'WARC/1.0' || chr(13) || chr(10)
+                      || 'WARC-Type: fake-not-a-record'
+                 ELSE '' END)::BIGINT AS content_length,
+       coalesce(text, '')
+       || CASE WHEN doc_id % 17 = 3
+               THEN chr(13) || chr(10) || 'WARC/1.0' || chr(13) || chr(10)
+                    || 'WARC-Type: fake-not-a-record'
+               ELSE '' END AS text
+FROM documents
+""".strip()
+    sql["tpch_q19"] = """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0 AS revenue,
+       count(*) AS n_rows
+FROM lineitem l JOIN part p
+  ON (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+      AND p.p_size BETWEEN 1 AND 5 AND l.l_quantity BETWEEN 1 AND 11)
+  OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#2'
+      AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+  OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#3'
+      AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+""".strip()
     sql["rolling_actives"] = """
 WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
 days AS (SELECT DISTINCT day FROM du),

@@ -197,6 +197,78 @@ def test_tpch_q2_fast_single_lineitem_scan(spark, qs):
     assert has_take_ordered(df)
 
 
+def test_tpch_q17_correlated_avg_decorrelates(spark, qs):
+    """Q17's correlated AVG over the same fact table must decorrelate
+    to a per-partkey grouped AVG + equi-join with the quantity cut as
+    the join residual — never a per-row re-scan or nested loop."""
+    df = qs["tpch_q17"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_cartesian(df)
+    # outer agg + the decorrelated per-partkey AVG (partial+final pairs)
+    assert plan.count("HashAggregate") >= 2
+    # the decorrelated form still pays two lineitem scans — the honest
+    # cost the _fast twin removes
+    assert plan.count("FileScan parquet") == 3  # lineitem x2 + part
+
+
+def test_tpch_q17_fast_single_lineitem_scan(spark, qs):
+    """The window twin reads lineitem ONCE and matches the correlated
+    form exactly (same oracle, and pinned here row-for-row)."""
+    df = qs["tpch_q17_fast"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("FileScan parquet") == 2  # lineitem + part
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    fast = sorted(map(tuple, df.collect()))
+    slow = sorted(map(tuple, qs["tpch_q17"](spark, SF).collect()))
+    assert fast == slow and len(fast) == 1
+
+
+def test_tpch_q13_outer_join_stays_outer(spark, qs):
+    """Q13: the non-key predicate lives in the join's ON clause, so the
+    join must remain LeftOuter (a WHERE placement would let Catalyst
+    convert it to inner and drop zero-order customers) and both
+    aggregations must partial-combine."""
+    df = qs["tpch_q13"](spark, SF)
+    plan = physical_plan(df)
+    assert "LeftOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_cartesian(df)
+    assert plan.count("HashAggregate") >= 4  # two partial+final pairs
+    # zero-order customers must exist in the result (c_count = 0 row) —
+    # the semantic the ON-vs-WHERE placement protects
+    assert any(r["c_count"] == 0 for r in df.collect())
+
+
+def test_tpch_q22_anti_join_and_scalar_subquery(spark, qs):
+    """Q22: the NOT EXISTS must plan as a real LeftAnti hash join and
+    the global AVG as a one-row scalar subquery — never a per-row
+    re-aggregation or nested loop."""
+    df = qs["tpch_q22"](spark, SF)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan
+    assert "Subquery" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_cartesian(df)
+
+
+def test_tpch_q19_disjunction_factors_to_hash_join(spark, qs):
+    """Q19: BooleanSimplification must factor the common
+    p_partkey = l_partkey equality out of the three OR'd bands so the
+    join plans as a HASH join on partkey with the band disjunction as
+    residual — the raw OR would be a nested-loop (quadratic) join."""
+    df = qs["tpch_q19"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_cartesian(df)
+    assert (
+        "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "SortMergeJoin" in plan
+    )
+
+
 def test_tpch_q2_fast_matches_correlated_form(spark, qs):
     """Window-rank rewrite == correlated-MIN original, row for row
     (ties at the per-part min are kept by both)."""
