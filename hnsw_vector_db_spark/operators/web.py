@@ -1,0 +1,143 @@
+"""Web-corpus URL operators — canonicalization and URL-level dedup,
+the first gate of a crawl-derived training pipeline: the same page is
+typically fetched under dozens of URL spellings (scheme/host case,
+default ports, `www.`, trailing slashes, tracking parameters, param
+order, fragments), and collapsing those BEFORE content dedup removes
+the cheapest duplicate class at key-join cost instead of minhash cost.
+
+Everything is pure Column expression code (regexp/split/array built-ins
+inside whole-stage codegen — no UDFs), so canonicalization runs at scan
+speed and the result is engine-portable for the DuckDB oracle.
+
+Scale notes (100 TB):
+- ``canonicalize_url`` is a narrow projection — zero shuffle; it
+  composes with any scan and Catalyst pushes surrounding filters
+  through it.
+- ``url_dedup`` is ONE keyed aggregation on the canonical string —
+  map-side partial combine collapses each task's repeats before the
+  exchange, the exact_dedup shape (dedup.py) applied to the URL key.
+
+The reference engine has no web tooling (it stores vectors only);
+this module is part of the prompt-mandated training-pipeline tier.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# query parameters that never affect page identity — the standard
+# tracking/attribution families stripped by crawl pipelines
+DEFAULT_TRACKING_PREFIXES: tuple[str, ...] = ("utm_",)
+DEFAULT_TRACKING_PARAMS: tuple[str, ...] = (
+    "gclid",
+    "fbclid",
+    "msclkid",
+    "ref",
+    "referrer",
+)
+
+
+def canonicalize_url(
+    url: Column,
+    tracking_prefixes: Sequence[str] = DEFAULT_TRACKING_PREFIXES,
+    tracking_params: Sequence[str] = DEFAULT_TRACKING_PARAMS,
+) -> Column:
+    """Canonical form of an absolute http(s) URL as a Column expression.
+
+    Rules (the common-denominator set of crawl canonicalizers):
+      1. drop the fragment (``#...``);
+      2. lowercase the scheme and the host (never the path — path case
+         is significant per RFC 3986);
+      3. strip the default port (``:80`` for http, ``:443`` for https;
+         non-default ports are kept);
+      4. strip one leading ``www.`` from the host;
+      5. strip a trailing slash from a non-root path; empty path
+         becomes ``/``;
+      6. drop tracking query parameters (``utm_*`` prefixes and exact
+         names like ``gclid``), sort the survivors byte-wise, and drop
+         the ``?`` entirely when none survive.
+
+    Idempotent by construction (canon(canon(u)) == canon(u) — pinned in
+    tests). NULL input yields NULL.
+    """
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
+    rest = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    hostport = (
+        F.when(
+            scheme == F.lit("http"),
+            F.regexp_replace(hostport, r":80$", ""),
+        )
+        .when(
+            scheme == F.lit("https"),
+            F.regexp_replace(hostport, r":443$", ""),
+        )
+        .otherwise(hostport)
+    )
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    path = F.regexp_extract(rest, r"^[^/?]*([^?]*)", 1)
+    path = F.when(path == F.lit(""), F.lit("/")).otherwise(path)
+    path = F.when(
+        F.length(path) > 1, F.regexp_replace(path, r"/$", "")
+    ).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+
+    def _keep(p: Column) -> Column:
+        key = F.element_at(F.split(p, "=", 2), 1)
+        cond = p != F.lit("")
+        for pre in tracking_prefixes:
+            cond = cond & ~key.startswith(pre)
+        for name in tracking_params:
+            cond = cond & (key != F.lit(name))
+        return cond
+
+    params = F.filter(F.split(query, "&"), _keep)
+    canon_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(canon_q != F.lit(""), F.concat(F.lit("?"), canon_q)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    tracking_prefixes: Sequence[str] = DEFAULT_TRACKING_PREFIXES,
+    tracking_params: Sequence[str] = DEFAULT_TRACKING_PARAMS,
+) -> DataFrame:
+    """URL-level dedup: canonicalize, then ONE keyed aggregation per
+    canonical URL — (url_canon, host, n_docs, rep_id) with the minimum
+    id as the deterministic representative (the exact_dedup survivor
+    rule). Partial aggregation collapses repeats map-side, so the
+    shuffle carries one row per distinct canonical URL per task —
+    never the raw crawl."""
+    canon = canonicalize_url(
+        F.col(url_col),
+        tracking_prefixes=tracking_prefixes,
+        tracking_params=tracking_params,
+    )
+    host = F.regexp_extract(canon, r"^[a-z][a-z0-9+.\-]*://([^/?]*)", 1)
+    return (
+        df.select(
+            F.col(id_col),
+            canon.alias("url_canon"),
+            host.alias("host"),
+        )
+        .groupBy("url_canon", "host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("rep_id"),
+        )
+    )
