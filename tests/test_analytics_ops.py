@@ -612,6 +612,40 @@ def test_dedup_eval_counts_planted_truth_exactly(spark):
     assert row["n_extra"] == row["n_found"] - row["n_found_planted"]
 
 
+def test_dedup_eval_collapse_invariance(spark):
+    """The tier-0 exact collapse (r8 bench_scale defect fix: 241x wall
+    at 64x on a repeated-text replica) must not CHANGE the eval: a
+    corpus where every text appears d times, with the planted pair
+    replicated across copies, yields the identical row to the
+    single-copy corpus — copies collapse to min-id reps, the mapped
+    planted pairs dedup to one, and the pipeline sees each text once."""
+    from hnsw_vector_db_spark.operators.evaluation import dedup_eval
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = [
+        (0, base),
+        (1, base + " today"),
+        (2, "completely different words about spark physics"),
+    ]
+    d = 8
+    copies = [
+        (i + 100 * (r + 1), t) for i, t in uniq for r in range(d - 1)
+    ]
+    docs1 = spark.createDataFrame(uniq, "doc_id long, text string")
+    docsd = spark.createDataFrame(
+        uniq + copies, "doc_id long, text string"
+    )
+    planted1 = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    # plant the pair once per copy generation — all must map to (0, 1)
+    plantedd = spark.createDataFrame(
+        [(0, 1)] + [(100 * (r + 1), 1 + 100 * (r + 1)) for r in range(d - 1)],
+        "doc_a long, doc_b long",
+    )
+    r1 = dedup_eval(docs1, planted1, k=16, bands=8, n=3, threshold=0.5)
+    rd = dedup_eval(docsd, plantedd, k=16, bands=8, n=3, threshold=0.5)
+    assert r1.collect() == rd.collect()
+
+
 def test_eval_validates_k(spark):
     from hnsw_vector_db_spark.operators.evaluation import (
         ndcg_at_k,
