@@ -82,6 +82,9 @@ def write_wet(
     ``warcinfo`` record. Payloads are UTF-8; Content-Length is OCTETS
     (per spec), not characters.
     """
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
     os.makedirs(out_dir, exist_ok=True)
     shard = F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_files))
 
@@ -174,6 +177,9 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     parse, Content-Length framing (see module docstring). The caller
     filters `rec_type == 'conversion'` for page text; `warcinfo` and
     friends stay visible for lineage audits."""
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc.wet")
