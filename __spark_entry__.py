@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hnsw_vector_db_spark.functions.text import HASH_MOD, minhash_params, poly_hash
@@ -880,26 +880,13 @@ def q_tpch_q17_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization + URL-level dedup (operators/web.py) — the
-    FIRST gate of a crawl pipeline: collapse scheme/host case, default
-    ports, ``www.``, trailing slashes, tracking params (utm_*/gclid/
-    fbclid), param order, and fragments, then ONE keyed aggregation per
-    canonical URL (min doc_id as the deterministic representative —
-    the exact_dedup survivor rule). Each doc gets a deterministic messy
-    URL synthesized from (doc_id, source) exercising every rule:
-    uppercase scheme+host, a default/kept/absent port by doc_id%4, a
-    root-path case (%7==6), a trailing slash (%3==0), an all-tracking
-    query that must drop its '?' (%13==7), sorted survivor params, and
-    a fragment. The ORACLE computes each canonical URL from FIRST
-    PRINCIPLES (doc_id arithmetic — independent of the regex parser),
-    so the driver check proves the parser, not just cross-engine
-    regex parity. Pure codegen Column expressions — no UDFs."""
-    from hnsw_vector_db_spark.operators.web import url_dedup
-
+def _messy_url() -> Column:
+    """Deterministic messy URL per (doc_id, source), exercising every
+    canonicalization rule (shared by url_dedup and pipeline_crawl —
+    the DuckDB oracles re-derive the CANONICAL form from the same
+    doc_id arithmetic, so the parser is what's under test)."""
     d = F.col("doc_id")
-    docs = _docs(spark, sf_dir)
-    url = F.concat(
+    return F.concat(
         F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
         F.lit("://WWW."),
         F.col("source"),
@@ -924,7 +911,151 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("#sec"),
         (d % 3).cast("string"),
     )
-    return url_dedup(docs.select("doc_id", url.alias("url")))
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (operators/web.py) — the
+    FIRST gate of a crawl pipeline: collapse scheme/host case, default
+    ports, ``www.``, trailing slashes, tracking params (utm_*/gclid/
+    fbclid), param order, and fragments, then ONE keyed aggregation per
+    canonical URL (min doc_id as the deterministic representative —
+    the exact_dedup survivor rule). Each doc gets a deterministic messy
+    URL synthesized from (doc_id, source) exercising every rule:
+    uppercase scheme+host, a default/kept/absent port by doc_id%4, a
+    root-path case (%7==6), a trailing slash (%3==0), an all-tracking
+    query that must drop its '?' (%13==7), sorted survivor params, and
+    a fragment. The ORACLE computes each canonical URL from FIRST
+    PRINCIPLES (doc_id arithmetic — independent of the regex parser),
+    so the driver check proves the parser, not just cross-engine
+    regex parity. Pure codegen Column expressions — no UDFs."""
+    from hnsw_vector_db_spark.operators.web import url_dedup
+
+    docs = _docs(spark, sf_dir)
+    return url_dedup(docs.select("doc_id", _messy_url().alias("url")))
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking) — the correlated EXISTS
+    with a NON-EQUI correlated residual: an order counts iff SOME of
+    its lineitems shipped more than 800 days after the order date, so
+    the subquery references the OUTER's o_orderdate inside its
+    predicate. Catalyst must plan a LeftSemi hash join on l_orderkey
+    with the date inequality as the join residual — never a per-row
+    subquery (plan-locked). The 800-day gap is tuned to this synthetic
+    data's independent ship dates (~85% of window orders qualify; both
+    classes are populated at every sf). All-integer output — exact
+    oracle, no rounding."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_q4_ord")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q4_li")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM _q4_ord o
+        WHERE o.o_orderdate >= DATE '1996-07-01'
+          AND o.o_orderdate < DATE '1996-10-01'
+          AND EXISTS (
+            SELECT 1 FROM _q4_li l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 800 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier) — the max-over-an-aggregate shape: a
+    revenue relation (per-supplier quarterly sum) consumed TWICE, once
+    for the report join and once inside a scalar MAX subquery, with
+    ties kept (WHERE total = max, not LIMIT 1). Same honest CTE
+    double-evaluation class as tpch_q2 — Spark re-evaluates the
+    un-materialized CTE per consumer; here the relation is
+    supplier-domain-sized, so the second evaluation is one extra
+    lineitem aggregate (the q2/q17 pattern at its mildest). The
+    relation-level round(2) happens in BOTH engines before the
+    equality, so the max-comparison compares identical stored values."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q15_li")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("_q15_supp")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) + 0.0
+                   AS total_revenue
+          FROM _q15_li
+          WHERE l_shipdate >= DATE '1996-01-01'
+            AND l_shipdate < DATE '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM _q15_supp s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s.s_suppkey
+        """
+    )
+
+
+def q_pipeline_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-front-end CAPSTONE — the r8 pieces composed end to end the
+    way a crawl ingest actually runs: documents serialized as WET
+    shards with MESSY per-doc URLs (every canonicalization hazard:
+    case, ports, www., trailing slash, tracking params, fragments) →
+    read back through the binaryFile WET parser (Content-Length
+    framing) → URL canonicalization → canonical-level collapse (min
+    text as the deterministic representative) → heuristic quality gate
+    (quality >= 0.75 on the 6dp-rounded score) → ONE per-source report:
+    raw records, canonical URLs, quality survivors, kept tokens.
+
+    Every stage keeps its standalone plan shape (the
+    pipeline_clean_corpus composition rule): the WET scan is one task
+    per file; canonicalization is a narrow codegen projection; the
+    collapse and the report are keyed aggregations with map-side
+    partial combine; the quality gate compares a 6dp-rounded value in
+    both engines. ORACLE: DuckDB re-derives the canonical URLs from
+    doc_id arithmetic (never the parser), replays collapse + quality +
+    report — so the driver check proves WET round-trip, URL parser, and
+    composition at once."""
+    import tempfile
+
+    from hnsw_vector_db_spark.operators.text_analysis import quality_score
+    from hnsw_vector_db_spark.operators.web import canonicalize_url
+    from hnsw_vector_db_spark.sources.wet import read_wet, write_wet
+
+    docs = _docs(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="pipeline_crawl_")
+    write_wet(
+        docs.select(
+            _messy_url().alias("url"),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        ),
+        work,
+        n_files=8,
+    ).collect()  # bounded manifest — the write action
+    rec = read_wet(spark, work).filter(F.col("rec_type") == "conversion")
+    canon = canonicalize_url(F.col("url"))
+    # source rides inside the canonical host (src.example.com[:port])
+    src = F.regexp_extract(canon, r"^[a-z]+://([^./]*)\.", 1)
+    rep = (
+        rec.select(canon.alias("url_canon"), src.alias("source"), "text")
+        .groupBy("url_canon", "source")
+        .agg(
+            F.min("text").alias("text"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    q = quality_score(rep, text_col="text", id_col="url_canon")
+    joined = rep.join(q, "url_canon")
+    keep = F.col("quality") >= 0.75
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum("n_copies").alias("n_records"),
+            F.count(F.lit(1)).alias("n_canonical"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_quality_pass"),
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(0)).cast(
+                "long"
+            ).alias("n_tokens_kept"),
+        )
+    )
 
 
 def q_wet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4628,6 +4759,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "url_dedup": q_url_dedup,
         "wet_scan": q_wet_scan,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q15": q_tpch_q15,
+        "pipeline_crawl": q_pipeline_crawl,
         "boilerplate_strip": q_boilerplate_strip,
         "image_meta": q_image_meta,
         "quality_classifier": q_quality_classifier,
@@ -4987,10 +5121,13 @@ def _dedup_eval_sql(
     offset: int,
 ) -> str:
     """Replay dedup_eval end to end: plant the deterministic variants
-    (drop every ``drop``-th token, id + offset), rebuild the full
-    minhash pipeline over the PLANTED corpus (the _minhash_lsh_sql
-    shape re-sourced from the union), compute the exact-Jaccard truth
-    for the planted pairs, and fold the counts."""
+    (drop every ``drop``-th token, id + offset), run the TIER-0 exact
+    collapse (min-id representative per identical text — GROUP BY text
+    here; Spark's 8-byte-hash + collision-witness form is bit-identical
+    by construction), map the planted pairs through the representatives,
+    rebuild the full minhash pipeline over the COLLAPSED corpus (the
+    _minhash_lsh_sql shape re-sourced from the union), compute the
+    exact-Jaccard truth for the mapped pairs, and fold the counts."""
     r = k // bands
     params = minhash_params(k)
     mins = ",\n    ".join(
@@ -5002,7 +5139,7 @@ def _dedup_eval_sql(
         for band in range(bands)
     )
     return f"""
-WITH corpus AS (
+WITH corpus0 AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + {offset} AS doc_id,
@@ -5011,6 +5148,11 @@ WITH corpus AS (
                                          i -> i % {drop} != 0)), ' ') AS text
   FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
         WHERE doc_id % {mod} = 0)),
+rep AS (
+  SELECT doc_id, text,
+         min(doc_id) OVER (PARTITION BY text) AS rep_id
+  FROM corpus0),
+corpus AS (SELECT doc_id, text FROM rep WHERE doc_id = rep_id),
 toks AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
 sh AS (
   SELECT doc_id, unnest(list_distinct(
@@ -5033,9 +5175,16 @@ cand AS (
 found AS (
   SELECT c.doc_a, c.doc_b
   FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b),
-planted AS (
+planted0 AS (
   SELECT doc_id AS doc_a, doc_id + {offset} AS doc_b FROM documents
   WHERE doc_id % {mod} = 0),
+planted AS (
+  SELECT DISTINCT least(ra.rep_id, rb.rep_id) AS doc_a,
+                  greatest(ra.rep_id, rb.rep_id) AS doc_b
+  FROM planted0 p
+  JOIN rep ra ON ra.doc_id = p.doc_a
+  JOIN rep rb ON rb.doc_id = p.doc_b
+  WHERE ra.rep_id != rb.rep_id),
 truth AS (
   SELECT p.doc_a, p.doc_b FROM planted p
   JOIN jac j ON j.doc_a = p.doc_a AND j.doc_b = p.doc_b),
@@ -6694,6 +6843,80 @@ SELECT doc_id, n_tok::INTEGER AS n_tokens,
            + 0.2 * (1.0 - least(punct_ratio * 5, 1.0))
            + 0.1 * least(stop_ratio * 5, 1.0), 6) AS quality
 FROM feat
+""".strip()
+
+    sql["tpch_q4"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-07-01'
+  AND o.o_orderdate < DATE '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 800 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""".strip()
+    sql["tpch_q15"] = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) + 0.0
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+""".strip()
+    # canonical URLs re-derived from doc_id arithmetic (never the
+    # parser); collapse + quality + report replayed over the same rep
+    # relation the Spark pipeline builds from the WET round-trip
+    sql["pipeline_crawl"] = f"""
+WITH c AS (
+  SELECT doc_id, source, coalesce(text, '') AS text,
+         (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+         || '://' || source || '.example.com'
+         || (CASE WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 6 THEN '/'
+                  ELSE '/Posts/p' || (doc_id % 7)::VARCHAR END)
+         || (CASE WHEN doc_id % 13 = 7 THEN ''
+                  ELSE '?a=' || (doc_id % 5)::VARCHAR || '&z=26' END)
+           AS url_canon
+  FROM documents),
+rep AS (
+  SELECT url_canon, source, min(text) AS text, count(*) AS n_copies
+  FROM c GROUP BY url_canon, source),
+t AS (
+  SELECT url_canon, source, n_copies, {_TOKS} AS toks,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+         length(text) AS n_chars
+  FROM rep),
+feat AS (
+  SELECT url_canon, source, n_copies,
+         len(toks) AS n_tok,
+         punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+         len(list_filter(toks, w -> list_contains([{stop_list}], lower(w))))::DOUBLE
+           / greatest(len(toks), 1) AS stop_ratio,
+         len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)
+           AS distinct_ratio
+  FROM t),
+qual AS (
+  SELECT url_canon, source, n_copies, n_tok,
+         round(0.4 * (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * distinct_ratio
+             + 0.2 * (1.0 - least(punct_ratio * 5, 1.0))
+             + 0.1 * least(stop_ratio * 5, 1.0), 6) AS quality
+  FROM feat)
+SELECT source,
+       sum(n_copies)::BIGINT AS n_records,
+       count(*)::BIGINT AS n_canonical,
+       sum(CASE WHEN quality >= 0.75 THEN 1 ELSE 0 END)::BIGINT
+         AS n_quality_pass,
+       sum(CASE WHEN quality >= 0.75 THEN n_tok ELSE 0 END)::BIGINT
+         AS n_tokens_kept
+FROM qual GROUP BY source
 """.strip()
 
     # corpus_report v2: quality/dup CTEs + the SAMPLED classifier

@@ -269,6 +269,35 @@ def test_tpch_q19_disjunction_factors_to_hash_join(spark, qs):
     )
 
 
+def test_tpch_q4_exists_with_correlated_residual(spark, qs):
+    """Q4: the EXISTS references the outer's o_orderdate inside its
+    predicate — must plan as a LeftSemi hash join on l_orderkey with
+    the date inequality as the join residual, never a per-row subquery
+    or nested loop."""
+    df = qs["tpch_q4"](spark, SF)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_cartesian(df)
+    rows = df.collect()
+    # both classes populated: qualifying orders exist but not all
+    assert 0 < sum(r["order_count"] for r in rows)
+
+
+def test_tpch_q15_scalar_max_subquery(spark, qs):
+    """Q15: the MAX over the revenue relation must plan as a one-row
+    scalar subquery (its own aggregate job), and ties at the max are
+    kept — never a nested loop."""
+    df = qs["tpch_q15"](spark, SF)
+    plan = physical_plan(df)
+    assert "Subquery" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_cartesian(df)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert len({r["total_revenue"] for r in rows}) == 1  # all at the max
+
+
 def test_tpch_q2_fast_matches_correlated_form(spark, qs):
     """Window-rank rewrite == correlated-MIN original, row for row
     (ties at the per-part min are kept by both)."""
