@@ -200,6 +200,9 @@ GROUPS: dict[str, list[str]] = {
         "tpch_q19",
         "url_dedup",
         "wet_scan",
+        "tpch_q4",
+        "tpch_q15",
+        "pipeline_crawl",
     ],
 }
 

@@ -115,6 +115,9 @@ _DEFAULT_QUERIES = [
     "tpch_q19",
     "url_dedup",
     "wet_scan",
+    "tpch_q4",
+    "tpch_q15",
+    "pipeline_crawl",
 ]
 
 
