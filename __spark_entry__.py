@@ -1058,6 +1058,213 @@ def q_pipeline_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping) — the SYMMETRIC nation-pair
+    disjunction: two nation dims joined to opposite ends of the fact
+    chain with an OR'd (n1, n2) pair predicate that cannot collapse to
+    a single equality. The planner must keep both nation joins as
+    broadcast hash joins and evaluate the pair disjunction as a
+    residual — never a nested loop. Nation BANDS (keys <5 vs >=20)
+    stand in for TPC-H's two-nation pair so the result is populated at
+    every sf (the literal pair is empty at sf0.001). Revenue per
+    (supp_nation, cust_nation, year); sums rounded at the end."""
+    for t in ("lineitem", "supplier", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"_q7_{t}")
+    return spark.sql(
+        """
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) + 0.0 AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l.l_shipdate) AS l_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume
+          FROM _q7_lineitem l
+          JOIN _q7_supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN _q7_orders o ON o.o_orderkey = l.l_orderkey
+          JOIN _q7_customer c ON c.c_custkey = o.o_custkey
+          JOIN _q7_nation n1 ON n1.n_nationkey = s.s_nationkey
+          JOIN _q7_nation n2 ON n2.n_nationkey = c.c_nationkey
+          WHERE ((n1.n_nationkey < 5 AND n2.n_nationkey >= 20)
+              OR (n1.n_nationkey >= 20 AND n2.n_nationkey < 5))
+            AND l.l_shipdate >= DATE '1996-01-01'
+            AND l.l_shipdate < DATE '1998-01-01') t
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+        """
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share) — the RATIO-OF-CONDITIONAL-SUMS
+    over a seven-table star: NATION_1 suppliers' share of ECONOMY-part
+    volume sold into ASIA customers, per order year. The whole region
+    market is one aggregate; the share is sum(CASE)/sum — both sums in
+    one HashAggregate pass, never two scans. Ratio rounded to 6dp in
+    both engines (ulp-safe: relative summation error ~1e-13)."""
+    for t in (
+        "lineitem", "part", "supplier", "orders", "customer", "nation",
+        "region",
+    ):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"_q8_{t}")
+    return spark.sql(
+        """
+        SELECT o_year,
+               round(sum(CASE WHEN nation = 'NATION_1' THEN volume
+                              ELSE 0 END) / sum(volume), 6) + 0.0
+                 AS mkt_share
+        FROM (
+          SELECT year(o.o_orderdate) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM _q8_lineitem l
+          JOIN _q8_part p ON p.p_partkey = l.l_partkey
+          JOIN _q8_supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN _q8_orders o ON o.o_orderkey = l.l_orderkey
+          JOIN _q8_customer c ON c.c_custkey = o.o_custkey
+          JOIN _q8_nation n1 ON n1.n_nationkey = c.c_nationkey
+          JOIN _q8_region r ON r.r_regionkey = n1.n_regionkey
+          JOIN _q8_nation n2 ON n2.n_nationkey = s.s_nationkey
+          WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY') t
+        GROUP BY o_year
+        ORDER BY o_year
+        """
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit) — the widest fact expression of
+    the suite: profit = revenue - 0.8 * p_retailprice * l_quantity (the
+    supplycost proxy — this schema has no partsupp) for parts matching
+    '%bolt%', aggregated per (supplier nation, order year). The LIKE
+    filter pushes into the part scan and prunes the star before the
+    fact joins; everything else is one grouped aggregate."""
+    for t in ("lineitem", "part", "supplier", "orders", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"_q9_{t}")
+    return spark.sql(
+        """
+        SELECT nation, o_year, round(sum(amount), 2) + 0.0 AS sum_profit
+        FROM (
+          SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount)
+                   - 0.8 * p.p_retailprice * l.l_quantity AS amount
+          FROM _q9_lineitem l
+          JOIN _q9_part p ON p.p_partkey = l.l_partkey
+          JOIN _q9_supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN _q9_orders o ON o.o_orderkey = l.l_orderkey
+          JOIN _q9_nation n ON n.n_nationkey = s.s_nationkey
+          WHERE p.p_name LIKE '%bolt%') t
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year
+        """
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock) — the GROUP-VS-GLOBAL-FRACTION
+    shape: per-part inventory value for one nation's suppliers, keeping
+    parts whose value exceeds 0.1% of the nation's TOTAL value. The ps
+    relation is consumed twice (per-part rows + the global scalar) —
+    the q2/q15 CTE class; the scalar threshold plans as a one-row
+    subquery. Threshold rounded to 6dp in both engines before the
+    comparison."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q11_li")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "_q11_supp"
+    )
+    return spark.sql(
+        """
+        WITH ps AS (
+          SELECT l.l_partkey,
+                 sum(l.l_extendedprice * l.l_quantity) AS value
+          FROM _q11_li l
+          JOIN _q11_supp s ON s.s_suppkey = l.l_suppkey
+          WHERE s.s_nationkey = 3
+          GROUP BY l.l_partkey)
+        SELECT l_partkey AS p_partkey, round(value, 2) + 0.0 AS value
+        FROM ps
+        WHERE value > (SELECT round(0.001 * sum(value), 6) FROM ps)
+        ORDER BY value DESC, p_partkey
+        """
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping priority classes) — conditional counts per
+    line status (the shipmode stand-in: this schema has no l_shipmode)
+    over a date-windowed fact join: urgent/high orders vs the rest,
+    both counted in ONE aggregate pass. All-integer output — exact
+    oracle."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_q12_ord")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q12_li")
+    return spark.sql(
+        """
+        SELECT l.l_linestatus AS shipmode,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM _q12_ord o JOIN _q12_li l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= DATE '1996-01-01'
+          AND l.l_shipdate < DATE '1997-01-01'
+        GROUP BY l.l_linestatus
+        ORDER BY shipmode
+        """
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect) — the CONDITIONAL-SHARE scalar:
+    PROMO-type parts' percentage of one month's revenue, sum(CASE)/sum
+    in a single aggregate over the date-windowed part join. Rounded to
+    6dp in both engines."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q14_li")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_q14_part")
+    return spark.sql(
+        """
+        SELECT round(
+                 100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) + 0.0
+                 AS promo_revenue,
+               count(*) AS n_rows
+        FROM _q14_li l JOIN _q14_part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= DATE '1996-09-01'
+          AND l.l_shipdate < DATE '1996-10-01'
+        """
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (supplier-part relationships) — the NOT-IN (null-aware
+    anti join) + COUNT-DISTINCT shape: distinct supplier counts per
+    (brand, size) for selected sizes, excluding one brand and every
+    supplier whose name ends in '7' via NOT IN. Spark must plan the
+    single-column NOT IN as a null-aware BROADCAST anti hash join
+    (falling back to nested-loop only when the subquery can't
+    broadcast) — plan-locked to the hash form. The ps relation derives
+    from lineitem as the distinct (partkey, suppkey) pairs."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q16_li")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_q16_part")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "_q16_supp"
+    )
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_size,
+               count(DISTINCT ps.l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM _q16_li) ps
+        JOIN _q16_part p ON p.p_partkey = ps.l_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_size IN (1, 5, 9, 13, 17)
+          AND ps.l_suppkey NOT IN (
+            SELECT s_suppkey FROM _q16_supp WHERE s_name LIKE '%7')
+        GROUP BY p.p_brand, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+        """
+    )
+
+
 def q_wet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET (Common Crawl text-conversion archive) round-trip
     (sources/wet.py): serialize the documents table as REAL WARC/1.0
@@ -4762,6 +4969,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "tpch_q15": q_tpch_q15,
         "pipeline_crawl": q_pipeline_crawl,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q16": q_tpch_q16,
         "boilerplate_strip": q_boilerplate_strip,
         "image_meta": q_image_meta,
         "quality_classifier": q_quality_classifier,
@@ -4966,6 +5180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "exact_dedup": q_exact_dedup,
         "pricing_summary": q_pricing_summary,
+        # named alias: pricing_summary IS the TPC-H Q1 shape — the alias
+        # makes the all-22-shapes claim greppable under one key family
+        "tpch_q1": q_pricing_summary,
         "orders_above_avg": q_orders_above_avg,
         "top_orders_per_cust": q_top_orders_per_cust,
         "sql_revenue_by_nation": q_sql_revenue_by_nation,
@@ -6857,6 +7074,108 @@ WHERE o.o_orderdate >= DATE '1996-07-01'
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """.strip()
+    sql["tpch_q7"] = """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2) + 0.0 AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l.l_shipdate) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE ((n1.n_nationkey < 5 AND n2.n_nationkey >= 20)
+      OR (n1.n_nationkey >= 20 AND n2.n_nationkey < 5))
+    AND l.l_shipdate >= DATE '1996-01-01'
+    AND l.l_shipdate < DATE '1998-01-01') t
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""".strip()
+    sql["tpch_q8"] = """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
+             / sum(volume), 6) + 0.0 AS mkt_share
+FROM (
+  SELECT year(o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY') t
+GROUP BY o_year
+ORDER BY o_year
+""".strip()
+    sql["tpch_q9"] = """
+SELECT nation, o_year, round(sum(amount), 2) + 0.0 AS sum_profit
+FROM (
+  SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount)
+           - 0.8 * p.p_retailprice * l.l_quantity AS amount
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%bolt%') t
+GROUP BY nation, o_year
+ORDER BY nation, o_year
+""".strip()
+    sql["tpch_q11"] = """
+WITH ps AS (
+  SELECT l.l_partkey, sum(l.l_extendedprice * l.l_quantity) AS value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE s.s_nationkey = 3
+  GROUP BY l.l_partkey)
+SELECT l_partkey AS p_partkey, round(value, 2) + 0.0 AS value
+FROM ps
+WHERE value > (SELECT round(0.001 * sum(value), 6) FROM ps)
+ORDER BY value DESC, p_partkey
+""".strip()
+    sql["tpch_q12"] = """
+SELECT l.l_linestatus AS shipmode,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= DATE '1996-01-01'
+  AND l.l_shipdate < DATE '1997-01-01'
+GROUP BY l.l_linestatus
+ORDER BY shipmode
+""".strip()
+    sql["tpch_q14"] = """
+SELECT round(
+         100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+         / sum(l.l_extendedprice * (1 - l.l_discount)), 6) + 0.0
+         AS promo_revenue,
+       count(*) AS n_rows
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= DATE '1996-09-01'
+  AND l.l_shipdate < DATE '1996-10-01'
+""".strip()
+    sql["tpch_q16"] = """
+SELECT p.p_brand, p.p_size, count(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 5, 9, 13, 17)
+  AND ps.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY p.p_brand, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+""".strip()
     sql["tpch_q15"] = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
@@ -7328,6 +7647,7 @@ WHERE l_shipdate < TIMESTAMP '1998-09-01'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """.strip()
+    sql["tpch_q1"] = sql["pricing_summary"]  # named alias, same shape
 
     sql["top_orders"] = f"""
 SELECT o.o_orderkey, strftime(o.o_orderdate, '{TS_FMT_DUCK}') AS o_orderdate,

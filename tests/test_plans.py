@@ -298,6 +298,43 @@ def test_tpch_q15_scalar_max_subquery(spark, qs):
     assert len({r["total_revenue"] for r in rows}) == 1  # all at the max
 
 
+def test_tpch_q16_not_in_plans_null_aware_anti_hash_join(spark, qs):
+    """Q16's single-column NOT IN must plan as a NULL-AWARE anti HASH
+    join (BroadcastHashJoin ... LeftAnti ... isNullAware=true) — the
+    fallback for this shape is a nested loop, which is quadratic."""
+    df = qs["tpch_q16"](spark, SF)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_cartesian(df)
+    import re
+
+    # the trailing boolean on BHJ's argument list is isNullAwareAntiJoin
+    assert re.search(r"BroadcastHashJoin .*LeftAnti.*true", plan)
+
+
+def test_tpch_star_queries_broadcast_dims(spark, qs):
+    """Q7/Q8/Q9: every dimension join broadcasts, the pair/band
+    disjunctions evaluate as residuals/filters — no nested loop
+    anywhere in the star."""
+    for name, min_bhj in (("tpch_q7", 4), ("tpch_q8", 6), ("tpch_q9", 3)):
+        df = qs[name](spark, SF)
+        plan = physical_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert_no_cartesian(df)
+        assert broadcast_join_count(df) >= min_bhj, name
+
+
+def test_tpch_q11_group_vs_global_scalar(spark, qs):
+    """Q11: the 0.1%-of-total threshold plans as a one-row scalar
+    subquery over the ps relation — never a per-row re-aggregation."""
+    df = qs["tpch_q11"](spark, SF)
+    plan = physical_plan(df)
+    assert "Subquery" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_cartesian(df)
+
+
 def test_tpch_q2_fast_matches_correlated_form(spark, qs):
     """Window-rank rewrite == correlated-MIN original, row for row
     (ties at the per-part min are kept by both)."""
