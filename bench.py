@@ -203,6 +203,13 @@ GROUPS: dict[str, list[str]] = {
         "tpch_q4",
         "tpch_q15",
         "pipeline_crawl",
+        "tpch_q7",
+        "tpch_q8",
+        "tpch_q9",
+        "tpch_q11",
+        "tpch_q12",
+        "tpch_q14",
+        "tpch_q16",
     ],
 }
 

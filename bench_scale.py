@@ -118,6 +118,13 @@ _DEFAULT_QUERIES = [
     "tpch_q4",
     "tpch_q15",
     "pipeline_crawl",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q16",
 ]
 
 
