@@ -934,6 +934,91 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs.select("doc_id", _messy_url().alias("url")))
 
 
+def q_wet_scan_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP tier of the WET round-trip: identical corpus and parse to
+    ``wet_scan``, but the shards are written as ``.warc.wet.gz`` the
+    way Common Crawl publishes them — a MULTI-MEMBER gzip stream, one
+    member per record (the property that makes offset-addressed random
+    record access possible without decompressing the archive). The
+    reader gunzips per member and then runs the same Content-Length
+    walk; gzip'd archives are NOT splittable, so the file stays the
+    parallelism unit (the jsonl.gz caveat, documented there too).
+    SHARES wet_scan's oracle — the expected records are identical by
+    construction, so the driver check pins compressed == plain."""
+    import tempfile
+
+    from hnsw_vector_db_spark.sources.wet import read_wet, write_wet
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://"),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        d.cast("string"),
+    )
+    trap = F.when(
+        d % 17 == 3,
+        F.lit("\r\nWARC/1.0\r\nWARC-Type: fake-not-a-record"),
+    ).otherwise(F.lit(""))
+    payload = F.concat(F.coalesce(F.col("text"), F.lit("")), trap)
+    work = tempfile.mkdtemp(prefix="wet_scan_gz_")
+    # adaptive shard count — see wet_scan's note (fixed shard size is
+    # what keeps compression wall = bytes/cores instead of bytes/8)
+    n_files = max(8, min(512, docs.count() // 625))
+    write_wet(
+        docs.select(url.alias("url"), payload.alias("text")),
+        work,
+        n_files=n_files,
+        compress=True,
+    ).collect()
+    return (
+        read_wet(spark, work)
+        .filter(F.col("rec_type") == "conversion")
+        .select("url", "content_length", "text")
+    )
+
+
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition pruning
+    (sources/layout.py:partitioned_write) — the standard 100 TB
+    date-partitioned table: orders written partitionBy(o_month), then
+    read back with a two-month filter. The filter must resolve at
+    PLANNING time as `PartitionFilters` on the scan — whole
+    directories never open, no footers read (contrast cluster_write's
+    row-group pruning INSIDE files and the hnsw_search cell layout,
+    which locks the same property for the vector index). Plan-locked
+    in tests/test_plans.py; the aggregate is oracle-checked against
+    the unpartitioned source table, pinning that the pruned read
+    loses no rows."""
+    import tempfile
+
+    from hnsw_vector_db_spark.sources.layout import partitioned_write
+
+    orders = load_table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="partition_prune_")
+    partitioned_write(
+        orders.withColumn(
+            "o_month", F.date_format("o_orderdate", "yyyy-MM")
+        ),
+        work,
+        ["o_month"],
+    )
+    part = spark.read.parquet(work).filter(
+        F.col("o_month").isin("1996-03", "1996-04")
+    )
+    return (
+        part.groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.round(F.sum("o_totalprice"), 2) + F.lit(0.0)).alias(
+                "total_price"
+            ),
+        )
+        .orderBy("o_month")
+    )
+
+
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (order priority checking) — the correlated EXISTS
     with a NON-EQUI correlated residual: an order counts iff SOME of
@@ -1299,12 +1384,21 @@ def q_wet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(""))
     payload = F.concat(F.coalesce(F.col("text"), F.lit("")), trap)
     work = tempfile.mkdtemp(prefix="wet_scan_")
+    # fixed SHARD SIZE, scaling shard COUNT with the corpus — the
+    # Common Crawl rule (~150 MB/file at web scale; ~625 docs/file
+    # here). A fixed n_files caps write/read parallelism while
+    # per-file work grows with the corpus: the first 64x measurement
+    # of the gz tier ran 8 files = 8 tasks and cost 32.4x; adaptive
+    # sharding restores full-width parallelism and the honest ratio
+    # (compression CPU is linear in bytes; wall ~ bytes / cores).
+    n_docs = docs.count()
+    n_files = max(8, min(512, n_docs // 625))
     manifest = write_wet(
         docs.select(url.alias("url"), payload.alias("text")),
         work,
-        n_files=8,
+        n_files=n_files,
     ).collect()  # bounded: one row per written shard
-    assert sum(r["n_records"] for r in manifest) == docs.count()
+    assert sum(r["n_records"] for r in manifest) == n_docs
     return (
         read_wet(spark, work)
         .filter(F.col("rec_type") == "conversion")
@@ -4976,6 +5070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
         "tpch_q16": q_tpch_q16,
+        "wet_scan_gz": q_wet_scan_gz,
+        "partition_prune": q_partition_prune,
         "boilerplate_strip": q_boilerplate_strip,
         "image_meta": q_image_meta,
         "quality_classifier": q_quality_classifier,
@@ -7062,6 +7158,17 @@ SELECT doc_id, n_tok::INTEGER AS n_tokens,
 FROM feat
 """.strip()
 
+        # gz tier shares the plain oracle: identical expected records
+    sql["wet_scan_gz"] = sql["wet_scan"]
+    sql["partition_prune"] = """
+SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) + 0.0 AS total_price
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m') IN ('1996-03', '1996-04')
+GROUP BY o_month
+ORDER BY o_month
+""".strip()
     sql["tpch_q4"] = """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders o

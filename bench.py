@@ -210,6 +210,8 @@ GROUPS: dict[str, list[str]] = {
         "tpch_q12",
         "tpch_q14",
         "tpch_q16",
+        "wet_scan_gz",
+        "partition_prune",
     ],
 }
 

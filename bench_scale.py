@@ -125,6 +125,8 @@ _DEFAULT_QUERIES = [
     "tpch_q12",
     "tpch_q14",
     "tpch_q16",
+    "wet_scan_gz",
+    "partition_prune",
 ]
 
 

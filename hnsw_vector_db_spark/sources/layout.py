@@ -47,6 +47,29 @@ def cluster_write(
     writer.parquet(path)
 
 
+def partitioned_write(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+) -> None:
+    """Write ``df`` hive-partitioned on ``partition_cols`` — the
+    standard 100 TB date/tenant layout: each distinct partition value
+    becomes a directory, and a later read with a filter on the
+    partition column PRUNES whole directories at planning time
+    (`PartitionFilters` on the scan — no file is opened, no footer
+    read; contrast `cluster_write`, which prunes via row-group stats
+    INSIDE files). The pre-shuffle on the partition columns gives one
+    file per (task, value) instead of task x value fragments — the
+    small-files trap `compact_table` exists to clean up."""
+    cols = [F.col(c) for c in partition_cols]
+    (
+        df.repartition(*cols)
+        .write.partitionBy(*partition_cols)
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
 def file_ranges(path: str, column: str) -> list[tuple]:
     """Per-file (min, max) footer statistics for ``column`` — the
     evidence that pruning will work. Driver-side pyarrow metadata read:

@@ -71,6 +71,7 @@ def write_wet(
     url_col: str = "url",
     text_col: str = "text",
     n_files: int = 8,
+    compress: bool = False,
 ) -> DataFrame:
     """Serialize (url, text) rows as WET files under ``out_dir`` —
     ``n_files`` shards, rows routed by a hash of the url so the layout
@@ -81,6 +82,11 @@ def write_wet(
     Each task writes exactly one file, opening with the spec-mandated
     ``warcinfo`` record. Payloads are UTF-8; Content-Length is OCTETS
     (per spec), not characters.
+
+    ``compress=True`` writes ``.warc.wet.gz`` the way Common Crawl
+    does: a MULTI-MEMBER gzip stream with ONE MEMBER PER RECORD, which
+    is what makes (offset, length)-addressed random record access
+    possible on an archive you never decompress whole.
     """
     from hnsw_vector_db_spark.session import ensure_package_shipped
 
@@ -100,16 +106,29 @@ def write_wet(
         files, n_recs, n_bytes = [], [], []
         for shard_id in sorted(by_shard):
             rows = sorted(by_shard[shard_id], key=lambda r: r[0])
-            info = _serialize_record(
-                "warcinfo",
-                None,
-                b"software: hnsw_vector_db_spark wet writer\r\n",
-            )
-            blob = info + b"".join(
+            recs = [
+                _serialize_record(
+                    "warcinfo",
+                    None,
+                    b"software: hnsw_vector_db_spark wet writer\r\n",
+                )
+            ] + [
                 _serialize_record("conversion", u, (t or "").encode("utf-8"))
                 for u, t in rows
-            )
-            path = os.path.join(out_dir, f"part-{shard_id:05d}.warc.wet")
+            ]
+            if compress:
+                import gzip as _gzip
+
+                # one gzip MEMBER per record (the Common Crawl layout)
+                blob = b"".join(
+                    _gzip.compress(r, compresslevel=6, mtime=0)
+                    for r in recs
+                )
+                suffix = ".warc.wet.gz"
+            else:
+                blob = b"".join(recs)
+                suffix = ".warc.wet"
+            path = os.path.join(out_dir, f"part-{shard_id:05d}{suffix}")
             with open(path, "wb") as f:
                 f.write(blob)
             files.append(os.path.basename(path))
@@ -130,9 +149,31 @@ def write_wet(
     )
 
 
+def _gunzip_members(blob: bytes) -> bytes:
+    """Decompress a MULTI-MEMBER gzip stream (the Common Crawl WET
+    layout — one member per record). gzip.decompress handles this too,
+    but looping decompressobj documents the member structure and fails
+    fast on trailing garbage."""
+    import zlib
+
+    out = bytearray()
+    rest = blob
+    while rest:
+        d = zlib.decompressobj(wbits=47)  # gzip header, one member
+        out += d.decompress(rest)
+        out += d.flush()
+        if d.unused_data == rest:
+            raise ValueError("not a gzip stream")
+        rest = d.unused_data
+    return bytes(out)
+
+
 def _parse_wet_bytes(name: str, blob: bytes) -> list[tuple]:
     """Spec framing: header block up to CRLFCRLF, then exactly
     Content-Length payload octets, then the CRLFCRLF record separator."""
+    if name.endswith(".gz"):
+        blob = _gunzip_members(blob)
+        name = name[: -len(".gz")]
     out: list[tuple] = []
     pos = 0
     n = len(blob)
@@ -182,7 +223,7 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     ensure_package_shipped(spark)
     raw = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc.wet")
+        .option("pathGlobFilter", "*.warc.wet*")
         .load(path)
         .select("path", "content")
     )

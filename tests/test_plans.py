@@ -335,6 +335,20 @@ def test_tpch_q11_group_vs_global_scalar(spark, qs):
     assert_no_cartesian(df)
 
 
+def test_partition_prune_filters_at_planning_time(spark, qs):
+    """The hive-partitioned read must prune whole directories at
+    planning time: the month filter appears as PartitionFilters on the
+    scan (not a post-scan Filter), and the scan's partition count
+    reflects only the two selected months."""
+    df = qs["partition_prune"](spark, SF)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan
+    after = plan.split("PartitionFilters", 1)[1][:250]
+    assert "o_month" in after, after
+    rows = df.collect()
+    assert [r["o_month"] for r in rows] == ["1996-03", "1996-04"]
+
+
 def test_tpch_q2_fast_matches_correlated_form(spark, qs):
     """Window-rank rewrite == correlated-MIN original, row for row
     (ties at the per-part min are kept by both)."""

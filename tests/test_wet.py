@@ -76,6 +76,45 @@ def test_bad_version_line_fails_fast():
         _parse_wet_bytes("f", b"HTTP/1.1 200 OK\r\n\r\n\r\n\r\n")
 
 
+def test_gzip_roundtrip_and_member_per_record(spark, tmp_path):
+    """compress=True writes multi-member gzip (one member per record —
+    the Common Crawl layout); the reader gunzips per member and parses
+    identically, including the planted fake-header trap."""
+    import zlib
+
+    trap = "x\r\nWARC/1.0\r\nWARC-Type: conversion\r\n\r\ny"
+    rows = [(f"http://ex.com/{i}", trap if i == 0 else f"t{i}")
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    manifest = write_wet(df, str(tmp_path), n_files=1, compress=True).collect()
+    assert sum(r["n_records"] for r in manifest) == len(rows)
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".warc.wet.gz")]
+    assert len(files) == 1
+    blob = (tmp_path / files[0]).read_bytes()
+    # count gzip members: 6 conversion records + 1 warcinfo = 7
+    members, rest = 0, blob
+    while rest:
+        d = zlib.decompressobj(wbits=47)
+        d.decompress(rest)
+        d.flush()
+        members += 1
+        rest = d.unused_data
+    assert members == 7
+    rec = read_wet(spark, str(tmp_path))
+    conv = {
+        r["url"]: r["text"]
+        for r in rec.filter(F.col("rec_type") == "conversion").collect()
+    }
+    assert conv == dict(rows)
+
+
+def test_gunzip_rejects_garbage():
+    from hnsw_vector_db_spark.sources.wet import _gunzip_members
+
+    with pytest.raises((ValueError, Exception)):
+        _gunzip_members(b"definitely not gzip")
+
+
 def test_write_is_deterministic_and_idempotent(spark, tmp_path):
     rows = [(f"http://ex.com/{i}", f"t{i}") for i in range(10)]
     df = spark.createDataFrame(rows, "url string, text string")
