@@ -4176,6 +4176,60 @@ ORDER BY wtf.doc_id
 """.strip()
 
 
+def q_tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer-readiness report
+    (bpe.py:tokenizer_stats): docs, words, chars, subword tokens,
+    chars-per-token, and the CHAR-FALLBACK rate (fraction of emitted
+    subwords that are single characters — BPE's analog of OOV) for the
+    fixed BPE_ENCODE_MERGES vocabulary, one row per source. The table
+    a curator reads before committing a tokenizer to a corpus mix: a
+    source with high fallback pays more tokens per byte. Same scale
+    shape as bpe_encode — folds over the distinct-word table, one
+    source-keyed aggregate. ORACLE: the same replace-chain replay as
+    bpe_encode plus a per-symbol single-char count."""
+    from hnsw_vector_db_spark.operators import bpe
+
+    return bpe.tokenizer_stats(_docs(spark, sf_dir), BPE_ENCODE_MERGES)
+
+
+def _tokenizer_stats_sql() -> str:
+    seg = (
+        "' ' || array_to_string(list_append(string_split_regex(word, ''),"
+        " '</w>'), ' ') || ' '"
+    )
+    for l, r in BPE_ENCODE_MERGES:
+        seg = f"replace({seg}, ' {l} {r} ', ' {l}{r} ')"
+    return f"""
+WITH wtf AS (
+  SELECT source, t.word, count(*)::BIGINT AS tf
+  FROM documents,
+       unnest(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))
+         AS t(word)
+  GROUP BY source, t.word),
+seg AS (
+  SELECT word,
+         len(syms)::BIGINT AS n_sub,
+         length(word)::BIGINT AS n_ch,
+         len(list_filter(syms,
+             s -> length(regexp_replace(s, '</w>$', '')) = 1))::BIGINT
+           AS n_single
+  FROM (SELECT word, string_split(trim({seg}), ' ') AS syms
+        FROM (SELECT DISTINCT word FROM wtf))),
+nd AS (SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs
+       FROM documents GROUP BY source)
+SELECT wtf.source, nd.n_docs,
+       sum(tf)::BIGINT AS n_words,
+       sum(tf * n_ch)::BIGINT AS n_chars,
+       sum(tf * n_sub)::BIGINT AS n_subwords,
+       round(sum(tf * n_ch)::DOUBLE / sum(tf * n_sub)::DOUBLE, 6) + 0
+         AS chars_per_token,
+       round(sum(tf * n_single)::DOUBLE / sum(tf * n_sub)::DOUBLE, 6) + 0
+         AS fallback_rate
+FROM wtf JOIN seg USING (word) JOIN nd USING (source)
+GROUP BY wtf.source, nd.n_docs
+""".strip()
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING (Sennrich et al. ACL'16) in pure Spark
     expressions (operators/bpe.py): corpus -> distinct-word frequency
@@ -5111,6 +5165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "grouped_split": q_grouped_split,
         "bpe_train": q_bpe_train,
+        "tokenizer_stats": q_tokenizer_stats,
         "bpe_encode": q_bpe_encode,
         "cap_per_group": q_cap_per_group,
         "incremental_dedup": q_incremental_dedup,
@@ -6617,6 +6672,7 @@ GROUP BY t.doc_id
     sql["random_projection"] = _rp_sql(64, 16, 0)
     sql["bpe_encode"] = _bpe_encode_sql()
     sql["bpe_train"] = _bpe_train_sql(24)
+    sql["tokenizer_stats"] = _tokenizer_stats_sql()
     sql["incremental_dedup"] = _incremental_dedup_sql(
         LSH_K, LSH_BANDS, JACCARD_THRESHOLD
     )

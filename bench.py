@@ -212,6 +212,7 @@ GROUPS: dict[str, list[str]] = {
         "tpch_q16",
         "wet_scan_gz",
         "partition_prune",
+        "tokenizer_stats",
     ],
 }
 

@@ -127,6 +127,7 @@ _DEFAULT_QUERIES = [
     "tpch_q16",
     "wet_scan_gz",
     "partition_prune",
+    "tokenizer_stats",
 ]
 
 

@@ -154,6 +154,95 @@ def bpe_train(
     return merges
 
 
+def tokenizer_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-SOURCE tokenizer-readiness report for a fixed merge list —
+    the table a curator reads before committing a tokenizer to a
+    corpus mix: docs, words, chars, subword tokens, chars-per-token
+    (the compression a source actually gets), and the CHAR-FALLBACK
+    rate — the fraction of emitted subwords that are single characters,
+    i.e. text the merge vocabulary failed to cover (BPE's analog of
+    OOV; high fallback on a source means the tokenizer was trained on
+    different text and that source will pay more tokens per byte).
+
+    Same scale shape as :func:`bpe_segment`: merge folds run over the
+    DISTINCT-WORD table only; the raw stream is touched once for the
+    (source, word) tf collapse and once for the final join; the report
+    is one source-keyed aggregate with map-side partial combine."""
+    wtf = (
+        docs.select(
+            F.col(source_col), F.explode(tokens(text_col)).alias("word"),
+            F.col(id_col),
+        )
+        .groupBy(source_col, "word")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct(id_col).alias("df"),
+        )
+    )
+    vocab = wtf.select("word").distinct()
+    seg = _initial_seg(vocab.select("word", F.lit(1).alias("wf"))).select(
+        "word", "syms"
+    )
+    for i, m in enumerate(merges):
+        seg = seg.select(
+            "word", _merge_fold(F.col("syms"), m[0], m[1]).alias("syms")
+        )
+        if (i + 1) % 8 == 0:  # cut lineage: nested folds blow up codegen
+            seg = seg.localCheckpoint()
+    # a symbol is a char-fallback iff its visible text (the '</w>'
+    # end-of-word marker stripped as a SUFFIX only) is one char
+    visible = lambda s: F.regexp_replace(s, r"</w>$", "")
+    sized = seg.select(
+        "word",
+        F.size("syms").alias("n_sub"),
+        F.length("word").alias("n_ch"),
+        F.size(
+            F.filter(F.col("syms"), lambda s: F.length(visible(s)) == 1)
+        ).alias("n_single"),
+    )
+    n_docs = docs.groupBy(source_col).agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    return (
+        wtf.join(sized, "word")
+        .groupBy(source_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_words"),
+            F.sum(F.col("tf") * F.col("n_ch")).cast("long").alias("n_chars"),
+            F.sum(F.col("tf") * F.col("n_sub")).cast("long").alias(
+                "n_subwords"
+            ),
+            (
+                F.round(
+                    F.sum(F.col("tf") * F.col("n_ch"))
+                    / F.sum(F.col("tf") * F.col("n_sub")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("chars_per_token"),
+            (
+                F.round(
+                    F.sum(F.col("tf") * F.col("n_single"))
+                    / F.sum(F.col("tf") * F.col("n_sub")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("fallback_rate"),
+        )
+        .join(n_docs, source_col)
+        .select(
+            source_col, "n_docs", "n_words", "n_chars", "n_subwords",
+            "chars_per_token", "fallback_rate",
+        )
+    )
+
+
 def bpe_segment(
     docs: DataFrame,
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],

@@ -95,3 +95,43 @@ def test_bpe_validates_params(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bpe.bpe_train(docs, n_merges=0)
+
+
+def test_tokenizer_stats_fallback_rate_hand_computed(spark):
+    """One source, one doc 'low low lower'. This implementation keeps
+    '</w>' as a STANDALONE initial symbol (classic Sennrich), so with
+    merges (l,o) then (w,</w>): 'low' -> [lo, w</w>] (1 single: 'w');
+    'lower' -> [lo, w, e, r, </w>] (singles w/e/r; the bare '</w>'
+    marker has empty visible text and is NOT a fallback). Totals with
+    tf(low)=2: 9 subwords, 5 singles."""
+    docs = spark.createDataFrame(
+        [(1, "low low lower", "a")], "doc_id long, text string, source string"
+    )
+    row = bpe.tokenizer_stats(docs, [("l", "o"), ("w", "</w>")]).first()
+    assert row["source"] == "a"
+    assert row["n_docs"] == 1
+    assert row["n_words"] == 3
+    assert row["n_chars"] == 11
+    assert row["n_subwords"] == 2 * 2 + 5
+    assert row["fallback_rate"] == round(5 / 9, 6)
+    assert abs(row["chars_per_token"] - round(11 / 9, 6)) < 1e-9
+
+
+def test_tokenizer_stats_separates_sources(spark):
+    """Fallback differs per source when the vocabulary fits one source
+    and not the other — the signal the report exists to surface.
+    'low' fully fuses through (l,o)(lo,w)(low,</w>) -> zero fallback;
+    zebra/quartz never merge -> 11 single chars over 13 symbols (the
+    two bare '</w>' markers are not singles)."""
+    docs = spark.createDataFrame(
+        [(1, "low low low", "fits"), (2, "zebra quartz", "foreign")],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r["source"]: r
+        for r in bpe.tokenizer_stats(
+            docs, [("l", "o"), ("lo", "w"), ("low", "</w>")]
+        ).collect()
+    }
+    assert rows["fits"]["fallback_rate"] == 0.0
+    assert rows["foreign"]["fallback_rate"] == round(11 / 13, 6)
