@@ -4216,17 +4216,24 @@ seg AS (
   FROM (SELECT word, string_split(trim({seg}), ' ') AS syms
         FROM (SELECT DISTINCT word FROM wtf))),
 nd AS (SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs
-       FROM documents GROUP BY source)
-SELECT wtf.source, nd.n_docs,
-       sum(tf)::BIGINT AS n_words,
-       sum(tf * n_ch)::BIGINT AS n_chars,
-       sum(tf * n_sub)::BIGINT AS n_subwords,
-       round(sum(tf * n_ch)::DOUBLE / sum(tf * n_sub)::DOUBLE, 6) + 0
-         AS chars_per_token,
-       round(sum(tf * n_single)::DOUBLE / sum(tf * n_sub)::DOUBLE, 6) + 0
-         AS fallback_rate
-FROM wtf JOIN seg USING (word) JOIN nd USING (source)
-GROUP BY wtf.source, nd.n_docs
+       FROM documents GROUP BY source),
+m AS (
+  SELECT source,
+         sum(tf)::BIGINT AS n_words,
+         sum(tf * n_ch)::BIGINT AS n_chars,
+         sum(tf * n_sub)::BIGINT AS n_subwords,
+         round(sum(tf * n_ch)::DOUBLE / sum(tf * n_sub)::DOUBLE, 6) + 0
+           AS chars_per_token,
+         round(sum(tf * n_single)::DOUBLE / sum(tf * n_sub)::DOUBLE, 6) + 0
+           AS fallback_rate
+  FROM wtf JOIN seg USING (word)
+  GROUP BY source)
+SELECT nd.source, nd.n_docs,
+       coalesce(m.n_words, 0)::BIGINT AS n_words,
+       coalesce(m.n_chars, 0)::BIGINT AS n_chars,
+       coalesce(m.n_subwords, 0)::BIGINT AS n_subwords,
+       m.chars_per_token, m.fallback_rate
+FROM nd LEFT JOIN m USING (source)
 """.strip()
 
 

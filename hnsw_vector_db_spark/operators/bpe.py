@@ -173,7 +173,14 @@ def tokenizer_stats(
     Same scale shape as :func:`bpe_segment`: merge folds run over the
     DISTINCT-WORD table only; the raw stream is touched once for the
     (source, word) tf collapse and once for the final join; the report
-    is one source-keyed aggregate with map-side partial combine."""
+    is one source-keyed aggregate with map-side partial combine.
+
+    Every source appears exactly once: the report starts from the
+    per-source doc-count aggregate and LEFT-joins the token-derived
+    metrics, so a source whose documents tokenize to zero words
+    (empty/whitespace-only text) still shows up with its ``n_docs``
+    and zero counts (the ratio columns are NULL — 0/0 has no honest
+    number)."""
     wtf = (
         docs.select(
             F.col(source_col), F.explode(tokens(text_col)).alias("word"),
@@ -209,7 +216,7 @@ def tokenizer_stats(
     n_docs = docs.groupBy(source_col).agg(
         F.countDistinct(id_col).alias("n_docs")
     )
-    return (
+    metrics = (
         wtf.join(sized, "word")
         .groupBy(source_col)
         .agg(
@@ -235,11 +242,15 @@ def tokenizer_stats(
                 + F.lit(0.0)
             ).alias("fallback_rate"),
         )
-        .join(n_docs, source_col)
-        .select(
-            source_col, "n_docs", "n_words", "n_chars", "n_subwords",
-            "chars_per_token", "fallback_rate",
-        )
+    )
+    return n_docs.join(metrics, source_col, "left").select(
+        source_col,
+        "n_docs",
+        F.coalesce("n_words", F.lit(0).cast("long")).alias("n_words"),
+        F.coalesce("n_chars", F.lit(0).cast("long")).alias("n_chars"),
+        F.coalesce("n_subwords", F.lit(0).cast("long")).alias("n_subwords"),
+        "chars_per_token",
+        "fallback_rate",
     )
 
 

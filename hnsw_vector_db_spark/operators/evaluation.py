@@ -161,7 +161,19 @@ def dedup_eval(
     bench_scale run measured the uncollapsed form at **241x wall for
     64x data** on the repeated-text replica (1,004 s vs 16 s collapsed);
     evaluating the collapsed pipeline is both the honest configuration
-    and the one that survives scale."""
+    and the one that survives scale.
+
+    Output contract under ``collapse_exact=True`` (changed default as
+    of r8): ``n_planted``/``n_truth`` count POST-collapse mapped pairs
+    (representative-to-representative, self-pairs dropped, duplicates
+    merged), not the raw planted list — callers comparing against a
+    pre-collapse pair count must map through the representatives the
+    same way. NULL-text caveat: the collapse routes docs through
+    ``exact_groups``/``exact_dedup``, whose min/max collision-witness
+    filter evaluates to NULL for NULL text, so NULL-text rows are
+    silently DROPPED from the evaluated corpus — a divergence from a
+    plain ``PARTITION BY text`` replay, which groups NULLs together.
+    Coalesce text to ``''`` upstream if NULL rows must participate."""
     from hnsw_vector_db_spark.operators.dedup import (
         exact_dedup,
         exact_groups,

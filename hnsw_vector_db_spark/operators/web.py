@@ -53,9 +53,10 @@ def canonicalize_url(
          is significant per RFC 3986);
       3. strip the default port (``:80`` for http, ``:443`` for https;
          non-default ports are kept);
-      4. strip one leading ``www.`` from the host;
-      5. strip a trailing slash from a non-root path; empty path
-         becomes ``/``;
+      4. strip the leading ``www.`` labels from the host (repeated
+         ``www.www.`` collapses too — one pass must be a fixpoint);
+      5. strip trailing slashes from a non-root path (all of them, so
+         ``/a//`` and ``/a/`` agree); empty path becomes ``/``;
       6. drop tracking query parameters (``utm_*`` prefixes and exact
          names like ``gclid``), sort the survivors byte-wise, and drop
          the ``?`` entirely when none survive.
@@ -80,12 +81,13 @@ def canonicalize_url(
         )
         .otherwise(hostport)
     )
-    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.regexp_replace(hostport, r"^(www\.)+", "")
     path = F.regexp_extract(rest, r"^[^/?]*([^?]*)", 1)
     path = F.when(path == F.lit(""), F.lit("/")).otherwise(path)
     path = F.when(
-        F.length(path) > 1, F.regexp_replace(path, r"/$", "")
+        F.length(path) > 1, F.regexp_replace(path, r"/+$", "")
     ).otherwise(path)
+    path = F.when(path == F.lit(""), F.lit("/")).otherwise(path)
     query = F.regexp_extract(rest, r"\?(.*)$", 1)
 
     def _keep(p: Column) -> Column:

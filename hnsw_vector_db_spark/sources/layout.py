@@ -51,6 +51,8 @@ def partitioned_write(
     df: DataFrame,
     path: str,
     partition_cols: list[str],
+    files_per_partition: int = 4,
+    max_records_per_file: int | None = None,
 ) -> None:
     """Write ``df`` hive-partitioned on ``partition_cols`` — the
     standard 100 TB date/tenant layout: each distinct partition value
@@ -58,16 +60,42 @@ def partitioned_write(
     partition column PRUNES whole directories at planning time
     (`PartitionFilters` on the scan — no file is opened, no footer
     read; contrast `cluster_write`, which prunes via row-group stats
-    INSIDE files). The pre-shuffle on the partition columns gives one
-    file per (task, value) instead of task x value fragments — the
-    small-files trap `compact_table` exists to clean up."""
+    INSIDE files).
+
+    Skew tradeoff: a plain ``repartition(*partition_cols)`` hash-routes
+    EVERY row of one partition value into a single task — for the
+    low-cardinality date/tenant layout this is a one-task funnel
+    writing one giant file per month. So the pre-shuffle key is
+    (partition_cols + a deterministic row-hash salt mod
+    ``files_per_partition``): each partition value fans out over up to
+    ``files_per_partition`` writer tasks, i.e. that many files per
+    directory instead of one unbounded file — the knob trades write
+    parallelism against file count (`compact_table` cleans up if set
+    too high). ``max_records_per_file`` additionally caps file size
+    inside a task. The salt is xxhash64 over all columns, so re-runs
+    place rows identically (deterministic retries, stable layouts).
+
+    The repartition carries an EXPLICIT partition count (the session's
+    shuffle-partition setting): a user-specified count opts the
+    exchange out of AQE partition coalescing, which at small volumes
+    would merge the salted fan-out right back into one writer task —
+    the salt exists precisely to prevent that."""
     cols = [F.col(c) for c in partition_cols]
-    (
-        df.repartition(*cols)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]),
+        F.lit(max(1, files_per_partition)),
+    )
+    n_shuffle = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    writer = (
+        df.repartition(n_shuffle, *cols, salt)
         .write.partitionBy(*partition_cols)
         .mode("overwrite")
-        .parquet(path)
     )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
 
 
 def file_ranges(path: str, column: str) -> list[tuple]:

@@ -65,6 +65,18 @@ def _serialize_record(rec_type: str, url: str | None, payload: bytes) -> bytes:
     return b"\r\n".join(headers) + b"\r\n\r\n" + payload + b"\r\n\r\n"
 
 
+def _check_local_master(master: str) -> None:
+    """Refuse executor-side plain-``open()`` writes off local mode —
+    see :func:`write_wet`'s FILESYSTEM REQUIREMENT."""
+    if not master.startswith("local"):
+        raise ValueError(
+            "write_wet writes shards with plain open() inside executor "
+            "tasks; on a non-local master each executor lands shards on "
+            "its own disk and out_dir silently sees a subset. Run on "
+            f"local[...] or a shared mount (master={master!r})."
+        )
+
+
 def write_wet(
     df: DataFrame,
     out_dir: str,
@@ -87,9 +99,22 @@ def write_wet(
     does: a MULTI-MEMBER gzip stream with ONE MEMBER PER RECORD, which
     is what makes (offset, length)-addressed random record access
     possible on an archive you never decompress whole.
+
+    FILESYSTEM REQUIREMENT: shard files are written with plain
+    ``open()`` INSIDE the executor task, so ``out_dir`` must be a
+    path every executor AND the driver see as the same filesystem —
+    local mode (one machine) or a shared mount (NFS/FUSE). On a
+    multi-node cluster without a shared mount each executor would
+    write to its own local disk and the driver's ``out_dir`` would
+    see only a subset; this function REFUSES to run there (raises
+    ``ValueError`` when the master isn't ``local[...]``) rather than
+    silently losing shards. The cluster-native path is the
+    ``vectorflow`` registered datasource (a real DataSource V2
+    writer) or parquet + a distcp-style export.
     """
     from hnsw_vector_db_spark.session import ensure_package_shipped
 
+    _check_local_master(df.sparkSession.conf.get("spark.master", ""))
     ensure_package_shipped(df.sparkSession)
     os.makedirs(out_dir, exist_ok=True)
     shard = F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_files))

@@ -135,3 +135,24 @@ def test_tokenizer_stats_separates_sources(spark):
     }
     assert rows["fits"]["fallback_rate"] == 0.0
     assert rows["foreign"]["fallback_rate"] == round(11 / 13, 6)
+
+
+def test_tokenizer_stats_keeps_zero_word_source(spark):
+    """A source whose docs tokenize to ZERO words (empty/whitespace-only
+    text) must still appear in the readiness report — n_docs counted,
+    counts 0, ratio columns NULL (0/0 has no honest number). The r8
+    inner-join form silently dropped the source."""
+    docs = spark.createDataFrame(
+        [(1, "low low", "a"), (2, "   ", "empty"), (3, "", "empty")],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r["source"]: r
+        for r in bpe.tokenizer_stats(docs, [("l", "o")]).collect()
+    }
+    assert set(rows) == {"a", "empty"}
+    e = rows["empty"]
+    assert e["n_docs"] == 2
+    assert e["n_words"] == 0 and e["n_chars"] == 0 and e["n_subwords"] == 0
+    assert e["chars_per_token"] is None and e["fallback_rate"] is None
+    assert rows["a"]["n_words"] == 2

@@ -311,3 +311,39 @@ def test_zorder_write_tightens_both_dimensions(spark, sf_dir, tmp_path):
         f"SELECT o_orderkey, {zexpr} AS z FROM orders ORDER BY o_orderkey LIMIT 200"
     ).fetchall()
     assert [(r["o_orderkey"], r["z"]) for r in zs] == [tuple(t) for t in dz]
+
+
+def test_partitioned_write_fans_out_and_preserves_rows(spark, sf_dir, tmp_path):
+    """partitioned_write must NOT funnel a whole partition value into one
+    task/file (the 100 TB one-file-per-month trap): with
+    files_per_partition=4 each partition directory holds >1 and <=4
+    files for a value with enough rows, and the read-back is lossless."""
+    import os
+
+    from hnsw_vector_db_spark.sources.layout import partitioned_write
+    from hnsw_vector_db_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    path = str(tmp_path / "parts")
+    partitioned_write(docs, path, ["lang"], files_per_partition=4)
+    dirs = [d for d in os.listdir(path) if d.startswith("lang=")]
+    assert dirs, "no partition directories written"
+    biggest = max(
+        dirs,
+        key=lambda d: sum(
+            os.path.getsize(os.path.join(path, d, f))
+            for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        ),
+    )
+    n_files = len(
+        [f for f in os.listdir(os.path.join(path, biggest)) if f.endswith(".parquet")]
+    )
+    assert 1 < n_files <= 4
+    got = spark.read.parquet(path)
+    assert got.count() == docs.count()
+    assert {r["doc_id"] for r in got.select("doc_id").collect()} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }

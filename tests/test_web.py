@@ -31,6 +31,12 @@ GOLDEN = [
     ("http://ex.com/A/B?b=2&a=1&a=0", "http://ex.com/A/B?a=0&a=1&b=2"),
     # valueless param keeps its key; fbclid dropped by exact name
     ("http://ex.com/p?flag&fbclid=Z", "http://ex.com/p?flag"),
+    # REPEATED www. labels collapse in one pass (fixpoint, not one strip)
+    ("https://www.www.ex.com/p", "https://ex.com/p"),
+    # REPEATED trailing slashes collapse in one pass
+    ("https://ex.com/a//", "https://ex.com/a"),
+    # all-slash path reduces to root
+    ("http://ex.com///", "http://ex.com/"),
 ]
 
 

@@ -131,3 +131,18 @@ def test_write_is_deterministic_and_idempotent(spark, tmp_path):
 
         strip = lambda b: re.sub(rb"<urn:uuid:[0-9a-f\-]+>", b"", b)
         assert strip(b1) == strip(b2)
+
+
+def test_write_wet_refuses_non_local_master():
+    """Shard files are written with plain open() inside executor tasks —
+    correct only when driver and executors share the filesystem. The
+    guard refuses cluster masters instead of silently losing shards."""
+    import pytest
+
+    from hnsw_vector_db_spark.sources.wet import _check_local_master
+
+    _check_local_master("local[32]")  # fine
+    _check_local_master("local")  # fine
+    for master in ("spark://host:7077", "yarn", "k8s://https://api:443"):
+        with pytest.raises(ValueError, match="own disk"):
+            _check_local_master(master)
