@@ -4237,6 +4237,109 @@ FROM nd LEFT JOIN m USING (source)
 """.strip()
 
 
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer-ready tokenized shard sink (sources/token_shards.py) —
+    the pipeline's TERMINAL artifact: encode every document to token
+    ids under the fixed BPE_ENCODE_MERGES vocabulary
+    (bpe.bpe_token_ids — merge folds over the distinct-word table,
+    ids = lexicographic rank of the post-merge symbols, reserved EOD id
+    appended), write fixed-width little-endian binary shards + offset
+    indexes (the public Megatron-LM .bin/.idx indexed-dataset shape;
+    the reference's own offset-addressed vectors.bin layout,
+    `core/storage/engine.py:45-56`, applied to tokens), then READ THE
+    BYTES BACK via binaryFile — one task per shard — and report per
+    document (doc_id, shard, offset, n_tokens, token_hash). The shard
+    column is parsed from the FILE NAME and the hash is folded over the
+    ids decoded FROM THE BINARY, so a routing, framing, offset, or
+    byte-width defect anywhere in the write/read path breaks the hash.
+    ORACLE: DuckDB re-derives the segmentation (replace-chain replay),
+    the id map (row_number over distinct symbols), the doc streams
+    (order-preserving flatten), the per-shard offset prefix sums, and
+    the polynomial id-stream hash — fully independent of the codec
+    under test."""
+    import tempfile
+
+    from hnsw_vector_db_spark.operators import bpe
+    from hnsw_vector_db_spark.sources.token_shards import (
+        read_token_shards,
+        write_token_shards,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ids_df, _vocab = bpe.bpe_token_ids(docs, BPE_ENCODE_MERGES)
+    work = tempfile.mkdtemp(prefix="tok_shards_")
+    # fixed shard-size rule (the wet_scan lesson): shard COUNT scales
+    # with the corpus so write/read parallelism tracks data volume
+    n_docs = docs.count()
+    n_shards = max(8, min(512, n_docs // 4000))
+    write_token_shards(ids_df, work, n_shards=n_shards).collect()
+    back = read_token_shards(spark, work)
+    id_hash = F.aggregate(
+        F.col("ids"),
+        F.lit(0).cast("long"),
+        lambda a, x: (a * 131 + x + 1) % HASH_MOD,
+    )
+    return back.select(
+        "doc_id",
+        F.regexp_extract("file", r"shard-(\d+)", 1).cast("int").alias("shard"),
+        "offset",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        id_hash.alias("token_hash"),
+    )
+
+
+def _token_shards_sql(n_shards: int = 8) -> str:
+    seg = (
+        "' ' || array_to_string(list_append(string_split_regex(word, ''),"
+        " '</w>'), ' ') || ' '"
+    )
+    for l, r in BPE_ENCODE_MERGES:
+        seg = f"replace({seg}, ' {l} {r} ', ' {l}{r} ')"
+    return f"""
+WITH wtf AS (
+  SELECT doc_id, unnest(toks) AS word,
+         unnest(generate_series(1, len(toks))) AS pos
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), w -> w <> '')
+                 AS toks
+        FROM documents)),
+seg AS (
+  SELECT word, string_split(trim({seg}), ' ') AS syms
+  FROM (SELECT DISTINCT word FROM wtf)),
+vocab AS (
+  SELECT s AS sym, row_number() OVER (ORDER BY s) - 1 AS id
+  FROM (SELECT DISTINCT unnest(syms) AS s FROM seg)),
+nv AS (SELECT count(*)::BIGINT AS eod FROM vocab),
+wpos AS (
+  SELECT word, unnest(syms) AS sym,
+         unnest(generate_series(1, len(syms))) AS spos
+  FROM seg),
+wids AS (
+  SELECT t.word, list(v.id ORDER BY t.spos) AS ids
+  FROM wpos t JOIN vocab v ON v.sym = t.sym
+  GROUP BY t.word),
+docids AS (
+  SELECT w.doc_id,
+         list_append(flatten(list(i.ids ORDER BY w.pos)),
+                     (SELECT eod FROM nv)) AS ids
+  FROM wtf w JOIN wids i USING (word)
+  GROUP BY w.doc_id),
+sized AS (
+  SELECT doc_id, (doc_id % {n_shards})::INT AS shard,
+         len(ids)::BIGINT AS n_tokens, ids
+  FROM docids)
+SELECT doc_id, shard,
+       coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         AS offset,
+       n_tokens,
+       list_reduce(list_transform(ids, x -> (x + 1)::BIGINT),
+                   (a, c) -> (a * 131 + c) % 2147483647)::BIGINT
+         AS token_hash
+FROM sized
+""".strip()
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING (Sennrich et al. ACL'16) in pure Spark
     expressions (operators/bpe.py): corpus -> distinct-word frequency
@@ -5101,6 +5204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every oracle entry is additionally pinned at sf0.001 by
     # tests/test_entry.py::test_oracle_parity.
     return {
+        # -- NEW in r9 (front of the driver's 50-entry window) ---------------
+        "token_shards": q_token_shards,
         # -- NEW in r7: large-star/small-star CC scale tier, TPC-H
         # multi-correlation shapes (Q21 semi+anti self-correlation, Q18
         # HAVING-sum semi), JPEG header tier, trained quality classifier,
@@ -6680,6 +6785,7 @@ GROUP BY t.doc_id
     sql["bpe_encode"] = _bpe_encode_sql()
     sql["bpe_train"] = _bpe_train_sql(24)
     sql["tokenizer_stats"] = _tokenizer_stats_sql()
+    sql["token_shards"] = _token_shards_sql(8)
     sql["incremental_dedup"] = _incremental_dedup_sql(
         LSH_K, LSH_BANDS, JACCARD_THRESHOLD
     )

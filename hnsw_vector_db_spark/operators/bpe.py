@@ -254,6 +254,84 @@ def tokenizer_stats(
     )
 
 
+def bpe_token_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    append_eod: bool = True,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Encode every document to its TOKEN-ID sequence under a fixed
+    merge list — the step between a learned tokenizer and the binary
+    training shards (:mod:`~hnsw_vector_db_spark.sources.token_shards`).
+
+    Vocabulary: the distinct symbols of the post-merge segmentation,
+    numbered 0.. in lexicographic order — a pure function of (corpus,
+    merges), so an independent engine re-derives the identical id map
+    (the ``token_shards`` driver oracle does, via row_number over the
+    distinct-symbol set). The symbol inventory is provably tiny
+    (distinct characters + at most ``len(merges)`` merged units), so
+    collecting it to build the literal lookup map is the same bounded
+    collect class as every centroid/codebook collect.
+
+    Scale shape: merge folds run over the DISTINCT-WORD table only
+    (:func:`bpe_segment`'s Zipf collapse); the raw stream is touched
+    once for the (doc, pos, word) explode and once for the final join;
+    per-doc assembly is one keyed aggregation (array_sort of (pos, ids)
+    structs, then flatten — order restored without a window).
+
+    Returns ``(df, vocab)``: df = (id_col, ids array<long>) with the
+    reserved end-of-document id ``len(vocab)`` appended when
+    ``append_eod`` (the trainer convention — document boundaries must
+    survive packing); vocab = symbol -> id."""
+    wtf = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "word")
+    )
+    vocab_words = wtf.select("word").distinct()
+    seg = _initial_seg(vocab_words.select("word", F.lit(1).alias("wf"))).select(
+        "word", "syms"
+    )
+    for i, m in enumerate(merges):
+        seg = seg.select(
+            "word", _merge_fold(F.col("syms"), m[0], m[1]).alias("syms")
+        )
+        if (i + 1) % 8 == 0:  # cut lineage: nested folds blow up codegen
+            seg = seg.localCheckpoint()
+    seg = seg.localCheckpoint()  # reused twice below: symbol scan + join
+    # bounded collect: |distinct chars| + |merges| symbols
+    syms = sorted(
+        r["s"] for r in seg.select(F.explode("syms").alias("s")).distinct().collect()
+    )
+    vocab = {s: i for i, s in enumerate(syms)}
+    id_map = F.create_map(
+        *[F.lit(x) for kv in vocab.items() for x in (kv[0], kv[1])]
+    )
+    word_ids = seg.select(
+        "word",
+        F.transform(F.col("syms"), lambda s: id_map[s].cast("long")).alias(
+            "wids"
+        ),
+    )
+    eod = [F.lit(len(vocab)).cast("long")] if append_eod else []
+    per_doc = (
+        wtf.join(word_ids, "word")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("wids")))
+            ).alias("pw")
+        )
+        .select(
+            id_col,
+            F.concat(
+                F.flatten(F.transform(F.col("pw"), lambda x: x["wids"])),
+                F.array(*eod) if eod else F.array().cast("array<long>"),
+            ).alias("ids"),
+        )
+    )
+    return per_doc, vocab
+
+
 def bpe_segment(
     docs: DataFrame,
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],
