@@ -934,6 +934,72 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs.select("doc_id", _messy_url().alias("url")))
 
 
+def _synth_html() -> Column:
+    """Deterministic HTML page per document — every extraction hazard
+    planted: a comment CONTAINING markup (must stay dead), a <script>
+    whose string literal contains a fake visible <p> (a tag-only
+    stripper would leak it), a <style> block, entity-encoded body text,
+    &nbsp;/&lt;/&gt;/&amp;/&#39; decodes, and block-tag boundaries with
+    no whitespace in the markup. The oracle re-derives the expected
+    text from the RAW documents.text — fully independent of the
+    extractor under test."""
+    d = F.col("doc_id").cast("string")
+    enc = F.replace(
+        F.coalesce(F.col("text"), F.lit("")), F.lit("&"), F.lit("&amp;")
+    )
+    enc = F.replace(enc, F.lit("<"), F.lit("&lt;"))
+    enc = F.replace(enc, F.lit(">"), F.lit("&gt;"))
+    return F.concat(
+        F.lit("<html><!-- crawl-id: "),
+        d,
+        F.lit(" <p>commented markup stays dead</p> -->"),
+        F.lit("<head><title>Doc &#39;"),
+        d,
+        F.lit("&#39; &amp; friends</title>"),
+        F.lit("<style>body { color: #000; } .nav { display: none; }</style>"),
+        F.lit(
+            '<script type="text/javascript">var trap = "<p>FAKE VISIBLE'
+            '</p>"; if (a < b) { s = "&amp;"; }</script></head>'
+        ),
+        F.lit('<body><div class="nav">HOME&nbsp;| ABOUT</div><h1>Doc '),
+        d,
+        F.lit("</h1><p>"),
+        enc,
+        F.lit("</p><p>1 &lt; 2 &amp; 4 &gt; 3</p></body></html>"),
+    )
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction tier (operators/web.py:html_extract) —
+    the stage real crawl curation owns BEFORE WET ingestion: strip
+    comments (first, so commented-out markup stays dead), script/style
+    ELEMENTS content-and-all, the head, block tags to whitespace,
+    inline tags to nothing, then named-entity decode (&amp; last) and
+    whitespace collapse — all chained codegen regexp_replace, zero
+    Python, zero shuffle. Each document becomes a deterministic page
+    with every hazard planted (_synth_html); title is extracted as a
+    separate field. ORACLE: expected title/text derived from raw
+    documents.text by concatenation + whitespace collapse — never the
+    extractor's regexes — so the driver check proves the extraction,
+    not just regex parity."""
+    from hnsw_vector_db_spark.operators.web import html_extract
+
+    docs = _docs(spark, sf_dir)
+    page = docs.select("doc_id", _synth_html().alias("html"))
+    return html_extract(page)
+
+
+_HTML_EXTRACT_SQL = r"""
+SELECT doc_id,
+       'Doc ''' || doc_id::VARCHAR || ''' & friends' AS title,
+       trim(regexp_replace(
+         'HOME | ABOUT Doc ' || doc_id::VARCHAR || ' ' || coalesce(text, '')
+           || ' 1 < 2 & 4 > 3',
+         '\s+', ' ', 'g')) AS text
+FROM documents
+""".strip()
+
+
 def q_wet_scan_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GZIP tier of the WET round-trip: identical corpus and parse to
     ``wet_scan``, but the shards are written as ``.warc.wet.gz`` the
@@ -1118,6 +1184,66 @@ def q_pipeline_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = read_wet(spark, work).filter(F.col("rec_type") == "conversion")
     canon = canonicalize_url(F.col("url"))
     # source rides inside the canonical host (src.example.com[:port])
+    src = F.regexp_extract(canon, r"^[a-z]+://([^./]*)\.", 1)
+    rep = (
+        rec.select(canon.alias("url_canon"), src.alias("source"), "text")
+        .groupBy("url_canon", "source")
+        .agg(
+            F.min("text").alias("text"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    q = quality_score(rep, text_col="text", id_col="url_canon")
+    joined = rep.join(q, "url_canon")
+    keep = F.col("quality") >= 0.75
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum("n_copies").alias("n_records"),
+            F.count(F.lit(1)).alias("n_canonical"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_quality_pass"),
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(0)).cast(
+                "long"
+            ).alias("n_tokens_kept"),
+        )
+    )
+
+
+def q_pipeline_crawl_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl capstone extended ONE STAGE EARLIER, to raw HTML — the
+    full lineage a crawl-fed corpus actually has: deterministic HTML
+    pages (_synth_html, every extraction hazard planted) →
+    html_extract (codegen regex tier: comments dead, script strings
+    never leak, entities decoded) → WET serialization with messy URLs
+    (the archive IS extracted text, which is why wet_scan sits
+    downstream of this stage) → binaryFile WET parse → URL
+    canonicalization → canonical collapse → heuristic quality gate →
+    per-source report. Every stage keeps its standalone plan shape;
+    extraction adds one narrow projection to pipeline_crawl's plan.
+    ORACLE: DuckDB derives the extracted text from raw documents.text
+    by concatenation (never the extractor), canonical URLs from doc_id
+    arithmetic (never the parser), then replays collapse + quality +
+    report — extractor, WET codec, URL parser, and composition proven
+    in one hash."""
+    import tempfile
+
+    from hnsw_vector_db_spark.operators.text_analysis import quality_score
+    from hnsw_vector_db_spark.operators.web import canonicalize_url, html_extract
+    from hnsw_vector_db_spark.sources.wet import read_wet, write_wet
+
+    docs = _docs(spark, sf_dir)
+    extracted = html_extract(
+        docs.select("doc_id", "source", _synth_html().alias("html")),
+        keep_cols=("source",),
+    )
+    work = tempfile.mkdtemp(prefix="pipeline_crawl_html_")
+    write_wet(
+        extracted.select(_messy_url().alias("url"), "text"),
+        work,
+        n_files=8,
+    ).collect()  # bounded manifest — the write action
+    rec = read_wet(spark, work).filter(F.col("rec_type") == "conversion")
+    canon = canonicalize_url(F.col("url"))
     src = F.regexp_extract(canon, r"^[a-z]+://([^./]*)\.", 1)
     rep = (
         rec.select(canon.alias("url_canon"), src.alias("source"), "text")
@@ -5206,6 +5332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW in r9 (front of the driver's 50-entry window) ---------------
         "token_shards": q_token_shards,
+        "html_extract": q_html_extract,
+        "pipeline_crawl_html": q_pipeline_crawl_html,
         # -- NEW in r7: large-star/small-star CC scale tier, TPC-H
         # multi-correlation shapes (Q21 semi+anti self-correlation, Q18
         # HAVING-sum semi), JPEG header tier, trained quality classifier,
@@ -7467,10 +7595,13 @@ ORDER BY s.s_suppkey
 """.strip()
     # canonical URLs re-derived from doc_id arithmetic (never the
     # parser); collapse + quality + report replayed over the same rep
-    # relation the Spark pipeline builds from the WET round-trip
-    sql["pipeline_crawl"] = f"""
+    # relation the Spark pipeline builds from the WET round-trip.
+    # Parameterized on the text expression so the HTML-rooted capstone
+    # shares the whole replay with its own independently-derived text.
+    def _crawl_sql(text_expr: str) -> str:
+        return f"""
 WITH c AS (
-  SELECT doc_id, source, coalesce(text, '') AS text,
+  SELECT doc_id, source, {text_expr} AS text,
          (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
          || '://' || source || '.example.com'
          || (CASE WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
@@ -7513,6 +7644,18 @@ SELECT source,
          AS n_tokens_kept
 FROM qual GROUP BY source
 """.strip()
+
+    sql["pipeline_crawl"] = _crawl_sql("coalesce(text, '')")
+    # HTML-rooted capstone: the text entering the crawl stages is the
+    # EXTRACTED page text, re-derived here from raw documents.text by
+    # concatenation + whitespace collapse (extractor-independent)
+    sql["pipeline_crawl_html"] = _crawl_sql(
+        r"""trim(regexp_replace(
+           'HOME | ABOUT Doc ' || doc_id::VARCHAR || ' '
+             || coalesce(text, '') || ' 1 < 2 & 4 > 3',
+           '\s+', ' ', 'g'))"""
+    )
+    sql["html_extract"] = _HTML_EXTRACT_SQL
 
     # corpus_report v2: quality/dup CTEs + the SAMPLED classifier
     # training chain (dim=64, 4 iters, poly-hash half-sample, no

@@ -96,3 +96,84 @@ def test_url_dedup_plan_is_one_keyed_agg(spark):
     assert "HashAggregate" in plan
     assert "Join" not in plan and "Window" not in plan
     assert "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# html_extract golden cases
+# ---------------------------------------------------------------------------
+
+def _extract_one(spark, html: str) -> tuple[str, str]:
+    from hnsw_vector_db_spark.operators.web import html_extract
+
+    df = spark.createDataFrame([(0, html)], "doc_id long, html string")
+    r = html_extract(df).collect()[0]
+    return r["title"], r["text"]
+
+
+def test_html_extract_basic(spark):
+    title, text = _extract_one(
+        spark,
+        "<html><head><title>T</title></head>"
+        "<body><h1>Hi</h1><p>one two</p></body></html>",
+    )
+    assert title == "T"
+    assert text == "Hi one two"
+
+
+def test_html_extract_script_string_never_leaks(spark):
+    _, text = _extract_one(
+        spark,
+        '<body><script>var x = "<p>FAKE</p>"; if (a < b) {}</script>'
+        "<p>real</p></body>",
+    )
+    assert text == "real"
+
+
+def test_html_extract_style_and_comment_dead(spark):
+    _, text = _extract_one(
+        spark,
+        "<body><!-- <p>commented out</p> --><style>p { color: red }"
+        "</style><p>kept</p></body>",
+    )
+    assert text == "kept"
+
+
+def test_html_extract_block_vs_inline_tags(spark):
+    _, text = _extract_one(
+        spark, "<body>top<div>mid</div>bo<b>ld</b></body>"
+    )
+    # block boundary separates words even with no markup whitespace;
+    # inline tags vanish without splitting the word
+    assert text == "top mid bold"
+
+
+def test_html_extract_entities(spark):
+    _, text = _extract_one(
+        spark,
+        "<p>1 &lt; 2 &amp; &quot;q&quot; &#39;a&#39;&nbsp;end "
+        "&amp;lt;literal</p>",
+    )
+    # &amp; decodes LAST: '&amp;lt;' is the literal text '&lt;', never '<'
+    assert text == "1 < 2 & \"q\" 'a' end &lt;literal"
+
+
+def test_html_extract_title_entity_decode_and_null(spark):
+    from hnsw_vector_db_spark.operators.web import html_extract
+
+    df = spark.createDataFrame(
+        [(0, "<head><title> A &amp; B </title></head><p>x</p>"), (1, None)],
+        "doc_id long, html string",
+    )
+    rows = {r["doc_id"]: r for r in html_extract(df).collect()}
+    assert rows[0]["title"] == "A & B"
+    assert rows[0]["text"] == "x"
+    assert rows[1]["title"] is None and rows[1]["text"] is None
+
+
+def test_html_extract_plan_is_pure_codegen(spark):
+    from hnsw_vector_db_spark.operators.web import html_extract
+
+    df = spark.createDataFrame([(0, "<p>x</p>")], "doc_id long, html string")
+    plan = html_extract(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "Exchange" not in plan  # narrow projection, zero shuffle
