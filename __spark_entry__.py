@@ -2056,6 +2056,52 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_report(docs, margins=margins, dsir=dsir)
 
 
+# stored-model fixture constants: stand-ins for the artifacts an
+# upstream training job ships (classifier weights; DSIR per-bucket log
+# ratios). LCG-derived 3-decimal literals — deterministic, engine-exact,
+# and entering BOTH plans as literal arrays (the stored-weights pattern
+# logreg_score/dsir_apply exist for).
+_CRS_DIM = 64
+_CRS_W: list[float] = [
+    round(((a % 2001) - 1000) / 1000.0, 3)
+    for a, _b in minhash_params(_CRS_DIM, seed=97)
+]
+_CRS_LR: list[float] = [
+    round(((b % 1601) - 800) / 800.0, 3)
+    for _a, b in minhash_params(_CRS_DIM, seed=97)
+]
+
+
+def q_corpus_report_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORED-WEIGHTS corpus report — the production dashboard path the
+    v2 entry's in-entry training hides: classifier weights and the DSIR
+    log-ratio table arrive as artifacts from upstream training jobs
+    (here deterministic fixture constants, entering both plans as
+    LITERAL arrays), so the report costs exactly what a report should:
+    one hash-embed + dot-product scoring projection (logreg_score), one
+    tokenize-hash-lookup pass (corpus.dsir_apply — element_at on the
+    literal ratio table, no model aggregation, no broadcast), and ONE
+    groupBy(source). Same output schema as corpus_report; the
+    self-contained v2 entry stays as the training-replay oracle anchor.
+    ORACLE: DuckDB replays hash_embed + the literal dot product and the
+    stored-ratio lookup — no training CTEs at all, which is the point."""
+    from hnsw_vector_db_spark.operators.classifier import logreg_score
+    from hnsw_vector_db_spark.operators.corpus import dsir_apply
+    from hnsw_vector_db_spark.operators.stats import corpus_report
+    from hnsw_vector_db_spark.operators.text_analysis import hash_embed
+
+    docs = _docs(spark, sf_dir)
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    emb = hash_embed(spread, dim=_CRS_DIM)
+    margins = logreg_score(emb, _CRS_W).select(
+        "doc_id", (F.round("margin", 6) + F.lit(0.0)).alias("margin")
+    )
+    dsir = dsir_apply(spread, _CRS_LR).select(
+        "doc_id", (F.round("log_w", 6) + F.lit(0.0)).alias("log_w")
+    )
+    return corpus_report(docs, margins=margins, dsir=dsir)
+
+
 def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL connected components (dedup.py:
     connected_components_incremental): the corpus splits into a
@@ -5334,6 +5380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shards": q_token_shards,
         "html_extract": q_html_extract,
         "pipeline_crawl_html": q_pipeline_crawl_html,
+        "corpus_report_stored": q_corpus_report_stored,
         # -- NEW in r7: large-star/small-star CC scale tier, TPC-H
         # multi-correlation shapes (Q21 semi+anti self-correlation, Q18
         # HAVING-sum semi), JPEG header tier, trained quality classifier,
@@ -6094,36 +6141,13 @@ LIMIT {k}
 """.strip()
 
 
-def _logreg_ctes(
-    dim: int,
-    n_iters: int,
-    lr: float,
-    marker: str,
-    holdout_mod: int | None,
-    sample_thr: int | None,
-    sample_salt: str = "train",
-) -> list[str]:
-    """Shared CTE chain replaying classifier.py:logreg_train: hash_embed
-    features -> planted-marker label -> train split (optional holdout
-    exclusion and/or poly-hash sample) -> n_iters gradient iterations ->
-    final weights ``wf``. Used by _quality_classifier_sql (with a
-    holdout + AUC tail) and the corpus_report v2 oracle (sampled train,
-    full-corpus scoring tail)."""
+def _hash_embed_ctes(dim: int) -> list[str]:
+    """CTE chain replaying text_analysis.hash_embed: signed-hash bucket
+    sums -> dense vector -> L2 normalize (zero-norm docs drop). Shared
+    by the classifier-training replay and the stored-weights report."""
     hb = _POLY.format(s="term")
     hs = _POLY.format(s="(term || '#s')")
-    conds = []
-    if holdout_mod is not None:
-        conds.append(f"doc_id % {holdout_mod} <> 0")
-    if sample_thr is not None:
-        # hash-sampled training tier (classifier.py:sample_filter): keep
-        # a train row iff poly_hash(id || '#salt') % GRAIN < thr — the
-        # exact predicate the Spark side applies, replayed byte-for-byte
-        conds.append(
-            _POLY.format(s=f"(doc_id::VARCHAR || '#{sample_salt}')")
-            + f" % 10000 < {sample_thr}"
-        )
-    where = (" WHERE " + " AND ".join(conds)) if conds else ""
-    ctes = [
+    return [
         f"toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents)",
         f"""hsp AS (
   SELECT doc_id, {hb} % {dim} AS b,
@@ -6139,6 +6163,38 @@ def _logreg_ctes(
         """hemb AS (
   SELECT doc_id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS emb
   FROM hdense WHERE sqrt(list_dot_product(raw, raw)) > 0)""",
+    ]
+
+
+def _logreg_ctes(
+    dim: int,
+    n_iters: int,
+    lr: float,
+    marker: str,
+    holdout_mod: int | None,
+    sample_thr: int | None,
+    sample_salt: str = "train",
+) -> list[str]:
+    """Shared CTE chain replaying classifier.py:logreg_train: hash_embed
+    features -> planted-marker label -> train split (optional holdout
+    exclusion and/or poly-hash sample) -> n_iters gradient iterations ->
+    final weights ``wf``. Used by _quality_classifier_sql (with a
+    holdout + AUC tail) and the corpus_report v2 oracle (sampled train,
+    full-corpus scoring tail)."""
+    conds = []
+    if holdout_mod is not None:
+        conds.append(f"doc_id % {holdout_mod} <> 0")
+    if sample_thr is not None:
+        # hash-sampled training tier (classifier.py:sample_filter): keep
+        # a train row iff poly_hash(id || '#salt') % GRAIN < thr — the
+        # exact predicate the Spark side applies, replayed byte-for-byte
+        conds.append(
+            _POLY.format(s=f"(doc_id::VARCHAR || '#{sample_salt}')")
+            + f" % 10000 < {sample_thr}"
+        )
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    ctes = _hash_embed_ctes(dim)
+    ctes += [
         f"""lab AS (
   SELECT doc_id, CASE WHEN list_contains(toks, '{marker}') THEN 1.0 ELSE 0.0 END AS y
   FROM toks)""",
@@ -7698,6 +7754,10 @@ FROM qual GROUP BY source
         """dsw AS (
   SELECT doc_id, round(sum(c * lr) / sum(c), 6) + 0 AS log_w
   FROM dcx JOIN lrt USING (b) GROUP BY doc_id)""",
+    ]
+    # quality/dup/report tail — shared by corpus_report (trained
+    # signals) and corpus_report_stored (stored-artifact signals)
+    _cr_quality_ctes = [
         f"""t AS (
   SELECT doc_id, text, {_TOKS} AS toks,
          len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
@@ -7723,9 +7783,7 @@ FROM qual GROUP BY source
          (doc_id <> min(doc_id) OVER (PARTITION BY text)) AS is_dup
   FROM documents)""",
     ]
-    _cr_body = ",\n".join(_cr_ctes)
-    sql["corpus_report"] = f"""
-WITH {_cr_body}
+    _cr_select = """
 SELECT d.source,
        count(*)::BIGINT AS n_docs,
        sum(CASE WHEN d.is_dup THEN 1 ELSE 0 END)::BIGINT AS n_exact_dups,
@@ -7739,8 +7797,36 @@ SELECT d.source,
 FROM d JOIN q USING (doc_id)
 LEFT JOIN mg USING (doc_id)
 LEFT JOIN dsw USING (doc_id)
-GROUP BY d.source
-""".strip()
+GROUP BY d.source""".strip()
+    _cr_body = ",\n".join(_cr_ctes + _cr_quality_ctes)
+    sql["corpus_report"] = f"WITH {_cr_body}\n{_cr_select}"
+
+    # stored-weights report: NO training CTEs — the margin is a literal
+    # dot product, the DSIR score a literal-table lookup (the artifacts
+    # an upstream job ships, entering the plan as constants)
+    _w_lit = "[" + ", ".join(repr(x) for x in _CRS_W) + "]"
+    _lr_lit = "[" + ", ".join(repr(x) for x in _CRS_LR) + "]"
+    _crs_ctes = _hash_embed_ctes(_CRS_DIM)
+    _crs_ctes += [
+        f"""mg AS (
+  SELECT doc_id, round(list_dot_product(emb, {_w_lit}), 6) + 0 AS margin
+  FROM hemb)""",
+        """dfe AS (
+  SELECT doc_id, unnest(toks) AS f FROM toks
+  UNION ALL
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                ELSE list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i + 1]) END) AS f
+  FROM toks)""",
+        f"fb AS (SELECT doc_id, ({_poly_sql('f')}) % {_CRS_DIM} AS b FROM dfe)",
+        "dcx AS (SELECT doc_id, b, count(*)::DOUBLE AS c FROM fb GROUP BY doc_id, b)",
+        f"""dsw AS (
+  SELECT doc_id, round(sum(c * ({_lr_lit})[b + 1]) / sum(c), 6) + 0 AS log_w
+  FROM dcx GROUP BY doc_id)""",
+    ]
+    _crs_body = ",\n".join(_crs_ctes + _cr_quality_ctes)
+    sql["corpus_report_stored"] = f"WITH {_crs_body}\n{_cr_select}"
 
     _er_r = LSH_K // LSH_BANDS
     _er_bands = "\nUNION ALL\n".join(

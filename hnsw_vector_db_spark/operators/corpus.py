@@ -623,6 +623,66 @@ def dsir_weights(
     )
 
 
+def dsir_apply(
+    raw_docs: DataFrame,
+    log_ratio: "list[float]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with a STORED DSIR model — the production path
+    :func:`dsir_weights` trains for. The model a DSIR run actually
+    ships is one ``dim``-entry table of per-bucket log ratios
+    (ln p_target_b − ln p_raw_b); re-deriving it per dashboard refresh
+    re-scans BOTH corpora (the training cost), while applying it is a
+    single pass: hash each document's unigram+bigram features to
+    buckets, look the stored ratio up as a LITERAL array (codegen
+    ``element_at`` — no join, the model travels inside the plan), and
+    length-normalize: log_w = Σ c_b·ratio_b / Σ c_b.
+
+    Scale shape: one tokenize+hash pass, one (doc, bucket) partial
+    aggregation, one per-doc sum — strictly less work than
+    dsir_weights (no corpus models, no broadcast). Returns
+    (id, n_feats, log_w), same contract as dsir_weights; docs with no
+    tokens drop out.
+    """
+    dim = len(log_ratio)
+    if dim < 2:
+        raise ValueError(f"log_ratio needs >= 2 buckets, got {dim}")
+    from hnsw_vector_db_spark.functions.text import word_ngrams
+
+    parallelism = raw_docs.sparkSession.sparkContext.defaultParallelism
+    toks = tokens(text_col)
+    # spread first — same single-split CPU-parallelism note as
+    # dsir_weights.feat_buckets
+    spread = raw_docs.select(id_col, text_col).repartition(parallelism)
+    uni = spread.select(F.col(id_col), F.explode(toks).alias("_f"))
+    bi = spread.select(
+        F.col(id_col), F.explode(word_ngrams(toks, 2)).alias("_f")
+    )
+    per_doc = (
+        uni.unionByName(bi)
+        .select(
+            F.col(id_col),
+            F.pmod(poly_hash(F.col("_f")), F.lit(dim)).alias("b"),
+        )
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    ratio = F.element_at(
+        F.array(*[F.lit(float(x)) for x in log_ratio]),
+        F.col("b").cast("int") + 1,
+    )
+    return per_doc.select(F.col(id_col), F.col("_c"), ratio.alias("_lr")).groupBy(
+        id_col
+    ).agg(
+        F.sum("_c").cast("long").alias("n_feats"),
+        (
+            F.sum(F.col("_c").cast("double") * F.col("_lr"))
+            / F.sum(F.col("_c").cast("double"))
+        ).alias("log_w"),
+    )
+
+
 def grouped_split(
     df: DataFrame,
     group_col: str,

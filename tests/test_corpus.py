@@ -572,3 +572,55 @@ def test_strip_boilerplate_validates_min_docs(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         strip_boilerplate_lines(df, min_docs=1)
+
+
+def test_dsir_apply_stored_model(spark):
+    """Stored-model scoring: log_w is the length-normalized sum of the
+    literal per-bucket ratios over unigram+bigram features — verified
+    by hand on a corpus whose features all land in known buckets."""
+    from hnsw_vector_db_spark.functions.text import poly_hash
+    from hnsw_vector_db_spark.operators.corpus import dsir_apply
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, "aa bb"), (1, "aa"), (2, "   ")], "doc_id long, text string"
+    )
+    dim = 8
+    # bucket of each feature via the same portable hash
+    feats = {"aa": None, "bb": None, "aa bb": None}
+    b = {
+        r["f"]: r["b"]
+        for r in spark.createDataFrame(
+            [(f,) for f in feats], "f string"
+        ).select(
+            "f", F.pmod(poly_hash(F.col("f")), F.lit(dim)).alias("b")
+        ).collect()
+    }
+    ratio = [0.0] * dim
+    ratio[b["aa"]] += 1.5
+    ratio[b["bb"]] += -0.5
+    ratio[b["aa bb"]] += 0.25
+    # careful: features may collide into one bucket; compute expected
+    # from the bucket table, matching the operator's formula
+    import collections
+
+    def expect(fs):
+        c = collections.Counter(b[f] for f in fs)
+        return sum(n * ratio[k] for k, n in c.items()) / sum(c.values())
+
+    rows = {r["doc_id"]: r for r in dsir_apply(docs, ratio).collect()}
+    assert set(rows) == {0, 1}  # tokenless doc drops out
+    assert rows[0]["n_feats"] == 3
+    assert abs(rows[0]["log_w"] - expect(["aa", "bb", "aa bb"])) < 1e-12
+    assert rows[1]["n_feats"] == 1
+    assert abs(rows[1]["log_w"] - expect(["aa"])) < 1e-12
+
+
+def test_dsir_apply_validates(spark):
+    import pytest as _pytest
+
+    from hnsw_vector_db_spark.operators.corpus import dsir_apply
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="buckets"):
+        dsir_apply(docs, [0.5])
