@@ -3376,6 +3376,121 @@ def q_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_TUNE_NPROBES = (1, 2, 4, 8)
+ANN_TUNE_NQ = 20
+ANN_TUNE_TARGET = 0.9
+
+
+def q_ann_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN operating-point TUNER (evaluation.py:ann_tune — the
+    dedup_eval evaluation-as-operator pattern applied to the recall
+    knob, #18's missing measurement): sweep nprobe over the
+    seed-centroid IVF index against exact cosine ground truth on a
+    20-query sample, reporting per point the recall@10, the CANDIDATE
+    count (true scan cost), probed fraction, meets_target, and
+    ``chosen`` = the cheapest point meeting the 0.9 target — the
+    inverse question of ivf_probe_recall (which pins points; this
+    selects one). ORACLE-CHECKED end to end: seed centroids make every
+    sweep point SQL-expressible, recalls are exact integer ratios, and
+    the selection window replays in DuckDB. The HNSW ef analog stays
+    rows-only by nature (hnsw_ef_sweep)."""
+    from hnsw_vector_db_spark.operators.evaluation import ann_tune
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < ANN_TUNE_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ann_tune(
+        emb,
+        queries,
+        n_cells=8,
+        nprobes=ANN_TUNE_NPROBES,
+        k=10,
+        target_recall=ANN_TUNE_TARGET,
+    )
+
+
+def _ann_tune_sql(
+    k: int = 10,
+    n_cells: int = 8,
+    nprobes: tuple = ANN_TUNE_NPROBES,
+    n_q: int = ANN_TUNE_NQ,
+    target: float = ANN_TUNE_TARGET,
+) -> str:
+    eucl = _metric_sql("euclidean", "v.embedding", "s.seed_vec")
+    cosq = _metric_sql("cosine", "s.seed_vec", "q.embedding")
+    dx = _metric_sql("cosine", "e.embedding", "q.embedding")
+    da = _metric_sql("cosine", "a.embedding", "o.qv")
+    ctes = [
+        f"""seeds AS (
+  SELECT vec_id AS seed_id, embedding AS seed_vec
+  FROM embeddings WHERE vec_id < {n_cells})""",
+        f"""qs AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings
+  WHERE vec_id < {n_q})""",
+        f"""assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT v.vec_id, v.embedding, s.seed_id AS cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {eucl}, s.seed_id) AS rn
+    FROM embeddings v CROSS JOIN seeds s)
+  WHERE rn = 1)""",
+        f"""qorder AS (
+  SELECT q.query_id, q.embedding AS qv, s.seed_id AS cell,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {cosq}, s.seed_id) AS cell_rank
+  FROM seeds s CROSS JOIN qs q)""",
+        f"""exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {dx}, e.vec_id) AS rnk
+    FROM embeddings e CROSS JOIN qs q)
+  WHERE rnk <= {k})""",
+    ]
+    row_selects = []
+    for npb in nprobes:
+        ctes.append(
+            f"""app{npb} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT o.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY o.query_id
+                              ORDER BY {da}, a.vec_id) AS rnk
+    FROM assigned a JOIN qorder o
+      ON a.cell = o.cell AND o.cell_rank <= {npb})
+  WHERE rnk <= {k})"""
+        )
+        ctes.append(
+            f"can{npb} AS (SELECT count(*)::BIGINT AS n_candidates "
+            f"FROM assigned a JOIN qorder o ON a.cell = o.cell "
+            f"AND o.cell_rank <= {npb})"
+        )
+        row_selects.append(
+            f"SELECT {npb} AS nprobe, "
+            f"(SELECT n_candidates FROM can{npb}) AS n_candidates, "
+            f"(SELECT count(*) FROM app{npb} JOIN exact "
+            f"USING (query_id, vec_id))::BIGINT AS n_hits"
+        )
+    cte_block = ",\n".join(ctes)
+    rows_block = "\nUNION ALL\n".join(row_selects)
+    return f"""
+WITH {cte_block},
+rows AS ({rows_block}),
+scored AS (
+  SELECT nprobe, n_candidates, n_hits,
+         round(n_hits / {float(n_q * k)}, 6) + 0 AS recall,
+         round(nprobe / {float(n_cells)}, 6) + 0 AS probed_frac
+  FROM rows)
+SELECT nprobe, n_candidates, n_hits, recall, probed_frac,
+       (recall >= {target}) AS meets_target,
+       coalesce((recall >= {target}) AND nprobe =
+         min(CASE WHEN recall >= {target} THEN nprobe END) OVER (),
+         false) AS chosen
+FROM scored
+""".strip()
+
+
 def q_hnsw_ef_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ef sweep over the persisted HNSW index (#18, `graph.py:180-181`):
     wider beams explore more of each cell's graph; recall@10 at ef 8/32/96
@@ -5381,6 +5496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "pipeline_crawl_html": q_pipeline_crawl_html,
         "corpus_report_stored": q_corpus_report_stored,
+        "ann_tune": q_ann_tune,
         # -- NEW in r7: large-star/small-star CC scale tier, TPC-H
         # multi-correlation shapes (Q21 semi+anti self-correlation, Q18
         # HAVING-sum semi), JPEG header tier, trained quality classifier,
@@ -6951,6 +7067,7 @@ GROUP BY t.doc_id
     sql["ivf_filtered"] = _ivf_filtered_sql(10, 8, 3)
     sql["ivf_recenter"] = _ivf_recenter_sql(8, 64)
     sql["ivf_probe_recall"] = _ivf_probe_recall_sql(10, 8, (1, 2, 4, 8))
+    sql["ann_tune"] = _ann_tune_sql()
     sql["bm25_topk"] = _bm25_sql(10, BM25_TERMS)
     sql["hybrid_rrf"] = _hybrid_rrf_sql(BM25_TERMS)
     sql["sq_encode"] = _sq_encode_sql(64)

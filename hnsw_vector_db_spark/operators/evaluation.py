@@ -244,3 +244,148 @@ def dedup_eval(
         ).alias("precision"),
         (F.col("n_hit") / F.col("n_truth") >= 0.9).alias("recall_ok"),
     )
+
+
+def ann_tune(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    nprobes: "tuple[int, ...]" = (1, 2, 4, 8),
+    k: int = 10,
+    target_recall: float = 0.9,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    cache_handles: "list | None" = None,
+) -> DataFrame:
+    """ANN operating-point TUNER (evaluation-as-operator, the dedup_eval
+    pattern applied to the recall/cost knob): sweep ``nprobes`` over the
+    seed-centroid IVF index against exact ground truth on a query
+    sample, and SELECT the cheapest point meeting ``target_recall`` —
+    the inverse of the question the recall entries answer (they pin one
+    operating point; a curator asks which point to pin). The
+    reference's ef knob (`core/hnsw/graph.py:175-181`) is exactly this
+    trade-off with no measurement attached.
+
+    Per sweep point: recall@k over the whole sample, the CANDIDATE
+    count (the true scan cost an operating point buys — probed_frac
+    says 2/8 of cells, n_candidates says how many vectors that was),
+    ``meets_target``, and ``chosen`` = cheapest nprobe meeting target
+    (all false when none does — the honest answer that the index needs
+    more cells or a wider grid, never a silent best-effort pick).
+
+    Deterministic end to end: seed centroids (ivf_fit_seeded), argmin
+    routing with id tiebreaks, fixed query sample — so every recall is
+    an exact integer ratio and the full sweep + selection is
+    oracle-replayable (unlike HNSW's beam, whose ef analog stays a
+    rows-only entry: hnsw_ef_sweep).
+
+    Scale shape: the index assignment is computed once and reused by
+    every sweep point (persisted; pass ``cache_handles`` to unpersist);
+    per point the cost is one cell-pruned scan + one k-row window per
+    query — the evaluation costs what ~sum(nprobes)/n_cells of serving
+    costs, nothing quadratic. Output one row per nprobe:
+    (nprobe, n_candidates, n_hits, recall, probed_frac, meets_target,
+    chosen).
+    """
+    from hnsw_vector_db_spark.functions.distance import distance
+    from hnsw_vector_db_spark.operators.knn import knn_batch
+    from hnsw_vector_db_spark.operators.similarity import ivf_fit_seeded
+
+    if not nprobes or any(p < 1 or p > n_cells for p in nprobes):
+        raise ValueError(
+            f"nprobes must be within [1, n_cells={n_cells}], got {nprobes}"
+        )
+    spark = vectors.sparkSession
+    assigned, centroids = ivf_fit_seeded(
+        vectors, n_cells=n_cells, id_col=id_col, vector_col=vector_col
+    )
+    assigned = assigned.persist()
+    if cache_handles is not None:
+        cache_handles.append(assigned)
+    n_queries = queries.count()  # bounded: queries are a sample
+    exact = knn_batch(
+        queries, vectors, k=k, metric=metric,
+        id_col=id_col, vector_col=vector_col,
+    ).select(query_id_col, id_col)
+    seeds = spark.createDataFrame(
+        [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))],
+        "seed_id int, seed_vec array<double>",
+    )
+    qd = distance(F.col("seed_vec"), F.col(query_vec_col), metric)
+    worder = Window.partitionBy(query_id_col).orderBy("_qd", "seed_id")
+    qorder = (
+        queries.crossJoin(F.broadcast(seeds))
+        .select(query_id_col, query_vec_col, "seed_id", qd.alias("_qd"))
+        .select(
+            query_id_col,
+            query_vec_col,
+            F.col("seed_id").alias("cell"),
+            F.row_number().over(worder).alias("cell_rank"),
+        )
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("_d").asc(), F.col(id_col).asc()
+    )
+    parts = []
+    for npb in nprobes:
+        probe = qorder.filter(F.col("cell_rank") <= npb).select(
+            query_id_col, query_vec_col, "cell"
+        )
+        cand = assigned.join(F.broadcast(probe), "cell")
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        top = (
+            cand.select(
+                F.col(query_id_col),
+                F.col(id_col),
+                distance(
+                    F.col(vector_col), F.col(query_vec_col), metric
+                ).alias("_d"),
+            )
+            .withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= k)
+        )
+        hits = top.join(
+            exact, [query_id_col, id_col], "left_semi"
+        ).agg(F.count(F.lit(1)).alias("n_hits"))
+        parts.append(
+            hits.crossJoin(F.broadcast(n_cand)).select(
+                F.lit(npb).alias("nprobe"), "n_candidates", "n_hits"
+            )
+        )
+    from functools import reduce
+
+    rows = reduce(lambda a, b: a.unionByName(b), parts)
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    recall = F.round(F.col("n_hits") / F.lit(float(n_queries * k)), 6) + F.lit(0.0)
+    meets = F.col("recall") >= F.lit(target_recall)
+    return (
+        rows.select(
+            "nprobe",
+            "n_candidates",
+            "n_hits",
+            recall.alias("recall"),
+            (
+                F.round(F.col("nprobe") / F.lit(float(n_cells)), 6)
+                + F.lit(0.0)
+            ).alias("probed_frac"),
+        )
+        .withColumn("meets_target", meets)
+        .withColumn(
+            "chosen",
+            F.coalesce(
+                F.col("meets_target")
+                & (
+                    F.col("nprobe")
+                    == F.min(
+                        F.when(F.col("meets_target"), F.col("nprobe"))
+                    ).over(wall)
+                ),
+                F.lit(False),
+            ),
+        )
+    )

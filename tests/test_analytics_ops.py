@@ -847,3 +847,73 @@ def test_corpus_report_hand_fixture(spark):
     assert got["B"]["n_docs"] == 2 and got["B"]["n_exact_dups"] == 0
     assert got["B"]["pct_en"] == 1.0
     assert 0.0 <= got["A"]["avg_quality"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# ann_tune: operating-point sweep + selection
+# ---------------------------------------------------------------------------
+
+def test_ann_tune_sweep_and_selection(spark, sf_dir):
+    from hnsw_vector_db_spark.operators.evaluation import ann_tune
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    handles = []
+    rows = (
+        ann_tune(emb, queries, n_cells=8, nprobes=(1, 4, 8), k=10,
+                 target_recall=0.5, cache_handles=handles)
+        .orderBy("nprobe")
+        .collect()
+    )
+    for h in handles:
+        h.unpersist()
+    assert [r["nprobe"] for r in rows] == [1, 4, 8]
+    # probed-cell prefixes are supersets -> recall and candidate count
+    # are non-decreasing in nprobe; nprobe = n_cells scans everything
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls)
+    cands = [r["n_candidates"] for r in rows]
+    assert cands == sorted(cands)
+    assert rows[-1]["recall"] == 1.0  # all cells probed == exact
+    # chosen = the CHEAPEST point meeting target, exactly one
+    meeting = [r for r in rows if r["meets_target"]]
+    chosen = [r for r in rows if r["chosen"]]
+    assert len(chosen) == 1
+    assert chosen[0]["nprobe"] == min(r["nprobe"] for r in meeting)
+
+
+def test_ann_tune_no_point_meets_target(spark, sf_dir):
+    from hnsw_vector_db_spark.operators.evaluation import ann_tune
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    rows = ann_tune(
+        emb, queries, n_cells=8, nprobes=(1, 2), k=10, target_recall=0.99
+    ).collect()
+    # honest empty selection, never a silent best-effort pick
+    assert all(not r["chosen"] for r in rows)
+
+
+def test_ann_tune_validates_grid(spark, sf_dir):
+    import pytest as _pytest
+
+    from hnsw_vector_db_spark.operators.evaluation import ann_tune
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    with _pytest.raises(ValueError, match="nprobes"):
+        ann_tune(emb, q, n_cells=8, nprobes=(0, 4))
+    with _pytest.raises(ValueError, match="nprobes"):
+        ann_tune(emb, q, n_cells=8, nprobes=(16,))
