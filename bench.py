@@ -214,6 +214,16 @@ GROUPS: dict[str, list[str]] = {
         "partition_prune",
         "tokenizer_stats",
     ],
+    # r9 additions — trainer-ready token shards, HTML extraction tier +
+    # HTML-rooted capstone, stored-weights report, ANN operating-point
+    # tuner
+    "r9_new": [
+        "token_shards",
+        "html_extract",
+        "pipeline_crawl_html",
+        "corpus_report_stored",
+        "ann_tune",
+    ],
 }
 
 

@@ -97,6 +97,16 @@ _VERBATIM = ["region", "nation"]
 # local[32] (and a real cluster's executors) see parallel scans.
 _OUT_PARTITIONS = 64
 
+# planted-skew tier (r8 judge #7): the uniform replica can't see a
+# skew defect — real crawls are Zipf in host, so the skew replica
+# rewrites documents.source to a HOT value on 60% of rows (everything
+# else byte-identical) and the skew queries are measured at Nx-uniform
+# vs Nx-skew. skew_ratio ~1.0 means the claimed map-side-collapse /
+# megagroup-isolation actually holds; >>1 is a hot-key funnel (the
+# defect class AQE skew-join + salting exist for).
+_SKEW_HOT_FRAC_MOD = (5, 3)  # doc_id % 5 < 3 -> 60% of docs share one host
+_DEFAULT_SKEW_QUERIES = ["url_dedup", "boilerplate_strip", "cap_per_group"]
+
 # default measurement set — round-8 additions. quality_classifier
 # (full-batch, ~190 s at 64x) is deliberately NOT here; its sampled
 # tier is, because flat-vs-corpus per-iteration cost is the claim.
@@ -128,6 +138,12 @@ _DEFAULT_QUERIES = [
     "wet_scan_gz",
     "partition_prune",
     "tokenizer_stats",
+    # r9 additions
+    "token_shards",
+    "html_extract",
+    "pipeline_crawl_html",
+    "corpus_report_stored",
+    "ann_tune",
 ]
 
 
@@ -182,6 +198,42 @@ def build_replica(spark, sf_dir: str, out_dir: str, mult: int) -> None:
         json.dump(want, f)
 
 
+def build_skew_replica(spark, replica_dir: str, out_dir: str) -> None:
+    """Derive the SKEWED replica from the uniform one: documents.source
+    (the host every synthesized URL embeds) is rewritten to one hot
+    value on 60% of rows; every other table is referenced verbatim via
+    the filesystem (copied) so the two layouts differ ONLY in the host
+    distribution."""
+    marker = os.path.join(out_dir, "_SKEW_MARKER.json")
+    want = {"source": os.path.abspath(replica_dir), "v": 1,
+            "hot": _SKEW_HOT_FRAC_MOD}
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == want:
+                return
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    mod, thr = _SKEW_HOT_FRAC_MOD
+    docs = spark.read.parquet(os.path.join(replica_dir, "documents.parquet"))
+    skewed = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % mod < thr, F.lit("src0")).otherwise(
+            F.col("source")
+        ),
+    ).repartition(_OUT_PARTITIONS)
+    skewed.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet"))
+    for tbl in _REPLICATED + _VERBATIM:
+        if tbl == "documents":
+            continue
+        src = os.path.join(replica_dir, f"{tbl}.parquet")
+        dst = os.path.join(out_dir, f"{tbl}.parquet")
+        if os.path.exists(src) and not os.path.exists(dst):
+            shutil.copytree(src, dst)
+    with open(marker, "w") as f:
+        json.dump(want, f)
+
+
 def _time_query(spark, fn, sf_dir: str) -> float:
     best = None
     for _ in range(2):
@@ -204,6 +256,12 @@ def main() -> None:
     ap.add_argument("--data-dir", default="/tmp/scale64_data")
     ap.add_argument("--rebuild", action="store_true",
                     help="force replica rebuild even if the marker matches")
+    ap.add_argument("--skew-queries", default="",
+                    help="comma-separated queries to ALSO measure on the "
+                         "planted-hot-host replica (uniform-Nx vs skew-Nx); "
+                         "pass 'default' for "
+                         + ",".join(_DEFAULT_SKEW_QUERIES))
+    ap.add_argument("--skew-dir", default="/tmp/scale64_skew")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"))
     args = ap.parse_args()
@@ -233,6 +291,27 @@ def main() -> None:
         print(f"# {name}: 1x {w1:.2f}s  {args.mult}x {wN:.2f}s  "
               f"ratio {wN / w1:.2f}x", file=sys.stderr)
 
+    skew_results: dict[str, dict[str, float]] = {}
+    skew_names = [q.strip() for q in args.skew_queries.split(",") if q.strip()]
+    if skew_names == ["default"]:
+        skew_names = list(_DEFAULT_SKEW_QUERIES)
+    unknown = [q for q in skew_names if q not in queries]
+    if unknown:
+        raise SystemExit(f"unknown skew queries: {unknown}")
+    if skew_names:
+        build_skew_replica(spark, args.data_dir, args.skew_dir)
+        for name in skew_names:
+            fn = queries[name]
+            wU = _time_query(spark, fn, args.data_dir)
+            wS = _time_query(spark, fn, args.skew_dir)
+            skew_results[name] = {
+                "wall_uniform": round(wU, 3),
+                "wall_skew": round(wS, 3),
+                "skew_ratio": round(wS / wU, 2),
+            }
+            print(f"# skew {name}: uniform {wU:.2f}s  hot-host {wS:.2f}s  "
+                  f"ratio {wS / wU:.2f}x", file=sys.stderr)
+
     payload = {
         "metric": "scale_ratio",
         "mult": args.mult,
@@ -240,12 +319,18 @@ def main() -> None:
         "data_dir": args.data_dir,
         "queries": results,
     }
+    if skew_results:
+        payload["skew"] = {
+            "hot_frac": _SKEW_HOT_FRAC_MOD[1] / _SKEW_HOT_FRAC_MOD[0],
+            "queries": skew_results,
+        }
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")
     print(json.dumps({
         "metric": "scale_ratio", "mult": args.mult,
         "queries": {k: v["ratio"] for k, v in results.items()},
+        "skew": {k: v["skew_ratio"] for k, v in skew_results.items()},
         "detail": os.path.basename(args.out),
     }))
     spark.stop()
