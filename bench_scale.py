@@ -312,6 +312,9 @@ def main() -> None:
             print(f"# skew {name}: uniform {wU:.2f}s  hot-host {wS:.2f}s  "
                   f"ratio {wS / wU:.2f}x", file=sys.stderr)
 
+    # MERGE into an existing same-mult file: a partial re-run (new
+    # queries, the skew tier) must never silently drop the committed
+    # rows it didn't re-measure
     payload = {
         "metric": "scale_ratio",
         "mult": args.mult,
@@ -319,6 +322,15 @@ def main() -> None:
         "data_dir": args.data_dir,
         "queries": results,
     }
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+        if prior.get("mult") == args.mult:
+            merged = dict(prior.get("queries", {}))
+            merged.update(results)
+            payload["queries"] = merged
+            if "skew" in prior and not skew_results:
+                payload["skew"] = prior["skew"]
     if skew_results:
         payload["skew"] = {
             "hot_frac": _SKEW_HOT_FRAC_MOD[1] / _SKEW_HOT_FRAC_MOD[0],
