@@ -4575,15 +4575,18 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _token_shards_sql(n_shards: int = 8) -> str:
+def _token_ids_ctes() -> str:
+    """CTE chain re-deriving bpe_token_ids: segmentation replay, id
+    map (row_number over distinct symbols), order-preserving per-doc
+    flatten, EOD append — ends at ``docids(doc_id, ids)``. Shared by
+    the token_shards and token_pack oracles."""
     seg = (
         "' ' || array_to_string(list_append(string_split_regex(word, ''),"
         " '</w>'), ' ') || ' '"
     )
     for l, r in BPE_ENCODE_MERGES:
         seg = f"replace({seg}, ' {l} {r} ', ' {l}{r} ')"
-    return f"""
-WITH wtf AS (
+    return f"""wtf AS (
   SELECT doc_id, unnest(toks) AS word,
          unnest(generate_series(1, len(toks))) AS pos
   FROM (SELECT doc_id,
@@ -4610,7 +4613,18 @@ docids AS (
          list_append(flatten(list(i.ids ORDER BY w.pos)),
                      (SELECT eod FROM nv)) AS ids
   FROM wtf w JOIN wids i USING (word)
-  GROUP BY w.doc_id),
+  GROUP BY w.doc_id)"""
+
+
+_ID_HASH_SQL = (
+    "list_reduce(list_transform(ids, x -> (x + 1)::BIGINT), "
+    "(a, c) -> (a * 131 + c) % 2147483647)::BIGINT"
+)
+
+
+def _token_shards_sql(n_shards: int = 8) -> str:
+    return f"""
+WITH {_token_ids_ctes()},
 sized AS (
   SELECT doc_id, (doc_id % {n_shards})::INT AS shard,
          len(ids)::BIGINT AS n_tokens, ids
@@ -4620,10 +4634,72 @@ SELECT doc_id, shard,
          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
          AS offset,
        n_tokens,
-       list_reduce(list_transform(ids, x -> (x + 1)::BIGINT),
-                   (a, c) -> (a * 131 + c) % 2147483647)::BIGINT
-         AS token_hash
+       {_ID_HASH_SQL} AS token_hash
 FROM sized
+""".strip()
+
+
+TOKEN_PACK_SEQ_LEN = 128
+
+
+def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length training-sequence packing over the REAL token-id
+    stream (corpus.pack_token_ids): bpe_token_ids → concatenate docs in
+    doc_id order within each shard → cut into consecutive 128-token
+    windows, partial tail dropped (the trainer default). Per sequence:
+    token count (always seq_len), contributing-doc count (the
+    attention-mask signal), and the id-stream hash. Scale shape: one
+    prefix-sum window per shard + one posexplode of the stream + ONE
+    (shard, seq_id)-keyed shuffle with map-side assembly. ORACLE:
+    DuckDB re-derives the same global positions (prefix sums + zipped
+    unnest), windows, doc counts, and hashes."""
+    from hnsw_vector_db_spark.operators import bpe
+    from hnsw_vector_db_spark.operators.corpus import pack_token_ids
+
+    docs = _docs(spark, sf_dir)
+    ids_df, _vocab = bpe.bpe_token_ids(docs, BPE_ENCODE_MERGES)
+    packed = pack_token_ids(
+        ids_df, seq_len=TOKEN_PACK_SEQ_LEN, n_shards=8
+    )
+    seq_hash = F.aggregate(
+        F.col("ids"),
+        F.lit(0).cast("long"),
+        lambda a, x: (a * 131 + x + 1) % HASH_MOD,
+    )
+    return packed.select(
+        "shard", "seq_id", "n_tokens", "n_docs", seq_hash.alias("seq_hash")
+    )
+
+
+def _token_pack_sql(seq_len: int = TOKEN_PACK_SEQ_LEN, n_shards: int = 8) -> str:
+    return f"""
+WITH {_token_ids_ctes()},
+sized AS (
+  SELECT doc_id, (doc_id % {n_shards})::INT AS shard,
+         len(ids)::BIGINT AS n, ids
+  FROM docids),
+offs AS (
+  SELECT doc_id, shard, n, ids,
+         coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS off
+  FROM sized),
+tok AS (
+  SELECT doc_id, shard, unnest(ids) AS tok,
+         off + unnest(generate_series(0, n - 1)) AS p
+  FROM offs),
+seqs AS (
+  SELECT shard, (p // {seq_len})::BIGINT AS seq_id,
+         (p % {seq_len})::INT AS slot, tok, doc_id
+  FROM tok),
+g AS (
+  SELECT shard, seq_id, count(*)::INT AS n_tokens,
+         count(DISTINCT doc_id)::INT AS n_docs,
+         list(tok ORDER BY slot) AS ids
+  FROM seqs GROUP BY shard, seq_id)
+SELECT shard, seq_id, n_tokens, n_docs,
+       {_ID_HASH_SQL} AS seq_hash
+FROM g WHERE n_tokens = {seq_len}
 """.strip()
 
 
@@ -5485,6 +5561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW in r9 (front of the driver's 50-entry window) ---------------
         "token_shards": q_token_shards,
+        "token_pack": q_token_pack,
         "html_extract": q_html_extract,
         "pipeline_crawl_html": q_pipeline_crawl_html,
         "corpus_report_stored": q_corpus_report_stored,
@@ -7083,6 +7160,7 @@ GROUP BY t.doc_id
     sql["bpe_train"] = _bpe_train_sql(24)
     sql["tokenizer_stats"] = _tokenizer_stats_sql()
     sql["token_shards"] = _token_shards_sql(8)
+    sql["token_pack"] = _token_pack_sql()
     sql["incremental_dedup"] = _incremental_dedup_sql(
         LSH_K, LSH_BANDS, JACCARD_THRESHOLD
     )

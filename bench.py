@@ -219,6 +219,7 @@ GROUPS: dict[str, list[str]] = {
     # tuner
     "r9_new": [
         "token_shards",
+        "token_pack",
         "html_extract",
         "pipeline_crawl_html",
         "corpus_report_stored",

@@ -140,6 +140,7 @@ _DEFAULT_QUERIES = [
     "tokenizer_stats",
     # r9 additions
     "token_shards",
+    "token_pack",
     "html_extract",
     "pipeline_crawl_html",
     "corpus_report_stored",

@@ -623,6 +623,98 @@ def dsir_weights(
     )
 
 
+def pack_token_ids(
+    ids_df: DataFrame,
+    seq_len: int = 128,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    ids_col: str = "ids",
+    pad_id: "int | None" = None,
+) -> DataFrame:
+    """Cut per-document TOKEN-ID streams into fixed-length training
+    sequences — the real packing step between
+    :func:`~hnsw_vector_db_spark.operators.bpe.bpe_token_ids` and a
+    trainer's batch shape (:func:`pack_sequences` plans budgets over
+    CHUNK token counts; this operates on the actual id stream).
+
+    Layout is a pure function of the input (the token_shards rule):
+    shard = ``doc_id % n_shards``; within a shard, documents concatenate
+    in ``doc_id`` order and the stream is cut into consecutive
+    ``seq_len`` windows. Global token position = within-shard prefix
+    sum + posexplode index; sequence = position div seq_len; slot =
+    position mod seq_len — so every (shard, seq_id, slot, token) is
+    re-derivable by an independent engine.
+
+    Tail policy: ``pad_id=None`` DROPS the final partial sequence per
+    shard (the common trainer default — a short tail wastes compute);
+    an explicit ``pad_id`` (use a reserved id > EOD) right-pads it to
+    ``seq_len`` instead.
+
+    Scale shape: one narrow prefix-sum window per shard (keyed,
+    parallel across shards), one posexplode of the token stream (the
+    data — linear by definition), ONE shuffle keyed on (shard, seq_id)
+    whose combiner assembles sequences map-side. ``n_docs`` per
+    sequence is emitted because packers that cross document boundaries
+    need it for attention masking downstream.
+
+    Output: (shard, seq_id, n_tokens, n_docs, ids) with ids exactly
+    ``seq_len`` long.
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = ids_df.select(
+        F.col(id_col), shard.alias("shard"), F.col(ids_col).alias("_ids")
+    ).withColumn(
+        "_off",
+        F.coalesce(F.sum(F.size("_ids")).over(w), F.lit(0)).cast("long"),
+    )
+    toks = staged.select(
+        id_col,
+        "shard",
+        "_off",
+        F.posexplode("_ids").alias("_pos", "_tok"),
+    ).select(
+        F.col(id_col),
+        F.col("shard"),
+        F.col("_tok"),
+        ((F.col("_off") + F.col("_pos")) / seq_len).cast("long").alias(
+            "seq_id"
+        ),
+        ((F.col("_off") + F.col("_pos")) % seq_len).cast("int").alias(
+            "slot"
+        ),
+    )
+    grouped = toks.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.countDistinct(id_col).cast("int").alias("n_docs"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("slot"), F.col("_tok")))
+        ).alias("_st"),
+    )
+    ids = F.transform(F.col("_st"), lambda x: x["_tok"])
+    if pad_id is None:
+        return grouped.filter(F.col("n_tokens") == seq_len).select(
+            "shard", "seq_id", "n_tokens", "n_docs", ids.alias("ids")
+        )
+    padded = F.concat(
+        ids,
+        F.array_repeat(
+            F.lit(int(pad_id)).cast("long"), F.lit(seq_len) - F.col("n_tokens")
+        ),
+    )
+    return grouped.select(
+        "shard", "seq_id", "n_tokens", "n_docs", padded.alias("ids")
+    )
+
+
 def dsir_apply(
     raw_docs: DataFrame,
     log_ratio: "list[float]",

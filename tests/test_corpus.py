@@ -624,3 +624,57 @@ def test_dsir_apply_validates(spark):
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="buckets"):
         dsir_apply(docs, [0.5])
+
+
+def test_pack_token_ids_layout_and_tail(spark):
+    from hnsw_vector_db_spark.operators.corpus import pack_token_ids
+
+    # one shard (n_shards=1): docs concatenate in doc_id order
+    df = spark.createDataFrame(
+        [(0, [1, 2, 3]), (1, [4, 5]), (2, [6, 7, 8, 9])],
+        "doc_id long, ids array<long>",
+    )
+    # stream: 1 2 3 4 5 6 7 8 9 -> seq_len=4: [1,2,3,4], [5,6,7,8], tail [9]
+    rows = (
+        pack_token_ids(df, seq_len=4, n_shards=1)
+        .orderBy("seq_id")
+        .collect()
+    )
+    assert [list(r["ids"]) for r in rows] == [[1, 2, 3, 4], [5, 6, 7, 8]]
+    # seq 0 spans docs 0+1, seq 1 spans docs 1+2 — the attention signal
+    assert [r["n_docs"] for r in rows] == [2, 2]
+    assert all(r["n_tokens"] == 4 for r in rows)
+    # pad_id keeps the tail, right-padded
+    padded = (
+        pack_token_ids(df, seq_len=4, n_shards=1, pad_id=99)
+        .orderBy("seq_id")
+        .collect()
+    )
+    assert list(padded[-1]["ids"]) == [9, 99, 99, 99]
+    assert padded[-1]["n_tokens"] == 1
+
+
+def test_pack_token_ids_shard_independence(spark):
+    from hnsw_vector_db_spark.operators.corpus import pack_token_ids
+
+    df = spark.createDataFrame(
+        [(0, [1, 2]), (1, [3, 4]), (2, [5, 6]), (3, [7, 8])],
+        "doc_id long, ids array<long>",
+    )
+    rows = pack_token_ids(df, seq_len=2, n_shards=2).collect()
+    by = {(r["shard"], r["seq_id"]): list(r["ids"]) for r in rows}
+    # shard 0 = docs 0,2 -> [1,2],[5,6]; shard 1 = docs 1,3 -> [3,4],[7,8]
+    assert by == {
+        (0, 0): [1, 2], (0, 1): [5, 6],
+        (1, 0): [3, 4], (1, 1): [7, 8],
+    }
+
+
+def test_pack_token_ids_validates(spark):
+    import pytest as _pytest
+
+    from hnsw_vector_db_spark.operators.corpus import pack_token_ids
+
+    df = spark.createDataFrame([(0, [1])], "doc_id long, ids array<long>")
+    with _pytest.raises(ValueError, match="seq_len"):
+        pack_token_ids(df, seq_len=0)
