@@ -835,7 +835,12 @@ def cap_per_group(
     Exchange on group_col with WindowGroupLimit pushing the cap BELOW
     the shuffle (map-side top-cap per partition, the same machinery as
     top_orders_per_cust). Skewed megagroups cost their own partition
-    only. Output: input rows + kept boolean."""
+    only — MEASURED: the bench_scale planted-skew replica (60% of docs
+    on one host, 64x) runs at 1.25x the uniform wall (BASELINE.md r9
+    skew table); at larger skew the mitigation is a salted map-side
+    pre-truncation (keep the per-(group, salt) top-cap first, then the
+    exact window over <= cap * n_salts rows per group).
+    Output: input rows + kept boolean."""
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     from pyspark.sql.window import Window as W
