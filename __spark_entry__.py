@@ -4575,11 +4575,13 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _token_ids_ctes() -> str:
-    """CTE chain re-deriving bpe_token_ids: segmentation replay, id
-    map (row_number over distinct symbols), order-preserving per-doc
-    flatten, EOD append — ends at ``docids(doc_id, ids)``. Shared by
-    the token_shards and token_pack oracles."""
+def _token_ids_ctes(src: str = "documents") -> str:
+    """CTE chain re-deriving bpe_token_ids over relation ``src``:
+    segmentation replay, id map (row_number over distinct symbols),
+    order-preserving per-doc flatten, EOD append — ends at
+    ``docids(doc_id, ids)``. Shared by the token_shards, token_pack,
+    and pipeline_pretrain oracles (the last passes its curated-subset
+    CTE as ``src``)."""
     seg = (
         "' ' || array_to_string(list_append(string_split_regex(word, ''),"
         " '</w>'), ' ') || ' '"
@@ -4592,7 +4594,7 @@ def _token_ids_ctes() -> str:
   FROM (SELECT doc_id,
                list_filter(string_split_regex(text, '\\s+'), w -> w <> '')
                  AS toks
-        FROM documents)),
+        FROM {src})),
 seg AS (
   SELECT word, string_split(trim({seg}), ' ') AS syms
   FROM (SELECT DISTINCT word FROM wtf)),
@@ -4671,9 +4673,96 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _token_pack_sql(seq_len: int = TOKEN_PACK_SEQ_LEN, n_shards: int = 8) -> str:
+def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-TRAINING CORPUS CAPSTONE — curated corpus to trainer-shaped
+    sequences, the engine's whole reason to exist composed end to end:
+    tier-0 exact collapse (exact_groups min-id representatives) →
+    heuristic quality gate (6dp-rounded quality >= 0.75, the
+    pipeline_crawl threshold) → BPE tokenization to ids
+    (bpe_token_ids, fixed merges + EOD) → fixed-length sequence
+    packing (pack_token_ids, seq_len=128, partial tails dropped).
+    Every stage keeps its standalone plan shape (the composition
+    rule); output one row per training sequence with the id-stream
+    hash, so a defect in ANY stage — dedup survivorship, the quality
+    cut, segmentation, id mapping, concatenation order, windowing —
+    breaks the driver hash. ORACLE: DuckDB replays collapse
+    (window-min by text), the quality formula, and the full token/pack
+    chain over the surviving docs."""
+    from hnsw_vector_db_spark.operators import bpe
+    from hnsw_vector_db_spark.operators.corpus import pack_token_ids
+    from hnsw_vector_db_spark.operators.dedup import exact_groups
+    from hnsw_vector_db_spark.operators.text_analysis import quality_score
+
+    docs = _docs(spark, sf_dir)
+    reps = exact_groups(docs).filter(
+        F.col("rep_id") == F.col("doc_id")
+    ).select("doc_id")
+    good = (
+        quality_score(docs)
+        .filter(F.round(F.col("quality"), 6) >= 0.75)
+        .select("doc_id")
+    )
+    kept = docs.join(reps, "doc_id", "left_semi").join(
+        good, "doc_id", "left_semi"
+    )
+    ids_df, _vocab = bpe.bpe_token_ids(kept, BPE_ENCODE_MERGES)
+    packed = pack_token_ids(ids_df, seq_len=TOKEN_PACK_SEQ_LEN, n_shards=8)
+    seq_hash = F.aggregate(
+        F.col("ids"),
+        F.lit(0).cast("long"),
+        lambda a, x: (a * 131 + x + 1) % HASH_MOD,
+    )
+    return packed.select(
+        "shard", "seq_id", "n_tokens", "n_docs", seq_hash.alias("seq_hash")
+    )
+
+
+def _pipeline_pretrain_sql(
+    seq_len: int = TOKEN_PACK_SEQ_LEN, n_shards: int = 8
+) -> str:
+    from hnsw_vector_db_spark.operators import text_analysis
+
+    stop_list = ", ".join(f"'{w}'" for w in text_analysis.STOPWORDS_EN)
+    toks = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+    kept_ctes = f"""reps AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep
+    FROM documents)
+  WHERE doc_id = rep),
+qfeat AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+           / greatest(length(text), 1) AS punct_ratio,
+         len(list_filter(toks, w -> list_contains([{stop_list}],
+           lower(w))))::DOUBLE / greatest(len(toks), 1) AS stop_ratio,
+         len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)
+           AS distinct_ratio
+  FROM (SELECT doc_id, text, {toks} AS toks FROM documents)),
+good AS (
+  SELECT doc_id FROM qfeat
+  WHERE round(0.4 * (CASE WHEN n_tok BETWEEN 10 AND 1000
+                          THEN 1.0 ELSE 0.0 END)
+            + 0.3 * distinct_ratio
+            + 0.2 * (1.0 - least(punct_ratio * 5, 1.0))
+            + 0.1 * least(stop_ratio * 5, 1.0), 6) >= 0.75),
+kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN reps USING (doc_id) JOIN good USING (doc_id))"""
+    return _token_pack_sql(
+        seq_len=seq_len, n_shards=n_shards,
+        src="kept", prefix_ctes=kept_ctes + ",\n",
+    )
+
+
+def _token_pack_sql(
+    seq_len: int = TOKEN_PACK_SEQ_LEN,
+    n_shards: int = 8,
+    src: str = "documents",
+    prefix_ctes: str = "",
+) -> str:
     return f"""
-WITH {_token_ids_ctes()},
+WITH {prefix_ctes}{_token_ids_ctes(src=src)},
 sized AS (
   SELECT doc_id, (doc_id % {n_shards})::INT AS shard,
          len(ids)::BIGINT AS n, ids
@@ -5562,6 +5651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in r9 (front of the driver's 50-entry window) ---------------
         "token_shards": q_token_shards,
         "token_pack": q_token_pack,
+        "pipeline_pretrain": q_pipeline_pretrain,
         "html_extract": q_html_extract,
         "pipeline_crawl_html": q_pipeline_crawl_html,
         "corpus_report_stored": q_corpus_report_stored,
@@ -7161,6 +7251,7 @@ GROUP BY t.doc_id
     sql["tokenizer_stats"] = _tokenizer_stats_sql()
     sql["token_shards"] = _token_shards_sql(8)
     sql["token_pack"] = _token_pack_sql()
+    sql["pipeline_pretrain"] = _pipeline_pretrain_sql()
     sql["incremental_dedup"] = _incremental_dedup_sql(
         LSH_K, LSH_BANDS, JACCARD_THRESHOLD
     )

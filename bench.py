@@ -220,6 +220,7 @@ GROUPS: dict[str, list[str]] = {
     "r9_new": [
         "token_shards",
         "token_pack",
+        "pipeline_pretrain",
         "html_extract",
         "pipeline_crawl_html",
         "corpus_report_stored",

@@ -141,6 +141,7 @@ _DEFAULT_QUERIES = [
     # r9 additions
     "token_shards",
     "token_pack",
+    "pipeline_pretrain",
     "html_extract",
     "pipeline_crawl_html",
     "corpus_report_stored",
