@@ -4680,18 +4680,30 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristic quality gate (6dp-rounded quality >= 0.75, the
     pipeline_crawl threshold) → BPE tokenization to ids
     (bpe_token_ids, fixed merges + EOD) → fixed-length sequence
-    packing (pack_token_ids, seq_len=128, partial tails dropped).
-    Every stage keeps its standalone plan shape (the composition
-    rule); output one row per training sequence with the id-stream
-    hash, so a defect in ANY stage — dedup survivorship, the quality
-    cut, segmentation, id mapping, concatenation order, windowing —
-    breaks the driver hash. ORACLE: DuckDB replays collapse
-    (window-min by text), the quality formula, and the full token/pack
-    chain over the surviving docs."""
+    packing (pack_token_ids, seq_len=128, partial tails dropped) →
+    the packed SEQUENCES written as binary .bin/.idx shards
+    (write_token_shards keyed by a seq-unique id whose mod-8 residue
+    IS the pack shard, so routing is preserved) and READ BACK via
+    binaryFile — the returned seq_hash folds over ids decoded FROM THE
+    BYTES. A defect in ANY stage — dedup survivorship, the quality
+    cut, segmentation, id mapping, concatenation order, windowing,
+    shard framing — breaks the driver hash. Scale story (measured,
+    BASELINE r9): the 64x repeated-text replica costs 1.37x because
+    the tier-0 collapse shrinks it back to ~1x BEFORE tokenization —
+    collapse-first is what survives real crawl duplication. ORACLE:
+    DuckDB replays collapse (window-min by text), the quality formula,
+    and the full token/pack chain over the surviving docs — fully
+    independent of the codec under test."""
+    import tempfile
+
     from hnsw_vector_db_spark.operators import bpe
     from hnsw_vector_db_spark.operators.corpus import pack_token_ids
     from hnsw_vector_db_spark.operators.dedup import exact_groups
     from hnsw_vector_db_spark.operators.text_analysis import quality_score
+    from hnsw_vector_db_spark.sources.token_shards import (
+        read_token_shards,
+        write_token_shards,
+    )
 
     docs = _docs(spark, sf_dir)
     reps = exact_groups(docs).filter(
@@ -4707,12 +4719,33 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ids_df, _vocab = bpe.bpe_token_ids(kept, BPE_ENCODE_MERGES)
     packed = pack_token_ids(ids_df, seq_len=TOKEN_PACK_SEQ_LEN, n_shards=8)
+    # seq-unique id with residue == pack shard: write_token_shards
+    # routes by id % n_shards, so the binary layout keeps the packing
+    # shards; within a shard, id order == seq_id order
+    with_id = packed.withColumn(
+        "_sid", F.col("seq_id") * 8 + F.col("shard")
+    )
+    work = tempfile.mkdtemp(prefix="pretrain_shards_")
+    write_token_shards(
+        with_id, work, id_col="_sid", ids_col="ids", n_shards=8
+    ).collect()  # bounded manifest — the write action
+    back = read_token_shards(spark, work).select(
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        (F.col("doc_id") / 8).cast("long").alias("seq_id"),
+        F.col("n_tokens"),
+        F.col("ids"),
+    )
     seq_hash = F.aggregate(
         F.col("ids"),
         F.lit(0).cast("long"),
         lambda a, x: (a * 131 + x + 1) % HASH_MOD,
     )
-    return packed.select(
+    # n_docs is packing metadata (not in the binary) — joined back from
+    # the packed relation; n_tokens and the hash come from the BYTES
+    return back.join(
+        with_id.select("_sid", "n_docs"),
+        back["shard"] + back["seq_id"] * 8 == F.col("_sid"),
+    ).select(
         "shard", "seq_id", "n_tokens", "n_docs", seq_hash.alias("seq_hash")
     )
 
