@@ -110,7 +110,11 @@ def write_token_shards(
     Token ids must fit ``dtype`` (uint16 or uint32) and be
     non-negative; out-of-range ids raise rather than silently wrap —
     a wrapped token id is corrupted training data with no error
-    signature downstream.
+    signature downstream. ``dtype="auto"`` picks uint16 when the
+    global max id fits (one cheap max aggregate — halves the artifact
+    for sub-64k vocabularies, the common case, exactly how trainers
+    size their index dtype), else uint32; the chosen code is recorded
+    per shard in the .idx header, so readers never guess.
 
     Returns the written manifest (file, n_docs, n_tokens, n_bytes);
     collecting/writing the manifest runs the job. See the module
@@ -119,8 +123,17 @@ def write_token_shards(
     from hnsw_vector_db_spark.session import ensure_package_shipped
     from hnsw_vector_db_spark.sources.wet import _check_local_master
 
+    if dtype == "auto":
+        # one max aggregate over the id stream (bounded driver traffic:
+        # a single row); empty corpus -> uint16 trivially fits
+        hi = df.select(
+            F.max(F.array_max(F.col(ids_col))).alias("m")
+        ).collect()[0]["m"]
+        dtype = "uint16" if hi is None or int(hi) <= 65535 else "uint32"
     if dtype not in _DTYPES:
-        raise ValueError(f"dtype must be one of {sorted(_DTYPES)}, got {dtype!r}")
+        raise ValueError(
+            f"dtype must be 'auto' or one of {sorted(_DTYPES)}, got {dtype!r}"
+        )
     dtype_code, np_dtype = _DTYPES[dtype]
     max_id = int(np.iinfo(np_dtype).max)
     _check_local_master(df.sparkSession.conf.get("spark.master", ""))

@@ -158,3 +158,24 @@ def test_bpe_token_ids_decode_identity(spark):
     assert decoded == "the thermal test"
     decoded2 = "".join(inv[i] for i in rows[2][:-1]).replace("</w>", " ").strip()
     assert decoded2 == "thethe"
+
+
+def test_auto_dtype_picks_narrowest(spark, tmp_path):
+    a, b = str(tmp_path / "small"), str(tmp_path / "big")
+    small = _ids_df(spark, [(0, [1, 65535])])
+    write_token_shards(small, a, n_shards=1, dtype="auto").collect()
+    assert np.fromfile(glob.glob(a + "/*.bin")[0], dtype="<u2").tolist() == [
+        1, 65535,
+    ]
+    big = _ids_df(spark, [(0, [1, 65536])])
+    write_token_shards(big, b, n_shards=1, dtype="auto").collect()
+    assert np.fromfile(glob.glob(b + "/*.bin")[0], dtype="<u4").tolist() == [
+        1, 65536,
+    ]
+    # readers never guess: both round-trip through the recorded code
+    got = {r["doc_id"]: list(r["ids"])
+           for r in read_token_shards(spark, a).collect()}
+    assert got == {0: [1, 65535]}
+    got = {r["doc_id"]: list(r["ids"])
+           for r in read_token_shards(spark, b).collect()}
+    assert got == {0: [1, 65536]}
