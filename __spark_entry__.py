@@ -3539,6 +3539,71 @@ def q_hnsw_ef_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_tune_ef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ef-dimension operating-point tuner — ann_tune's companion on the
+    HNSW path, completing the (nprobe, ef) pair the r8 verdict asked
+    for: sweep ef over the PERSISTED per-cell index at full probe
+    (nprobe=4/4, the hnsw_recall_target operating regime), recall@10
+    vs exact over 5 queries per point, and select the CHEAPEST ef
+    meeting the 0.9 bar (ef IS the per-query cost knob: the beam holds
+    ef candidates per cell, so search cost is O(nprobe * ef * degree)).
+    Rows-only by nature (beam traversal isn't SQL — the same reason
+    hnsw_ef_sweep is), but deterministic at fixed seeds, with the
+    driver-pinned ``ok``: recall non-decreasing in ef (wider beams
+    explore supersets), the widest beam meeting the
+    hnsw_recall_target >= 0.9 bar, and EXACTLY ONE chosen point."""
+    from functools import reduce
+
+    from hnsw_vector_db_spark.operators.hnsw_partition import hnsw_search
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_batch(queries, emb, k=10, metric="cosine").select(
+        "query_id", "vec_id"
+    )
+    index, centroids = _hnsw_artifacts(spark, sf_dir, n_cells=4)
+    parts = []
+    for ef in (8, 32, 96, 128):
+        approx = hnsw_search(
+            index, queries, centroids, k=10, ef=ef, nprobe=4
+        ).select("query_id", "vec_id")
+        parts.append(
+            approx.join(exact, ["query_id", "vec_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(ef).alias("ef"), "n_hits")
+        )
+    hits = reduce(lambda a, b: a.unionByName(b), parts)
+    w = Window.orderBy("ef")
+    wall = Window.orderBy("ef").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    recall = F.round(F.col("n_hits") / 50.0, 6)
+    meets = recall >= 0.9
+    chosen = F.coalesce(
+        meets & (F.col("ef") == F.min(F.when(meets, F.col("ef"))).over(wall)),
+        F.lit(False),
+    )
+    non_dec = F.col("n_hits") >= F.coalesce(
+        F.lag("n_hits").over(w), F.lit(0)
+    )
+    return hits.select(
+        "ef",
+        "n_hits",
+        recall.alias("recall"),
+        meets.alias("meets_target"),
+        chosen.alias("chosen"),
+        (
+            non_dec
+            & (F.max("n_hits").over(wall) / 50.0 >= 0.9)
+            & (
+                F.sum(chosen.cast("int")).over(wall) == 1
+            )
+        ).alias("ok"),
+    )
+
+
 def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-codebook PQ serving check: per-subspace k-means codebooks
     (pq_fit_codebooks — real PQ training, vs the oracle-reproducible seed
@@ -5689,6 +5754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_crawl_html": q_pipeline_crawl_html,
         "corpus_report_stored": q_corpus_report_stored,
         "ann_tune": q_ann_tune,
+        "ann_tune_ef": q_ann_tune_ef,
         # -- promoted to the window in r9: the only three entries whose
         # oracles the driver has never hash-matched (bpe_train upgraded
         # from rows-only in r8; tokenizer_stats and the tpch_q1 alias

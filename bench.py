@@ -225,6 +225,7 @@ GROUPS: dict[str, list[str]] = {
         "pipeline_crawl_html",
         "corpus_report_stored",
         "ann_tune",
+        "ann_tune_ef",
     ],
 }
 

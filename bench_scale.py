@@ -146,6 +146,7 @@ _DEFAULT_QUERIES = [
     "pipeline_crawl_html",
     "corpus_report_stored",
     "ann_tune",
+    "ann_tune_ef",
 ]
 
 
