@@ -39,6 +39,10 @@ def test_oracle_keys_subset_of_queries():
         "hnsw_recall_target",
         "hnsw_filtered_recall",
         "hnsw_ef_sweep",
+        # beam traversal isn't SQL (the hnsw_ef_sweep reason); the ef
+        # tuner's non-decreasing/target/unique-chosen invariants are the
+        # in-row ok boolean
+        "ann_tune_ef",
         "hnsw_neighbor_invariant",
         "pq_recall",
         "ivf_pq_recall",
