@@ -4706,6 +4706,49 @@ FROM sized
 """.strip()
 
 
+def q_token_shards_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-farm integrity audit (token_shards.audit_token_shards) —
+    the pre-run check a trainer performs over the binary artifact: the
+    reader's structural validations (magic, dtype, index arity, offset
+    prefix sums, .bin length == sum(lengths)*itemsize, orphaned
+    sidecars) reported one ROW PER SHARD instead of thrown, the
+    integrity_report shape applied to .bin/.idx files. ORACLE: per-
+    shard doc/token counts re-derived from documents arithmetic (the
+    token_shards CTE chain grouped by shard), dtype + every boolean
+    pinned true — so a silent corruption anywhere in the writer breaks
+    the row, and the corruption DETECTION paths are pinned by the
+    pytest corruption fixtures (tests/test_token_shards.py)."""
+    import tempfile
+
+    from hnsw_vector_db_spark.operators import bpe
+    from hnsw_vector_db_spark.sources.token_shards import (
+        audit_token_shards,
+        write_token_shards,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ids_df, _vocab = bpe.bpe_token_ids(docs, BPE_ENCODE_MERGES)
+    work = tempfile.mkdtemp(prefix="tok_audit_")
+    write_token_shards(ids_df, work, n_shards=8).collect()
+    return audit_token_shards(spark, work)
+
+
+def _token_shards_audit_sql(n_shards: int = 8) -> str:
+    return f"""
+WITH {_token_ids_ctes()},
+s AS (
+  SELECT (doc_id % {n_shards})::INT AS shard,
+         count(*)::BIGINT AS n_docs,
+         sum(len(ids))::BIGINT AS n_tokens
+  FROM docids GROUP BY shard)
+SELECT 'shard-' || lpad(shard::VARCHAR, 5, '0') AS file,
+       n_docs, n_tokens, 'uint32' AS dtype,
+       true AS magic_ok, true AS idx_ok, true AS bin_ok,
+       true AS offsets_ok, true AS ok
+FROM s
+""".strip()
+
+
 TOKEN_PACK_SEQ_LEN = 128
 
 
@@ -5749,6 +5792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW in r9 (front of the driver's 50-entry window) ---------------
         "token_shards": q_token_shards,
+        "token_shards_audit": q_token_shards_audit,
         "token_pack": q_token_pack,
         "pipeline_pretrain": q_pipeline_pretrain,
         "html_extract": q_html_extract,
@@ -7350,6 +7394,7 @@ GROUP BY t.doc_id
     sql["bpe_train"] = _bpe_train_sql(24)
     sql["tokenizer_stats"] = _tokenizer_stats_sql()
     sql["token_shards"] = _token_shards_sql(8)
+    sql["token_shards_audit"] = _token_shards_audit_sql(8)
     sql["token_pack"] = _token_pack_sql()
     sql["pipeline_pretrain"] = _pipeline_pretrain_sql()
     sql["incremental_dedup"] = _incremental_dedup_sql(

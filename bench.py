@@ -219,6 +219,7 @@ GROUPS: dict[str, list[str]] = {
     # tuner
     "r9_new": [
         "token_shards",
+        "token_shards_audit",
         "token_pack",
         "pipeline_pretrain",
         "html_extract",

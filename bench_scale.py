@@ -140,6 +140,7 @@ _DEFAULT_QUERIES = [
     "tokenizer_stats",
     # r9 additions
     "token_shards",
+    "token_shards_audit",
     "token_pack",
     "pipeline_pretrain",
     "html_extract",

@@ -205,6 +205,88 @@ def write_token_shards(
     )
 
 
+def audit_token_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Shard-integrity AUDIT — the check a trainer runs before an
+    expensive job: the same structural validations as
+    :func:`read_token_shards` (magic, dtype code, index arity, offset
+    prefix sums, .bin length == sum(lengths) * itemsize, orphaned
+    sidecars) reported as one ROW PER SHARD instead of an exception —
+    the :func:`~hnsw_vector_db_spark.operators.stats.integrity_report`
+    shape applied to the binary artifact, so a petabyte shard farm
+    audits in one parallel pass and the bad shard is NAMED, not thrown.
+
+    Output: (file, n_docs, n_tokens, dtype, magic_ok, idx_ok, bin_ok,
+    offsets_ok, ok). A shard whose index is unreadable reports NULL
+    counts with ok=false; ok = every check true."""
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    stem = lambda c: F.regexp_replace(  # noqa: E731
+        F.element_at(F.split(c, "/"), -1), r"\.(bin|idx)$", ""
+    )
+    idx = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.idx")
+        .load(path)
+        .select(stem(F.col("path")).alias("file"),
+                F.col("content").alias("idx"))
+    )
+    bin_ = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+        .select(stem(F.col("path")).alias("file"),
+                F.col("content").alias("bin"))
+    )
+    paired = idx.join(bin_, "file", "full_outer")
+    _names = {v[0]: k for k, v in _DTYPES.items()}
+
+    def _audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for name, iblob, bblob in zip(pdf["file"], pdf["idx"], pdf["bin"]):
+                magic_ok = idx_ok = bin_ok = off_ok = False
+                n_docs = n_toks = None
+                dt = None
+                if iblob is not None:
+                    blob = bytes(iblob)
+                    magic_ok = len(blob) >= 8 and blob[:8] == MAGIC
+                    try:
+                        code, doc_ids, offsets, lengths = _parse_index(
+                            name, blob
+                        )
+                        idx_ok = True
+                        dt = _names.get(code)
+                        n_docs = len(doc_ids)
+                        n_toks = int(lengths.sum())
+                        good = np.concatenate(
+                            ([0], np.cumsum(lengths[:-1], dtype=np.int64))
+                        ) if len(lengths) else np.array([], dtype=np.int64)
+                        off_ok = bool(np.array_equal(offsets, good))
+                        itemsize = np.dtype(_CODE_TO_DTYPE[code]).itemsize
+                        blen = len(bytes(bblob)) if bblob is not None else 0
+                        bin_ok = blen == n_toks * itemsize
+                    except ValueError:
+                        pass
+                rows.append(
+                    (name, n_docs, n_toks, dt, magic_ok, idx_ok, bin_ok,
+                     off_ok,
+                     magic_ok and idx_ok and bin_ok and off_ok)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["file", "n_docs", "n_tokens", "dtype", "magic_ok",
+                         "idx_ok", "bin_ok", "offsets_ok", "ok"],
+            )
+
+    return paired.mapInPandas(
+        _audit,
+        "file string, n_docs long, n_tokens long, dtype string, "
+        "magic_ok boolean, idx_ok boolean, bin_ok boolean, "
+        "offsets_ok boolean, ok boolean",
+    )
+
+
 def read_token_shards(spark: SparkSession, path: str) -> DataFrame:
     """Read shard pairs back into (file, doc_id, offset, n_tokens, ids)
     — one ``binaryFile`` task per shard, numpy ``frombuffer`` slicing

@@ -179,3 +179,44 @@ def test_auto_dtype_picks_narrowest(spark, tmp_path):
     got = {r["doc_id"]: list(r["ids"])
            for r in read_token_shards(spark, b).collect()}
     assert got == {0: [1, 65536]}
+
+
+def test_audit_reports_instead_of_throwing(spark, small, tmp_path):
+    from hnsw_vector_db_spark.sources.token_shards import audit_token_shards
+
+    write_token_shards(small, str(tmp_path), n_shards=2).collect()
+    rows = {r["file"]: r for r in audit_token_shards(spark, str(tmp_path)).collect()}
+    assert all(r["ok"] for r in rows.values())
+    assert sum(r["n_docs"] for r in rows.values()) == 5
+    assert sum(r["n_tokens"] for r in rows.values()) == 9
+    assert all(r["dtype"] == "uint32" for r in rows.values())
+    # corrupt one shard's .bin: that shard flags bin_ok false, the
+    # OTHER shard stays ok — the audit names the bad shard, not the farm
+    bad_bin = sorted(glob.glob(str(tmp_path / "*.bin")))[0]
+    blob = open(bad_bin, "rb").read()
+    with open(bad_bin, "wb") as f:
+        f.write(blob[:-4])
+    rows = {r["file"]: r for r in audit_token_shards(spark, str(tmp_path)).collect()}
+    bad = os.path.basename(bad_bin)[:-4]
+    assert not rows[bad]["bin_ok"] and not rows[bad]["ok"]
+    assert rows[bad]["magic_ok"] and rows[bad]["idx_ok"]
+    good = [r for f, r in rows.items() if f != bad]
+    assert all(r["ok"] for r in good)
+
+
+def test_audit_flags_bad_magic_and_orphan(spark, small, tmp_path):
+    from hnsw_vector_db_spark.sources.token_shards import audit_token_shards
+
+    write_token_shards(small, str(tmp_path), n_shards=1).collect()
+    idx_path = glob.glob(str(tmp_path / "*.idx"))[0]
+    blob = open(idx_path, "rb").read()
+    with open(idx_path, "wb") as f:
+        f.write(b"NOTMAGIC" + blob[8:])
+    rows = audit_token_shards(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert not r["magic_ok"] and not r["ok"] and r["n_docs"] is None
+    # orphan .bin (idx deleted): unreadable shard, named, ok=false
+    os.remove(idx_path)
+    r = audit_token_shards(spark, str(tmp_path)).collect()[0]
+    assert not r["ok"] and not r["idx_ok"] and r["n_docs"] is None
