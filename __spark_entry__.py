@@ -4621,7 +4621,9 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids_df, _vocab = bpe.bpe_token_ids(docs, BPE_ENCODE_MERGES)
     work = tempfile.mkdtemp(prefix="tok_shards_")
     # fixed shard-size rule (the wet_scan lesson): shard COUNT scales
-    # with the corpus so write/read parallelism tracks data volume
+    # with the corpus so write/read parallelism tracks data volume.
+    # The DuckDB oracle re-derives THIS formula from count(*) over
+    # documents (see _token_shards_sql) — change them together.
     n_docs = docs.count()
     n_shards = max(8, min(512, n_docs // 4000))
     write_token_shards(ids_df, work, n_shards=n_shards).collect()
@@ -4689,11 +4691,18 @@ _ID_HASH_SQL = (
 )
 
 
-def _token_shards_sql(n_shards: int = 8) -> str:
+def _token_shards_sql() -> str:
+    # n_shards is NOT pinned: the oracle re-derives the entry's
+    # shard-count formula (max(8, min(512, n_docs // 4000))) from the
+    # corpus itself, so entry and oracle stay in lockstep at any
+    # correctness-corpus size (the r9 gate ran at 500 docs where both
+    # said 8; a pinned literal would silently diverge past ~36k docs).
     return f"""
 WITH {_token_ids_ctes()},
+ns AS (SELECT greatest(8, least(512, count(*) // 4000))::BIGINT AS n
+       FROM documents),
 sized AS (
-  SELECT doc_id, (doc_id % {n_shards})::INT AS shard,
+  SELECT doc_id, (doc_id % (SELECT n FROM ns))::INT AS shard,
          len(ids)::BIGINT AS n_tokens, ids
   FROM docids)
 SELECT doc_id, shard,
@@ -7393,7 +7402,7 @@ GROUP BY t.doc_id
     sql["bpe_encode"] = _bpe_encode_sql()
     sql["bpe_train"] = _bpe_train_sql(24)
     sql["tokenizer_stats"] = _tokenizer_stats_sql()
-    sql["token_shards"] = _token_shards_sql(8)
+    sql["token_shards"] = _token_shards_sql()
     sql["token_shards_audit"] = _token_shards_audit_sql(8)
     sql["token_pack"] = _token_pack_sql()
     sql["pipeline_pretrain"] = _pipeline_pretrain_sql()

@@ -335,6 +335,15 @@ def main() -> None:
             payload["queries"] = merged
             if "skew" in prior and not skew_results:
                 payload["skew"] = prior["skew"]
+            elif skew_results:
+                # same merge-not-overwrite rule for the skew tier: a
+                # re-run measuring a different skew subset must keep
+                # the committed rows it didn't re-measure
+                merged_skew = dict(
+                    prior.get("skew", {}).get("queries", {})
+                )
+                merged_skew.update(skew_results)
+                skew_results = merged_skew
     if skew_results:
         payload["skew"] = {
             "hot_frac": _SKEW_HOT_FRAC_MOD[1] / _SKEW_HOT_FRAC_MOD[0],

@@ -363,7 +363,7 @@ def ann_tune(
     )
     recall = F.round(F.col("n_hits") / F.lit(float(n_queries * k)), 6) + F.lit(0.0)
     meets = F.col("recall") >= F.lit(target_recall)
-    return (
+    result = (
         rows.select(
             "nprobe",
             "n_candidates",
@@ -389,3 +389,11 @@ def ann_tune(
             ),
         )
     )
+    if cache_handles is None:
+        # no handle to hand the persist back through: materialize the
+        # (len(nprobes)-row) sweep now and release the assignment cache
+        # here, so repeated calls in a long-lived session don't leak
+        # persisted DataFrames (localCheckpoint is eager by default)
+        result = result.localCheckpoint()
+        assigned.unpersist()
+    return result

@@ -59,7 +59,9 @@ _HEADER_LEN = 8 + 1 + 7 + 8  # magic + dtype code + reserved + n_docs
 def _pack_index(doc_ids: np.ndarray, offsets: np.ndarray,
                 lengths: np.ndarray, dtype_code: int) -> bytes:
     head = MAGIC + bytes([dtype_code]) + b"\x00" * 7
-    head += np.uint64(len(doc_ids)).tobytes()
+    # explicit little-endian: np.uint64(...).tobytes() would use NATIVE
+    # byte order, breaking the documented layout on a big-endian writer
+    head += int(len(doc_ids)).to_bytes(8, "little")
     return (
         head
         + doc_ids.astype("<i8").tobytes()
@@ -147,6 +149,18 @@ def write_token_shards(
         by_shard: dict[int, list[tuple[int, np.ndarray]]] = {}
         for pdf in batches:
             for d, ids, s in zip(pdf["_id"], pdf["_ids"], pdf["_shard"]):
+                # named rejects for NULL rows: a NULL doc_id/ids would
+                # otherwise die inside numpy with an opaque TypeError
+                if d is None or pd.isna(d):
+                    raise ValueError(
+                        "write_token_shards: NULL doc_id row — every "
+                        "row needs a routable id"
+                    )
+                if ids is None:
+                    raise ValueError(
+                        f"doc {int(d)}: NULL ids array — tokenize "
+                        f"upstream or filter the row before writing"
+                    )
                 arr = np.asarray(ids, dtype=np.int64)
                 if arr.size and (arr.min() < 0 or arr.max() > max_id):
                     raise ValueError(
