@@ -4528,6 +4528,60 @@ ORDER BY wtf.doc_id
 """.strip()
 
 
+BYTE_BPE_N_MERGES = 24
+
+
+def q_bpe_bytes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE LOSSLESS ROUND TRIP (bpe.py byte tier — the GPT-2
+    family form, Radford et al. 2019): train 24 byte-level merges over
+    the corpus distinct-piece histogram, encode every document to token
+    ids (bytes -> printable symbols -> min-rank fusion), DECODE the ids
+    back to text, and hash the DECODED text per document. The ORACLE
+    derives the expected hash from the RAW text alone — DuckDB never
+    sees the tokenizer — so a defect anywhere in the train/encode/
+    decode path (byte<->printable table, piece tiling, merge
+    application, id mapping, inverse table, UTF-8 framing, empty-doc
+    handling) breaks the driver hash. ``lossless`` additionally pins
+    decoded == original in-row; ``compact`` pins n_tokens <= n_bytes
+    (byte-BPE merges never expand a stream — base ids are exactly one
+    per byte). This is the reversibility property trainers debug with,
+    and the reference's ingress-coercion contract
+    (api/rest/server.py:139 — every input representable, nothing
+    dropped) applied to text."""
+    from hnsw_vector_db_spark.operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe.byte_bpe_train(docs, n_merges=BYTE_BPE_N_MERGES)
+    ids_df, _vocab = bpe.byte_bpe_encode(docs, merges)
+    decoded = bpe.byte_bpe_decode(ids_df, merges)
+    orig = docs.select("doc_id", F.col("text").alias("_orig"))
+    return (
+        decoded.join(
+            ids_df.select("doc_id", F.size("ids").alias("_nt")), "doc_id"
+        )
+        .join(orig, "doc_id")
+        .select(
+            "doc_id",
+            F.octet_length("text").alias("n_bytes"),
+            poly_hash(F.col("text")).alias("round_hash"),
+            (F.col("text") == F.col("_orig")).alias("lossless"),
+            (F.col("_nt") <= F.octet_length("text")).alias("compact"),
+        )
+    )
+
+
+def _bpe_bytes_roundtrip_sql() -> str:
+    # fully tokenizer-independent: expected hash/length from raw text
+    return f"""
+SELECT doc_id,
+       octet_length(encode(text))::INTEGER AS n_bytes,
+       ({_poly_sql('text')})::BIGINT AS round_hash,
+       true AS lossless,
+       true AS compact
+FROM documents
+""".strip()
+
+
 def q_tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer-readiness report
     (bpe.py:tokenizer_stats): docs, words, chars, subword tokens,
@@ -5799,7 +5853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is additionally pinned at sf0.001 by
     # tests/test_entry.py::test_oracle_parity.
     return {
-        # -- NEW in r9 (front of the driver's 50-entry window) ---------------
+        # -- NEW in r10 (front of the driver's 50-entry window) --------------
+        "bpe_bytes_roundtrip": q_bpe_bytes_roundtrip,
+        # -- r9 window remainder ---------------------------------------------
         "token_shards": q_token_shards,
         "token_shards_audit": q_token_shards_audit,
         "token_pack": q_token_pack,
@@ -7402,6 +7458,7 @@ GROUP BY t.doc_id
     sql["bpe_encode"] = _bpe_encode_sql()
     sql["bpe_train"] = _bpe_train_sql(24)
     sql["tokenizer_stats"] = _tokenizer_stats_sql()
+    sql["bpe_bytes_roundtrip"] = _bpe_bytes_roundtrip_sql()
     sql["token_shards"] = _token_shards_sql()
     sql["token_shards_audit"] = _token_shards_audit_sql(8)
     sql["token_pack"] = _token_pack_sql()

@@ -11,16 +11,24 @@ Spark shape (what survives 100 TB):
 - Training NEVER touches the raw token stream after the first pass: the
   corpus collapses to the DISTINCT-WORD frequency table (wf) up front —
   the classic trick (Zipf: billions of tokens -> millions of distinct
-  words), and every iteration runs over that vocab-sized table.
-- Each iteration is ONE keyed aggregation (explode adjacent pairs,
-  weight by wf, argmax) plus ONE narrow projection (apply the merge via
-  a codegen'd left fold over the symbol array — no UDF, no Python in
-  the loop). The argmax is a 1-row driver fetch, same class as
-  pagerank's fixed-iteration loop.
-- Lineage is cut every iteration (localCheckpoint of the segmentation)
-  so n_merges doesn't stack n_merges nested fold-expressions into one
-  plan — with persist alone the DATA is cached but the analyzer still
-  walks the ever-deeper plan and the driver dies (measured).
+  words). That histogram is then COLLECTED ONCE (bounded, guarded) and
+  the merge loop runs in driver memory (:func:`train_merges`, lazy
+  max-heap + inverted pair index) — the SentencePiece/HF trainer shape.
+  A job-per-merge distributed loop is the wrong physics at production
+  vocab sizes: 32k-100k merges would mean 32k-100k SEQUENTIAL Spark
+  jobs over a vocabulary-sized table, pure job-launch overhead.
+- APPLICATION stays fully distributed and Python-free: a fixed merge
+  list is applied to the distinct-word table as chained codegen left
+  folds (:func:`_merge_fold`), and the raw stream is touched exactly
+  twice (tf collapse + final join) — see bpe_segment / bpe_token_ids /
+  tokenizer_stats.
+- The BYTE-LEVEL tier (byte_bpe_*) is the production-tokenizer form
+  (GPT-2 family, Radford et al. 2019): text partitions losslessly into
+  whitespace/non-whitespace pieces, each piece's UTF-8 bytes map
+  through the published byte<->printable bijection, merges are learned
+  over the distinct-PIECE histogram, and byte_bpe_decode inverts the
+  whole path exactly — decode(encode(text)) == text for ANY input, the
+  reversibility property trainers debug with.
 
 Tie-break: (count desc, left asc, right asc) — total order, so the
 learned merge sequence is deterministic and engine-independent; the
@@ -30,11 +38,20 @@ implementation (tests/test_bpe.py).
 
 from __future__ import annotations
 
+import heapq
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from hnsw_vector_db_spark.functions.text import tokens
 
 END = "</w>"  # end-of-word marker, per the original formulation
+
+# lossless text partition: alternating whitespace / non-whitespace runs
+# cover every character exactly once, so concatenating the pieces back
+# reproduces the original text byte-for-byte — the property the
+# byte-level tier's decode guarantee rests on (GPT-2 uses a fancier
+# regex for the same reason: pre-tokenizer pieces must tile the text)
+PIECE_RE = r"\s+|\S+"
 
 
 def _merge_fold(syms: Column, left: str, right: str) -> Column:
@@ -69,24 +86,6 @@ def _merge_fold(syms: Column, left: str, right: str) -> Column:
     return F.when(n == 0, syms).otherwise(folded)
 
 
-def _pair_counts(seg: DataFrame) -> DataFrame:
-    """Weighted adjacent-pair counts over the segmented vocab:
-    (left, right, cnt). Pair instances WITHIN a word count each
-    occurrence (zip_with of the array against its own tail), weighted
-    by word frequency."""
-    pairs = F.zip_with(
-        F.slice(F.col("syms"), 1, F.size("syms") - 1),
-        F.slice(F.col("syms"), 2, F.size("syms") - 1),
-        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-    )
-    return (
-        seg.filter(F.size("syms") >= 2)
-        .select(F.col("wf"), F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
-        .agg(F.sum("wf").alias("cnt"))
-    )
-
-
 def word_freqs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -110,11 +109,128 @@ def _initial_seg(wf: DataFrame) -> DataFrame:
     )
 
 
+def _pair_multiset(syms: "list[str]") -> "dict[tuple[str, str], int]":
+    """Adjacent-pair multiset of one symbol sequence (within-sequence
+    occurrences counted, matching :func:`_pair_counts`'s zip-with-tail)."""
+    c: dict[tuple[str, str], int] = {}
+    for a, b in zip(syms, syms[1:]):
+        p = (a, b)
+        c[p] = c.get(p, 0) + 1
+    return c
+
+
+def _merge_pair(syms: "list[str]", left: str, right: str) -> "list[str]":
+    """Leftmost-first non-overlapping (left,right)->left||right — the
+    in-memory twin of :func:`_merge_fold` (same sequential semantics)."""
+    out: list[str] = []
+    j, n, fused = 0, len(syms), left + right
+    while j < n:
+        if j + 1 < n and syms[j] == left and syms[j + 1] == right:
+            out.append(fused)
+            j += 2
+        else:
+            out.append(syms[j])
+            j += 1
+    return out
+
+
+def train_merges(
+    seqs: "list[tuple[list[str], int]]", n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Greedy BPE merge loop over a COLLAPSED (symbol-sequence, freq)
+    table, entirely in memory — the engine every production tokenizer
+    trainer runs once the corpus has been Zipf-collapsed to its
+    distinct-word (or distinct-piece) histogram. Incremental bookkeeping:
+    a lazy max-heap over weighted pair counts plus a pair -> sequences
+    inverted index, so each merge touches only the sequences that
+    contain its pair and costs O(changed pairs · log heap), never a
+    rescan — 32k merges are 32k heap pops, not 32k jobs.
+
+    Tie-break (count desc, left asc, right asc) and the support<2 early
+    stop are identical to the textbook formulation pinned by
+    tests/test_bpe.py, so callers that switched from the former
+    job-per-merge loop learn byte-identical merge sequences."""
+    seq_syms = [list(s) for s, _ in seqs]
+    freqs = [int(f) for _, f in seqs]
+    per_seq: list[dict[tuple[str, str], int]] = []
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for i, syms in enumerate(seq_syms):
+        c = _pair_multiset(syms)
+        per_seq.append(c)
+        f = freqs[i]
+        for p, k in c.items():
+            counts[p] = counts.get(p, 0) + k * f
+            where.setdefault(p, set()).add(i)
+    # lazy heap: every count CHANGE pushes a fresh entry; stale entries
+    # are skipped on pop by checking against the live counts dict.
+    # Ordering (-count, (left, right)) == (count desc, left asc,
+    # right asc) — the documented total order.
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges:
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if counts.get(p, 0) == -negc:
+                best = (p, -negc)
+                break
+        if best is None or best[1] < 2:
+            break  # support < 2 carries no compression information
+        (left, right), support = best
+        merges.append((left, right, support))
+        for i in where.get((left, right), set()).copy():
+            old = per_seq[i]
+            out = _merge_pair(seq_syms[i], left, right)
+            new = _pair_multiset(out)
+            f = freqs[i]
+            for p in set(old) | set(new):
+                d = new.get(p, 0) - old.get(p, 0)
+                if not d:
+                    continue
+                c = counts.get(p, 0) + d * f
+                if c <= 0:
+                    counts.pop(p, None)
+                else:
+                    counts[p] = c
+                    heapq.heappush(heap, (-c, p))
+                if new.get(p, 0):
+                    where.setdefault(p, set()).add(i)
+                else:
+                    s = where.get(p)
+                    if s is not None:
+                        s.discard(i)
+            seq_syms[i] = out
+            per_seq[i] = new
+        counts.pop((left, right), None)
+        where.pop((left, right), None)
+    return merges
+
+
+def _bounded_collect(df: DataFrame, cap: "int | None", what: str) -> list:
+    """Collect a collapsed histogram with a NAMED size guard — the
+    bounded-collect convention (hnsw_search's max_collect_queries): a
+    histogram that outgrew the driver should raise with advice, not OOM."""
+    if cap is None:
+        return df.collect()
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"{what} histogram exceeds max_collect={cap} rows; raise the "
+            f"cap (driver memory permitting) or cut the tail upstream "
+            f"(e.g. filter wf >= 2 — hapax words cannot win a merge of "
+            f"support >= 2 on their own)"
+        )
+    return rows
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_collect_words: "int | None" = 10_000_000,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the ordered
     list [(left, right, support), ...] — support is the weighted pair
@@ -123,35 +239,26 @@ def bpe_train(
     by its own support; the driver entry pins that invariant in-row).
 
     Stops early when no pair occurs twice (support < 2 carries no
-    compression information)."""
+    compression information).
+
+    Scale shape: the ONE corpus-sized stage (:func:`word_freqs`) stays
+    distributed; the merge loop itself runs in driver memory over the
+    collected distinct-word histogram (:func:`train_merges`) — exactly
+    how SentencePiece/HF trainers operate, because after the Zipf
+    collapse the table is vocabulary-sized (millions of rows for a
+    100 TB corpus, guarded by ``max_collect_words``) while the former
+    job-per-merge loop would mean 32k-100k SEQUENTIAL Spark jobs at a
+    production vocab — unrunnable regardless of data volume. Per-merge
+    cost is now a heap pop + localized recount (no job launch), and the
+    learned sequence is bit-identical to the distributed formulation
+    (same total order, pinned by tests/test_bpe.py)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    # localCheckpoint, not persist: persist caches DATA but the logical
-    # plan keeps growing — after ~20 iterations the analyzer is walking
-    # 20 nested fold-aggregates and the DRIVER dies of plan blow-up
-    # (measured: OOM at sf0.01 with persist; instant with checkpoint).
-    # localCheckpoint truncates lineage each round, which is the correct
-    # iterative-algorithm hygiene (same reason pagerank documents a
-    # checkpoint-every-k recipe).
-    seg = _initial_seg(word_freqs(docs, text_col, id_col)).localCheckpoint()
-    merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
-        top = (
-            _pair_counts(seg)
-            .orderBy(
-                F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc()
-            )
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["cnt"] < 2:
-            break
-        left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["cnt"])
-        merges.append((left, right, cnt))
-        seg = seg.select(
-            "word", "wf", _merge_fold(F.col("syms"), left, right).alias("syms")
-        ).localCheckpoint()
-    return merges
+    rows = _bounded_collect(
+        word_freqs(docs, text_col, id_col), max_collect_words, "word-freq"
+    )
+    seqs = [(list(r["word"]) + [END], int(r["wf"])) for r in rows]
+    return train_merges(seqs, n_merges)
 
 
 def tokenizer_stats(
@@ -330,6 +437,243 @@ def bpe_token_ids(
         )
     )
     return per_doc, vocab
+
+
+# ---------------------------------------------------------------------------
+# Byte-level tier (GPT-2 family, Radford et al. 2019) — every input
+# representable, nothing dropped: the ingress-coercion contract the
+# reference applies to vectors (`api/rest/server.py:139`, every payload
+# coerced to the index dtype) applied to text.
+# ---------------------------------------------------------------------------
+
+
+def byte_char_table() -> "dict[int, str]":
+    """The published GPT-2 byte <-> printable-unicode bijection: bytes
+    that are visually printable latin-1 map to themselves; the rest map
+    to codepoints 256+n in byte order. Makes every byte a SYMBOL the
+    merge machinery can treat as text (no whitespace/control ambiguity),
+    and is exactly invertible — the foundation of lossless decode."""
+    keep = set(
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAC + 1))
+        + list(range(0xAE, 0xFF + 1))
+    )
+    table: dict[int, str] = {}
+    n = 0
+    for b in range(256):
+        if b in keep:
+            table[b] = chr(b)
+        else:
+            table[b] = chr(256 + n)
+            n += 1
+    return table
+
+
+def text_pieces(s: "Column | str") -> Column:
+    """Lossless pre-tokenization: alternating whitespace/non-whitespace
+    runs (PIECE_RE tiles the string, so concat(pieces) == text). DuckDB
+    twin: ``regexp_extract_all(text, '\\s+|\\S+')``."""
+    c = F.col(s) if isinstance(s, str) else s
+    return F.regexp_extract_all(c, F.lit(PIECE_RE), F.lit(0))
+
+
+def _piece_syms(piece: str, b2c: "dict[int, str]") -> "list[str]":
+    return [b2c[b] for b in piece.encode("utf-8")]
+
+
+def byte_bpe_train(
+    docs: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_collect_pieces: "int | None" = 10_000_000,
+) -> list[tuple[str, str, int]]:
+    """Learn byte-level BPE merges: pieces -> UTF-8 bytes -> printable
+    symbols -> :func:`train_merges` over the distinct-PIECE histogram.
+    No end-of-word marker (the GPT-2 convention — piece boundaries are
+    structural: merges simply never cross pieces). Same scale shape as
+    :func:`bpe_train`: ONE distributed pass collapses the corpus to the
+    piece histogram (whitespace runs collapse to almost nothing — ' '
+    is one row); the merge loop is driver-side over that bounded table."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    pf = (
+        docs.select(F.explode(text_pieces(text_col)).alias("piece"))
+        .groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("pf"))
+    )
+    rows = _bounded_collect(pf, max_collect_pieces, "piece-freq")
+    b2c = byte_char_table()
+    seqs = [(_piece_syms(r["piece"], b2c), int(r["pf"])) for r in rows]
+    return train_merges(seqs, n_merges)
+
+
+def byte_bpe_vocab(
+    merges: "list[tuple[str, str, int]] | list[tuple[str, str]]",
+) -> "dict[str, int]":
+    """symbol -> id: ids 0..255 are the byte symbols AT THEIR BYTE VALUE
+    (the GPT-2 layout — a byte-BPE vocab needs no data to number its
+    base), then one id per merge in learned order. Id 256+len(merges) is
+    reserved for end-of-document. If two merges fuse to the same string
+    (possible: (a,bc) and (ab,c)), the FIRST keeps the id — decode is
+    unaffected because both ids would spell the same text."""
+    b2c = byte_char_table()
+    vocab = {b2c[b]: b for b in range(256)}
+    for i, m in enumerate(merges):
+        vocab.setdefault(m[0] + m[1], 256 + i)
+    return vocab
+
+
+def _min_rank_encode(
+    syms: "list[str]", ranks: "dict[tuple[str, str], int]"
+) -> "list[str]":
+    """The published byte-BPE ENCODE (GPT-2/HF): repeatedly fuse the
+    lowest-rank adjacent pair present (all its occurrences,
+    leftmost-first) until no learned pair remains. O(len^2) in the piece
+    length, independent of vocab size — which is why production encoders
+    use it instead of replaying 32k merges in order. Segmentations can
+    differ from apply-in-order on adversarial inputs, but decode(encode)
+    is the identity under EITHER (symbols always spell the same bytes) —
+    the property the roundtrip oracle pins."""
+    while len(syms) >= 2:
+        best = None
+        for a, b in zip(syms, syms[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, a, b)
+        if best is None:
+            break
+        syms = _merge_pair(syms, best[1], best[2])
+    return syms
+
+
+def byte_bpe_encode(
+    docs: DataFrame,
+    merges: "list[tuple[str, str, int]] | list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    append_eod: bool = False,
+) -> "tuple[DataFrame, dict[str, int]]":
+    """Encode documents to byte-BPE token ids under a fixed merge list.
+    Returns ``(df(id_col, ids array<long>), vocab)``.
+
+    Scale shape (the bpe_token_ids pattern at the byte tier): the
+    Python encoder runs ONLY over the DISTINCT-PIECE table (Zipf
+    collapse; Arrow-batched mapInPandas, one dict-driven pass per
+    distinct piece), the raw stream is touched once for the (doc, pos,
+    piece) explode and once for the final join, and per-doc assembly is
+    one keyed aggregation (array_sort of (pos, ids) structs + flatten).
+    Unlike the word-level tier there is NO out-of-vocabulary state:
+    every byte is id<256 by construction, so arbitrary binary-ish text
+    encodes without loss."""
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    import pandas as pd
+
+    ensure_package_shipped(docs.sparkSession)
+    vocab = byte_bpe_vocab(merges)
+    ranks: dict[tuple[str, str], int] = {}
+    for i, m in enumerate(merges):
+        ranks.setdefault((m[0], m[1]), i)
+
+    def _enc(batches):
+        b2c = byte_char_table()
+        for pdf in batches:
+            out = []
+            for piece in pdf["piece"]:
+                syms = _min_rank_encode(_piece_syms(piece, b2c), ranks)
+                out.append([vocab[s] for s in syms])
+            yield pd.DataFrame({"piece": pdf["piece"], "pids": out})
+
+    wtf = docs.select(
+        F.col(id_col), F.posexplode(text_pieces(text_col)).alias("pos", "piece")
+    )
+    piece_ids = (
+        wtf.select("piece")
+        .distinct()
+        .mapInPandas(_enc, "piece string, pids array<long>")
+    )
+    eod = (
+        [F.lit(256 + len(merges)).cast("long")] if append_eod else []
+    )
+    per_doc = (
+        wtf.join(piece_ids, "piece")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("pids")))
+            ).alias("pw")
+        )
+        .select(
+            id_col,
+            F.concat(
+                F.flatten(F.transform(F.col("pw"), lambda x: x["pids"])),
+                F.array(*eod) if eod else F.array().cast("array<long>"),
+            ).alias("ids"),
+        )
+    )
+    # documents with NO pieces (empty text) vanish in the wtf explode;
+    # re-attach them with an empty (or EOD-only) stream — lossless decode
+    # must round-trip the empty document too
+    empties = docs.join(wtf.select(id_col).distinct(), id_col, "left_anti")
+    empty_ids = F.array(*eod) if eod else F.array().cast("array<long>")
+    return (
+        per_doc.unionByName(
+            empties.select(F.col(id_col), empty_ids.alias("ids"))
+        ),
+        vocab,
+    )
+
+
+def byte_bpe_decode(
+    ids_df: DataFrame,
+    merges: "list[tuple[str, str, int]] | list[tuple[str, str]]",
+    id_col: str = "doc_id",
+    ids_col: str = "ids",
+) -> DataFrame:
+    """LOSSLESS detokenization: ids -> symbols -> printable chars ->
+    UTF-8 bytes -> text. The exact inverse of :func:`byte_bpe_encode`
+    (``decode(encode(text)) == text`` for any input — the reversibility
+    property a trainer debugs with; the bpe_bytes_roundtrip driver
+    oracle pins it corpus-wide against the raw text). The reserved
+    end-of-document id (256+len(merges)) is dropped as a boundary
+    marker; any OTHER unknown id raises with the id named — a silently
+    skipped token is corrupted text with no error signature.
+
+    Arrow-batched mapInPandas; embarrassingly parallel per row."""
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    import pandas as pd
+
+    ensure_package_shipped(ids_df.sparkSession)
+    vocab = byte_bpe_vocab(merges)
+    id2sym: dict[int, str] = {}
+    for s, i in vocab.items():
+        id2sym.setdefault(i, s)
+    eod_id = 256 + len(merges)
+
+    def _dec(batches):
+        c2b = {c: b for b, c in byte_char_table().items()}
+        for pdf in batches:
+            texts = []
+            for ids in pdf[ids_col]:
+                chunks = []
+                for i in ids:
+                    i = int(i)
+                    if i == eod_id:
+                        continue
+                    sym = id2sym.get(i)
+                    if sym is None:
+                        raise ValueError(
+                            f"byte_bpe_decode: unknown token id {i} "
+                            f"(vocab size {eod_id}) — corrupted stream"
+                        )
+                    chunks.append(sym)
+                data = bytes(c2b[ch] for ch in "".join(chunks))
+                texts.append(data.decode("utf-8"))
+            yield pd.DataFrame({id_col: pdf[id_col], "text": texts})
+
+    return ids_df.mapInPandas(_dec, f"{id_col} long, text string")
 
 
 def bpe_segment(

@@ -137,6 +137,99 @@ def test_tokenizer_stats_separates_sources(spark):
     assert rows["foreign"]["fallback_rate"] == round(11 / 13, 6)
 
 
+def test_bpe_train_collect_guard_raises_with_advice(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_collect"):
+        bpe.bpe_train(docs, n_merges=2, max_collect_words=3)
+
+
+# ---------------------------------------------------------------------------
+# byte-level tier
+# ---------------------------------------------------------------------------
+
+
+def test_byte_char_table_is_a_bijection():
+    t = bpe.byte_char_table()
+    assert len(t) == 256
+    assert len(set(t.values())) == 256
+    # printable latin-1 maps to itself; others land at 256+
+    assert t[ord("A")] == "A" and t[ord("!")] == "!"
+    assert ord(t[0x20]) >= 256 and ord(t[0x0A]) >= 256
+
+
+UGLY = [
+    (1, "the cat sat on the mat"),
+    (2, "naïve café — résumé 😀 日本語テスト"),
+    (3, "  leading and   multiple\tspaces\nnewlines  "),
+    (4, ""),
+    (5, "tabs\t\tand\r\nCRLF plus ctrl\x01byte"),
+]
+
+
+def test_byte_bpe_roundtrip_is_lossless_on_hostile_text(spark):
+    """decode(encode(text)) == text exactly — unicode, control chars,
+    repeated whitespace, CRLF, and the empty document included."""
+    docs = spark.createDataFrame(UGLY, "doc_id long, text string")
+    merges = bpe.byte_bpe_train(docs, n_merges=12)
+    ids_df, vocab = bpe.byte_bpe_encode(docs, merges)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in bpe.byte_bpe_decode(ids_df, merges).collect()
+    }
+    assert got == dict(UGLY)
+    # base vocab ids are the byte values themselves
+    t = bpe.byte_char_table()
+    assert vocab[t[ord("a")]] == ord("a")
+    # encoding never expands: one id per byte is the worst case
+    n_ids = {r["doc_id"]: len(r["ids"]) for r in ids_df.collect()}
+    for d, text in UGLY:
+        assert n_ids[d] <= len(text.encode("utf-8"))
+
+
+def test_byte_bpe_eod_appended_and_dropped_on_decode(spark):
+    docs = spark.createDataFrame(UGLY, "doc_id long, text string")
+    merges = bpe.byte_bpe_train(docs, n_merges=8)
+    ids_df, _ = bpe.byte_bpe_encode(docs, merges, append_eod=True)
+    eod = 256 + len(merges)
+    for r in ids_df.collect():
+        assert r["ids"][-1] == eod
+    got = {
+        r["doc_id"]: r["text"]
+        for r in bpe.byte_bpe_decode(ids_df, merges).collect()
+    }
+    assert got == dict(UGLY)
+
+
+def test_byte_bpe_decode_raises_on_unknown_id(spark):
+    ids_df = spark.createDataFrame(
+        [(1, [ord("a"), 9999])], "doc_id long, ids array<long>"
+    )
+    with pytest.raises(Exception, match="unknown token id"):
+        bpe.byte_bpe_decode(ids_df, [("a", "b")]).collect()
+
+
+def test_byte_bpe_merges_learned_over_pieces(spark):
+    """On a corpus dominated by one word, the first merges fuse that
+    word's bytes; merges never cross piece boundaries (no symbol ever
+    contains both whitespace and non-whitespace bytes)."""
+    docs = spark.createDataFrame(
+        [(1, "zag zag zag zag zig")], "doc_id long, text string"
+    )
+    merges = bpe.byte_bpe_train(docs, n_merges=4)
+    # (z,a) and (a,g) tie at support 4; left-asc tie-break picks (a,g)
+    assert merges[0] == ("a", "g", 4)
+    t = bpe.byte_char_table()
+    ws = {t[b] for b in range(256) if chr(b).isspace()}
+    for left, right, _sup in merges:
+        fused = left + right
+        assert not (
+            any(c in ws for c in fused)
+            and any(c not in ws for c in fused)
+        )
+
+
 def test_tokenizer_stats_keeps_zero_word_source(spark):
     """A source whose docs tokenize to ZERO words (empty/whitespace-only
     text) must still appear in the readiness report — n_docs counted,
