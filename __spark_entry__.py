@@ -4865,16 +4865,10 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB replays collapse (window-min by text), the quality formula,
     and the full token/pack chain over the surviving docs — fully
     independent of the codec under test."""
-    import tempfile
-
     from hnsw_vector_db_spark.operators import bpe
     from hnsw_vector_db_spark.operators.corpus import pack_token_ids
     from hnsw_vector_db_spark.operators.dedup import exact_groups
     from hnsw_vector_db_spark.operators.text_analysis import quality_score
-    from hnsw_vector_db_spark.sources.token_shards import (
-        read_token_shards,
-        write_token_shards,
-    )
 
     docs = _docs(spark, sf_dir)
     reps = exact_groups(docs).filter(
@@ -4890,19 +4884,38 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ids_df, _vocab = bpe.bpe_token_ids(kept, BPE_ENCODE_MERGES)
     packed = pack_token_ids(ids_df, seq_len=TOKEN_PACK_SEQ_LEN, n_shards=8)
-    # seq-unique id with residue == pack shard: write_token_shards
-    # routes by id % n_shards, so the binary layout keeps the packing
-    # shards; within a shard, id order == seq_id order
-    with_id = packed.withColumn(
-        "_sid", F.col("seq_id") * 8 + F.col("shard")
+    return _seq_shard_roundtrip(spark, packed, prefix="pretrain_shards_")
+
+
+def _seq_shard_roundtrip(
+    spark: SparkSession, packed: DataFrame, prefix: str, n_shards: int = 8
+) -> DataFrame:
+    """Shared tail of the pipeline_pretrain / pipeline_recipe capstones:
+    write PACKED sequences as binary .bin/.idx shards keyed by a
+    seq-unique id whose mod-``n_shards`` residue IS the pack shard
+    (write_token_shards routes by id % n_shards, so the binary layout
+    keeps the packing shards; within a shard, id order == seq_id
+    order), read the bytes back via binaryFile, and return
+    (shard, seq_id, n_tokens, n_docs, seq_hash) where n_tokens and the
+    hash come FROM THE BYTES — n_docs is packing metadata (not in the
+    binary) joined back from the packed relation."""
+    import tempfile
+
+    from hnsw_vector_db_spark.sources.token_shards import (
+        read_token_shards,
+        write_token_shards,
     )
-    work = tempfile.mkdtemp(prefix="pretrain_shards_")
+
+    with_id = packed.withColumn(
+        "_sid", F.col("seq_id") * n_shards + F.col("shard")
+    )
+    work = tempfile.mkdtemp(prefix=prefix)
     write_token_shards(
-        with_id, work, id_col="_sid", ids_col="ids", n_shards=8
+        with_id, work, id_col="_sid", ids_col="ids", n_shards=n_shards
     ).collect()  # bounded manifest — the write action
     back = read_token_shards(spark, work).select(
-        (F.col("doc_id") % 8).cast("int").alias("shard"),
-        (F.col("doc_id") / 8).cast("long").alias("seq_id"),
+        (F.col("doc_id") % n_shards).cast("int").alias("shard"),
+        (F.col("doc_id") / n_shards).cast("long").alias("seq_id"),
         F.col("n_tokens"),
         F.col("ids"),
     )
@@ -4911,11 +4924,9 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, x: (a * 131 + x + 1) % HASH_MOD,
     )
-    # n_docs is packing metadata (not in the binary) — joined back from
-    # the packed relation; n_tokens and the hash come from the BYTES
     return back.join(
         with_id.select("_sid", "n_docs"),
-        back["shard"] + back["seq_id"] * 8 == F.col("_sid"),
+        back["shard"] + back["seq_id"] * n_shards == F.col("_sid"),
     ).select(
         "shard", "seq_id", "n_tokens", "n_docs", seq_hash.alias("seq_hash")
     )
@@ -4959,14 +4970,17 @@ kept AS (
     )
 
 
-def _token_pack_sql(
+def _pack_ctes(
     seq_len: int = TOKEN_PACK_SEQ_LEN,
     n_shards: int = 8,
     src: str = "documents",
     prefix_ctes: str = "",
 ) -> str:
-    return f"""
-WITH {prefix_ctes}{_token_ids_ctes(src=src)},
+    """CTE chain replaying pack_token_ids over ``src`` — ends at
+    ``g(shard, seq_id, n_tokens, n_docs, ids)``. Shared by the
+    token_pack / pipeline_pretrain / pipeline_recipe / epoch_shuffle
+    oracles."""
+    return f"""{prefix_ctes}{_token_ids_ctes(src=src)},
 sized AS (
   SELECT doc_id, (doc_id % {n_shards})::INT AS shard,
          len(ids)::BIGINT AS n, ids
@@ -4989,10 +5003,208 @@ g AS (
   SELECT shard, seq_id, count(*)::INT AS n_tokens,
          count(DISTINCT doc_id)::INT AS n_docs,
          list(tok ORDER BY slot) AS ids
-  FROM seqs GROUP BY shard, seq_id)
+  FROM seqs GROUP BY shard, seq_id)"""
+
+
+def _token_pack_sql(
+    seq_len: int = TOKEN_PACK_SEQ_LEN,
+    n_shards: int = 8,
+    src: str = "documents",
+    prefix_ctes: str = "",
+) -> str:
+    return f"""
+WITH {_pack_ctes(seq_len, n_shards, src, prefix_ctes)}
 SELECT shard, seq_id, n_tokens, n_docs,
        {_ID_HASH_SQL} AS seq_hash
 FROM g WHERE n_tokens = {seq_len}
+""".strip()
+
+
+# the mixture stage of the recipe capstone: temperature tau=2 keep
+# fractions over lang (sqrt is IEEE-correctly-rounded in both engines)
+# + the deterministic poly-hash sampler, salt 'recipe1'
+_RECIPE_MIX_CTES = """mixc AS (
+  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+mixmn AS (SELECT min(n) AS n_min FROM mixc),
+mixw AS (
+  SELECT lang, n AS n_total, sqrt(n_min::DOUBLE / n) AS frac
+  FROM mixc, mixmn)"""
+
+
+def _recipe_kept_ctes(salt: str = "recipe1") -> str:
+    pred = _poly_sql(f"d.doc_id::VARCHAR || '#{salt}'")
+    return f"""{_RECIPE_MIX_CTES},
+kept AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN mixw USING (lang)
+  WHERE ({pred}) % 10000 < frac * 10000)"""
+
+
+def q_pipeline_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-RECIPE CAPSTONE — the mixture stage composed into the
+    trainer-artifact chain, the one pipeline composition r9 left
+    unproven: temperature-balanced per-source budgets
+    (corpus.temperature_weights, tau=2 over lang) → deterministic
+    poly-hash sampling (corpus.stratified_sample, salt 'recipe1' — no
+    rand(), append-stable, replayable) → BPE tokenization to ids →
+    fixed-length sequence packing → binary .bin/.idx shards → read-back
+    via binaryFile, ALL under one driver hash: a defect in budget
+    computation, the sampling predicate, segmentation, id mapping,
+    windowing, or shard framing breaks it. ORACLE: DuckDB replays the
+    mixture weights (sqrt keep fractions), the hash sampler, and the
+    full token/pack chain over the surviving docs — fully independent
+    of the engine under test. The per-source tolerance accounting
+    lives in the sibling recipe_shares entry."""
+    from hnsw_vector_db_spark.operators import bpe, corpus
+    from hnsw_vector_db_spark.operators.corpus import pack_token_ids
+
+    docs = _docs(spark, sf_dir)
+    weights = corpus.temperature_weights(docs, strata_col="lang", tau=2.0)
+    sampled = corpus.stratified_sample(
+        docs, weights, strata_col="lang", salt="recipe1"
+    )
+    ids_df, _vocab = bpe.bpe_token_ids(sampled, BPE_ENCODE_MERGES)
+    packed = pack_token_ids(ids_df, seq_len=TOKEN_PACK_SEQ_LEN, n_shards=8)
+    return _seq_shard_roundtrip(spark, packed, prefix="recipe_shards_")
+
+
+def _pipeline_recipe_sql() -> str:
+    return _token_pack_sql(src="kept", prefix_ctes=_recipe_kept_ctes() + ",\n")
+
+
+def q_recipe_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture ACCOUNTING for the recipe capstone — the table a curator
+    reads to sign off a data recipe: per source (lang), docs
+    before/after sampling, the temperature target fraction, the
+    REALIZED keep rate, and each source's token share of the sampled
+    corpus. ``rate_ok`` pins |kept_rate − frac| <= 0.1 in-row (the
+    deterministic sampler's realized rate must track its budget — the
+    temperature-mix tolerance the r9 verdict asked to pin). Everything
+    is exactly replayable: counts are integers, frac is a sqrt, the
+    sampler is the poly-hash predicate — so the oracle recomputes the
+    identical booleans rather than trusting them."""
+    from hnsw_vector_db_spark.functions.text import tokens
+    from hnsw_vector_db_spark.operators import corpus
+
+    docs = _docs(spark, sf_dir)
+    weights = corpus.temperature_weights(docs, strata_col="lang", tau=2.0)
+    sampled = corpus.stratified_sample(
+        docs, weights, strata_col="lang", salt="recipe1"
+    )
+    totals = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    kept = sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens_kept"),
+    )
+    tot = kept.agg(F.sum("n_tokens_kept").cast("double").alias("_t"))
+    rate = F.col("n_kept").cast("double") / F.col("n_total")
+    return (
+        totals.join(kept, "lang")
+        .join(weights, "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_total",
+            "n_kept",
+            (F.round(F.col("frac"), 6) + F.lit(0.0)).alias("frac"),
+            (F.round(rate, 6) + F.lit(0.0)).alias("kept_rate"),
+            (F.abs(rate - F.col("frac")) <= 0.1).alias("rate_ok"),
+            "n_tokens_kept",
+            (
+                F.round(F.col("n_tokens_kept") / F.col("_t"), 6) + F.lit(0.0)
+            ).alias("token_share"),
+        )
+    )
+
+
+def _recipe_shares_sql() -> str:
+    pred = _poly_sql("d.doc_id::VARCHAR || '#recipe1'")
+    toks = "list_filter(string_split_regex(d.text, '\\s+'), t -> t <> '')"
+    return f"""
+WITH {_RECIPE_MIX_CTES},
+s AS (
+  SELECT d.lang, len({toks})::BIGINT AS nt
+  FROM documents d JOIN mixw USING (lang)
+  WHERE ({pred}) % 10000 < frac * 10000),
+k AS (
+  SELECT lang, count(*)::BIGINT AS n_kept, sum(nt)::BIGINT AS n_tokens_kept
+  FROM s GROUP BY lang),
+t AS (SELECT sum(n_tokens_kept)::DOUBLE AS tt FROM k)
+SELECT w.lang, w.n_total, k.n_kept,
+       round(w.frac, 6) + 0 AS frac,
+       round(k.n_kept::DOUBLE / w.n_total, 6) + 0 AS kept_rate,
+       (abs(k.n_kept::DOUBLE / w.n_total - w.frac) <= 0.1) AS rate_ok,
+       k.n_tokens_kept,
+       round(k.n_tokens_kept::DOUBLE / t.tt, 6) + 0 AS token_share
+FROM mixw w JOIN k USING (lang), t
+""".strip()
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EPOCH deterministic re-deal of PACKED sequences
+    (corpus.epoch_shuffle — the trainer-facing analog of shard_shuffle,
+    which permutes documents): pack the real token-id stream (the
+    token_pack chain), re-deal it for epoch=1 by poly-hash key
+    (new_shard = key mod 8, new_pos = key rank within the new shard),
+    write the re-dealt order back through the binary shard sink (sid =
+    new_pos*8 + new_shard, so the .bin layout IS the epoch order), and
+    read the bytes back. Output (new_shard, new_pos, n_tokens,
+    seq_hash) with the hash folded over ids decoded FROM THE BINARY —
+    a defect in the key, the rank, the routing, or the framing breaks
+    it. ORACLE: DuckDB replays the pack chain, the poly-hash key, and
+    the row_number re-deal. Re-salting/next-epoch re-deals the
+    permutation — pinned in pytest (tests/test_corpus.py)."""
+    from hnsw_vector_db_spark.operators import bpe, corpus
+    from hnsw_vector_db_spark.operators.corpus import pack_token_ids
+    from hnsw_vector_db_spark.sources.token_shards import (
+        read_token_shards,
+        write_token_shards,
+    )
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    ids_df, _vocab = bpe.bpe_token_ids(docs, BPE_ENCODE_MERGES)
+    packed = pack_token_ids(ids_df, seq_len=TOKEN_PACK_SEQ_LEN, n_shards=8)
+    dealt = corpus.epoch_shuffle(packed, epoch=1, n_shards=8)
+    with_id = dealt.withColumn(
+        "_sid", F.col("new_pos") * 8 + F.col("new_shard")
+    )
+    work = tempfile.mkdtemp(prefix="epoch_shards_")
+    write_token_shards(
+        with_id, work, id_col="_sid", ids_col="ids", n_shards=8
+    ).collect()
+    back = read_token_shards(spark, work)
+    seq_hash = F.aggregate(
+        F.col("ids"),
+        F.lit(0).cast("long"),
+        lambda a, x: (a * 131 + x + 1) % HASH_MOD,
+    )
+    return back.select(
+        (F.col("doc_id") % 8).cast("int").alias("new_shard"),
+        (F.col("doc_id") / 8).cast("long").alias("new_pos"),
+        F.col("n_tokens"),
+        seq_hash.alias("seq_hash"),
+    )
+
+
+def _epoch_shuffle_sql(seq_len: int = TOKEN_PACK_SEQ_LEN) -> str:
+    key = _poly_sql("shard::VARCHAR || '#' || seq_id::VARCHAR || '#epoch1'")
+    return f"""
+WITH {_pack_ctes(seq_len=seq_len)},
+keyed AS (
+  SELECT shard, seq_id, n_tokens, ids, ({key}) AS ek
+  FROM g WHERE n_tokens = {seq_len}),
+dealt AS (
+  SELECT (ek % 8)::INT AS new_shard,
+         (row_number() OVER (PARTITION BY ek % 8
+                             ORDER BY ek, shard, seq_id) - 1)::BIGINT
+           AS new_pos,
+         n_tokens, ids
+  FROM keyed)
+SELECT new_shard, new_pos, n_tokens, {_ID_HASH_SQL} AS seq_hash
+FROM dealt
 """.strip()
 
 
@@ -5855,6 +6067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW in r10 (front of the driver's 50-entry window) --------------
         "bpe_bytes_roundtrip": q_bpe_bytes_roundtrip,
+        "pipeline_recipe": q_pipeline_recipe,
+        "recipe_shares": q_recipe_shares,
+        "epoch_shuffle": q_epoch_shuffle,
         # -- r9 window remainder ---------------------------------------------
         "token_shards": q_token_shards,
         "token_shards_audit": q_token_shards_audit,
@@ -7459,6 +7674,9 @@ GROUP BY t.doc_id
     sql["bpe_train"] = _bpe_train_sql(24)
     sql["tokenizer_stats"] = _tokenizer_stats_sql()
     sql["bpe_bytes_roundtrip"] = _bpe_bytes_roundtrip_sql()
+    sql["pipeline_recipe"] = _pipeline_recipe_sql()
+    sql["recipe_shares"] = _recipe_shares_sql()
+    sql["epoch_shuffle"] = _epoch_shuffle_sql()
     sql["token_shards"] = _token_shards_sql()
     sql["token_shards_audit"] = _token_shards_audit_sql(8)
     sql["token_pack"] = _token_pack_sql()

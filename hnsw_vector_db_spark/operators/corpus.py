@@ -715,6 +715,56 @@ def pack_token_ids(
     )
 
 
+def epoch_shuffle(
+    packed: DataFrame,
+    epoch: int = 0,
+    n_shards: int = 8,
+    shard_col: str = "shard",
+    seq_col: str = "seq_id",
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic per-EPOCH re-deal of PACKED SEQUENCES across
+    training shards — the trainer-facing analog of :func:`shard_shuffle`
+    (which permutes documents): every epoch a trainer wants a fresh
+    pseudo-random global order of the fixed set of packed sequences,
+    reproducible across re-runs and job retries.
+
+    key = poly_hash(shard || '#' || seq_id || '#' || salt || epoch);
+    new_shard = key mod n_shards; new_pos = rank of key within the new
+    shard ((shard, seq_id) tiebreak). Reading shards 0..n-1 in pos
+    order yields the epoch's permutation; bumping ``epoch`` (or the
+    salt) re-deals it completely — the cap_per_group finalizer lesson:
+    the permutation is a pure function of (identity, seed), never of
+    physical layout, so it survives AQE/retries/re-partitioning.
+
+    ONE hash-partitioned window (shuffle keyed on new_shard only, no
+    global sort); composes with
+    :func:`~hnsw_vector_db_spark.sources.token_shards.write_token_shards`
+    via a sequence id whose mod-``n_shards`` residue is ``new_shard``
+    and whose within-shard order is ``new_pos``."""
+    from pyspark.sql.window import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = poly_hash(
+        F.concat(
+            F.col(shard_col).cast("string"),
+            F.lit("#"),
+            F.col(seq_col).cast("string"),
+            F.lit(f"#{salt}{int(epoch)}"),
+        )
+    )
+    staged = packed.withColumn("_ek", key).withColumn(
+        "new_shard", F.pmod(F.col("_ek"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("new_shard").orderBy(
+        "_ek", F.col(shard_col), F.col(seq_col)
+    )
+    return staged.withColumn(
+        "new_pos", (F.row_number().over(w) - 1).cast("long")
+    ).drop("_ek")
+
+
 def dsir_apply(
     raw_docs: DataFrame,
     log_ratio: "list[float]",

@@ -678,3 +678,57 @@ def test_pack_token_ids_validates(spark):
     df = spark.createDataFrame([(0, [1])], "doc_id long, ids array<long>")
     with _pytest.raises(ValueError, match="seq_len"):
         pack_token_ids(df, seq_len=0)
+
+
+# ---------------------------------------------------------------------------
+# epoch_shuffle: deterministic per-epoch re-deal of packed sequences
+# ---------------------------------------------------------------------------
+
+
+def _packed_fixture(spark):
+    rows = [(s, q) for s in range(4) for q in range(10)]
+    return spark.createDataFrame(rows, "shard int, seq_id long")
+
+
+def test_epoch_shuffle_is_a_permutation(spark):
+    from hnsw_vector_db_spark.operators.corpus import epoch_shuffle
+
+    packed = _packed_fixture(spark)
+    out = epoch_shuffle(packed, epoch=0, n_shards=8).collect()
+    # every input sequence appears exactly once
+    assert sorted((r["shard"], r["seq_id"]) for r in out) == sorted(
+        (s, q) for s in range(4) for q in range(10)
+    )
+    # positions within each new shard are 0..n-1 dense
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["new_shard"], []).append(r["new_pos"])
+    for ns, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+
+
+def test_epoch_shuffle_deterministic_and_epoch_redeal(spark):
+    from hnsw_vector_db_spark.operators.corpus import epoch_shuffle
+
+    packed = _packed_fixture(spark)
+    key = lambda rows: {  # noqa: E731
+        (r["shard"], r["seq_id"]): (r["new_shard"], r["new_pos"])
+        for r in rows
+    }
+    e0a = key(epoch_shuffle(packed, epoch=0).collect())
+    e0b = key(epoch_shuffle(packed, epoch=0).collect())
+    e1 = key(epoch_shuffle(packed, epoch=1).collect())
+    assert e0a == e0b  # pure function of (identity, seed)
+    assert e0a != e1  # next epoch re-deals
+    # salt re-deals too
+    s2 = key(epoch_shuffle(packed, epoch=0, salt="other").collect())
+    assert e0a != s2
+
+
+def test_epoch_shuffle_validates(spark):
+    import pytest as _pytest
+
+    from hnsw_vector_db_spark.operators.corpus import epoch_shuffle
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        epoch_shuffle(_packed_fixture(spark), n_shards=0)
