@@ -5142,6 +5142,160 @@ FROM mixw w JOIN k USING (lang), t
 """.strip()
 
 
+def q_pack_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waste-aware WHOLE-DOCUMENT sequence packing
+    (corpus.pack_best_fit — first-fit-decreasing, the SPFHP family,
+    Krell et al. arXiv:2107.02027): no document crosses a sequence
+    boundary and no token is dropped; docs longer than seq_len are
+    pre-split into seq_len pieces. Deterministic end to end — pieces
+    pack in (length desc, doc_id, piece) order into the first
+    creation-ordered bin with room — so the ENTIRE per-piece
+    assignment (shard, bin, slot) is oracle-replayable: DuckDB re-runs
+    the fold with a recursive CTE carrying the bin-capacity list per
+    shard. Scale: packing state is per-shard (one keyed shuffle),
+    lengths-only kernel. The efficiency trade vs concat-and-cut is
+    measured by the sibling pack_efficiency entry."""
+    from hnsw_vector_db_spark.operators import bpe
+    from hnsw_vector_db_spark.operators.corpus import pack_best_fit
+
+    docs = _docs(spark, sf_dir)
+    ids_df, _vocab = bpe.bpe_token_ids(docs, BPE_ENCODE_MERGES)
+    return pack_best_fit(ids_df, seq_len=TOKEN_PACK_SEQ_LEN, n_shards=8)
+
+
+def _ffd_replay_ctes(seq_len: int = TOKEN_PACK_SEQ_LEN,
+                     n_shards: int = 8) -> str:
+    """Recursive-CTE replay of pack_best_fit over ``docids`` — ends at
+    ``steps(shard, rk, caps, doc_id, piece, plen, bin)`` (rk>=1 rows
+    are assignments). The caller's WITH must be RECURSIVE."""
+    return f"""fp AS (
+  SELECT doc_id, (doc_id % {n_shards})::INT AS shard,
+         unnest(generate_series(0, ((len(ids)+{seq_len - 1})//{seq_len}) - 1))
+           AS piece,
+         len(ids)::BIGINT AS n
+  FROM docids WHERE len(ids) > 0),
+fitems AS (
+  SELECT shard, doc_id, piece,
+         least({seq_len}, n - piece*{seq_len})::BIGINT AS plen,
+         row_number() OVER (PARTITION BY shard
+           ORDER BY least({seq_len}, n - piece*{seq_len}) DESC,
+                    doc_id, piece) AS rk
+  FROM fp),
+steps AS (
+  SELECT shard, 0::BIGINT AS rk, []::BIGINT[] AS caps,
+         NULL::BIGINT AS doc_id, NULL::BIGINT AS piece,
+         NULL::BIGINT AS plen, NULL::BIGINT AS bin
+  FROM (SELECT DISTINCT shard FROM fitems)
+  UNION ALL
+  SELECT i.shard, i.rk,
+         CASE WHEN idx IS NULL OR idx = 0
+              THEN list_append(s.caps, {seq_len} - i.plen)
+              ELSE list_slice(s.caps, 1, idx - 1)
+                   || [s.caps[idx] - i.plen]
+                   || list_slice(s.caps, idx + 1, len(s.caps))
+         END AS caps,
+         i.doc_id, i.piece, i.plen,
+         CASE WHEN idx IS NULL OR idx = 0 THEN len(s.caps)
+              ELSE idx - 1 END AS bin
+  FROM steps s JOIN fitems i ON i.shard = s.shard AND i.rk = s.rk + 1,
+       LATERAL (SELECT list_indexof(
+                  list_transform(s.caps, c -> c >= i.plen), true) AS idx) x)"""
+
+
+def _pack_best_fit_sql() -> str:
+    return f"""
+WITH RECURSIVE {_token_ids_ctes()},
+{_ffd_replay_ctes()}
+SELECT shard, bin,
+       (row_number() OVER (PARTITION BY shard, bin ORDER BY rk) - 1)::BIGINT
+         AS slot,
+       doc_id, piece::INT AS piece, plen::INT AS n_tokens
+FROM steps WHERE rk >= 1
+""".strip()
+
+
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACKING-EFFICIENCY comparison — the measurement that decides the
+    packer trade: concat-and-cut (pack_token_ids) keeps only full
+    windows (tokens dropped at shard tails, docs split across
+    sequences, fill always 1.0) vs first-fit-decreasing
+    (pack_best_fit: every token kept, no doc split, bins partially
+    full). One row per packer: tokens seen/kept, keep fraction,
+    sequence count, fill fraction. Both packers are deterministic, so
+    the oracle recomputes every number — the concat-cut side from the
+    pack CTE chain, the best-fit side from the recursive FFD replay."""
+    from hnsw_vector_db_spark.operators import bpe
+    from hnsw_vector_db_spark.operators.corpus import (
+        pack_best_fit,
+        pack_token_ids,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ids_df, _vocab = bpe.bpe_token_ids(docs, BPE_ENCODE_MERGES)
+    ids_df = ids_df.localCheckpoint()  # reused by both packers + totals
+    sl = TOKEN_PACK_SEQ_LEN
+    total = ids_df.agg(F.sum(F.size("ids")).cast("long").alias("seen"))
+    cc = (
+        pack_token_ids(ids_df, seq_len=sl, n_shards=8)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_seqs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.lit("concat_cut").alias("packer"),
+            F.col("seen").alias("tokens_seen"),
+            (F.col("n_seqs") * sl).cast("long").alias("tokens_kept"),
+            (
+                F.round(F.col("n_seqs") * sl / F.col("seen"), 6) + F.lit(0.0)
+            ).alias("keep_frac"),
+            "n_seqs",
+            (F.round(F.lit(1.0), 6) + F.lit(0.0)).alias("fill_frac"),
+        )
+    )
+    bf = (
+        pack_best_fit(ids_df, seq_len=sl, n_shards=8)
+        .agg(
+            F.countDistinct(F.col("shard"), F.col("bin"))
+            .cast("long")
+            .alias("n_seqs")
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.lit("best_fit").alias("packer"),
+            F.col("seen").alias("tokens_seen"),
+            F.col("seen").alias("tokens_kept"),
+            (F.round(F.lit(1.0), 6) + F.lit(0.0)).alias("keep_frac"),
+            "n_seqs",
+            (
+                F.round(F.col("seen") / (F.col("n_seqs") * sl), 6)
+                + F.lit(0.0)
+            ).alias("fill_frac"),
+        )
+    )
+    return cc.unionByName(bf)
+
+
+def _pack_efficiency_sql(seq_len: int = TOKEN_PACK_SEQ_LEN) -> str:
+    return f"""
+WITH RECURSIVE {_pack_ctes(seq_len=seq_len)},
+{_ffd_replay_ctes(seq_len=seq_len)},
+tot AS (SELECT sum(len(ids))::BIGINT AS seen FROM docids),
+cc AS (SELECT count(*)::BIGINT AS n_seqs FROM g
+       WHERE n_tokens = {seq_len}),
+bf AS (SELECT count(*)::BIGINT AS n_seqs FROM
+       (SELECT DISTINCT shard, bin FROM steps WHERE rk >= 1))
+SELECT 'concat_cut' AS packer, tot.seen AS tokens_seen,
+       (cc.n_seqs * {seq_len})::BIGINT AS tokens_kept,
+       round(cc.n_seqs * {seq_len} / tot.seen::DOUBLE, 6) + 0 AS keep_frac,
+       cc.n_seqs, round(1.0, 6) + 0 AS fill_frac
+FROM cc, tot
+UNION ALL
+SELECT 'best_fit', tot.seen, tot.seen,
+       round(1.0, 6) + 0,
+       bf.n_seqs,
+       round(tot.seen::DOUBLE / (bf.n_seqs * {seq_len}), 6) + 0
+FROM bf, tot
+""".strip()
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-EPOCH deterministic re-deal of PACKED sequences
     (corpus.epoch_shuffle — the trainer-facing analog of shard_shuffle,
@@ -6070,6 +6224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_recipe": q_pipeline_recipe,
         "recipe_shares": q_recipe_shares,
         "epoch_shuffle": q_epoch_shuffle,
+        "pack_best_fit": q_pack_best_fit,
+        "pack_efficiency": q_pack_efficiency,
         # -- r9 window remainder ---------------------------------------------
         "token_shards": q_token_shards,
         "token_shards_audit": q_token_shards_audit,
@@ -7677,6 +7833,8 @@ GROUP BY t.doc_id
     sql["pipeline_recipe"] = _pipeline_recipe_sql()
     sql["recipe_shares"] = _recipe_shares_sql()
     sql["epoch_shuffle"] = _epoch_shuffle_sql()
+    sql["pack_best_fit"] = _pack_best_fit_sql()
+    sql["pack_efficiency"] = _pack_efficiency_sql()
     sql["token_shards"] = _token_shards_sql()
     sql["token_shards_audit"] = _token_shards_audit_sql(8)
     sql["token_pack"] = _token_pack_sql()

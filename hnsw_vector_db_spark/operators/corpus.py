@@ -715,6 +715,108 @@ def pack_token_ids(
     )
 
 
+def pack_best_fit(
+    ids_df: DataFrame,
+    seq_len: int = 128,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    ids_col: str = "ids",
+) -> DataFrame:
+    """WHOLE-DOCUMENT sequence packing by first-fit-decreasing — the
+    waste-aware packer (SPFHP family, Krell et al., arXiv:2107.02027)
+    that :func:`pack_token_ids` (concat-and-cut) trades against: no
+    document ever crosses a sequence boundary (no cross-doc attention
+    contamination) and no token is dropped, at the cost of partially
+    filled bins. Documents longer than ``seq_len`` are first split into
+    ``seq_len``-sized pieces (the SPFHP convention — a full piece is
+    its own full bin; the remainder joins the pool), so every token is
+    placed exactly once.
+
+    Deterministic layout (the token_shards rule): shard = doc_id mod
+    n_shards; within a shard, pieces are processed in (length desc,
+    doc_id, piece) order and each goes to the FIRST bin (creation
+    order) with room, opening a new bin when none fits — classic FFD,
+    fully replayable by an independent engine (the driver oracle does,
+    via a recursive CTE carrying the bin-capacity list).
+
+    Scale shape: ONE shuffle keyed on shard; the packing state is
+    per-shard (applyInPandas over lengths only — token ids never enter
+    the packing kernel), shards scale with the corpus, and within a
+    shard the numpy first-fit scan is O(items * open bins) worst case
+    — at production scale the histogram form (lengths are bounded by
+    seq_len, so capacity CLASSES number at most seq_len — the SPFHP
+    insight) drops that to O(items * distinct lengths); this exact-FFD
+    kernel is the semantics anchor the histogram variant would be
+    pinned against.
+
+    Output one row per piece: (shard, bin, slot, id_col, piece,
+    n_tokens). Empty documents carry no tokens and are excluded."""
+    import numpy as np
+    import pandas as pd
+
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    ensure_package_shipped(ids_df.sparkSession)
+    staged = ids_df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.size(ids_col).alias("_n"),
+    ).filter(F.col("_n") > 0)
+    n_pieces = F.ceil(F.col("_n") / seq_len).cast("int")
+    pieces = staged.select(
+        id_col,
+        "_n",
+        F.explode(F.sequence(F.lit(0), n_pieces - 1)).alias("piece"),
+    ).select(
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        id_col,
+        "piece",
+        F.least(
+            F.lit(seq_len), F.col("_n") - F.col("piece") * seq_len
+        ).cast("int").alias("n_tokens"),
+    )
+
+    def _ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col, "piece"], ascending=[False, True, True]
+        ).reset_index(drop=True)
+        lens = pdf["n_tokens"].to_numpy()
+        caps = np.empty(len(pdf), dtype=np.int64)  # upper bound on bins
+        counts = np.zeros(len(pdf), dtype=np.int64)
+        nbins = 0
+        bin_out = np.empty(len(pdf), dtype=np.int64)
+        slot_out = np.empty(len(pdf), dtype=np.int64)
+        for i, L in enumerate(lens):
+            fits = np.nonzero(caps[:nbins] >= L)[0]
+            if fits.size:
+                b = int(fits[0])
+            else:
+                b = nbins
+                caps[b] = seq_len
+                nbins += 1
+            bin_out[i] = b
+            slot_out[i] = counts[b]
+            counts[b] += 1
+            caps[b] -= L
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"],
+                "bin": bin_out,
+                "slot": slot_out,
+                id_col: pdf[id_col],
+                "piece": pdf["piece"],
+                "n_tokens": pdf["n_tokens"],
+            }
+        )
+
+    return pieces.groupBy("shard").applyInPandas(
+        _ffd,
+        f"shard int, bin long, slot long, {id_col} long, piece int, "
+        f"n_tokens int",
+    )
+
+
 def epoch_shuffle(
     packed: DataFrame,
     epoch: int = 0,

@@ -732,3 +732,88 @@ def test_epoch_shuffle_validates(spark):
 
     with _pytest.raises(ValueError, match="n_shards"):
         epoch_shuffle(_packed_fixture(spark), n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# pack_best_fit: whole-doc FFD packing
+# ---------------------------------------------------------------------------
+
+
+def _ffd_reference(items, cap):
+    """Independent textbook FFD: (doc, piece, L) -> (bin, slot)."""
+    items = sorted(items, key=lambda t: (-t[2], t[0], t[1]))
+    caps, counts, out = [], [], {}
+    for doc, piece, L in items:
+        b = next((i for i, c in enumerate(caps) if c >= L), None)
+        if b is None:
+            b = len(caps)
+            caps.append(cap)
+            counts.append(0)
+        out[(doc, piece)] = (b, counts[b])
+        counts[b] += 1
+        caps[b] -= L
+    return out
+
+
+def test_pack_best_fit_matches_reference_and_never_overflows(spark):
+    from hnsw_vector_db_spark.operators.corpus import pack_best_fit
+
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (d, [rng.randint(0, 9) for _ in range(rng.randint(1, 300))])
+        for d in range(30)
+    ]
+    ids_df = spark.createDataFrame(rows, "doc_id long, ids array<long>")
+    got = pack_best_fit(ids_df, seq_len=128, n_shards=4).collect()
+    # replay per shard against the independent reference
+    by_shard: dict[int, list] = {}
+    for d, ids in rows:
+        n = len(ids)
+        for p in range((n + 127) // 128):
+            by_shard.setdefault(d % 4, []).append(
+                (d, p, min(128, n - p * 128))
+            )
+    ref = {
+        s: _ffd_reference(items, 128) for s, items in by_shard.items()
+    }
+    assert len(got) == sum(len(v) for v in by_shard.values())
+    fill: dict[tuple, int] = {}
+    for r in got:
+        assert ref[r["shard"]][(r["doc_id"], r["piece"])] == (
+            r["bin"],
+            r["slot"],
+        )
+        fill[(r["shard"], r["bin"])] = (
+            fill.get((r["shard"], r["bin"]), 0) + r["n_tokens"]
+        )
+    assert all(v <= 128 for v in fill.values())  # no bin overflows
+
+
+def test_pack_best_fit_splits_long_docs_and_drops_nothing(spark):
+    from hnsw_vector_db_spark.operators.corpus import pack_best_fit
+
+    ids_df = spark.createDataFrame(
+        [(1, list(range(300))), (2, [1, 2, 3]), (3, [])],
+        "doc_id long, ids array<long>",
+    )
+    got = pack_best_fit(ids_df, seq_len=128, n_shards=2).collect()
+    # doc 1: pieces of 128/128/44; doc 2: one piece of 3; doc 3: excluded
+    per_doc = {}
+    for r in got:
+        per_doc.setdefault(r["doc_id"], []).append(r["n_tokens"])
+    assert sorted(per_doc[1]) == [44, 128, 128]
+    assert per_doc[2] == [3]
+    assert 3 not in per_doc
+    assert sum(sum(v) for v in per_doc.values()) == 303
+
+
+def test_pack_best_fit_validates(spark):
+    import pytest as _pytest
+
+    from hnsw_vector_db_spark.operators.corpus import pack_best_fit
+
+    df = spark.createDataFrame([(0, [1])], "doc_id long, ids array<long>")
+    with _pytest.raises(ValueError, match="seq_len"):
+        pack_best_fit(df, seq_len=0)
