@@ -2848,18 +2848,20 @@ def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JPEG header tier, SELF-VERIFYING (multimodal.py:image_meta —
+    """JPEG header tier, FULL ORACLE (multimodal.py:image_meta —
     marker-segment walk, SOF0/SOF2 + EXIF orientation, NO entropy
     decode): every doc gets a synthesized JFIF stream with PLANTED
-    dimensions/components/progressive/orientation derived from doc_id,
-    every 17th payload corrupted (SOI zeroed). The header parse must
-    recover every planted field on valid rows and quarantine corrupt
-    rows to NULLs + parse_ok=false. Rows-only (binary payloads aren't
-    SQL); output groups by planted shape class with in-row booleans
-    that must all be true: (n_components, progressive, n, dims_ok,
-    orient_ok, quarantine_ok). This upgrades jpeg from the r6 'stub
-    boundary' disposition: resolution/aspect gates now run on the
-    dominant real-world format at O(header bytes) per row."""
+    dimensions/components/progressive/orientation derived from doc_id
+    arithmetic, every 17th payload corrupted (SOI zeroed). The output
+    is the PER-DOC parse result; because the planted fields are pure
+    doc_id arithmetic, DuckDB re-derives every expected value —
+    width/height/components/precision/progressive/orientation on valid
+    rows, NULLs + parse_ok=false on corrupt rows — without ever seeing
+    a byte (the bpe_train-r8 rows-only→oracle upgrade precedent). The
+    parse must therefore recover every planted field AND quarantine
+    exactly the corrupted payloads to hash-match. Resolution/aspect
+    gates run on the dominant real-world format at O(header bytes) per
+    row."""
     import pandas as pd
 
     from hnsw_vector_db_spark.operators.multimodal import image_meta
@@ -2890,46 +2892,31 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir).select("doc_id")
         .mapInPandas(synth, "doc_id long, payload binary")
     )
-    meta = image_meta(media)
-    i = F.col("doc_id")
-    corrupt = i % 17 == F.lit(0)
-    exp_w = (F.lit(16) + F.pmod(i, F.lit(64))).cast("int")
-    exp_h = (F.lit(16) + F.pmod(i * 7, F.lit(64))).cast("int")
-    exp_nc = F.when(i % 5 == 0, 1).otherwise(3)
-    exp_prog = i % 2 == F.lit(1)
-    exp_orient = F.when(i % 3 != 0, (F.lit(1) + F.pmod(i, F.lit(8))).cast("int"))
-    valid_ok = (
-        (F.col("width") == exp_w)
-        & (F.col("height") == exp_h)
-        & (F.col("n_components") == exp_nc)
-        & (F.col("precision") == 8)
-        & (F.col("progressive") == exp_prog)
-        & F.col("orientation").eqNullSafe(exp_orient)
-        & F.col("parse_ok")
+    # progressive as NULLABLE int (1/0/NULL), not boolean: a null BOOLEAN
+    # crosses Arrow as object-None from Spark but float-NaN from DuckDB
+    # and the string compare sees 'None' != 'nan' — ints are NaN on both
+    return image_meta(media).withColumn(
+        "progressive", F.col("progressive").cast("int")
     )
-    return (
-        meta.withColumn("_corrupt", corrupt)
-        .groupBy(exp_nc.alias("n_components"), exp_prog.alias("progressive"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(F.when(~F.col("_corrupt"), valid_ok).otherwise(True)).alias(
-                "dims_ok"
-            ),
-            F.min(
-                F.when(
-                    ~F.col("_corrupt") & (i % 3 != 0),
-                    F.col("orientation").isNotNull(),
-                ).otherwise(True)
-            ).alias("orient_ok"),
-            F.min(
-                F.when(
-                    F.col("_corrupt"),
-                    ~F.col("parse_ok") & F.col("width").isNull(),
-                ).otherwise(True)
-            ).alias("quarantine_ok"),
-        )
-        .orderBy("n_components", "progressive")
-    )
+
+
+_IMAGE_META_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 17 = 0 THEN NULL
+            ELSE (16 + doc_id % 64)::INT END AS width,
+       CASE WHEN doc_id % 17 = 0 THEN NULL
+            ELSE (16 + (doc_id * 7) % 64)::INT END AS height,
+       CASE WHEN doc_id % 17 = 0 THEN NULL
+            ELSE (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END)::INT
+       END AS n_components,
+       CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 8::INT END AS "precision",
+       CASE WHEN doc_id % 17 = 0 THEN NULL
+            ELSE (doc_id % 2)::INT END AS progressive,
+       CASE WHEN doc_id % 17 = 0 OR doc_id % 3 = 0 THEN NULL
+            ELSE (1 + doc_id % 8)::INT END AS orientation,
+       (doc_id % 17 <> 0) AS parse_ok
+FROM documents
+""".strip()
 
 
 def q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6226,6 +6213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "pack_best_fit": q_pack_best_fit,
         "pack_efficiency": q_pack_efficiency,
+        # image_meta moved up: changed in r10 (rows-only -> full oracle)
+        "image_meta": q_image_meta,
         # -- r9 window remainder ---------------------------------------------
         "token_shards": q_token_shards,
         "token_shards_audit": q_token_shards_audit,
@@ -6278,7 +6267,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_scan_gz": q_wet_scan_gz,
         "partition_prune": q_partition_prune,
         "boilerplate_strip": q_boilerplate_strip,
-        "image_meta": q_image_meta,
         "quality_classifier": q_quality_classifier,
         "quality_classifier_sampled": q_quality_classifier_sampled,
         "stream_knn": q_stream_knn,
@@ -7835,6 +7823,7 @@ GROUP BY t.doc_id
     sql["epoch_shuffle"] = _epoch_shuffle_sql()
     sql["pack_best_fit"] = _pack_best_fit_sql()
     sql["pack_efficiency"] = _pack_efficiency_sql()
+    sql["image_meta"] = _IMAGE_META_SQL
     sql["token_shards"] = _token_shards_sql()
     sql["token_shards_audit"] = _token_shards_audit_sql(8)
     sql["token_pack"] = _token_pack_sql()

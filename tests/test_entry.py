@@ -63,10 +63,8 @@ def test_oracle_keys_subset_of_queries():
         # binary WAV synth + rFFT aren't SQL; planted-sine recovery,
         # band flag, and RMS are in-row booleans (all must be true)
         "audio_spectral",
-        # binary JFIF synth + marker walk aren't SQL; planted dims/
-        # orientation recovery + corrupt-row quarantine are in-row
-        # booleans (all must be true)
-        "image_meta",
+        # image_meta left this list in r10: the planted JFIF fields are
+        # doc_id arithmetic, so its oracle re-derives them in SQL
     }
 
 
