@@ -5129,6 +5129,137 @@ FROM mixw w JOIN k USING (lang), t
 """.strip()
 
 
+def q_stream_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING shard append run to completion
+    (streaming/shards.py:start_streaming_token_shards — the
+    stream_incremental_dedup generation discipline applied to the
+    binary trainer artifact): the corpus is tokenized ONCE under the
+    fixed full-corpus vocabulary (bpe_token_ids — a streaming tokenizer
+    must hold its vocab fixed), split into two micro-batches
+    (doc_id%2==0 then ==1, file order pinned by explicit mtimes — the
+    stream_ema lesson), and each batch is packed and written as its own
+    .bin/.idx generation with the _LATEST pointer swapped last. The
+    read-back unions every generation (one binaryFile task per shard),
+    folds the seq hash FROM THE BYTES, joins the per-generation
+    integrity audit (audit_ok must hold on every shard), and checks the
+    _LATEST pointer names the final generation. Stream == sequential
+    batch == independent engine: the ORACLE replays tokenization over
+    the FULL corpus, then the pack chain keyed by (generation, shard)
+    — identical to packing each micro-batch separately because
+    generation membership is doc arithmetic. Idempotent replay = a
+    generation is a pure function of its batch (byte-identical
+    rewrite), so the sink is effectively exactly-once."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+    import time as _time
+
+    from hnsw_vector_db_spark.operators import bpe
+    from hnsw_vector_db_spark.sources.token_shards import audit_token_shards
+    from hnsw_vector_db_spark.streaming.shards import (
+        latest_generation,
+        read_shard_generations,
+        start_streaming_token_shards,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ids_df, _vocab = bpe.bpe_token_ids(docs, BPE_ENCODE_MERGES)
+    ids_df = ids_df.localCheckpoint()
+    work = tempfile.mkdtemp(prefix="stream_shards_")
+    ids_df.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{work}/src", mode="append"
+    )
+    first = set(_glob.glob(f"{work}/src/*.parquet"))
+    ids_df.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{work}/src", mode="append"
+    )
+    t0 = _time.time()
+    for f in _glob.glob(f"{work}/src/*.parquet"):
+        _os.utime(f, (t0, t0) if f in first else (t0 + 10, t0 + 10))
+    q = start_streaming_token_shards(
+        spark,
+        f"{work}/src",
+        "doc_id long, ids array<long>",
+        f"{work}/gens",
+        f"{work}/ckpt",
+        seq_len=TOKEN_PACK_SEQ_LEN,
+        n_shards=8,
+    )
+    q.awaitTermination()
+    back = read_shard_generations(spark, f"{work}/gens")
+    audits = []
+    for g in sorted(_glob.glob(f"{work}/gens/gen-*")):
+        gen_no = int(_os.path.basename(g).split("-")[1])
+        audits.append(
+            audit_token_shards(spark, g).select(
+                F.lit(gen_no).cast("int").alias("generation"),
+                "file",
+                F.col("ok").alias("audit_ok"),
+            )
+        )
+    audit = audits[0]
+    for a in audits[1:]:
+        audit = audit.unionByName(a)
+    latest_ok = latest_generation(f"{work}/gens") == "gen-00001"
+    seq_hash = F.aggregate(
+        F.col("ids"),
+        F.lit(0).cast("long"),
+        lambda a, x: (a * 131 + x + 1) % HASH_MOD,
+    )
+    return (
+        back.join(audit, ["generation", "file"])
+        .select(
+            "generation",
+            (F.col("doc_id") % 8).cast("int").alias("shard"),
+            (F.col("doc_id") / 8).cast("long").alias("seq_id"),
+            F.col("n_tokens"),
+            seq_hash.alias("seq_hash"),
+            "audit_ok",
+            F.lit(latest_ok).alias("latest_ok"),
+        )
+    )
+
+
+def _stream_token_shards_sql(
+    seq_len: int = TOKEN_PACK_SEQ_LEN, n_shards: int = 8
+) -> str:
+    # tokenization over the FULL corpus (fixed vocab), then the pack
+    # chain keyed by (generation, shard): packing each micro-batch
+    # separately == partitioning the keyed chain by generation, because
+    # generation membership (doc_id % 2) is doc arithmetic
+    return f"""
+WITH {_token_ids_ctes()},
+bsized AS (
+  SELECT doc_id, (doc_id % 2)::INT AS generation,
+         (doc_id % {n_shards})::INT AS shard,
+         len(ids)::BIGINT AS n, ids
+  FROM docids),
+boffs AS (
+  SELECT doc_id, generation, shard, n, ids,
+         coalesce(sum(n) OVER (PARTITION BY generation, shard
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS off
+  FROM bsized),
+btok AS (
+  SELECT doc_id, generation, shard, unnest(ids) AS tok,
+         off + unnest(generate_series(0, n - 1)) AS p
+  FROM boffs),
+bseqs AS (
+  SELECT generation, shard, (p // {seq_len})::BIGINT AS seq_id,
+         (p % {seq_len})::INT AS slot, tok
+  FROM btok),
+bg AS (
+  SELECT generation, shard, seq_id, count(*)::INT AS n_tokens,
+         list(tok ORDER BY slot) AS ids
+  FROM bseqs GROUP BY generation, shard, seq_id)
+SELECT generation, shard, seq_id, n_tokens,
+       {_ID_HASH_SQL} AS seq_hash,
+       true AS audit_ok, true AS latest_ok
+FROM bg WHERE n_tokens = {seq_len}
+""".strip()
+
+
 def q_pack_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Waste-aware WHOLE-DOCUMENT sequence packing
     (corpus.pack_best_fit — first-fit-decreasing, the SPFHP family,
@@ -6213,6 +6344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "pack_best_fit": q_pack_best_fit,
         "pack_efficiency": q_pack_efficiency,
+        "stream_token_shards": q_stream_token_shards,
         # image_meta moved up: changed in r10 (rows-only -> full oracle)
         "image_meta": q_image_meta,
         # -- r9 window remainder ---------------------------------------------
@@ -7824,6 +7956,7 @@ GROUP BY t.doc_id
     sql["pack_best_fit"] = _pack_best_fit_sql()
     sql["pack_efficiency"] = _pack_efficiency_sql()
     sql["image_meta"] = _IMAGE_META_SQL
+    sql["stream_token_shards"] = _stream_token_shards_sql()
     sql["token_shards"] = _token_shards_sql()
     sql["token_shards_audit"] = _token_shards_audit_sql(8)
     sql["token_pack"] = _token_pack_sql()

@@ -485,3 +485,69 @@ def test_streaming_incremental_dedup_equals_sequential_batches(
             .collect())
     )
     assert streamed == manual
+
+
+def test_streaming_token_shards_generations(spark, tmp_path):
+    """Generation sink end to end: two micro-batches land as gen-00000 /
+    gen-00001, _LATEST names the newest, the union read-back equals
+    packing each batch separately, and a REPLAY of a batch rewrites its
+    generation byte-identically (the exactly-once argument)."""
+    import glob
+    import time
+
+    from hnsw_vector_db_spark.operators.corpus import pack_token_ids
+    from hnsw_vector_db_spark.streaming.shards import (
+        latest_generation,
+        read_shard_generations,
+        start_streaming_token_shards,
+    )
+
+    rows = [(d, [(d * 7 + j) % 50 for j in range(5 + d % 9)])
+            for d in range(40)]
+    ids_df = spark.createDataFrame(rows, "doc_id long, ids array<long>")
+    src = str(tmp_path / "src")
+    ids_df.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    first = set(glob.glob(f"{src}/*.parquet"))
+    ids_df.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    t0 = time.time()
+    for f in glob.glob(f"{src}/*.parquet"):
+        os.utime(f, (t0, t0) if f in first else (t0 + 10, t0 + 10))
+    out = str(tmp_path / "gens")
+    q = start_streaming_token_shards(
+        spark, src, "doc_id long, ids array<long>", out,
+        str(tmp_path / "ckpt"), seq_len=16, n_shards=4,
+    )
+    q.awaitTermination()
+    assert latest_generation(out) == "gen-00001"
+    back = read_shard_generations(spark, out)
+    got = {
+        (r["generation"], r["doc_id"] % 4, r["doc_id"] // 4): list(r["ids"])
+        for r in back.collect()
+    }
+    # stream == batch: pack each half independently
+    expect = {}
+    for gen in (0, 1):
+        half = ids_df.filter(F.col("doc_id") % 2 == gen)
+        for r in pack_token_ids(half, seq_len=16, n_shards=4).collect():
+            expect[(gen, r["shard"], r["seq_id"])] = list(r["ids"])
+    assert got == expect
+    # replay idempotence: re-writing batch 1's generation is byte-equal
+    blobs = {
+        f: open(f, "rb").read()
+        for f in glob.glob(f"{out}/gen-00001/*")
+    }
+    from hnsw_vector_db_spark.sources.token_shards import write_token_shards
+
+    packed1 = pack_token_ids(
+        ids_df.filter(F.col("doc_id") % 2 == 1), seq_len=16, n_shards=4
+    ).withColumn("_sid", F.col("seq_id") * 4 + F.col("shard"))
+    write_token_shards(
+        packed1, f"{out}/gen-00001", id_col="_sid", ids_col="ids",
+        n_shards=4,
+    ).collect()
+    for f, blob in blobs.items():
+        assert open(f, "rb").read() == blob, f
