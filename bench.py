@@ -228,6 +228,17 @@ GROUPS: dict[str, list[str]] = {
         "ann_tune",
         "ann_tune_ef",
     ],
+    # r10: byte-level BPE roundtrip, recipe capstone + accounting,
+    # epoch re-deal, FFD packer + efficiency, streaming generations
+    "r10_new": [
+        "bpe_bytes_roundtrip",
+        "pipeline_recipe",
+        "recipe_shares",
+        "epoch_shuffle",
+        "pack_best_fit",
+        "pack_efficiency",
+        "stream_token_shards",
+    ],
 }
 
 
