@@ -237,7 +237,9 @@ GROUPS: dict[str, list[str]] = {
         "epoch_shuffle",
         "pack_best_fit",
         "pack_efficiency",
+        "pack_best_fit_bins",
         "stream_token_shards",
+        "byte_bpe_merges",
     ],
 }
 
