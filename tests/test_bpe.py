@@ -210,6 +210,33 @@ def test_byte_bpe_decode_raises_on_unknown_id(spark):
         bpe.byte_bpe_decode(ids_df, [("a", "b")]).collect()
 
 
+def test_byte_bpe_fallback_rate_from_ids(spark):
+    """Byte fallback (the byte tier's OOV analog): an id < 256 IS a
+    single-byte token by vocab construction, so the fallback rate reads
+    straight off the id stream. In-vocab text fuses (rate < 1); text
+    the merges never saw stays at rate 1.0 (every byte emitted raw) —
+    but still encodes and round-trips, the whole point of byte level."""
+    train = spark.createDataFrame(
+        [(1, "low low low low lower")], "doc_id long, text string"
+    )
+    merges = bpe.byte_bpe_train(train, n_merges=6)
+    rate = lambda df: {  # noqa: E731
+        r["doc_id"]: (
+            sum(1 for i in r["ids"] if i < 256) / max(len(r["ids"]), 1)
+        )
+        for r in df.collect()
+    }
+    fused, _ = bpe.byte_bpe_encode(train, merges)
+    assert rate(fused)[1] < 1.0
+    foreign = spark.createDataFrame(
+        [(2, "zebra quartz")], "doc_id long, text string"
+    )
+    enc, _ = bpe.byte_bpe_encode(foreign, merges)
+    assert rate(enc)[2] == 1.0  # full fallback: no learned pair applies
+    got = bpe.byte_bpe_decode(enc, merges).collect()[0]["text"]
+    assert got == "zebra quartz"  # ...and still lossless
+
+
 def test_byte_bpe_merges_learned_over_pieces(spark):
     """On a corpus dominated by one word, the first merges fuse that
     word's bytes; merges never cross piece boundaries (no symbol ever
