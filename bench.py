@@ -240,6 +240,7 @@ GROUPS: dict[str, list[str]] = {
         "pack_best_fit_bins",
         "stream_token_shards",
         "byte_bpe_merges",
+        "tokenizer_artifact",
     ],
 }
 

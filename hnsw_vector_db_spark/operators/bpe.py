@@ -676,6 +676,57 @@ def byte_bpe_decode(
     return ids_df.mapInPandas(_dec, f"{id_col} long, text string")
 
 
+def save_byte_tokenizer(
+    merges: "list[tuple[str, str, int]] | list[tuple[str, str]]",
+    path: str,
+) -> None:
+    """Persist a byte-level tokenizer as a JSON artifact — the file a
+    trainer ships NEXT TO the token shards (the tokenizer.json role in
+    public trainer stacks): ordered merges (with supports when known)
+    plus the derived vocab size. Kilobytes by construction (the vocab
+    is 256 + one entry per merge), so this is a DRIVER-side write; it
+    lands via temp-file + ``os.replace`` (atomic on POSIX — the
+    ``_LATEST`` pointer rule), never a torn artifact."""
+    import json
+    import os
+
+    payload = {
+        "format": "byte-bpe-v1",
+        "merges": [list(m[:2]) + ([int(m[2])] if len(m) > 2 else [])
+                   for m in merges],
+        "vocab_size": 256 + len(merges) + 1,  # + reserved EOD id
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh, ensure_ascii=False)
+    os.replace(tmp, path)
+
+
+def load_byte_tokenizer(path: str) -> list[tuple]:
+    """Load a :func:`save_byte_tokenizer` artifact back into the merge
+    list every byte-tier function consumes. Validates the format tag
+    and the vocab-size consistency — a wrong or corrupted artifact
+    raises with the path named, because silently tokenizing with the
+    wrong vocab is corrupted training data with no error signature."""
+    import json
+
+    with open(path) as fh:
+        payload = json.load(fh)
+    if payload.get("format") != "byte-bpe-v1":
+        raise ValueError(
+            f"{path}: not a byte-bpe-v1 tokenizer artifact "
+            f"(format={payload.get('format')!r})"
+        )
+    merges = [tuple(m) for m in payload["merges"]]
+    expect = 256 + len(merges) + 1
+    if payload.get("vocab_size") != expect:
+        raise ValueError(
+            f"{path}: vocab_size {payload.get('vocab_size')} does not "
+            f"match {len(merges)} merges (expected {expect})"
+        )
+    return merges
+
+
 def bpe_segment(
     docs: DataFrame,
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],

@@ -237,6 +237,44 @@ def test_byte_bpe_fallback_rate_from_ids(spark):
     assert got == "zebra quartz"  # ...and still lossless
 
 
+def test_byte_tokenizer_artifact_roundtrip(spark, tmp_path):
+    """save -> load is exact (merges, supports, order); a loaded
+    tokenizer encodes identically to the in-memory one; corrupted
+    artifacts raise with the path named."""
+    docs = spark.createDataFrame(UGLY, "doc_id long, text string")
+    merges = bpe.byte_bpe_train(docs, n_merges=10)
+    p = str(tmp_path / "tok.json")
+    bpe.save_byte_tokenizer(merges, p)
+    loaded = bpe.load_byte_tokenizer(p)
+    assert loaded == [tuple(m) for m in merges]
+    a, va = bpe.byte_bpe_encode(docs, merges)
+    b, vb = bpe.byte_bpe_encode(docs, loaded)
+    assert va == vb
+    ga = {r["doc_id"]: list(r["ids"]) for r in a.collect()}
+    gb = {r["doc_id"]: list(r["ids"]) for r in b.collect()}
+    assert ga == gb
+
+
+def test_byte_tokenizer_artifact_validates(tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"format": "other", "merges": []}))
+    with _pytest.raises(ValueError, match="byte-bpe-v1"):
+        bpe.load_byte_tokenizer(str(bad))
+    wrong = tmp_path / "wrong.json"
+    wrong.write_text(
+        json.dumps(
+            {"format": "byte-bpe-v1", "merges": [["a", "b"]],
+             "vocab_size": 999}
+        )
+    )
+    with _pytest.raises(ValueError, match="vocab_size"):
+        bpe.load_byte_tokenizer(str(wrong))
+
+
 def test_byte_bpe_merges_learned_over_pieces(spark):
     """On a corpus dominated by one word, the first merges fuse that
     word's bytes; merges never cross piece boundaries (no symbol ever
