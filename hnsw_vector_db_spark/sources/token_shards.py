@@ -301,30 +301,47 @@ def audit_token_shards(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_token_shards(spark: SparkSession, path: str) -> DataFrame:
+def read_token_shards(
+    spark: SparkSession, path: str, shards: "list[int] | None" = None
+) -> DataFrame:
     """Read shard pairs back into (file, doc_id, offset, n_tokens, ids)
     — one ``binaryFile`` task per shard, numpy ``frombuffer`` slicing
     (zero-copy views of the Arrow batch), every structural invariant
     verified: magic, dtype code, index arity, offset prefix-sum
     consistency, and ``.bin`` length == sum(lengths) * itemsize. A
     truncated or orphaned file raises with the shard named — silent
-    partial reads are corrupted training data."""
+    partial reads are corrupted training data.
+
+    ``shards`` selects specific shard ids to read (a data-parallel
+    trainer rank mounts ONLY its shards): the selection is pushed into
+    the file listing as a ``pathGlobFilter`` alternation, so unselected
+    shards are never opened, listed into tasks, or transferred — the
+    binary artifact's version of partition pruning."""
     from hnsw_vector_db_spark.session import ensure_package_shipped
 
     ensure_package_shipped(spark)
+    if shards is not None:
+        if not shards:
+            raise ValueError(
+                "shards=[] selects nothing; pass None for all shards"
+            )
+        alt = ",".join(f"shard-{int(s):05d}" for s in sorted(set(shards)))
+        idx_glob, bin_glob = f"{{{alt}}}.idx", f"{{{alt}}}.bin"
+    else:
+        idx_glob, bin_glob = "*.idx", "*.bin"
     stem = lambda c: F.regexp_replace(  # noqa: E731
         F.element_at(F.split(c, "/"), -1), r"\.(bin|idx)$", ""
     )
     idx = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.idx")
+        .option("pathGlobFilter", idx_glob)
         .load(path)
         .select(stem(F.col("path")).alias("file"),
                 F.col("content").alias("idx"))
     )
     bin_ = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.bin")
+        .option("pathGlobFilter", bin_glob)
         .load(path)
         .select(stem(F.col("path")).alias("file"),
                 F.col("content").alias("bin"))

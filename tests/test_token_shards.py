@@ -220,3 +220,24 @@ def test_audit_flags_bad_magic_and_orphan(spark, small, tmp_path):
     os.remove(idx_path)
     r = audit_token_shards(spark, str(tmp_path)).collect()[0]
     assert not r["ok"] and not r["idx_ok"] and r["n_docs"] is None
+
+
+def test_selective_shard_read(spark, small, tmp_path):
+    """shards=[...] prunes at the FILE LISTING (glob alternation): only
+    the selected shards' docs come back, NULL rows for other shards
+    never exist, and an empty selection raises instead of silently
+    reading nothing."""
+    write_token_shards(small, str(tmp_path), n_shards=4).collect()
+    # shard 1 holds docs 1, 5, 9; shard 0 holds doc 0
+    got = {
+        r["doc_id"]: r["file"]
+        for r in read_token_shards(spark, str(tmp_path), shards=[1]).collect()
+    }
+    assert set(got) == {1, 5, 9}
+    assert set(got.values()) == {"shard-00001"}
+    both = read_token_shards(spark, str(tmp_path), shards=[0, 1]).collect()
+    assert {r["doc_id"] for r in both} == {0, 1, 5, 9}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shards"):
+        read_token_shards(spark, str(tmp_path), shards=[])
