@@ -4622,11 +4622,12 @@ def q_byte_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin replays the ENTIRE 24-step loop with the SAME
     pair-count/argmax/fold machinery as the word-level bpe_train oracle
     (_train_replay_sql), seeded from the piece segmentation instead of
-    word+'</w>'. The oracle's byte->printable CASE covers printable
-    ASCII (identity) and the whitespace bytes (space/tab/LF/CR mapped
-    per the published GPT-2 table); any byte outside that domain would
-    make oracle and entry diverge LOUDLY — a failed hash, never a
-    silent pass. Output mirrors bpe_train: (step, left, right, merged,
+    word+'</w>'. The oracle splits pieces into UTF-8 BYTES (hex-pair
+    extraction) and maps them through the FULL 256-entry GPT-2
+    byte->printable table, so any corpus content — multibyte UTF-8,
+    control bytes, unusual whitespace — replays identically to the
+    Spark side (the r10 ADVICE fix; the old oracle covered printable
+    ASCII only). Output mirrors bpe_train: (step, left, right, merged,
     support, monotone_ok, merged_ok)."""
     from hnsw_vector_db_spark.operators import bpe
 
@@ -4653,21 +4654,38 @@ def q_byte_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _byte_bpe_merges_sql(n_merges: int) -> str:
+def _byte_syms_case() -> str:
+    """Full 256-entry UTF-8-BYTE -> printable-symbol CASE (the GPT-2
+    byte table, keyed by the byte's hex pair) — covers EVERY byte, so
+    the byte-tier oracles no longer assume printable-ASCII corpora
+    (the r10 ADVICE item): multibyte UTF-8, control bytes, and every
+    whitespace byte replay identically to the Spark side."""
     from hnsw_vector_db_spark.operators.bpe import byte_char_table
 
     t = byte_char_table()
-    ws_cases = " ".join(
-        f"WHEN c = chr({b}) THEN '{t[b]}'" for b in (0x20, 0x09, 0x0A, 0x0D)
+    return " ".join(
+        "WHEN '{:02X}' THEN '{}'".format(b, t[b].replace("'", "''"))
+        for b in range(256)
     )
+
+
+def _byte_parts_expr(col: str) -> str:
+    """DuckDB expression: ``col``'s UTF-8 bytes as the byte-BPE base
+    symbol list (hex-pair extraction + the 256-entry table)."""
+    return (
+        f"list_transform(generate_series(1, octet_length(encode({col}))), "
+        f"i -> CASE upper(substring(hex(encode({col})), 2*i-1, 2)) "
+        f"{_byte_syms_case()} END)"
+    )
+
+
+def _byte_bpe_merges_sql(n_merges: int) -> str:
     seg0 = f"""pf AS MATERIALIZED (
   SELECT piece, count(*)::BIGINT AS wfreq FROM (
     SELECT unnest(regexp_extract_all(text, '\\s+|\\S+')) AS piece
     FROM documents) GROUP BY piece),
 seg0 AS MATERIALIZED (
-  SELECT wfreq,
-         list_transform(string_split(piece, ''),
-                        c -> CASE {ws_cases} ELSE c END) AS parts
+  SELECT wfreq, {_byte_parts_expr('piece')} AS parts
   FROM pf)"""
     return _train_replay_sql(seg0, n_merges)
 
@@ -5662,6 +5680,86 @@ FROM dealt
 """.strip()
 
 
+def q_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-ONLY epoch shuffle (corpus.epoch_manifest — the
+    production twin of epoch_shuffle): the packed corpus is written to
+    binary shards ONCE (immutable, sid = seq_id*8 + shard), and epoch 1
+    is materialized as a SEQUENCE-ORDER MANIFEST (epoch, global_pos ->
+    shard, seq_id) written NEXT TO the shards — O(sequences) rows of
+    four integers instead of the full O(tokens) binary rewrite the
+    epoch_shuffle entry performs (its measured 8.6x-at-64x cost; this
+    is the Megatron-LM shuffled-index convention over an mmapped .bin).
+    The entry then reads the IMMUTABLE bytes back through binaryFile,
+    reads the manifest back from disk, and joins the two on
+    (shard, seq_id) — so the output order (global_pos) is provably the
+    epoch permutation realized over unmoved bytes, with seq_hash folded
+    from the binary. ORACLE: DuckDB replays the pack chain, the
+    poly-hash epoch key, and global_pos = new_pos*8 + new_shard.
+    Equality with epoch_shuffle's permutation (global_pos == new_pos*8
+    + new_shard for every sequence) is pinned in tests/test_corpus.py."""
+    import tempfile
+
+    from hnsw_vector_db_spark.operators import bpe, corpus
+    from hnsw_vector_db_spark.operators.corpus import pack_token_ids
+    from hnsw_vector_db_spark.sources.token_shards import (
+        read_token_shards,
+        write_token_shards,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ids_df, _vocab = bpe.bpe_token_ids(docs, BPE_ENCODE_MERGES)
+    packed = pack_token_ids(ids_df, seq_len=TOKEN_PACK_SEQ_LEN, n_shards=8)
+    packed = packed.localCheckpoint()  # reused: shard write + manifest
+    with_id = packed.withColumn("_sid", F.col("seq_id") * 8 + F.col("shard"))
+    work = tempfile.mkdtemp(prefix="epoch_manifest_")
+    write_token_shards(
+        with_id, f"{work}/shards", id_col="_sid", ids_col="ids", n_shards=8
+    ).collect()
+    corpus.epoch_manifest(packed, epoch=1, n_shards=8).write.parquet(
+        f"{work}/manifest/epoch-00001"
+    )
+    manifest = spark.read.parquet(f"{work}/manifest/epoch-00001")
+    back = read_token_shards(spark, f"{work}/shards").select(
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        (F.col("doc_id") / 8).cast("long").alias("seq_id"),
+        "n_tokens",
+        "ids",
+    )
+    seq_hash = F.aggregate(
+        F.col("ids"),
+        F.lit(0).cast("long"),
+        lambda a, x: (a * 131 + x + 1) % HASH_MOD,
+    )
+    return back.join(manifest, ["shard", "seq_id"]).select(
+        "epoch",
+        "global_pos",
+        "shard",
+        "seq_id",
+        "n_tokens",
+        seq_hash.alias("seq_hash"),
+    )
+
+
+def _epoch_manifest_sql(seq_len: int = TOKEN_PACK_SEQ_LEN) -> str:
+    key = _poly_sql("shard::VARCHAR || '#' || seq_id::VARCHAR || '#epoch1'")
+    return f"""
+WITH {_pack_ctes(seq_len=seq_len)},
+keyed AS (
+  SELECT shard, seq_id, n_tokens, ids, ({key}) AS ek
+  FROM g WHERE n_tokens = {seq_len}),
+dealt AS (
+  SELECT 1 AS epoch,
+         ((row_number() OVER (PARTITION BY ek % 8
+                              ORDER BY ek, shard, seq_id) - 1) * 8
+          + ek % 8)::BIGINT AS global_pos,
+         shard, seq_id, n_tokens, ids
+  FROM keyed)
+SELECT epoch, global_pos, shard, seq_id, n_tokens,
+       {_ID_HASH_SQL} AS seq_hash
+FROM dealt
+""".strip()
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING (Sennrich et al. ACL'16) in pure Spark
     expressions (operators/bpe.py): corpus -> distinct-word frequency
@@ -6521,7 +6619,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle entry is additionally pinned at sf0.001 by
     # tests/test_entry.py::test_oracle_parity.
     return {
-        # -- NEW in r10 (front of the driver's 50-entry window) --------------
+        # -- NEW in r11 (front of the driver's 50-entry window) --------------
+        "epoch_manifest": q_epoch_manifest,
+        # -- r10 window (pack_best_fit* changed in r11: histogram FFD
+        # kernel, same assignment; byte_bpe_merges oracle widened to the
+        # full 256-byte table) ----------------------------------------------
         "bpe_bytes_roundtrip": q_bpe_bytes_roundtrip,
         "pipeline_recipe": q_pipeline_recipe,
         "recipe_shares": q_recipe_shares,
@@ -8142,6 +8244,7 @@ GROUP BY t.doc_id
     sql["bpe_encode"] = _bpe_encode_sql()
     sql["bpe_train"] = _bpe_train_sql(24)
     sql["tokenizer_stats"] = _tokenizer_stats_sql()
+    sql["epoch_manifest"] = _epoch_manifest_sql()
     sql["bpe_bytes_roundtrip"] = _bpe_bytes_roundtrip_sql()
     sql["pipeline_recipe"] = _pipeline_recipe_sql()
     sql["recipe_shares"] = _recipe_shares_sql()

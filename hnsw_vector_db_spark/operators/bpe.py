@@ -218,11 +218,37 @@ def _bounded_collect(df: DataFrame, cap: "int | None", what: str) -> list:
     if len(rows) > cap:
         raise ValueError(
             f"{what} histogram exceeds max_collect={cap} rows; raise the "
-            f"cap (driver memory permitting) or cut the tail upstream "
-            f"(e.g. filter wf >= 2 — hapax words cannot win a merge of "
-            f"support >= 2 on their own)"
+            f"cap (driver memory permitting — the exact-path fix), or "
+            f"pass min_freq=2 to cut the hapax tail (an APPROXIMATION: "
+            f"dropped entries still contribute to pair supports, so the "
+            f"learned merge sequence can change — see the min_freq docs)"
         )
     return rows
+
+
+def _min_freq_cut(hist: DataFrame, freq_col: str, min_freq: int) -> DataFrame:
+    """Filter a collapsed histogram to entries with frequency >=
+    ``min_freq`` BEFORE the bounded collect — the knob that keeps the
+    driver-side trainer runnable when the distinct-entry table outgrows
+    the collect cap (at 100 TB of web text the long tail is mostly
+    typos/URLs/hashes that occur once).
+
+    APPROXIMATION CONTRACT (be honest about it): dropped entries still
+    contribute to CROSS-entry pair supports — two distinct hapax words
+    can share a pair — so the cut changes the weighted pair counts, and
+    with them possibly the learned merge sequence. It is exact whenever
+    no retained merge decision's winning margin is smaller than the
+    support mass the dropped tail carried for the competing pairs (in
+    particular: vacuously exact when every entry already meets
+    ``min_freq``, e.g. any corpus replicated >= min_freq times). This
+    is the standard trainer trade (HF/SentencePiece expose the same
+    knob as min_frequency) — a bounded, documented approximation versus
+    an OOM."""
+    if min_freq < 1:
+        raise ValueError(f"min_freq must be >= 1, got {min_freq}")
+    if min_freq == 1:
+        return hist
+    return hist.filter(F.col(freq_col) >= min_freq)
 
 
 def bpe_train(
@@ -231,6 +257,7 @@ def bpe_train(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_collect_words: "int | None" = 10_000_000,
+    min_freq: int = 1,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the ordered
     list [(left, right, support), ...] — support is the weighted pair
@@ -251,11 +278,19 @@ def bpe_train(
     production vocab — unrunnable regardless of data volume. Per-merge
     cost is now a heap pop + localized recount (no job launch), and the
     learned sequence is bit-identical to the distributed formulation
-    (same total order, pinned by tests/test_bpe.py)."""
+    (same total order, pinned by tests/test_bpe.py).
+
+    ``min_freq`` cuts the histogram tail BEFORE the collect (see
+    :func:`_min_freq_cut` for the documented approximation contract —
+    dropped hapax still contribute to cross-word pair supports, so the
+    learned sequence can change; exact when every word already meets
+    the threshold)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     rows = _bounded_collect(
-        word_freqs(docs, text_col, id_col), max_collect_words, "word-freq"
+        _min_freq_cut(word_freqs(docs, text_col, id_col), "wf", min_freq),
+        max_collect_words,
+        "word-freq",
     )
     seqs = [(list(r["word"]) + [END], int(r["wf"])) for r in rows]
     return train_merges(seqs, n_merges)
@@ -487,6 +522,7 @@ def byte_bpe_train(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_collect_pieces: "int | None" = 10_000_000,
+    min_freq: int = 1,
 ) -> list[tuple[str, str, int]]:
     """Learn byte-level BPE merges: pieces -> UTF-8 bytes -> printable
     symbols -> :func:`train_merges` over the distinct-PIECE histogram.
@@ -494,7 +530,9 @@ def byte_bpe_train(
     structural: merges simply never cross pieces). Same scale shape as
     :func:`bpe_train`: ONE distributed pass collapses the corpus to the
     piece histogram (whitespace runs collapse to almost nothing — ' '
-    is one row); the merge loop is driver-side over that bounded table."""
+    is one row); the merge loop is driver-side over that bounded table.
+    ``min_freq`` cuts the histogram tail before the collect — see
+    :func:`_min_freq_cut` for the documented approximation contract."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     pf = (
@@ -502,7 +540,9 @@ def byte_bpe_train(
         .groupBy("piece")
         .agg(F.count(F.lit(1)).alias("pf"))
     )
-    rows = _bounded_collect(pf, max_collect_pieces, "piece-freq")
+    rows = _bounded_collect(
+        _min_freq_cut(pf, "pf", min_freq), max_collect_pieces, "piece-freq"
+    )
     b2c = byte_char_table()
     seqs = [(_piece_syms(r["piece"], b2c), int(r["pf"])) for r in rows]
     return train_merges(seqs, n_merges)
@@ -547,6 +587,118 @@ def _min_rank_encode(
     return syms
 
 
+def _encode_piece_table(
+    pieces: DataFrame,
+    merges: "list[tuple[str, str, int]] | list[tuple[str, str]]",
+    vocab: "dict[str, int]",
+) -> DataFrame:
+    """Run the min-rank encoder over a DISTINCT-piece table
+    (Arrow-batched mapInPandas — the one Python stage of the byte tier,
+    and it only ever sees the Zipf-collapsed piece vocabulary):
+    ``(piece) -> (piece, pids array<long>)``. Shared by
+    :func:`byte_bpe_encode` and :func:`byte_tokenizer_stats`."""
+    import pandas as pd
+
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(pieces.sparkSession)
+    ranks: dict[tuple[str, str], int] = {}
+    for i, m in enumerate(merges):
+        ranks.setdefault((m[0], m[1]), i)
+
+    def _enc(batches):
+        b2c = byte_char_table()
+        for pdf in batches:
+            out = []
+            for piece in pdf["piece"]:
+                syms = _min_rank_encode(_piece_syms(piece, b2c), ranks)
+                out.append([vocab[s] for s in syms])
+            yield pd.DataFrame({"piece": pdf["piece"], "pids": out})
+
+    return pieces.mapInPandas(_enc, "piece string, pids array<long>")
+
+
+def byte_tokenizer_stats(
+    docs: DataFrame,
+    merges: "list[tuple[str, str, int]] | list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-SOURCE readiness report for the BYTE-LEVEL tokenizer — the
+    :func:`tokenizer_stats` twin for the production (GPT-2-family)
+    tokenizer a trainer actually mounts: docs, pieces, bytes, emitted
+    tokens, BYTES-per-token (the compression each source gets), and the
+    SINGLE-BYTE-ID rate — the fraction of emitted ids < 256, i.e. bytes
+    the merge vocabulary failed to fuse (the byte tier's analog of
+    char-fallback/OOV: there is no out-of-vocabulary state by
+    construction, so un-fused single bytes are where an under-trained
+    or foreign-corpus tokenizer shows up, and a source with a high rate
+    pays more tokens per byte).
+
+    Scale shape: one (source, piece) tf collapse over the raw stream,
+    the min-rank encoder over the DISTINCT-piece table only
+    (:func:`_encode_piece_table`), one broadcast-sized join back, one
+    source-keyed aggregate. Every source appears exactly once (the
+    left-join-from-doc-counts rule): an all-empty source reports zero
+    counts with NULL ratios."""
+    vocab = byte_bpe_vocab(merges)
+    ptf = (
+        docs.select(
+            F.col(source_col), F.explode(text_pieces(text_col)).alias("piece")
+        )
+        .groupBy(source_col, "piece")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    sized = _encode_piece_table(
+        ptf.select("piece").distinct(), merges, vocab
+    ).select(
+        "piece",
+        F.size("pids").alias("n_sub"),
+        F.size(F.filter(F.col("pids"), lambda x: x < 256)).alias("n_single"),
+        F.octet_length("piece").alias("n_b"),
+    )
+    n_docs = docs.groupBy(source_col).agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    metrics = (
+        ptf.join(sized, "piece")
+        .groupBy(source_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_pieces"),
+            F.sum(F.col("tf") * F.col("n_b")).cast("long").alias("n_bytes"),
+            F.sum(F.col("tf") * F.col("n_sub")).cast("long").alias(
+                "n_tokens"
+            ),
+            (
+                F.round(
+                    F.sum(F.col("tf") * F.col("n_b"))
+                    / F.sum(F.col("tf") * F.col("n_sub")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("bytes_per_token"),
+            (
+                F.round(
+                    F.sum(F.col("tf") * F.col("n_single"))
+                    / F.sum(F.col("tf") * F.col("n_sub")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("single_byte_rate"),
+        )
+    )
+    return n_docs.join(metrics, source_col, "left").select(
+        source_col,
+        "n_docs",
+        F.coalesce("n_pieces", F.lit(0).cast("long")).alias("n_pieces"),
+        F.coalesce("n_bytes", F.lit(0).cast("long")).alias("n_bytes"),
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        "bytes_per_token",
+        "single_byte_rate",
+    )
+
+
 def byte_bpe_encode(
     docs: DataFrame,
     merges: "list[tuple[str, str, int]] | list[tuple[str, str]]",
@@ -566,32 +718,12 @@ def byte_bpe_encode(
     Unlike the word-level tier there is NO out-of-vocabulary state:
     every byte is id<256 by construction, so arbitrary binary-ish text
     encodes without loss."""
-    from hnsw_vector_db_spark.session import ensure_package_shipped
-
-    import pandas as pd
-
-    ensure_package_shipped(docs.sparkSession)
     vocab = byte_bpe_vocab(merges)
-    ranks: dict[tuple[str, str], int] = {}
-    for i, m in enumerate(merges):
-        ranks.setdefault((m[0], m[1]), i)
-
-    def _enc(batches):
-        b2c = byte_char_table()
-        for pdf in batches:
-            out = []
-            for piece in pdf["piece"]:
-                syms = _min_rank_encode(_piece_syms(piece, b2c), ranks)
-                out.append([vocab[s] for s in syms])
-            yield pd.DataFrame({"piece": pdf["piece"], "pids": out})
-
     wtf = docs.select(
         F.col(id_col), F.posexplode(text_pieces(text_col)).alias("pos", "piece")
     )
-    piece_ids = (
-        wtf.select("piece")
-        .distinct()
-        .mapInPandas(_enc, "piece string, pids array<long>")
+    piece_ids = _encode_piece_table(
+        wtf.select("piece").distinct(), merges, vocab
     )
     eod = (
         [F.lit(256 + len(merges)).cast("long")] if append_eod else []
@@ -717,7 +849,27 @@ def load_byte_tokenizer(path: str) -> list[tuple]:
             f"{path}: not a byte-bpe-v1 tokenizer artifact "
             f"(format={payload.get('format')!r})"
         )
-    merges = [tuple(m) for m in payload["merges"]]
+    raw = payload.get("merges")
+    if not isinstance(raw, list):
+        raise ValueError(f"{path}: merges is not a list")
+    merges = []
+    for i, m in enumerate(raw):
+        # shape validation per the named-error convention: a malformed
+        # entry must fail HERE with the path named, not as an opaque
+        # IndexError/TypeError inside byte_bpe_vocab/ranks downstream
+        if (
+            not isinstance(m, list)
+            or len(m) not in (2, 3)
+            or not isinstance(m[0], str)
+            or not isinstance(m[1], str)
+            or (len(m) == 3 and not isinstance(m[2], int))
+        ):
+            raise ValueError(
+                f"{path}: merges[{i}] = {m!r} is not a "
+                f"[left: str, right: str] or [left, right, support: int] "
+                f"entry — corrupted or foreign artifact"
+            )
+        merges.append(tuple(m))
     expect = 256 + len(merges) + 1
     if payload.get("vocab_size") != expect:
         raise ValueError(

@@ -715,6 +715,82 @@ def pack_token_ids(
     )
 
 
+def _ffd_assign_scan(lens, seq_len: int):
+    """Reference first-fit-decreasing assignment — the SEMANTICS ANCHOR:
+    for each length (already in processing order) scan every open bin in
+    creation order and take the first with room. O(items * open bins);
+    kept only so the property suite can pin the production histogram
+    kernel (:func:`_ffd_assign_hist`) against it on random streams."""
+    import numpy as np
+
+    n = len(lens)
+    caps = np.empty(n, dtype=np.int64)
+    counts = np.zeros(n, dtype=np.int64)
+    nbins = 0
+    bin_out = np.empty(n, dtype=np.int64)
+    slot_out = np.empty(n, dtype=np.int64)
+    for i, L in enumerate(lens):
+        fits = np.nonzero(caps[:nbins] >= L)[0]
+        if fits.size:
+            b = int(fits[0])
+        else:
+            b = nbins
+            caps[b] = seq_len
+            nbins += 1
+        bin_out[i] = b
+        slot_out[i] = counts[b]
+        counts[b] += 1
+        caps[b] -= L
+    return bin_out, slot_out
+
+
+def _ffd_assign_hist(lens, seq_len: int):
+    """Production first-fit-decreasing kernel in CAPACITY-CLASS histogram
+    form (the SPFHP insight, Krell et al. arXiv:2107.02027): lengths are
+    bounded by ``seq_len``, so open-bin capacities fall into at most
+    ``seq_len + 1`` classes. Per class keep a min-heap of bin ids plus a
+    vectorized ``head`` array of class minima; first-fit = argmin of
+    ``head[L:]`` (the first-created bin with room IS the min bin id among
+    classes >= L), then one heap pop + push moves the bin to its new
+    class. O(items * seq_len) worst case via the C-speed argmin — the
+    open-bin count (which grows with the corpus) never enters the bound,
+    unlike :func:`_ffd_assign_scan`. Assignment is bit-identical to the
+    scan kernel by construction (pinned by tests/test_corpus.py on
+    random length streams)."""
+    import heapq
+
+    import numpy as np
+
+    n = len(lens)
+    INF = np.iinfo(np.int64).max
+    by_cap = [[] for _ in range(seq_len + 1)]  # class -> min-heap of bins
+    head = np.full(seq_len + 1, INF, dtype=np.int64)  # class minima
+    counts = np.zeros(n, dtype=np.int64)
+    nbins = 0
+    bin_out = np.empty(n, dtype=np.int64)
+    slot_out = np.empty(n, dtype=np.int64)
+    for i, L in enumerate(lens):
+        L = int(L)
+        seg = head[L:]
+        j = int(np.argmin(seg)) if seg.size else 0
+        if seg.size and seg[j] != INF:
+            c = L + j
+            b = heapq.heappop(by_cap[c])
+            head[c] = by_cap[c][0] if by_cap[c] else INF
+            cap = c - L
+        else:
+            b = nbins
+            nbins += 1
+            cap = seq_len - L
+        bin_out[i] = b
+        slot_out[i] = counts[b]
+        counts[b] += 1
+        heapq.heappush(by_cap[cap], b)
+        if b < head[cap]:
+            head[cap] = b
+    return bin_out, slot_out
+
+
 def pack_best_fit(
     ids_df: DataFrame,
     seq_len: int = 128,
@@ -742,16 +818,21 @@ def pack_best_fit(
     Scale shape: ONE shuffle keyed on shard; the packing state is
     per-shard (applyInPandas over lengths only — token ids never enter
     the packing kernel), shards scale with the corpus, and within a
-    shard the numpy first-fit scan is O(items * open bins) worst case
-    — at production scale the histogram form (lengths are bounded by
-    seq_len, so capacity CLASSES number at most seq_len — the SPFHP
-    insight) drops that to O(items * distinct lengths); this exact-FFD
-    kernel is the semantics anchor the histogram variant would be
-    pinned against.
+    shard the kernel runs in CAPACITY-CLASS histogram form
+    (:func:`_ffd_assign_hist` — capacities are bounded by seq_len, so
+    classes number at most seq_len + 1, the SPFHP insight): O(items *
+    seq_len) worst case, independent of the open-bin count, so a shard
+    holding 1/n_shards of a 100 TB corpus no longer makes the kernel
+    quadratic. The exact O(items * open bins) scan kernel survives as
+    :func:`_ffd_assign_scan`, the semantics anchor the histogram kernel
+    is property-pinned against (identical assignment on random streams,
+    tests/test_corpus.py).
 
     Output one row per piece: (shard, bin, slot, id_col, piece,
-    n_tokens). Empty documents carry no tokens and are excluded."""
-    import numpy as np
+    n_tokens). Empty documents carry no tokens and are excluded. A NULL
+    ``id_col`` raises with the column named — a silently NULL-routed
+    shard group is corrupted packing with no error signature (malformed
+    non-numeric ids already fail loudly in the ANSI cast upstream)."""
     import pandas as pd
 
     from hnsw_vector_db_spark.session import ensure_package_shipped
@@ -778,27 +859,16 @@ def pack_best_fit(
     )
 
     def _ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf[id_col].isna().any():
+            raise ValueError(
+                f"pack_best_fit: NULL {id_col} row — every row needs a "
+                f"routable numeric id; filter or fix NULLs upstream"
+            )
         pdf = pdf.sort_values(
             ["n_tokens", id_col, "piece"], ascending=[False, True, True]
         ).reset_index(drop=True)
         lens = pdf["n_tokens"].to_numpy()
-        caps = np.empty(len(pdf), dtype=np.int64)  # upper bound on bins
-        counts = np.zeros(len(pdf), dtype=np.int64)
-        nbins = 0
-        bin_out = np.empty(len(pdf), dtype=np.int64)
-        slot_out = np.empty(len(pdf), dtype=np.int64)
-        for i, L in enumerate(lens):
-            fits = np.nonzero(caps[:nbins] >= L)[0]
-            if fits.size:
-                b = int(fits[0])
-            else:
-                b = nbins
-                caps[b] = seq_len
-                nbins += 1
-            bin_out[i] = b
-            slot_out[i] = counts[b]
-            counts[b] += 1
-            caps[b] -= L
+        bin_out, slot_out = _ffd_assign_hist(lens, seq_len)
         return pd.DataFrame(
             {
                 "shard": pdf["shard"],
@@ -865,6 +935,58 @@ def epoch_shuffle(
     return staged.withColumn(
         "new_pos", (F.row_number().over(w) - 1).cast("long")
     ).drop("_ek")
+
+
+def epoch_manifest(
+    packed: DataFrame,
+    epoch: int = 0,
+    n_shards: int = 8,
+    shard_col: str = "shard",
+    seq_col: str = "seq_id",
+    salt: str = "epoch",
+) -> DataFrame:
+    """MANIFEST-ONLY epoch shuffle — the production form of
+    :func:`epoch_shuffle` at trainer scale: instead of rewriting every
+    token into a re-dealt binary artifact (O(tokens) per epoch — the
+    r10 entry's measured 8.6x-at-64x shape), emit a per-epoch
+    SEQUENCE-ORDER manifest (epoch, global_pos -> shard, seq_id) next
+    to IMMUTABLE shards; a trainer reads its shards once and follows
+    the manifest's permutation, so each epoch costs O(sequences) rows
+    of four integers, not a token rewrite. This is how public trainer
+    stacks epoch-shuffle indexed datasets (a shuffled index array over
+    an mmapped .bin — the Megatron-LM convention the token_shards
+    layout already follows).
+
+    The permutation is DEFINED BY :func:`epoch_shuffle` (same poly-hash
+    key, same re-deal): ``global_pos = new_pos * n_shards + new_shard``
+    — reading the re-dealt shards round-robin in pos order and reading
+    immutable shards through this manifest yield the IDENTICAL epoch
+    order (pinned by tests/test_corpus.py). Only the identity columns
+    enter the plan — token ids never touch the manifest — so the whole
+    computation is ONE keyed window over (shard, seq_id) pairs.
+
+    Output: (epoch int, global_pos long, shard, seq_id) — exactly one
+    row per input sequence, global_pos a permutation of 0..n-1 when
+    every pack shard is non-empty mod ``n_shards`` (in general it is
+    injective; gaps appear only where a re-deal shard holds fewer
+    sequences than the densest one times n_shards — the round-robin
+    convention trainers use)."""
+    dealt = epoch_shuffle(
+        packed.select(shard_col, seq_col),
+        epoch=epoch,
+        n_shards=n_shards,
+        shard_col=shard_col,
+        seq_col=seq_col,
+        salt=salt,
+    )
+    return dealt.select(
+        F.lit(int(epoch)).cast("int").alias("epoch"),
+        (F.col("new_pos") * n_shards + F.col("new_shard"))
+        .cast("long")
+        .alias("global_pos"),
+        shard_col,
+        seq_col,
+    )
 
 
 def dsir_apply(

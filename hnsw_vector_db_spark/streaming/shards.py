@@ -21,6 +21,16 @@ pointer is written to a temp file and ``os.replace``d (atomic on POSIX)
 AFTER the generation lands, the index_maintenance rule: readers resolve
 a complete generation or the previous one, never a torn write.
 
+FILESYSTEM REQUIREMENT: like the underlying
+:func:`~hnsw_vector_db_spark.sources.token_shards.write_token_shards`
+(which already refuses to run off ``local[...]``), the generation
+LISTING (:func:`read_shard_generations`'s glob), the ``_LATEST``
+pointer IO, and the atomic ``os.replace`` swap use driver-local
+filesystem APIs — ``out_root`` must be a mount the driver and every
+executor share. Object-store parity would route these through the
+Hadoop FileSystem API (and give up POSIX-atomic rename for a
+conditional put); that is out of scope for this sink by design.
+
 Tokenization happens UPSTREAM (the source stream carries
 ``(doc_id, ids)``): packing/sharding is the operator under test, and a
 streaming tokenizer must hold its vocab fixed anyway (the byte-level

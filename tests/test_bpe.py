@@ -188,6 +188,32 @@ def test_byte_bpe_roundtrip_is_lossless_on_hostile_text(spark):
         assert n_ids[d] <= len(text.encode("utf-8"))
 
 
+def test_byte_bpe_merges_oracle_survives_non_ascii(spark):
+    """The DuckDB training replay must track the Spark trainer on
+    ARBITRARY byte content — multibyte UTF-8, control bytes, CRLF —
+    not just printable ASCII (the r10 ADVICE item: the old oracle's
+    CASE covered ASCII + 4 whitespace bytes and would diverge loudly
+    on anything else; the hex-pair + full-256-table form must not)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as em
+
+    docs = spark.createDataFrame(UGLY, "doc_id long, text string")
+    want = bpe.byte_bpe_train(docs, n_merges=10)
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(UGLY, columns=["doc_id", "text"])
+    )
+    got = con.execute(em._byte_bpe_merges_sql(10)).fetchdf()
+    got = got.sort_values("step", ignore_index=True)
+    assert [
+        (r["left"], r["right"], int(r["support"]))
+        for _, r in got.iterrows()
+    ] == [(l, r, s) for l, r, s in want]
+    assert bool(got["merged_ok"].all()) and bool(got["monotone_ok"].all())
+
+
 def test_byte_bpe_eod_appended_and_dropped_on_decode(spark):
     docs = spark.createDataFrame(UGLY, "doc_id long, text string")
     merges = bpe.byte_bpe_train(docs, n_merges=8)
@@ -273,6 +299,50 @@ def test_byte_tokenizer_artifact_validates(tmp_path):
     )
     with _pytest.raises(ValueError, match="vocab_size"):
         bpe.load_byte_tokenizer(str(wrong))
+    # malformed merge ENTRIES must be named at load time, not crash
+    # later inside byte_bpe_vocab/ranks with an opaque error
+    for entry in (["a"], [1, 2], ["a", "b", "x"], "ab", ["a", "b", 1, 2]):
+        mal = tmp_path / "mal.json"
+        mal.write_text(
+            json.dumps(
+                {"format": "byte-bpe-v1", "merges": [entry],
+                 "vocab_size": 258}
+            )
+        )
+        with _pytest.raises(ValueError, match=r"merges\[0\]"):
+            bpe.load_byte_tokenizer(str(mal))
+
+
+def test_min_freq_cut_behaviour(spark):
+    """min_freq=1 is the identity; min_freq=2 drops hapax entries before
+    the collect so the bounded-collect guard no longer fires on a corpus
+    whose tail was the problem; and on a corpus where every word meets
+    the threshold the cut is vacuously exact (same merges, same
+    supports). The general approximation contract is documented on
+    _min_freq_cut."""
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa bb aa cc"), (2, "aa bb cc aa")],
+        "doc_id long, text string",
+    )
+    base = bpe.bpe_train(docs, n_merges=4)
+    assert bpe.bpe_train(docs, n_merges=4, min_freq=1) == base
+    # every word occurs >= 2 times -> the cut is vacuous and exact
+    assert bpe.bpe_train(docs, n_merges=4, min_freq=2) == base
+    # hapax-heavy corpus: guard fires without the cut, not with it
+    hapax = spark.createDataFrame(
+        [(1, "xy xy xy qq ww ee rr tt zz uu")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_collect"):
+        bpe.bpe_train(hapax, n_merges=1, max_collect_words=3)
+    got = bpe.bpe_train(
+        hapax, n_merges=1, max_collect_words=3, min_freq=2
+    )
+    assert got == [("x", "y", 3)]
+    # byte tier: same knob over the piece histogram
+    bbase = bpe.byte_bpe_train(docs, n_merges=4)
+    assert bpe.byte_bpe_train(docs, n_merges=4, min_freq=2) == bbase
+    with pytest.raises(ValueError, match="min_freq"):
+        bpe.bpe_train(docs, n_merges=1, min_freq=0)
 
 
 def test_byte_bpe_merges_learned_over_pieces(spark):

@@ -817,3 +817,79 @@ def test_pack_best_fit_validates(spark):
     df = spark.createDataFrame([(0, [1])], "doc_id long, ids array<long>")
     with _pytest.raises(ValueError, match="seq_len"):
         pack_best_fit(df, seq_len=0)
+
+
+def test_pack_best_fit_rejects_null_ids(spark):
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from hnsw_vector_db_spark.operators.corpus import pack_best_fit
+
+    # a NULL id must be NAMED by the kernel instead of silently routing
+    # the row to a NULL shard group (non-numeric strings already fail
+    # loudly in the ANSI cast upstream)
+    df = spark.createDataFrame(
+        [(None, [1, 2, 3]), (8, [4])], "doc_id long, ids array<long>"
+    )
+    with _pytest.raises(PythonException, match="NULL doc_id"):
+        pack_best_fit(df, seq_len=16, n_shards=2).collect()
+
+
+def test_epoch_manifest_equals_epoch_shuffle_permutation(spark):
+    """The manifest is DEFINED to realize epoch_shuffle's permutation
+    over immutable shards: global_pos == new_pos * n_shards + new_shard
+    for every sequence, and global_pos is injective (a valid read
+    order). This is the equivalence that lets the O(tokens) binary
+    rewrite retire in favor of the O(sequences) manifest."""
+    from hnsw_vector_db_spark.operators.corpus import (
+        epoch_manifest,
+        epoch_shuffle,
+    )
+
+    packed = _packed_fixture(spark)
+    man = epoch_manifest(packed, epoch=3, n_shards=4).collect()
+    dealt = epoch_shuffle(packed, epoch=3, n_shards=4).collect()
+    want = {
+        (r["shard"], r["seq_id"]): r["new_pos"] * 4 + r["new_shard"]
+        for r in dealt
+    }
+    got = {(r["shard"], r["seq_id"]): r["global_pos"] for r in man}
+    assert got == want
+    assert all(r["epoch"] == 3 for r in man)
+    poss = [r["global_pos"] for r in man]
+    assert len(set(poss)) == len(poss)  # injective read order
+    # a different epoch re-deals the permutation
+    man2 = {
+        (r["shard"], r["seq_id"]): r["global_pos"]
+        for r in epoch_manifest(packed, epoch=4, n_shards=4).collect()
+    }
+    assert man2 != got
+
+
+def test_ffd_histogram_kernel_matches_scan_kernel():
+    """The production capacity-class histogram kernel is bit-identical
+    to the exact first-fit scan kernel — the equivalence pin the r10
+    verdict required before the scan's O(items * open bins) bound could
+    be retired from the hot path."""
+    import numpy as np
+
+    from hnsw_vector_db_spark.operators.corpus import (
+        _ffd_assign_hist,
+        _ffd_assign_scan,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(120):
+        seq_len = int(rng.integers(1, 260))
+        n = int(rng.integers(0, 400))
+        lens = np.sort(rng.integers(1, seq_len + 1, size=n))[::-1]
+        sb, ss = _ffd_assign_scan(lens, seq_len)
+        hb, hs = _ffd_assign_hist(lens, seq_len)
+        assert np.array_equal(sb, hb)
+        assert np.array_equal(ss, hs)
+    # degenerate classes: all-full-length pieces and all-ones
+    for lens in ([128] * 50, [1] * 300, [128, 64, 64, 1, 1, 1]):
+        arr = np.array(lens, dtype=np.int64)
+        assert _ffd_assign_scan(arr, 128)[0].tolist() == (
+            _ffd_assign_hist(arr, 128)[0].tolist()
+        )
