@@ -242,6 +242,14 @@ GROUPS: dict[str, list[str]] = {
         "byte_bpe_merges",
         "tokenizer_artifact",
     ],
+    # r11: manifest-only epoch shuffle, byte-tier readiness stats +
+    # pretrain capstone, listing-level selective shard read
+    "r11_new": [
+        "epoch_manifest",
+        "byte_tokenizer_stats",
+        "pipeline_recipe_bytes",
+        "shard_rank_read",
+    ],
 }
 
 

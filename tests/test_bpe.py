@@ -263,6 +263,78 @@ def test_byte_bpe_fallback_rate_from_ids(spark):
     assert got == "zebra quartz"  # ...and still lossless
 
 
+def test_byte_tokenizer_stats_separates_sources(spark):
+    """The curator table for the production tokenizer: a source the
+    merges were trained on fuses (bytes_per_token > 1, single-byte rate
+    < 1); a foreign source stays at full single-byte fallback; an
+    all-empty source still appears with zero counts and NULL ratios;
+    and the stats agree with counting ids straight off the encoder."""
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low low lower", "fits"),
+            (2, "zebra quartz", "foreign"),
+            (3, "", "empty"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    train = docs.filter("source = 'fits'")
+    merges = bpe.byte_bpe_train(train, n_merges=6)
+    rows = {
+        r["source"]: r
+        for r in bpe.byte_tokenizer_stats(docs, merges).collect()
+    }
+    assert set(rows) == {"fits", "foreign", "empty"}
+    assert rows["fits"]["bytes_per_token"] > 1.0
+    assert rows["fits"]["single_byte_rate"] < 1.0
+    assert rows["foreign"]["single_byte_rate"] == 1.0
+    assert rows["foreign"]["bytes_per_token"] == 1.0
+    assert rows["empty"]["n_docs"] == 1 and rows["empty"]["n_tokens"] == 0
+    assert rows["empty"]["bytes_per_token"] is None
+    # cross-check against the raw id stream (pieces include whitespace)
+    enc, _ = bpe.byte_bpe_encode(docs.filter("source = 'fits'"), merges)
+    ids = enc.collect()[0]["ids"]
+    assert rows["fits"]["n_tokens"] == len(ids)
+    assert rows["fits"]["single_byte_rate"] == round(
+        sum(1 for i in ids if i < 256) / len(ids), 6
+    )
+
+
+def test_byte_tokenizer_stats_oracle_survives_non_ascii(spark):
+    """The min-rank ENCODE replay (recursive CTE) must track the Spark
+    encoder on arbitrary byte content, exactly like the training
+    replay — same UGLY corpus, full stats comparison."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as em
+
+    docs = spark.createDataFrame(
+        [(d, t, f"s{d % 2}") for d, t in UGLY],
+        "doc_id long, text string, source string",
+    )
+    merges = bpe.byte_bpe_train(docs, n_merges=10)
+    want = {
+        r["source"]: (
+            r["n_docs"], r["n_pieces"], r["n_bytes"], r["n_tokens"],
+            r["bytes_per_token"], r["single_byte_rate"],
+        )
+        for r in bpe.byte_tokenizer_stats(docs, merges).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            [(d, t, f"s{d % 2}") for d, t in UGLY],
+            columns=["doc_id", "text", "source"],
+        ),
+    )
+    got = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(em._byte_tokenizer_stats_sql(10)).fetchall()
+    }
+    assert got == want
+
+
 def test_byte_tokenizer_artifact_roundtrip(spark, tmp_path):
     """save -> load is exact (merges, supports, order); a loaded
     tokenizer encodes identically to the in-memory one; corrupted
