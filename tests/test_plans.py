@@ -475,3 +475,52 @@ def test_salted_join_spreads_hot_keys_no_broadcast(spark, qs):
     assert "ShuffledHashJoin" in plan
     join_line = next(ln for ln in plan.splitlines() if "ShuffledHashJoin" in ln)
     assert "_salt" in join_line, join_line
+
+
+def test_pack_best_fit_single_shard_exchange(spark):
+    """The FFD packer's contract plan (PLANS.md r11): ONE shuffle keyed
+    on shard feeding the lengths-only Pandas kernel — over a bare id
+    stream there must be exactly one Exchange in the whole plan, and it
+    must hash-partition on shard."""
+    from hnsw_vector_db_spark.operators.corpus import pack_best_fit
+    from hnsw_vector_db_spark.plans.explain import physical_plan
+
+    ids_df = spark.createDataFrame(
+        [(i, list(range(i % 7 + 1))) for i in range(40)],
+        "doc_id long, ids array<long>",
+    )
+    plan = physical_plan(pack_best_fit(ids_df, seq_len=8, n_shards=4))
+    assert "FlatMapGroupsInPandas" in plan
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln
+    ]
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning(shard" in exchanges[0], exchanges[0]
+
+
+def test_epoch_manifest_prunes_token_payload(spark):
+    """PLANS.md r11: the manifest consumes identity columns only, so
+    Catalyst must prune the pack chain's token-array assembly
+    (collect_list) out of the plan entirely — the manifest never
+    materializes a token array, which is WHY its per-epoch cost is flat
+    in seq_len. Also: exactly two shuffles (pack window + re-deal
+    window)."""
+    from hnsw_vector_db_spark.operators.corpus import (
+        epoch_manifest,
+        pack_token_ids,
+    )
+    from hnsw_vector_db_spark.plans.explain import physical_plan
+
+    ids_df = spark.createDataFrame(
+        [(i, list(range(20))) for i in range(40)],
+        "doc_id long, ids array<long>",
+    )
+    packed = pack_token_ids(ids_df, seq_len=8, n_shards=4)
+    plan = physical_plan(epoch_manifest(packed, epoch=1, n_shards=4))
+    assert "collect_list" not in plan, plan
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln
+    ]
+    assert len(exchanges) == 2, plan
