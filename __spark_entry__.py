@@ -4875,11 +4875,7 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_shards = max(8, min(512, n_docs // 4000))
     write_token_shards(ids_df, work, n_shards=n_shards).collect()
     back = read_token_shards(spark, work)
-    id_hash = F.aggregate(
-        F.col("ids"),
-        F.lit(0).cast("long"),
-        lambda a, x: (a * 131 + x + 1) % HASH_MOD,
-    )
+    id_hash = _id_hash_col()
     return back.select(
         "doc_id",
         F.regexp_extract("file", r"shard-(\d+)", 1).cast("int").alias("shard"),
@@ -4936,6 +4932,19 @@ _ID_HASH_SQL = (
     "list_reduce(list_transform(ids, x -> (x + 1)::BIGINT), "
     "(a, c) -> (a * 131 + c) % 2147483647)::BIGINT"
 )
+
+def _id_hash_col(ids: "Column | str" = "ids"):
+    """Spark twin of :data:`_ID_HASH_SQL` — the token-stream fold
+    (a*131 + x + 1) % HASH_MOD every shard/sequence entry hashes with.
+    ONE definition on each side: change this and the SQL constant
+    together or entry/oracle parity breaks silently."""
+    c = F.col(ids) if isinstance(ids, str) else ids
+    return F.aggregate(
+        c,
+        F.lit(0).cast("long"),
+        lambda a, x: (a * 131 + x + 1) % HASH_MOD,
+    )
+
 
 
 def _token_shards_sql() -> str:
@@ -5040,11 +5049,7 @@ def q_shard_rank_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"shard-{s:05d}{ext}" for s in rank_shards for ext in (".bin", ".idx")
     }
     pruned_ok = listed == want
-    token_hash = F.aggregate(
-        F.col("ids"),
-        F.lit(0).cast("long"),
-        lambda a, x: (a * 131 + x + 1) % HASH_MOD,
-    )
+    token_hash = _id_hash_col()
     return back.select(
         "doc_id",
         F.regexp_extract("file", r"shard-(\d+)", 1).cast("int").alias(
@@ -5089,11 +5094,7 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_token_ids(
         ids_df, seq_len=TOKEN_PACK_SEQ_LEN, n_shards=8
     )
-    seq_hash = F.aggregate(
-        F.col("ids"),
-        F.lit(0).cast("long"),
-        lambda a, x: (a * 131 + x + 1) % HASH_MOD,
-    )
+    seq_hash = _id_hash_col()
     return packed.select(
         "shard", "seq_id", "n_tokens", "n_docs", seq_hash.alias("seq_hash")
     )
@@ -5174,11 +5175,7 @@ def _seq_shard_roundtrip(
         F.col("n_tokens"),
         F.col("ids"),
     )
-    seq_hash = F.aggregate(
-        F.col("ids"),
-        F.lit(0).cast("long"),
-        lambda a, x: (a * 131 + x + 1) % HASH_MOD,
-    )
+    seq_hash = _id_hash_col()
     return back.join(
         with_id.select("_sid", "n_docs"),
         back["shard"] + back["seq_id"] * n_shards == F.col("_sid"),
@@ -5536,11 +5533,7 @@ def q_pack_best_fit_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("_ids", F.col("piece") * sl + 1, sl).alias("pids"),
     )
     bin_ids = F.flatten(F.transform(F.col("_sp"), lambda x: x["pids"]))
-    bin_hash = F.aggregate(
-        bin_ids,
-        F.lit(0).cast("long"),
-        lambda a, x: (a * 131 + x + 1) % HASH_MOD,
-    )
+    bin_hash = _id_hash_col(bin_ids)
     return (
         asg.join(pieces, ["doc_id", "piece"])
         .groupBy("shard", "bin")
@@ -5653,11 +5646,7 @@ def q_stream_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in audits[1:]:
         audit = audit.unionByName(a)
     latest_ok = latest_generation(f"{work}/gens") == "gen-00001"
-    seq_hash = F.aggregate(
-        F.col("ids"),
-        F.lit(0).cast("long"),
-        lambda a, x: (a * 131 + x + 1) % HASH_MOD,
-    )
+    seq_hash = _id_hash_col()
     return (
         back.join(audit, ["generation", "file"])
         .select(
@@ -5900,11 +5889,7 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_id, work, id_col="_sid", ids_col="ids", n_shards=8
     ).collect()
     back = read_token_shards(spark, work)
-    seq_hash = F.aggregate(
-        F.col("ids"),
-        F.lit(0).cast("long"),
-        lambda a, x: (a * 131 + x + 1) % HASH_MOD,
-    )
+    seq_hash = _id_hash_col()
     return back.select(
         (F.col("doc_id") % 8).cast("int").alias("new_shard"),
         (F.col("doc_id") / 8).cast("long").alias("new_pos"),
@@ -5949,14 +5934,8 @@ def q_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     poly-hash epoch key, and global_pos = new_pos*8 + new_shard.
     Equality with epoch_shuffle's permutation (global_pos == new_pos*8
     + new_shard for every sequence) is pinned in tests/test_corpus.py."""
-    import tempfile
-
-    from hnsw_vector_db_spark.operators import bpe, corpus
+    from hnsw_vector_db_spark.operators import bpe
     from hnsw_vector_db_spark.operators.corpus import pack_token_ids
-    from hnsw_vector_db_spark.sources.token_shards import (
-        read_token_shards,
-        write_token_shards,
-    )
 
     docs = _docs(spark, sf_dir)
     ids_df, _vocab = bpe.bpe_token_ids(docs, BPE_ENCODE_MERGES)
@@ -5996,11 +5975,7 @@ def _epoch_reader_tail(
         "n_tokens",
         "ids",
     )
-    seq_hash = F.aggregate(
-        F.col("ids"),
-        F.lit(0).cast("long"),
-        lambda a, x: (a * 131 + x + 1) % HASH_MOD,
-    )
+    seq_hash = _id_hash_col()
     return back.join(manifest, ["shard", "seq_id"]).select(
         "epoch",
         "global_pos",

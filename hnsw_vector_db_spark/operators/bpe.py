@@ -862,7 +862,7 @@ def load_byte_tokenizer(path: str) -> list[tuple]:
             or len(m) not in (2, 3)
             or not isinstance(m[0], str)
             or not isinstance(m[1], str)
-            or (len(m) == 3 and not isinstance(m[2], int))
+            or (len(m) == 3 and type(m[2]) is not int)  # bool is an int
         ):
             raise ValueError(
                 f"{path}: merges[{i}] = {m!r} is not a "

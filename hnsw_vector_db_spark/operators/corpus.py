@@ -771,6 +771,15 @@ def _ffd_assign_hist(lens, seq_len: int):
     slot_out = np.empty(n, dtype=np.int64)
     for i, L in enumerate(lens):
         L = int(L)
+        if L > seq_len or L < 1:
+            # domain guard: a negative residual capacity would wrap via
+            # Python negative indexing into a VALID capacity class and
+            # silently overfill bins — pack_best_fit pre-splits pieces
+            # to <= seq_len, but the kernel must hold its own contract
+            raise ValueError(
+                f"_ffd_assign_hist: length {L} outside [1, seq_len="
+                f"{seq_len}] — split oversize pieces before packing"
+            )
         seg = head[L:]
         j = int(np.argmin(seg)) if seg.size else 0
         if seg.size and seg[j] != INF:

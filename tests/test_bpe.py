@@ -373,7 +373,10 @@ def test_byte_tokenizer_artifact_validates(tmp_path):
         bpe.load_byte_tokenizer(str(wrong))
     # malformed merge ENTRIES must be named at load time, not crash
     # later inside byte_bpe_vocab/ranks with an opaque error
-    for entry in (["a"], [1, 2], ["a", "b", "x"], "ab", ["a", "b", 1, 2]):
+    for entry in (
+        ["a"], [1, 2], ["a", "b", "x"], "ab", ["a", "b", 1, 2],
+        ["a", "b", True],  # bool passes isinstance(..., int) — reject
+    ):
         mal = tmp_path / "mal.json"
         mal.write_text(
             json.dumps(

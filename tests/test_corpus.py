@@ -893,3 +893,13 @@ def test_ffd_histogram_kernel_matches_scan_kernel():
         assert _ffd_assign_scan(arr, 128)[0].tolist() == (
             _ffd_assign_hist(arr, 128)[0].tolist()
         )
+    # domain guard: an oversize length would wrap into a valid capacity
+    # class via negative indexing and silently overfill a bin — the
+    # kernel must refuse its own out-of-domain input (pack_best_fit
+    # pre-splits pieces, but the kernel is exported)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="outside"):
+        _ffd_assign_hist(np.array([130, 100]), 128)
+    with _pytest.raises(ValueError, match="outside"):
+        _ffd_assign_hist(np.array([0]), 128)
