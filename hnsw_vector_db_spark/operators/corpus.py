@@ -998,6 +998,174 @@ def epoch_manifest(
     )
 
 
+def rank_epoch_manifest(
+    packed: DataFrame,
+    epoch: int = 0,
+    n_shards: int = 8,
+    world_size: int = 1,
+    shard_col: str = "shard",
+    seq_col: str = "seq_id",
+    salt: str = "epoch",
+) -> DataFrame:
+    """RANK-BLOCKED epoch manifest — :func:`epoch_manifest` for a
+    data-parallel trainer of ``world_size`` ranks, composed with
+    selective shard reads: :func:`epoch_manifest`'s permutation spans
+    ALL shards, so a rank following it must read every shard — which
+    defeats exactly the listing-level pruning
+    :func:`~hnsw_vector_db_spark.sources.token_shards.read_token_shards`
+    provides via ``shards=``. Here the permutation is BLOCKED by rank:
+    rank ``r`` owns pack shards ``{s : s % world_size == r}`` (the same
+    residue arithmetic that routes ``doc_id % n_shards`` to files), and
+    each rank's sequences are re-dealt ONLY among that rank's own
+    shards — so a rank that mounts its pruned shard subset can realize
+    its whole epoch order without touching a foreign file. This is the
+    per-rank shuffled index window of public trainer data loaders
+    (Megatron/NanoGPT-style: each rank permutes within its own slice of
+    the index array); the reference analog is the offset-addressed
+    selective access its storage engine is built for
+    (`core/storage/engine.py:45-56`).
+
+    The re-deal restricted to rank ``r`` is the EXACT
+    :func:`epoch_shuffle` machinery with ``n_shards`` = the rank's own
+    shard count ``m_r``: ``key = poly_hash(shard#seq_id#salt<epoch>)``,
+    ``new_local = key % m_r``, ``new_pos`` = rank of the key within
+    ``(rank, new_local)`` — so with ``world_size=1`` this function is
+    bit-identical to :func:`epoch_manifest` (pinned in tests). Window
+    partitioning stays ``(rank, new_local)`` — n_shards-way parallel,
+    never a per-rank global sort.
+
+    Positions: ``rank_pos = new_pos * m_r + new_local`` is the rank's
+    LOCAL epoch order (what its dataloader follows);
+    ``global_pos = rank_pos * world_size + rank`` interleaves ranks
+    round-robin into one deterministic global order (what a logger or
+    resume cursor addresses). Both are pure functions of
+    (identity, epoch, salt) — never of physical layout.
+
+    Output: (epoch int, rank int, rank_pos long, global_pos long,
+    shard, seq_id), one row per input sequence."""
+    from pyspark.sql.window import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if world_size < 1:
+        raise ValueError(f"world_size must be >= 1, got {world_size}")
+    key = poly_hash(
+        F.concat(
+            F.col(shard_col).cast("string"),
+            F.lit("#"),
+            F.col(seq_col).cast("string"),
+            F.lit(f"#{salt}{int(epoch)}"),
+        )
+    )
+    rank = F.pmod(F.col(shard_col), F.lit(world_size)).cast("int")
+    # m_r = |{s in [0, n_shards) : s % world_size == rank}| — closed
+    # form, so it stays correct when world_size does not divide
+    # n_shards (trailing ranks own one fewer shard)
+    m_r = (
+        (F.lit(n_shards - 1) - F.col("rank")) / F.lit(world_size)
+    ).cast("long") + F.lit(1)
+    staged = (
+        packed.select(shard_col, seq_col)
+        .withColumn("rank", rank)
+        .withColumn("_m", m_r)
+        .withColumn("_ek", key)
+        .withColumn(
+            "new_local", F.pmod(F.col("_ek"), F.col("_m")).cast("int")
+        )
+    )
+    w = Window.partitionBy("rank", "new_local").orderBy(
+        "_ek", F.col(shard_col), F.col(seq_col)
+    )
+    out = staged.withColumn(
+        "rank_pos",
+        ((F.row_number().over(w) - 1) * F.col("_m") + F.col("new_local"))
+        .cast("long"),
+    )
+    return out.select(
+        F.lit(int(epoch)).cast("int").alias("epoch"),
+        "rank",
+        "rank_pos",
+        (F.col("rank_pos") * world_size + F.col("rank"))
+        .cast("long")
+        .alias("global_pos"),
+        shard_col,
+        seq_col,
+    )
+
+
+def rank_shard_ids(n_shards: int, world_size: int, rank: int) -> list[int]:
+    """The pack-shard ids rank ``rank`` of ``world_size`` owns under
+    :func:`rank_epoch_manifest`'s residue blocking — the exact list to
+    pass as ``read_token_shards(shards=...)`` so the rank's file
+    listing is pruned to its own shards."""
+    if not 0 <= rank < world_size:
+        raise ValueError(
+            f"rank must be in [0, {world_size}), got {rank}"
+        )
+    return [s for s in range(n_shards) if s % world_size == rank]
+
+
+def epoch_manifests(
+    packed: DataFrame,
+    n_epochs: int,
+    n_shards: int = 8,
+    world_size: int = 1,
+    shard_col: str = "shard",
+    seq_col: str = "seq_id",
+    salt: str = "epoch",
+    first_epoch: int = 1,
+) -> DataFrame:
+    """Manifests for epochs ``first_epoch .. first_epoch+n_epochs-1``
+    in one DataFrame — the artifact a multi-epoch training job writes
+    ONCE next to its immutable shards (partition the parquet by
+    ``epoch`` and a dataloader prunes to its epoch for free). Each
+    epoch is an independent :func:`rank_epoch_manifest` (epoch enters
+    the hash key, so every epoch is a fresh re-deal); total cost is
+    O(sequences * n_epochs) rows of six integers — vs the O(tokens *
+    n_epochs) binary rewrite the manifest form exists to avoid
+    (BASELINE.md r11/r12 measurements)."""
+    if n_epochs < 1:
+        raise ValueError(f"n_epochs must be >= 1, got {n_epochs}")
+    base = packed.select(shard_col, seq_col)
+    out = None
+    for e in range(int(first_epoch), int(first_epoch) + int(n_epochs)):
+        m = rank_epoch_manifest(
+            base,
+            epoch=e,
+            n_shards=n_shards,
+            world_size=world_size,
+            shard_col=shard_col,
+            seq_col=seq_col,
+            salt=salt,
+        )
+        out = m if out is None else out.unionByName(m)
+    return out
+
+
+def resume_manifest(
+    manifests: DataFrame,
+    epoch: int,
+    global_pos: int,
+) -> DataFrame:
+    """Deterministic RESUME cursor over :func:`epoch_manifests` output:
+    the sub-manifest a job restarted at ``(epoch, global_pos)`` still
+    owes — the rest of ``epoch`` from ``global_pos`` on, plus every
+    later epoch, in (epoch, global_pos) order semantics. Because the
+    manifests are pure functions of (identity, epoch, salt), the
+    resumed stream is EXACTLY the tail of the uninterrupted run (the
+    driver oracle pins resumed == tail) — no dataloader state file,
+    no re-read of consumed epochs; the filter is two comparisons
+    Catalyst pushes into the manifest scan (epoch-partitioned parquet
+    prunes consumed epochs at the listing)."""
+    return manifests.filter(
+        (F.col("epoch") > int(epoch))
+        | (
+            (F.col("epoch") == int(epoch))
+            & (F.col("global_pos") >= int(global_pos))
+        )
+    )
+
+
 def dsir_apply(
     raw_docs: DataFrame,
     log_ratio: "list[float]",

@@ -903,3 +903,148 @@ def test_ffd_histogram_kernel_matches_scan_kernel():
         _ffd_assign_hist(np.array([130, 100]), 128)
     with _pytest.raises(ValueError, match="outside"):
         _ffd_assign_hist(np.array([0]), 128)
+
+
+# ---------------------------------------------------------------------------
+# rank_epoch_manifest / epoch_manifests / resume_manifest (r12)
+# ---------------------------------------------------------------------------
+
+
+def test_rank_epoch_manifest_world1_equals_epoch_manifest(spark):
+    """world_size=1 degenerates to the unblocked manifest bit-for-bit:
+    rank 0 owns every shard, m_r = n_shards, new_local = the re-deal
+    shard — the equivalence that makes rank blocking a strict
+    generalization, not a second permutation definition."""
+    from hnsw_vector_db_spark.operators.corpus import (
+        epoch_manifest,
+        rank_epoch_manifest,
+    )
+
+    packed = _packed_fixture(spark)
+    base = {
+        (r["shard"], r["seq_id"]): r["global_pos"]
+        for r in epoch_manifest(packed, epoch=2, n_shards=4).collect()
+    }
+    ranked = rank_epoch_manifest(
+        packed, epoch=2, n_shards=4, world_size=1
+    ).collect()
+    got = {(r["shard"], r["seq_id"]): r["global_pos"] for r in ranked}
+    assert got == base
+    assert all(r["rank"] == 0 for r in ranked)
+    assert all(r["rank_pos"] == r["global_pos"] for r in ranked)
+
+
+def test_rank_epoch_manifest_blocks_by_rank(spark):
+    """The composition property the manifest exists for: every sequence
+    lands in rank = shard % world_size, rank_pos is injective WITHIN
+    each rank (a valid per-rank read order), global_pos is injective
+    overall, and a different epoch re-deals each rank's order."""
+    from hnsw_vector_db_spark.operators.corpus import (
+        rank_epoch_manifest,
+        rank_shard_ids,
+    )
+
+    packed = _packed_fixture(spark)  # shards 0..3
+    out = rank_epoch_manifest(
+        packed, epoch=1, n_shards=4, world_size=3
+    ).collect()
+    # rank ownership is the residue rule rank_shard_ids publishes
+    for r in out:
+        assert r["rank"] == r["shard"] % 3
+        assert r["shard"] in rank_shard_ids(4, 3, r["rank"])
+    by_rank: dict = {}
+    for r in out:
+        by_rank.setdefault(r["rank"], []).append(r["rank_pos"])
+    for rank, poss in by_rank.items():
+        assert len(set(poss)) == len(poss), f"rank {rank} rank_pos collision"
+    gp = [r["global_pos"] for r in out]
+    assert len(set(gp)) == len(gp)
+    # global_pos round-robin: pos % world_size == rank
+    assert all(r["global_pos"] % 3 == r["rank"] for r in out)
+    # epoch bump re-deals within ranks
+    out2 = rank_epoch_manifest(
+        packed, epoch=2, n_shards=4, world_size=3
+    ).collect()
+    k1 = {(r["shard"], r["seq_id"]): r["rank_pos"] for r in out}
+    k2 = {(r["shard"], r["seq_id"]): r["rank_pos"] for r in out2}
+    assert k1 != k2
+
+
+def test_rank_epoch_manifest_restriction_consistency(spark):
+    """Rank r's order computed over the FULL corpus equals the order
+    computed over ONLY rank r's shards — the in-rank permutation never
+    depends on foreign ranks' sequences, so a rank can (re)build its
+    own manifest from its pruned shard subset alone."""
+    from pyspark.sql import functions as F
+
+    from hnsw_vector_db_spark.operators.corpus import (
+        rank_epoch_manifest,
+        rank_shard_ids,
+    )
+
+    packed = _packed_fixture(spark)
+    full = rank_epoch_manifest(
+        packed, epoch=5, n_shards=4, world_size=2
+    )
+    mine = {
+        (r["shard"], r["seq_id"]): r["rank_pos"]
+        for r in full.filter(F.col("rank") == 1).collect()
+    }
+    shards1 = rank_shard_ids(4, 2, 1)
+    only = rank_epoch_manifest(
+        packed.filter(F.col("shard").isin(shards1)),
+        epoch=5,
+        n_shards=4,
+        world_size=2,
+    ).collect()
+    assert {(r["shard"], r["seq_id"]): r["rank_pos"] for r in only} == mine
+
+
+def test_rank_shard_ids_and_validation(spark):
+    import pytest as _pytest
+
+    from hnsw_vector_db_spark.operators.corpus import (
+        rank_epoch_manifest,
+        rank_shard_ids,
+    )
+
+    assert rank_shard_ids(8, 4, 1) == [1, 5]
+    assert rank_shard_ids(8, 3, 2) == [2, 5]  # uneven ownership
+    assert rank_shard_ids(8, 3, 0) == [0, 3, 6]
+    with _pytest.raises(ValueError, match="rank"):
+        rank_shard_ids(8, 4, 4)
+    packed = _packed_fixture(spark)
+    with _pytest.raises(ValueError, match="world_size"):
+        rank_epoch_manifest(packed, world_size=0)
+
+
+def test_epoch_manifests_and_resume(spark):
+    """Multi-epoch manifests stack independent re-deals; resume_manifest
+    at (epoch, pos) returns exactly the tail of the uninterrupted
+    stream — the deterministic-resume contract."""
+    from hnsw_vector_db_spark.operators.corpus import (
+        epoch_manifests,
+        resume_manifest,
+    )
+
+    packed = _packed_fixture(spark)  # 40 sequences
+    mans = epoch_manifests(packed, n_epochs=3, n_shards=4).cache()
+    rows = mans.collect()
+    assert sorted({r["epoch"] for r in rows}) == [1, 2, 3]
+    assert len(rows) == 120
+    full = sorted(
+        ((r["epoch"], r["global_pos"]), (r["shard"], r["seq_id"]))
+        for r in rows
+    )
+    cut = full[70][0]  # resume mid-epoch-2
+    resumed = sorted(
+        ((r["epoch"], r["global_pos"]), (r["shard"], r["seq_id"]))
+        for r in resume_manifest(mans, epoch=cut[0], global_pos=cut[1])
+        .collect()
+    )
+    assert resumed == full[70:]
+    mans.unpersist()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_epochs"):
+        epoch_manifests(packed, n_epochs=0)
