@@ -879,6 +879,76 @@ def load_byte_tokenizer(path: str) -> list[tuple]:
     return merges
 
 
+def save_word_tokenizer(
+    merges: "list[tuple[str, str, int]] | list[tuple[str, str]]",
+    path: str,
+) -> None:
+    """Persist a WORD-level tokenizer (:func:`bpe_train` output) as a
+    JSON artifact — the byte tier's :func:`save_byte_tokenizer` contract
+    applied to the word tier (the r11 verdict's asymmetry: the byte
+    artifact existed, the word one did not). Ordered merges with
+    supports when known, plus the merge count as the consistency field
+    (the word tier has no closed-form vocab size — its symbol alphabet
+    is corpus-dependent, unlike the byte tier's 256+merges). Driver-side
+    kilobytes; temp-file + ``os.replace`` (atomic on POSIX), never a
+    torn artifact."""
+    import json
+    import os
+
+    payload = {
+        "format": "word-bpe-v1",
+        "merges": [list(m[:2]) + ([int(m[2])] if len(m) > 2 else [])
+                   for m in merges],
+        "n_merges": len(merges),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh, ensure_ascii=False)
+    os.replace(tmp, path)
+
+
+def load_word_tokenizer(path: str) -> list[tuple]:
+    """Load a :func:`save_word_tokenizer` artifact back into the merge
+    list :func:`bpe_segment` / :func:`bpe_token_ids` consume — the
+    byte tier's :func:`load_byte_tokenizer` validation contract:
+    format tag, per-entry shape with the path named, and the
+    n_merges consistency field. A silently mis-loaded merge list is
+    corrupted training data with no error signature."""
+    import json
+
+    with open(path) as fh:
+        payload = json.load(fh)
+    if payload.get("format") != "word-bpe-v1":
+        raise ValueError(
+            f"{path}: not a word-bpe-v1 tokenizer artifact "
+            f"(format={payload.get('format')!r})"
+        )
+    raw = payload.get("merges")
+    if not isinstance(raw, list):
+        raise ValueError(f"{path}: merges is not a list")
+    merges = []
+    for i, m in enumerate(raw):
+        if (
+            not isinstance(m, list)
+            or len(m) not in (2, 3)
+            or not isinstance(m[0], str)
+            or not isinstance(m[1], str)
+            or (len(m) == 3 and type(m[2]) is not int)  # bool is an int
+        ):
+            raise ValueError(
+                f"{path}: merges[{i}] = {m!r} is not a "
+                f"[left: str, right: str] or [left, right, support: int] "
+                f"entry — corrupted or foreign artifact"
+            )
+        merges.append(tuple(m))
+    if payload.get("n_merges") != len(merges):
+        raise ValueError(
+            f"{path}: n_merges {payload.get('n_merges')} does not match "
+            f"{len(merges)} merge entries"
+        )
+    return merges
+
+
 def bpe_segment(
     docs: DataFrame,
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],

@@ -1166,6 +1166,95 @@ def resume_manifest(
     )
 
 
+def pack_doc_spans(
+    ids_df: DataFrame,
+    seq_len: int = 128,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    ids_col: str = "ids",
+    drop_tail: bool = True,
+) -> DataFrame:
+    """LOSS-MASK SIDECAR for :func:`pack_token_ids` — the per-sequence
+    document-span table a trainer needs to reconstruct attention /
+    loss masks from the packed artifact alone (the r11 verdict's ask:
+    the ``.bin``/``.idx`` pair records WHERE each sequence's tokens
+    live, but drops WHICH document each token came from; cross-document
+    attention masking needs the spans). Reference analog: the
+    metadata-next-to-payload convention of the snapshot engine
+    (`core/storage/engine.py:23-68`).
+
+    The spans are PURE ARITHMETIC over the same layout
+    :func:`pack_token_ids` defines — shard = id mod n_shards, docs
+    concatenated in id order, stream cut into ``seq_len`` windows: a
+    document at within-shard offset ``off`` with ``n`` tokens occupies
+    sequences ``off div L .. (off+n-1) div L``, contributing to
+    sequence ``q`` the slot interval
+    ``[max(off, qL) - qL, min(off+n, (q+1)L) - qL)``. So the whole
+    computation is the SAME keyed prefix-sum window as the packer plus
+    ONE ``sequence()`` explode of O(spans) rows — documents and spans,
+    never tokens, touch the plan (a 100 TB corpus yields ~(n_docs +
+    n_seqs) span rows; the token payload is pruned out entirely).
+
+    ``drop_tail=True`` mirrors ``pack_token_ids(pad_id=None)``: spans
+    falling in a shard's dropped partial tail sequence are dropped
+    (the cut is ``seq_id < shard_total div L`` — one unbounded max
+    window over the same shard partitioning). With ``drop_tail=False``
+    tail spans are kept (the ``pad_id`` packer's shape).
+
+    Output: (shard int, seq_id long, ``id_col`` long, start_slot int,
+    end_slot int) with end exclusive; per (shard, seq_id) the spans of
+    a FULL sequence tile [0, seq_len) exactly — pinned against
+    pack_token_ids in tests and by the pack_spans driver oracle."""
+    from pyspark.sql.window import Window
+
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = ids_df.select(
+        F.col(id_col), shard.alias("shard"), F.size(ids_col).alias("_n")
+    ).withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w), F.lit(0)).cast("long")
+    )
+    wt = Window.partitionBy("shard").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = staged.withColumn(
+        "_tot", F.max(F.col("_off") + F.col("_n")).over(wt).cast("long")
+    )
+    spans = staged.filter(F.col("_n") > 0).select(
+        F.col(id_col),
+        "shard",
+        "_off",
+        "_n",
+        "_tot",
+        F.explode(
+            F.sequence(
+                (F.col("_off") / seq_len).cast("long"),
+                ((F.col("_off") + F.col("_n") - 1) / seq_len).cast("long"),
+            )
+        ).alias("seq_id"),
+    )
+    if drop_tail:
+        spans = spans.filter(
+            F.col("seq_id") < (F.col("_tot") / seq_len).cast("long")
+        )
+    q0 = F.col("seq_id") * seq_len
+    return spans.select(
+        "shard",
+        "seq_id",
+        id_col,
+        (F.greatest(F.col("_off"), q0) - q0).cast("int").alias("start_slot"),
+        (F.least(F.col("_off") + F.col("_n"), q0 + seq_len) - q0)
+        .cast("int")
+        .alias("end_slot"),
+    )
+
+
 def dsir_apply(
     raw_docs: DataFrame,
     log_ratio: "list[float]",

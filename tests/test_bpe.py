@@ -459,3 +459,45 @@ def test_tokenizer_stats_keeps_zero_word_source(spark):
     assert e["n_words"] == 0 and e["n_chars"] == 0 and e["n_subwords"] == 0
     assert e["chars_per_token"] is None and e["fallback_rate"] is None
     assert rows["a"]["n_words"] == 2
+
+
+def test_word_tokenizer_artifact_roundtrip(tmp_path):
+    """Word-tier artifact parity with the byte tier (r12): loaded ==
+    saved for both 2- and 3-tuple merges; format/shape/count
+    validation raises with the path named."""
+    import json
+
+    import pytest as _pytest
+
+    from hnsw_vector_db_spark.operators.bpe import (
+        load_word_tokenizer,
+        save_word_tokenizer,
+    )
+
+    p = str(tmp_path / "tok.json")
+    merges3 = [("t", "h", 40), ("th", "e</w>", 17)]
+    save_word_tokenizer(merges3, p)
+    assert load_word_tokenizer(p) == merges3
+    merges2 = [("a", "b"), ("ab", "c</w>")]
+    save_word_tokenizer(merges2, p)
+    assert load_word_tokenizer(p) == merges2
+
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as fh:
+        json.dump({"format": "byte-bpe-v1", "merges": []}, fh)
+    with _pytest.raises(ValueError, match="word-bpe-v1"):
+        load_word_tokenizer(bad)
+    with open(bad, "w") as fh:
+        json.dump(
+            {"format": "word-bpe-v1", "merges": [["a", 3]], "n_merges": 1},
+            fh,
+        )
+    with _pytest.raises(ValueError, match="merges\\[0\\]"):
+        load_word_tokenizer(bad)
+    with open(bad, "w") as fh:
+        json.dump(
+            {"format": "word-bpe-v1", "merges": [["a", "b"]], "n_merges": 2},
+            fh,
+        )
+    with _pytest.raises(ValueError, match="n_merges"):
+        load_word_tokenizer(bad)

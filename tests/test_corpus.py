@@ -1048,3 +1048,82 @@ def test_epoch_manifests_and_resume(spark):
 
     with _pytest.raises(ValueError, match="n_epochs"):
         epoch_manifests(packed, n_epochs=0)
+
+
+# ---------------------------------------------------------------------------
+# pack_doc_spans: loss-mask sidecar (r12)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_doc_spans_tiles_full_sequences(spark):
+    """Per (shard, seq_id) the spans of a full sequence tile
+    [0, seq_len) exactly: sorted by start, contiguous, covering —
+    and the doc set per sequence matches pack_token_ids' n_docs."""
+    from hnsw_vector_db_spark.operators.corpus import (
+        pack_doc_spans,
+        pack_token_ids,
+    )
+
+    rows = [(d, list(range(d * 100, d * 100 + 3 + (d * 7) % 11)))
+            for d in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, ids array<long>")
+    L = 8
+    packed = {
+        (r["shard"], r["seq_id"]): r["n_docs"]
+        for r in pack_token_ids(df, seq_len=L, n_shards=4).collect()
+    }
+    spans: dict = {}
+    for r in pack_doc_spans(df, seq_len=L, n_shards=4).collect():
+        spans.setdefault((r["shard"], r["seq_id"]), []).append(
+            (r["start_slot"], r["end_slot"], r["doc_id"])
+        )
+    assert set(spans) == set(packed)  # same sequence universe
+    for key, sp in spans.items():
+        sp.sort()
+        assert sp[0][0] == 0
+        assert sp[-1][1] == L
+        for (s1, e1, _), (s2, _e2, _) in zip(sp, sp[1:]):
+            assert e1 == s2, f"gap/overlap in {key}"
+        assert len({d for _, _, d in sp}) == packed[key]
+        # every doc's span routed to its own shard
+        for _, _, d in sp:
+            assert d % 4 == key[0]
+
+
+def test_pack_doc_spans_tail_policy(spark):
+    from hnsw_vector_db_spark.operators.corpus import pack_doc_spans
+
+    # one shard (n_shards=1): docs of 5 + 5 tokens, seq_len 4 ->
+    # stream 10 tokens = seqs 0,1 full + tail seq 2 (2 tokens)
+    df = spark.createDataFrame(
+        [(0, [1, 2, 3, 4, 5]), (1, [6, 7, 8, 9, 10])],
+        "doc_id long, ids array<long>",
+    )
+    dropped = pack_doc_spans(df, seq_len=4, n_shards=1).collect()
+    assert {r["seq_id"] for r in dropped} == {0, 1}
+    kept = pack_doc_spans(
+        df, seq_len=4, n_shards=1, drop_tail=False
+    ).collect()
+    assert {r["seq_id"] for r in kept} == {0, 1, 2}
+    tail = [r for r in kept if r["seq_id"] == 2]
+    assert [(r["doc_id"], r["start_slot"], r["end_slot"]) for r in tail] == [
+        (1, 0, 2)
+    ]
+    # doc 0: [0,4) of seq 0 and [0,1) of seq 1; doc 1: [1,4) of seq 1
+    by = {
+        (r["seq_id"], r["doc_id"]): (r["start_slot"], r["end_slot"])
+        for r in dropped
+    }
+    assert by == {(0, 0): (0, 4), (1, 0): (0, 1), (1, 1): (1, 4)}
+    # empty docs contribute no spans; seq_len validated
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seq_len"):
+        pack_doc_spans(df, seq_len=0)
+    df2 = spark.createDataFrame(
+        [(0, []), (1, [1, 2, 3, 4])], "doc_id long, ids array<long>"
+    )
+    out = pack_doc_spans(df2, seq_len=4, n_shards=1).collect()
+    assert [(r["doc_id"], r["start_slot"], r["end_slot"]) for r in out] == [
+        (1, 0, 4)
+    ]
