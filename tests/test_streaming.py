@@ -551,3 +551,45 @@ def test_streaming_token_shards_generations(spark, tmp_path):
     ).collect()
     for f, blob in blobs.items():
         assert open(f, "rb").read() == blob, f
+
+
+def test_shard_generation_pointer_hadoop_path(spark, tmp_path):
+    """Object-store-parity surface (r12): the _LATEST pointer and the
+    generation listing go through the Hadoop FileSystem API — a
+    file:/// URI out_root (a non-POSIX-path Hadoop URI) round-trips,
+    and a missing pointer falls back to the max listed generation."""
+    from hnsw_vector_db_spark.streaming.shards import (
+        _list_generations,
+        _write_pointer,
+        latest_generation,
+        read_shard_generations,
+        start_streaming_token_shards,
+    )
+
+    rows = [(d, [d, d + 1, d + 2, d + 3]) for d in range(16)]
+    ids_df = spark.createDataFrame(rows, "doc_id long, ids array<long>")
+    src = str(tmp_path / "src")
+    ids_df.coalesce(1).write.parquet(src)
+    out_uri = "file://" + str(tmp_path / "gens")  # Hadoop URI, not a path
+    q = start_streaming_token_shards(
+        spark, src, "doc_id long, ids array<long>", out_uri,
+        str(tmp_path / "ckpt"), seq_len=4, n_shards=2,
+    )
+    q.awaitTermination()
+    assert latest_generation(out_uri, spark) == "gen-00000"
+    assert _list_generations(spark, out_uri) == ["gen-00000"]
+    assert read_shard_generations(spark, out_uri).count() == 16
+    # pointer swap is rename-based: no torn temp file left behind
+    assert not (tmp_path / "gens" / "_LATEST.tmp").exists()
+    assert (tmp_path / "gens" / "_LATEST").read_text() == "gen-00000"
+    # overwrite path: swapping again through the same rename succeeds
+    _write_pointer(spark, out_uri, "gen-00000")
+    assert latest_generation(out_uri, spark) == "gen-00000"
+    # missing-pointer fallback (the object-store copy+delete window):
+    # resolve via the listing instead of failing
+    (tmp_path / "gens" / "_LATEST").unlink()
+    assert latest_generation(out_uri, spark) == "gen-00000"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no _LATEST"):
+        latest_generation("file://" + str(tmp_path / "empty"), spark)
