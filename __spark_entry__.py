@@ -6452,6 +6452,71 @@ WHERE s.seq_id < tot.t // {seq_len}
 """.strip()
 
 
+def q_pack_fit_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSS-MASK SIDECAR for the FFD packer (corpus.pack_fit_spans —
+    pack_spans' twin over pack_best_fit, completing the r11 ask that
+    named BOTH packers): within a bin the slot-ordered pieces
+    concatenate, so each piece's mask interval is a running prefix sum
+    of lengths — ONE keyed window over the packer's own output, no
+    token in the plan. The sidecar is written as parquet and read back
+    (the artifact a trainer mounts next to the FFD bins); ``bin_fill``
+    (= the bin's token count, <= seq_len with the tail being padding —
+    FFD bins are partially full by design) rides along so the mask's
+    pad boundary is in the artifact too. ORACLE: the recursive-CTE FFD
+    replay extended with the same prefix-sum window — a span that
+    drifts off its piece, overlaps a neighbor, or mis-orders within a
+    bin breaks values."""
+    import tempfile
+
+    from hnsw_vector_db_spark.operators import bpe
+    from hnsw_vector_db_spark.operators.corpus import (
+        pack_best_fit,
+        pack_fit_spans,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ids_df, _vocab = bpe.bpe_token_ids(docs, BPE_ENCODE_MERGES)
+    fit = pack_best_fit(ids_df, seq_len=TOKEN_PACK_SEQ_LEN, n_shards=8)
+    spans = pack_fit_spans(fit)
+    work = tempfile.mkdtemp(prefix="pack_fit_spans_")
+    spans.write.parquet(f"{work}/fit_spans")
+    side = spark.read.parquet(f"{work}/fit_spans")
+    wb = Window.partitionBy("shard", "bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return side.select(
+        "shard",
+        "bin",
+        "doc_id",
+        "piece",
+        "start_slot",
+        "end_slot",
+        F.max("end_slot").over(wb).cast("int").alias("bin_fill"),
+    )
+
+
+def _pack_fit_spans_sql(seq_len: int = TOKEN_PACK_SEQ_LEN) -> str:
+    prev = (
+        "coalesce(sum(plen) OVER (PARTITION BY shard, bin ORDER BY slot "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    )
+    return f"""
+WITH RECURSIVE {_token_ids_ctes()},
+{_ffd_replay_ctes(seq_len=seq_len)},
+placed AS (
+  SELECT shard, bin,
+         (row_number() OVER (PARTITION BY shard, bin ORDER BY rk)
+          - 1)::BIGINT AS slot,
+         doc_id, piece::INT AS piece, plen
+  FROM steps WHERE rk >= 1)
+SELECT shard, bin, doc_id, piece,
+       ({prev})::INT AS start_slot,
+       ({prev} + plen)::INT AS end_slot,
+       (sum(plen) OVER (PARTITION BY shard, bin))::INT AS bin_fill
+FROM placed
+""".strip()
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING (Sennrich et al. ACL'16) in pure Spark
     expressions (operators/bpe.py): corpus -> distinct-word frequency
@@ -7301,8 +7366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round first. r12: new entries first (rank_epoch_read —
     # rank-blocked epoch manifest composed with listing-level pruning;
     # epoch_resume — multi-epoch manifests + deterministic resume;
-    # pack_spans — loss-mask sidecar read-back; tokenizer_artifact_word —
-    # word-tier artifact parity; minhash_native — xxhash64
+    # pack_spans / pack_fit_spans — loss-mask sidecars for BOTH packers,
+    # read back from disk; tokenizer_artifact_word — word-tier artifact
+    # parity; minhash_native — xxhash64
     # production-hash survivor parity), then entries whose code changed
     # this round: shard_rank_read (pruned_ok expectation now derived
     # from the writer's manifest — the r11 ADVICE fix),
@@ -7320,6 +7386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_epoch_read": q_rank_epoch_read,
         "epoch_resume": q_epoch_resume,
         "pack_spans": q_pack_spans,
+        "pack_fit_spans": q_pack_fit_spans,
         "tokenizer_artifact_word": q_tokenizer_artifact_word,
         "minhash_native": q_minhash_native,
         # -- changed in r12: pruned_ok derived from writer manifest ----------
@@ -7383,11 +7450,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "wet_scan": q_wet_scan,
         "tpch_q4": q_tpch_q4,
+        # ---- position > 50 (r12 marker: the seven r12-front entries
+        # pushed tpch_q15/pipeline_crawl/tpch_q7/q8/q9 past the window;
+        # all are r11-driver-green with unchanged code and
+        # test_oracle_parity-pinned at sf0.001) ------------------------------
         "tpch_q15": q_tpch_q15,
-        # ---- position > 50 (r12 marker: the six r12-front entries
-        # pushed pipeline_crawl/tpch_q7/q8/q9 past the window; all are
-        # r11-driver-green with unchanged code and test_oracle_parity-
-        # pinned at sf0.001) ------------------------------------------------
         "pipeline_crawl": q_pipeline_crawl,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
@@ -8984,6 +9051,7 @@ GROUP BY t.doc_id
     sql["rank_epoch_read"] = _rank_epoch_read_sql()
     sql["epoch_resume"] = _epoch_resume_sql()
     sql["pack_spans"] = _pack_spans_sql()
+    sql["pack_fit_spans"] = _pack_fit_spans_sql()
     sql["tokenizer_artifact_word"] = _tokenizer_artifact_word_sql(24)
     sql["minhash_native"] = _minhash_native_sql()
     # -- r11 entries ---------------------------------------------------------

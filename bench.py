@@ -251,6 +251,17 @@ GROUPS: dict[str, list[str]] = {
         "shard_rank_read",
         "recipe_epoch_reader",
     ],
+    # r12: rank-blocked manifest + pruned read, multi-epoch resume,
+    # loss-mask sidecar round trip, word-tier artifact, xxhash64
+    # production-hash parity
+    "r12_new": [
+        "rank_epoch_read",
+        "epoch_resume",
+        "pack_spans",
+        "pack_fit_spans",
+        "tokenizer_artifact_word",
+        "minhash_native",
+    ],
 }
 
 

@@ -1127,3 +1127,74 @@ def test_pack_doc_spans_tail_policy(spark):
     assert [(r["doc_id"], r["start_slot"], r["end_slot"]) for r in out] == [
         (1, 0, 4)
     ]
+
+
+def test_pack_fit_spans_tile_bins_and_conserve_docs(spark):
+    """FFD sidecar (r12): within each (shard, bin) the spans tile
+    [0, fill) contiguously in slot order with fill <= seq_len, and
+    across bins each document's spans conserve its full token count
+    (no token unmasked, none double-masked)."""
+    from hnsw_vector_db_spark.operators.corpus import (
+        pack_best_fit,
+        pack_fit_spans,
+    )
+
+    rows = [(d, list(range(3 + (d * 11) % 40))) for d in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, ids array<long>")
+    L = 16
+    fit = pack_best_fit(df, seq_len=L, n_shards=4).cache()
+    spans = pack_fit_spans(fit).collect()
+    by_bin: dict = {}
+    for r in spans:
+        by_bin.setdefault((r["shard"], r["bin"]), []).append(
+            (r["start_slot"], r["end_slot"], r["doc_id"], r["piece"])
+        )
+    for key, sp in by_bin.items():
+        sp.sort()
+        assert sp[0][0] == 0
+        assert sp[-1][1] <= L
+        for (s1, e1, *_), (s2, *_rest) in zip(sp, sp[1:]):
+            assert e1 == s2, f"gap/overlap in bin {key}"
+    # conservation: per doc, sum of span lengths == token count
+    got = {}
+    for r in spans:
+        got[r["doc_id"]] = got.get(r["doc_id"], 0) + (
+            r["end_slot"] - r["start_slot"]
+        )
+    assert got == {d: len(ids) for d, ids in rows if ids}
+    # span grain matches the packer's piece grain exactly
+    assert len(spans) == fit.count()
+    fit.unpersist()
+
+
+def test_resume_composes_with_rank_blocking(spark):
+    """A data-parallel rank resumes ITS OWN stream: filtering the
+    multi-epoch rank-blocked manifests to rank r and applying
+    resume_manifest yields exactly the tail of rank r's uninterrupted
+    (epoch, global_pos) stream — global_pos = rank_pos*W + rank is
+    monotone in rank_pos, so one global cursor addresses every rank's
+    local order consistently."""
+    from pyspark.sql import functions as F
+
+    from hnsw_vector_db_spark.operators.corpus import (
+        epoch_manifests,
+        resume_manifest,
+    )
+
+    packed = _packed_fixture(spark)
+    mans = epoch_manifests(
+        packed, n_epochs=2, n_shards=4, world_size=2
+    ).cache()
+    mine = mans.filter(F.col("rank") == 1)
+    full = sorted(
+        ((r["epoch"], r["global_pos"]), (r["shard"], r["seq_id"]))
+        for r in mine.collect()
+    )
+    cut = full[len(full) // 3][0]
+    resumed = sorted(
+        ((r["epoch"], r["global_pos"]), (r["shard"], r["seq_id"]))
+        for r in resume_manifest(mine, epoch=cut[0], global_pos=cut[1])
+        .collect()
+    )
+    assert resumed == full[len(full) // 3:]
+    mans.unpersist()
