@@ -253,7 +253,7 @@ GROUPS: dict[str, list[str]] = {
     ],
     # r12: rank-blocked manifest + pruned read, multi-epoch resume,
     # loss-mask sidecar round trip, word-tier artifact, xxhash64
-    # production-hash parity
+    # production-hash parity, takedown without a rewrite (drop + mask)
     "r12_new": [
         "rank_epoch_read",
         "epoch_resume",
@@ -261,6 +261,8 @@ GROUPS: dict[str, list[str]] = {
         "pack_fit_spans",
         "tokenizer_artifact_word",
         "minhash_native",
+        "manifest_retract",
+        "retract_spans",
     ],
 }
 

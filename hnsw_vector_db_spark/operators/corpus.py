@@ -1288,6 +1288,72 @@ def pack_fit_spans(fit: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def retract_spans(
+    spans: DataFrame,
+    retract: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MASK-MODE TAKEDOWN over a span sidecar: the sidecar rows whose
+    document is retracted — exactly the ``[start_slot, end_slot)``
+    intervals a trainer zeroes in its loss mask so a removed document
+    stops contributing gradient WITHOUT touching the immutable
+    ``.bin``/``.idx`` artifact (the mask is metadata; the bytes never
+    move). Reference analog: the tombstone path of the vector store's
+    delete (`core/hnsw/graph.py` marks, never compacts) — removal as a
+    metadata overlay on an immutable payload.
+
+    Scale shape: takedown lists are tiny relative to the corpus
+    (thousands of ids against billions of docs), so the retract side is
+    BROADCAST — the spans scan never shuffles, and Catalyst prunes the
+    sidecar columns it doesn't need. For bulk removals large enough to
+    matter storage-wise, repack instead (this is the surgical path).
+
+    Input ``spans`` is :func:`pack_doc_spans` (cut packer) or
+    :func:`pack_fit_spans` (FFD packer) output; ``retract`` any
+    DataFrame with an ``id_col`` column (extra columns ignored,
+    duplicates and unknown ids harmless). Output: the matching span
+    rows, schema unchanged."""
+    ids = retract.select(id_col).distinct()
+    return spans.join(F.broadcast(ids), id_col, "semi")
+
+
+def retract_manifest(
+    manifests: DataFrame,
+    spans: DataFrame,
+    retract: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DROP-MODE TAKEDOWN over epoch manifests: remove every sequence
+    that CONTAINS a retracted document from the training order, leaving
+    shards and every other manifest row untouched — the O(manifest +
+    spans) form of "delete these documents from the next run" that the
+    manifest architecture exists to enable (the alternative is a full
+    O(tokens) re-pack + re-write of the binary artifact; BASELINE.md
+    r12 measures the gap). Positions are NOT re-dealt: surviving rows
+    keep their ``global_pos``, so retraction leaves gaps in the epoch
+    order exactly like a skipped batch — deterministic, and a resume
+    cursor taken before the retraction stays valid.
+
+    The hit set (distinct (shard, seq_id) containing a retracted doc)
+    comes from the span sidecar via :func:`retract_spans` and is
+    BROADCAST into an anti-join against the manifest scan — a takedown
+    of t docs touches ~t·E manifest rows' worth of work, never the
+    token payload. Works on single-epoch :func:`epoch_manifest` output,
+    multi-epoch :func:`epoch_manifests`, and rank-blocked
+    :func:`rank_epoch_manifest` manifests alike (the join key is
+    (shard, seq_id); epoch/rank columns pass through).
+
+    Dropping whole sequences over-removes up to seq_len-1 neighbor
+    tokens per hit; when that loss matters, use :func:`retract_spans`
+    to mask instead of drop."""
+    hits = (
+        retract_spans(spans, retract, id_col=id_col)
+        .select("shard", "seq_id")
+        .distinct()
+    )
+    return manifests.join(F.broadcast(hits), ["shard", "seq_id"], "anti")
+
+
 def dsir_apply(
     raw_docs: DataFrame,
     log_ratio: "list[float]",

@@ -1198,3 +1198,115 @@ def test_resume_composes_with_rank_blocking(spark):
     )
     assert resumed == full[len(full) // 3:]
     mans.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# retract_spans / retract_manifest: takedown without a rewrite (r12)
+# ---------------------------------------------------------------------------
+
+
+def _spans_fixture(spark):
+    """Tiny ids_df whose pack layout is hand-checkable: shard 0 holds
+    docs 0 (3 tokens) and 2 (5 tokens), shard 1 holds docs 1 (4) and
+    3 (4); seq_len 4 gives shard 0 sequences [d0 d0 d0 d2][d2 d2 d2 d2]
+    and shard 1 [d1 d1 d1 d1][d3 d3 d3 d3]."""
+    rows = [
+        (0, list(range(3))),
+        (1, list(range(4))),
+        (2, list(range(5))),
+        (3, list(range(4))),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, ids array<int>")
+
+
+def test_retract_spans_selects_exactly_the_retracted_docs(spark):
+    from hnsw_vector_db_spark.operators.corpus import (
+        pack_doc_spans,
+        retract_spans,
+    )
+
+    ids_df = _spans_fixture(spark)
+    spans = pack_doc_spans(ids_df, seq_len=4, n_shards=2)
+    retract = spark.createDataFrame([(2,), (3,), (99,)], "doc_id long")
+    out = retract_spans(spans, retract).collect()
+    # only docs 2 and 3 (99 is unknown -> ignored); every span of each
+    assert sorted({r["doc_id"] for r in out}) == [2, 3]
+    got = sorted(
+        (r["shard"], r["seq_id"], r["doc_id"], r["start_slot"], r["end_slot"])
+        for r in out
+    )
+    assert got == [
+        (0, 0, 2, 3, 4),   # doc 2's first token tops off sequence 0
+        (0, 1, 2, 0, 4),   # ...and fills sequence 1
+        (1, 1, 3, 0, 4),   # doc 3 fills shard 1's sequence 1
+    ]
+    # duplicates in the retract list change nothing
+    dup = spark.createDataFrame([(2,), (2,), (3,)], "doc_id long")
+    assert sorted(
+        (r["shard"], r["seq_id"], r["doc_id"], r["start_slot"], r["end_slot"])
+        for r in retract_spans(spans, dup).collect()
+    ) == got
+
+
+def test_retract_manifest_drops_hit_sequences_only(spark):
+    from pyspark.sql import functions as F
+
+    from hnsw_vector_db_spark.operators.corpus import (
+        epoch_manifests,
+        pack_doc_spans,
+        pack_token_ids,
+        retract_manifest,
+        retract_spans,
+    )
+
+    ids_df = _spans_fixture(spark)
+    packed = pack_token_ids(ids_df, seq_len=4, n_shards=2)
+    spans = pack_doc_spans(ids_df, seq_len=4, n_shards=2)
+    mans = epoch_manifests(packed, n_epochs=2, n_shards=2).cache()
+    retract = spark.createDataFrame([(0,)], "doc_id long")
+    kept = retract_manifest(mans, spans, retract).collect()
+    # doc 0 lives only in (shard 0, seq 0); both epochs lose exactly it
+    assert sorted((r["epoch"], r["shard"], r["seq_id"]) for r in kept) == [
+        (1, 0, 1), (1, 1, 0), (1, 1, 1),
+        (2, 0, 1), (2, 1, 0), (2, 1, 1),
+    ]
+    # surviving rows keep their original global_pos (gaps, not a re-deal)
+    orig = {
+        (r["epoch"], r["shard"], r["seq_id"]): r["global_pos"]
+        for r in mans.collect()
+    }
+    for r in kept:
+        assert r["global_pos"] == orig[(r["epoch"], r["shard"], r["seq_id"])]
+    # consistency with mask mode: dropped sequences == distinct hit keys
+    hit = {
+        (r["shard"], r["seq_id"])
+        for r in retract_spans(spans, retract).collect()
+    }
+    dropped = {
+        (r["epoch"], r["shard"], r["seq_id"]) for r in mans.collect()
+    } - {(r["epoch"], r["shard"], r["seq_id"]) for r in kept}
+    assert dropped == {(e, s, q) for e in (1, 2) for (s, q) in hit}
+    # empty retraction is the identity
+    none = spark.createDataFrame([], "doc_id long")
+    assert retract_manifest(mans, spans, none).count() == mans.count()
+    mans.unpersist()
+
+
+def test_rank_manifest_elastic_world_size_coverage(spark):
+    """Elasticity: re-generating rank-blocked manifests at a NEW world
+    size covers the identical sequence set with injective global_pos —
+    an epoch-boundary restart under more (or fewer) ranks replays the
+    same data, only re-blocked."""
+    from hnsw_vector_db_spark.operators.corpus import rank_epoch_manifest
+
+    packed = _packed_fixture(spark)  # shards 0..3, 10 seqs each
+    base = {(s, q) for s in range(4) for q in range(10)}
+    for world in (1, 3, 5):
+        out = rank_epoch_manifest(
+            packed, epoch=7, n_shards=4, world_size=world
+        ).collect()
+        assert {(r["shard"], r["seq_id"]) for r in out} == base
+        gp = [r["global_pos"] for r in out]
+        assert len(set(gp)) == len(gp)  # injective global order
+        for r in out:  # ownership rule holds at every world size
+            assert r["rank"] == r["shard"] % world

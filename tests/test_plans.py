@@ -524,3 +524,34 @@ def test_epoch_manifest_prunes_token_payload(spark):
         if "Exchange" in ln and "Broadcast" not in ln
     ]
     assert len(exchanges) == 2, plan
+
+
+def test_retraction_joins_stay_broadcast(spark):
+    """PLANS.md r12: takedown lists are tiny by contract, so BOTH
+    retraction modes must plan as broadcast joins over the big scans —
+    a LeftSemi over the sidecar (mask mode) and a LeftAnti over the
+    manifests (drop mode), with no sort-merge join anywhere: the
+    retraction itself never shuffles the artifact-sized side."""
+    from hnsw_vector_db_spark.operators.corpus import (
+        epoch_manifests,
+        pack_doc_spans,
+        pack_token_ids,
+        retract_manifest,
+        retract_spans,
+    )
+    from hnsw_vector_db_spark.plans.explain import physical_plan
+
+    ids_df = spark.createDataFrame(
+        [(i, list(range(20))) for i in range(40)],
+        "doc_id long, ids array<long>",
+    )
+    spans = pack_doc_spans(ids_df, seq_len=8, n_shards=4)
+    retract = spark.createDataFrame([(3,), (17,)], "doc_id long")
+    mask_plan = physical_plan(retract_spans(spans, retract))
+    assert "BroadcastHashJoin" in mask_plan and "LeftSemi" in mask_plan
+    assert "SortMergeJoin" not in mask_plan, mask_plan
+    packed = pack_token_ids(ids_df, seq_len=8, n_shards=4)
+    mans = epoch_manifests(packed, n_epochs=2, n_shards=4)
+    drop_plan = physical_plan(retract_manifest(mans, spans, retract))
+    assert "BroadcastHashJoin" in drop_plan and "LeftAnti" in drop_plan
+    assert "SortMergeJoin" not in drop_plan, drop_plan
