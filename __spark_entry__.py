@@ -6711,6 +6711,135 @@ FROM hit
 """.strip()
 
 
+def q_masked_epoch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASKED EPOCH READ — the r12 capstone composing EVERY artifact
+    the round built: the trainer's epoch-1 stream with takedown masks
+    APPLIED to the decoded tokens, derived from the on-disk artifacts
+    ALONE (binary shards + span sidecar + epoch manifest + retract
+    list; the raw corpus never re-enters after the build). The entry
+    writes the three artifacts, retracts doc_id % 37 == 0, reads the
+    unmoved bytes back through the manifest, aggregates the retracted
+    sidecar intervals per sequence, and substitutes the sentinel -1
+    into every masked slot with ONE codegen transform+exists over the
+    token array — no UDF, no shuffle beyond the reader join.
+    ``masked_hash`` folds the POST-MASK stream, so the driver hash
+    proves mask placement token-by-token; ``n_masked`` cross-checks
+    interval widths. ORACLE independence: DuckDB derives the mask from
+    the RAW token→document map (replaying pack + re-deal + the CASE on
+    doc ownership), never from the sidecar — a span drifted off its
+    document, a leaked neighbor slot, or a miscounted interval breaks
+    the hash even when `retract_spans`' own oracle would pass.
+    Trainer semantics note: -1 is the conventional ignore-index; real
+    loss masking keeps tokens and zeroes loss, which is the same
+    interval metadata — the substitution makes placement hashable."""
+    import tempfile
+
+    from hnsw_vector_db_spark.operators import bpe, corpus
+    from hnsw_vector_db_spark.operators.corpus import (
+        pack_doc_spans,
+        pack_token_ids,
+    )
+    from hnsw_vector_db_spark.sources.token_shards import (
+        read_token_shards,
+        write_token_shards,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ids_df, _vocab = bpe.bpe_token_ids(docs, BPE_ENCODE_MERGES)
+    ids_df = ids_df.localCheckpoint()  # two consumers: packer + sidecar
+    packed = pack_token_ids(
+        ids_df, seq_len=TOKEN_PACK_SEQ_LEN, n_shards=8
+    ).localCheckpoint()
+    work = tempfile.mkdtemp(prefix="masked_epoch_")
+    write_token_shards(
+        packed.withColumn("_sid", F.col("seq_id") * 8 + F.col("shard")),
+        f"{work}/shards",
+        id_col="_sid",
+        ids_col="ids",
+        n_shards=8,
+    ).collect()
+    pack_doc_spans(
+        ids_df, seq_len=TOKEN_PACK_SEQ_LEN, n_shards=8
+    ).write.parquet(f"{work}/doc_spans")
+    corpus.epoch_manifest(packed, epoch=1, n_shards=8).write.parquet(
+        f"{work}/manifest/epoch-00001"
+    )
+    side = spark.read.parquet(f"{work}/doc_spans")
+    manifest = spark.read.parquet(f"{work}/manifest/epoch-00001")
+    retract = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id")
+    mask = (
+        corpus.retract_spans(side, retract)
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.collect_list(
+                F.array("start_slot", "end_slot")
+            ).alias("_mspans")
+        )
+    )
+    back = read_token_shards(spark, f"{work}/shards").select(
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        (F.col("doc_id") / 8).cast("long").alias("seq_id"),
+        "ids",
+    )
+    joined = (
+        back.join(manifest, ["shard", "seq_id"])
+        .join(mask, ["shard", "seq_id"], "left")
+        .withColumn(
+            "_ms",
+            F.coalesce(F.col("_mspans"), F.array().cast("array<array<int>>")),
+        )
+    )
+    masked_ids = F.transform(
+        F.col("ids"),
+        lambda x, i: F.when(
+            F.exists(
+                F.col("_ms"), lambda s: (i >= s[0]) & (i < s[1])
+            ),
+            F.lit(-1).cast("long"),
+        ).otherwise(x.cast("long")),
+    )
+    n_masked = F.aggregate(
+        F.col("_ms"),
+        F.lit(0),
+        lambda a, s: a + (s[1] - s[0]),
+    )
+    return joined.select(
+        F.col("epoch").cast("int").alias("epoch"),
+        "global_pos",
+        "shard",
+        "seq_id",
+        n_masked.cast("int").alias("n_masked"),
+        _id_hash_col(masked_ids).alias("masked_hash"),
+    )
+
+
+def _masked_epoch_read_sql(seq_len: int = TOKEN_PACK_SEQ_LEN) -> str:
+    key = _poly_sql("shard::VARCHAR || '#' || seq_id::VARCHAR || '#epoch1'")
+    return f"""
+WITH {_pack_ctes(seq_len=seq_len)},
+masked AS (
+  SELECT shard, seq_id,
+         list(CASE WHEN doc_id % 37 = 0 THEN -1::BIGINT
+                   ELSE tok::BIGINT END ORDER BY slot) AS ids,
+         sum(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END)::INT
+           AS n_masked
+  FROM seqs GROUP BY shard, seq_id),
+keyed AS (
+  SELECT shard, seq_id, ({key}) AS ek
+  FROM g WHERE n_tokens = {seq_len}),
+e1 AS (
+  SELECT 1 AS epoch,
+         ((row_number() OVER (PARTITION BY ek % 8
+                              ORDER BY ek, shard, seq_id) - 1) * 8
+          + ek % 8)::BIGINT AS global_pos,
+         shard, seq_id
+  FROM keyed)
+SELECT e1.epoch, e1.global_pos, e1.shard, e1.seq_id, m.n_masked,
+       {_ID_HASH_SQL} AS masked_hash
+FROM e1 JOIN masked m ON m.shard = e1.shard AND m.seq_id = e1.seq_id
+""".strip()
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING (Sennrich et al. ACL'16) in pure Spark
     expressions (operators/bpe.py): corpus -> distinct-word frequency
@@ -7557,7 +7686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is a verification budget: the driver's correctness gate
     # checks the first 50 entries per round (empirical, r1-r11). Each
     # round the front 50 rotate: new entries + entries whose code changed
-    # this round first. r12: new entries first (manifest_retract /
+    # this round first. r12: new entries first (masked_epoch_read — the
+    # capstone: the epoch stream with takedown masks applied to the
+    # decoded tokens, from artifacts alone; manifest_retract /
     # retract_spans — takedown without a rewrite: drop-mode manifest
     # filtering and mask-mode span selection over the immutable
     # artifacts; rank_epoch_read —
@@ -7580,6 +7711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_entry.py::test_oracle_parity.
     return {
         # -- NEW in r12 (front of the driver's 50-entry window) --------------
+        "masked_epoch_read": q_masked_epoch_read,
         "manifest_retract": q_manifest_retract,
         "retract_spans": q_retract_spans,
         "rank_epoch_read": q_rank_epoch_read,
@@ -9247,6 +9379,7 @@ GROUP BY t.doc_id
     sql["bpe_train"] = _bpe_train_sql(24)
     sql["tokenizer_stats"] = _tokenizer_stats_sql()
     # -- r12 entries ---------------------------------------------------------
+    sql["masked_epoch_read"] = _masked_epoch_read_sql()
     sql["manifest_retract"] = _manifest_retract_sql()
     sql["retract_spans"] = _retract_spans_sql()
     sql["rank_epoch_read"] = _rank_epoch_read_sql()

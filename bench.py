@@ -263,6 +263,7 @@ GROUPS: dict[str, list[str]] = {
         "minhash_native",
         "manifest_retract",
         "retract_spans",
+        "masked_epoch_read",
     ],
 }
 

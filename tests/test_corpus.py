@@ -1310,3 +1310,38 @@ def test_rank_manifest_elastic_world_size_coverage(spark):
         assert len(set(gp)) == len(gp)  # injective global order
         for r in out:  # ownership rule holds at every world size
             assert r["rank"] == r["shard"] % world
+
+
+def test_retract_manifest_composes_with_rank_blocking(spark):
+    """Drop-mode takedown is key-generic: applied to RANK-BLOCKED
+    manifests it removes the hit sequences from every rank's stream
+    while preserving rank ownership, each survivor's rank_pos, and the
+    round-robin global order — a rank's dataloader needs no new code
+    path after a takedown."""
+    from hnsw_vector_db_spark.operators.corpus import (
+        pack_doc_spans,
+        pack_token_ids,
+        rank_epoch_manifest,
+        retract_manifest,
+    )
+
+    ids_df = _spans_fixture(spark)
+    packed = pack_token_ids(ids_df, seq_len=4, n_shards=2)
+    spans = pack_doc_spans(ids_df, seq_len=4, n_shards=2)
+    mans = rank_epoch_manifest(
+        packed, epoch=3, n_shards=2, world_size=2
+    ).cache()
+    retract = spark.createDataFrame([(1,)], "doc_id long")  # shard 1, seq 0
+    kept = retract_manifest(mans, spans, retract).collect()
+    orig = {
+        (r["shard"], r["seq_id"]): (r["rank"], r["rank_pos"], r["global_pos"])
+        for r in mans.collect()
+    }
+    # exactly the hit sequence is gone; everything else is bit-identical
+    assert {(r["shard"], r["seq_id"]) for r in kept} == set(orig) - {(1, 0)}
+    for r in kept:
+        assert (r["rank"], r["rank_pos"], r["global_pos"]) == orig[
+            (r["shard"], r["seq_id"])
+        ]
+        assert r["rank"] == r["shard"] % 2  # ownership untouched
+    mans.unpersist()
