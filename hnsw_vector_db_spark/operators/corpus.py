@@ -1006,6 +1006,7 @@ def rank_epoch_manifest(
     shard_col: str = "shard",
     seq_col: str = "seq_id",
     salt: str = "epoch",
+    gen_col: str | None = None,
 ) -> DataFrame:
     """RANK-BLOCKED epoch manifest — :func:`epoch_manifest` for a
     data-parallel trainer of ``world_size`` ranks, composed with
@@ -1041,16 +1042,33 @@ def rank_epoch_manifest(
     resume cursor addresses). Both are pure functions of
     (identity, epoch, salt) — never of physical layout.
 
+    GENERATIONS (``gen_col``): a continuously-ingested corpus is a
+    sequence of immutable shard GENERATIONS
+    (:mod:`~hnsw_vector_db_spark.streaming.shards` — every generation
+    repeats shard ids 0..n_shards-1), so sequence identity is
+    (generation, shard, seq_id). Pass the generation column name and
+    it folds into the hash key and rides through the output; rank
+    ownership stays ``shard % world_size`` — gen-INDEPENDENT, so rank
+    ``r`` reads ``gen-*/shard-s`` for its own ``s`` only and
+    listing-level pruning survives corpus growth (a new generation
+    adds files to every rank's glob, never a foreign shard id). With
+    ``gen_col=None`` the key expression is byte-identical to before
+    (single-generation manifests are unchanged).
+
     Output: (epoch int, rank int, rank_pos long, global_pos long,
-    shard, seq_id), one row per input sequence."""
+    [gen_col,] shard, seq_id), one row per input sequence."""
     from pyspark.sql.window import Window
 
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     if world_size < 1:
         raise ValueError(f"world_size must be >= 1, got {world_size}")
+    key_parts = (
+        [F.col(gen_col).cast("string"), F.lit("#")] if gen_col else []
+    )
     key = poly_hash(
         F.concat(
+            *key_parts,
             F.col(shard_col).cast("string"),
             F.lit("#"),
             F.col(seq_col).cast("string"),
@@ -1064,8 +1082,9 @@ def rank_epoch_manifest(
     m_r = (
         (F.lit(n_shards - 1) - F.col("rank")) / F.lit(world_size)
     ).cast("long") + F.lit(1)
+    id_cols = ([gen_col] if gen_col else []) + [shard_col, seq_col]
     staged = (
-        packed.select(shard_col, seq_col)
+        packed.select(*id_cols)
         .withColumn("rank", rank)
         .withColumn("_m", m_r)
         .withColumn("_ek", key)
@@ -1074,7 +1093,7 @@ def rank_epoch_manifest(
         )
     )
     w = Window.partitionBy("rank", "new_local").orderBy(
-        "_ek", F.col(shard_col), F.col(seq_col)
+        "_ek", *[F.col(c) for c in id_cols]
     )
     out = staged.withColumn(
         "rank_pos",
@@ -1088,8 +1107,7 @@ def rank_epoch_manifest(
         (F.col("rank_pos") * world_size + F.col("rank"))
         .cast("long")
         .alias("global_pos"),
-        shard_col,
-        seq_col,
+        *id_cols,
     )
 
 

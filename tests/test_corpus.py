@@ -1345,3 +1345,48 @@ def test_retract_manifest_composes_with_rank_blocking(spark):
         ]
         assert r["rank"] == r["shard"] % 2  # ownership untouched
     mans.unpersist()
+
+
+def test_rank_epoch_manifest_generation_identity(spark):
+    """gen_col folds the generation into sequence identity: two
+    generations that repeat the SAME (shard, seq_id) pairs get
+    distinct, collision-free positions; rank ownership stays
+    shard % world_size independent of generation; and the whole
+    manifest is deterministic."""
+    from hnsw_vector_db_spark.operators.corpus import rank_epoch_manifest
+
+    rows = [
+        (g, s, q) for g in range(2) for s in range(4) for q in range(5)
+    ]
+    packed = spark.createDataFrame(rows, "gen int, shard int, seq_id long")
+    out = rank_epoch_manifest(
+        packed, epoch=5, n_shards=4, world_size=2, gen_col="gen"
+    ).collect()
+    # full coverage of (gen, shard, seq_id), exactly once
+    assert sorted((r["gen"], r["shard"], r["seq_id"]) for r in out) == rows
+    # gen-independent ownership + per-rank injective local order
+    by_rank: dict[int, list[int]] = {}
+    for r in out:
+        assert r["rank"] == r["shard"] % 2
+        by_rank.setdefault(r["rank"], []).append(r["rank_pos"])
+    for ps in by_rank.values():
+        assert len(set(ps)) == len(ps)
+    # global_pos injective across everything
+    gp = [r["global_pos"] for r in out]
+    assert len(set(gp)) == len(gp)
+    # deterministic
+    out2 = rank_epoch_manifest(
+        packed, epoch=5, n_shards=4, world_size=2, gen_col="gen"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # the two generations are re-dealt independently of each other:
+    # restricting the input to one generation reproduces that
+    # generation's keys' new_local assignment is hash-driven, so just
+    # pin that identical (shard, seq_id) pairs in different gens do
+    # NOT share positions (the collision the gen-blind key would have)
+    pos = {}
+    for r in out:
+        pos.setdefault((r["shard"], r["seq_id"]), set()).add(
+            (r["rank_pos"],)
+        )
+    assert any(len(v) == 2 for v in pos.values())
