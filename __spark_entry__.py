@@ -16,7 +16,12 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hnsw_vector_db_spark.functions.text import HASH_MOD, minhash_params, poly_hash
+from hnsw_vector_db_spark.functions.text import (
+    HASH_MOD,
+    minhash_params,
+    poly_hash,
+    poly_hash_bulk,
+)
 from hnsw_vector_db_spark.operators import dedup, events, relational, similarity, table, text_analysis
 from hnsw_vector_db_spark.operators.knn import knn_batch, knn_point
 from hnsw_vector_db_spark.operators.stats import group_stats, index_stats
@@ -4617,7 +4622,7 @@ def q_bpe_bytes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.octet_length("text").alias("n_bytes"),
-            poly_hash(F.col("text")).alias("round_hash"),
+            poly_hash_bulk(F.col("text")).alias("round_hash"),
             (F.col("text") == F.col("_orig")).alias("lossless"),
             (F.col("_nt") <= F.octet_length("text")).alias("compact"),
         )
@@ -4665,7 +4670,7 @@ def q_tokenizer_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.join(orig, "doc_id").select(
         "doc_id",
         F.octet_length("text").alias("n_bytes"),
-        poly_hash(F.col("text")).alias("round_hash"),
+        poly_hash_bulk(F.col("text")).alias("round_hash"),
         (F.col("text") == F.col("_orig")).alias("lossless"),
         F.lit(merges_match).alias("merges_match"),
     )
@@ -5047,7 +5052,28 @@ def _id_hash_col(ids: "Column | str" = "ids"):
     """Spark twin of :data:`_ID_HASH_SQL` — the token-stream fold
     (a*131 + x + 1) % HASH_MOD every shard/sequence entry hashes with.
     ONE definition on each side: change this and the SQL constant
-    together or entry/oracle parity breaks silently."""
+    together or entry/oracle parity breaks silently.
+
+    r12 optimization: computed by the Arrow-vectorized NumPy fold
+    (guide §4.2) instead of an interpreted higher-order ``aggregate``
+    — value-identical by construction (same integer recurrence, same
+    empty->0 / NULL->NULL semantics; equivalence pinned in
+    tests/test_text.py), and every call site is a top-level projection
+    so the pandas UDF substitutes directly. Sites whose input array is
+    ITSELF a lambda expression (masked_epoch_read, pack_best_fit_bins)
+    use :func:`_id_hash_col_expr` — a pandas UDF argument cannot carry
+    lambda variables (ExtractPythonUDFs re-inlines through projections,
+    so staging does not help)."""
+    from hnsw_vector_db_spark.functions.text import poly_fold_ids_bulk
+
+    c = F.col(ids) if isinstance(ids, str) else ids
+    return poly_fold_ids_bulk(c)
+
+
+def _id_hash_col_expr(ids: "Column | str" = "ids"):
+    """The same token-stream fold as :func:`_id_hash_col`, as a pure
+    Column expression (interpreted HOF) — for inputs built from lambda
+    expressions, which the Arrow UDF form cannot accept."""
     c = F.col(ids) if isinstance(ids, str) else ids
     return F.aggregate(
         c,
@@ -5593,7 +5619,7 @@ def q_pipeline_recipe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "shard",
             F.octet_length("text").alias("n_bytes"),
-            poly_hash(F.col("text")).alias("round_hash"),
+            poly_hash_bulk(F.col("text")).alias("round_hash"),
             (F.col("text") == F.col("_orig")).alias("lossless"),
             F.lit(artifact_ok).alias("artifact_ok"),
             F.col("_pok").alias("pack_ok"),
@@ -5646,7 +5672,6 @@ def q_pack_best_fit_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("_ids", F.col("piece") * sl + 1, sl).alias("pids"),
     )
     bin_ids = F.flatten(F.transform(F.col("_sp"), lambda x: x["pids"]))
-    bin_hash = _id_hash_col(bin_ids)
     return (
         asg.join(pieces, ["doc_id", "piece"])
         .groupBy("shard", "bin")
@@ -5658,7 +5683,13 @@ def q_pack_best_fit_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_sp"),
         )
         .select(
-            "shard", "bin", "n_tokens", "n_docs", bin_hash.alias("bin_hash")
+            "shard",
+            "bin",
+            "n_tokens",
+            "n_docs",
+            # expression-form hash: the input is lambda-built (see
+            # _id_hash_col docstring)
+            _id_hash_col_expr(bin_ids).alias("bin_hash"),
         )
     )
 
@@ -6954,7 +6985,9 @@ def q_masked_epoch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         "seq_id",
         n_masked.cast("int").alias("n_masked"),
-        _id_hash_col(masked_ids).alias("masked_hash"),
+        # expression-form hash: the input is lambda-built (see
+        # _id_hash_col docstring)
+        _id_hash_col_expr(masked_ids).alias("masked_hash"),
     )
 
 
@@ -7589,8 +7622,14 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hnsw_vector_db_spark.streaming.stateful import stream_sessionize
 
     ev = _events(spark, sf_dir).select("user_id", "ts", "value")
-    cut = ev.agg(F.expr("percentile(cast(ts as double), 0.5)")).collect()[0][0]
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # one setup job, not two: the median cut and max watermark sentinel
+    # come from the same aggregate scan (r12, guide §1.2 — don't pay a
+    # second full pass for a second scalar)
+    _cut_row = ev.agg(
+        F.expr("percentile(cast(ts as double), 0.5)").alias("_cut"),
+        F.max("ts").alias("_mx"),
+    ).collect()[0]
+    cut, max_ts = _cut_row["_cut"], _cut_row["_mx"]
     work = tempfile.mkdtemp(prefix="stream_sess_")
     ev.filter(F.col("ts").cast("double") < cut).coalesce(1).write.parquet(
         f"{work}/src", mode="append"

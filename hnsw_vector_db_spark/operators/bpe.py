@@ -134,6 +134,50 @@ def _merge_pair(syms: "list[str]", left: str, right: str) -> "list[str]":
     return out
 
 
+def _segment_words_applied(
+    words: DataFrame,
+    merges: "list[tuple[str, str, int]] | list[tuple[str, str]]",
+) -> DataFrame:
+    """``(word)`` -> ``(word, syms)``: character+END segmentation with
+    the merge list applied IN ORDER — the Arrow-batched form of chaining
+    :func:`_merge_fold` once per merge (r12 optimization, guide §4.2).
+
+    The fold chain ran as nested higher-order ``aggregate`` expressions
+    — interpreted closures with an O(len) array copy per step per merge,
+    plus a ``localCheckpoint`` job every 8 merges to keep the expression
+    tree bounded. Here each distinct word runs the in-memory twin
+    :func:`_merge_pair` (docstring: same sequential semantics —
+    leftmost-first, non-overlapping) once per merge inside one
+    mapInPandas stage: no checkpoint jobs, no interpreted expression
+    walk. Python ``list(word)`` splits per codepoint exactly like
+    Spark's ``split(word, '')`` (both yield astral-plane characters
+    whole). Value-identity with the fold chain is pinned in
+    tests/test_bpe.py."""
+    import pandas as pd
+
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(words.sparkSession)
+    mlist = [(m[0], m[1]) for m in merges]
+
+    def _seg(batches):
+        for pdf in batches:
+            out = []
+            for w in pdf["word"]:
+                syms = list(w) + [END]
+                for left, right in mlist:
+                    syms = _merge_pair(syms, left, right)
+                out.append(syms)
+            yield pd.DataFrame({"word": pdf["word"], "syms": out})
+
+    # spread the CPU-bound segmentation: the distinct-word table lands
+    # in a handful of post-AQE partitions (the _doc_shingle_sets lesson)
+    par = words.sparkSession.sparkContext.defaultParallelism
+    return words.repartition(par).mapInPandas(
+        _seg, "word string, syms array<string>"
+    )
+
+
 def train_merges(
     seqs: "list[tuple[list[str], int]]", n_merges: int
 ) -> list[tuple[str, str, int]]:
@@ -335,15 +379,9 @@ def tokenizer_stats(
         )
     )
     vocab = wtf.select("word").distinct()
-    seg = _initial_seg(vocab.select("word", F.lit(1).alias("wf"))).select(
-        "word", "syms"
-    )
-    for i, m in enumerate(merges):
-        seg = seg.select(
-            "word", _merge_fold(F.col("syms"), m[0], m[1]).alias("syms")
-        )
-        if (i + 1) % 8 == 0:  # cut lineage: nested folds blow up codegen
-            seg = seg.localCheckpoint()
+    # one Arrow stage applies every merge in order (see
+    # _segment_words_applied — replaces the interpreted fold chain)
+    seg = _segment_words_applied(vocab, merges)
     # a symbol is a char-fallback iff its visible text (the '</w>'
     # end-of-word marker stripped as a SUFFIX only) is one char
     visible = lambda s: F.regexp_replace(s, r"</w>$", "")
@@ -430,15 +468,9 @@ def bpe_token_ids(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "word")
     )
     vocab_words = wtf.select("word").distinct()
-    seg = _initial_seg(vocab_words.select("word", F.lit(1).alias("wf"))).select(
-        "word", "syms"
-    )
-    for i, m in enumerate(merges):
-        seg = seg.select(
-            "word", _merge_fold(F.col("syms"), m[0], m[1]).alias("syms")
-        )
-        if (i + 1) % 8 == 0:  # cut lineage: nested folds blow up codegen
-            seg = seg.localCheckpoint()
+    # one Arrow stage applies every merge in order (see
+    # _segment_words_applied — replaces the interpreted fold chain)
+    seg = _segment_words_applied(vocab_words, merges)
     seg = seg.localCheckpoint()  # reused twice below: symbol scan + join
     # bounded collect: |distinct chars| + |merges| symbols
     syms = sorted(
@@ -968,13 +1000,9 @@ def bpe_segment(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     vocab = wtf.select("word").distinct()
-    seg = _initial_seg(vocab.select("word", F.lit(1).alias("wf"))).select(
-        "word", "syms"
-    )
-    for i, m in enumerate(merges):
-        seg = seg.select("word", _merge_fold(F.col("syms"), m[0], m[1]).alias("syms"))
-        if (i + 1) % 8 == 0:  # cut lineage: nested folds blow up codegen
-            seg = seg.localCheckpoint()
+    # one Arrow stage applies every merge in order (see
+    # _segment_words_applied — replaces the interpreted fold chain)
+    seg = _segment_words_applied(vocab, merges)
     sized = seg.select(
         "word", (F.size("syms")).alias("n_sub"), F.length("word").alias("n_ch")
     )

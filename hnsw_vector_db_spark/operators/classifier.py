@@ -36,16 +36,28 @@ from pyspark.sql import functions as F
 
 
 def _margin(weights: list[float]) -> Column:
-    """Margin = <embedding, w> as a LITERAL-ORDER left fold (position 0
+    """Margin = <embedding, w> as a LITERAL-ORDER chained sum (position 0
     first — the exact order DuckDB's list_dot_product replays), with the
-    weights embedded as an array literal so scoring is a pure codegen
-    projection, no join."""
-    wlit = F.array(*[F.lit(float(x)) for x in weights])
-    return F.aggregate(
-        F.zip_with(F.col("embedding"), wlit, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    weights embedded as scalar literals so scoring is a pure codegen
+    projection, no join.
+
+    Optimization-round note (guide §4.1): this was a zip_with +
+    aggregate higher-order fold, but HOF lambdas are CodegenFallback —
+    every row paid dim interpreted closure evaluations. The chained
+    ``acc + e[j] * w_j`` below generates the IDENTICAL IEEE op sequence
+    (left-associated adds, same multiply order), so every float — and
+    the oracle's 6dp replay — is bit-unchanged, while execution moves
+    into whole-stage codegen. Zero-weight terms are skipped: from a
+    +0.0 accumulator, adding the ±0.0 product of a zero weight can
+    never change the sum (IEEE: +0.0 + ±0.0 = +0.0, and x + ±0.0 = x
+    for finite nonzero x under round-to-nearest), so iteration 1's
+    all-zero margin folds to the constant 0.0 at plan time."""
+    m: Column = F.lit(0.0)
+    e = F.col("embedding")
+    for j, x in enumerate(weights):
+        if float(x) != 0.0:
+            m = m + e[j] * F.lit(float(x))
+    return m
 
 
 def sample_filter(

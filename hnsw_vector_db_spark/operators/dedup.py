@@ -240,13 +240,29 @@ def minhash_signature_wide(
     correct under either hash.
     """
     params = minhash_params(k, seed)
+    sh = _doc_shingle_sets(docs, n, text_col, id_col).filter(F.col("sz") > 0)
+    if hash_fn == "portable":
+        # r12 optimization (guide §4.2): the char-fold hash + k
+        # permutation minima were per-row HOF expressions — interpreted
+        # closures per (shingle, char) and (shingle, perm). The fused
+        # Arrow kernel computes the identical values in one NumPy pass
+        # per batch (equivalence pinned in tests/test_text.py and every
+        # dedup oracle). Two selects so the UDF evaluates once, not k
+        # times.
+        from hnsw_vector_db_spark.functions.text import minhash_mins_bulk
+
+        sig = sh.select(
+            F.col(id_col),
+            minhash_mins_bulk("shingle_arr", k, seed).alias("_sig"),
+        )
+        return sig.select(
+            F.col(id_col),
+            *[F.col("_sig")[i].alias(f"mh{i}") for i in range(k)],
+        )
 
     def shingle_hash(s: Column) -> Column:
-        if hash_fn == "portable":
-            return poly_hash(s)
         return F.pmod(F.xxhash64(s), F.lit(HASH_MOD))
 
-    sh = _doc_shingle_sets(docs, n, text_col, id_col).filter(F.col("sz") > 0)
     hashed = sh.select(
         F.col(id_col), F.transform("shingle_arr", shingle_hash).alias("hs")
     )

@@ -94,12 +94,25 @@ def pagerank(
         # consumer and OOMs, so materialize defaults True.
         from pyspark.storagelevel import StorageLevel
 
-        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        # r12 (guide §2.4): persist the edge list ALREADY hash-partitioned
+        # on the iteration join key. Every iteration joins edges on src
+        # and re-aggregates deg on src; caching the partitioned layout
+        # means no iteration ever shuffles the edge table again — the
+        # only per-iteration exchange left is the O(nodes) rank table.
+        edges = edges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
     ).distinct()
-    n = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    if materialize:
+        # nodes and deg are consumed by every iteration (left join /
+        # contribution join); persisting them makes "computed once"
+        # true for the derived tables too, not just the edges
+        from pyspark.storagelevel import StorageLevel
+
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+        deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
+    n = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
 
     ranks = nodes.join(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")

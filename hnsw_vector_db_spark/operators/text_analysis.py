@@ -512,11 +512,13 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """Whole-document rolling-hash fingerprint + normalized variant
     (lowercased, whitespace-collapsed) — the cheap exact-dup key at scale.
     Output (doc_id, fp, fp_normalized)."""
+    from hnsw_vector_db_spark.functions.text import poly_hash_bulk
+
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return docs.select(
         F.col(id_col),
-        poly_hash(F.col(text_col)).alias("fp"),
-        poly_hash(norm).alias("fp_normalized"),
+        poly_hash_bulk(F.col(text_col)).alias("fp"),
+        poly_hash_bulk(norm).alias("fp_normalized"),
     )
 
 

@@ -12,8 +12,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hnsw_vector_db_spark.functions.text import poly_hash
-
 
 def stream_dedup_exact(
     stream: DataFrame,
@@ -42,11 +40,14 @@ def stream_dedup_by_fingerprint(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Content dedup on a document stream: fingerprint the text with the
-    engine's portable polynomial hash (pure codegen, same constants as the
-    batch operators) and keep first-seen fingerprints. At 100 TB of
+    engine's portable polynomial hash (Arrow-vectorized whole-document
+    form, same constants and values as the batch operators) and keeps
+    first-seen fingerprints. At 100 TB of
     stream state the key is the 8-byte hash, never the document body."""
+    from hnsw_vector_db_spark.functions.text import poly_hash_bulk
+
     return stream_dedup_exact(
-        doc_stream.withColumn("_fp", poly_hash(F.col(text_col))),
+        doc_stream.withColumn("_fp", poly_hash_bulk(F.col(text_col))),
         ["_fp"],
         watermark,
         ts_col,

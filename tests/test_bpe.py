@@ -501,3 +501,46 @@ def test_word_tokenizer_artifact_roundtrip(tmp_path):
         )
     with _pytest.raises(ValueError, match="n_merges"):
         load_word_tokenizer(bad)
+
+
+def test_segment_words_applied_matches_fold_chain(spark):
+    """r12 optimization: the Arrow segmentation kernel
+    (_segment_words_applied) must reproduce the retained _merge_fold
+    chain symbol-for-symbol — the anchor pattern pack_best_fit uses for
+    its histogram kernel. Random unicode words (incl. astral plane) x
+    a cascade merge list with multi-level merges."""
+    import random
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from hnsw_vector_db_spark.operators import bpe
+
+    random.seed(23)
+    words = ["a", "ab", "aaa", "the", "matcher", "😀ab", "中文", "ababab"]
+    for _ in range(80):
+        words.append(
+            "".join(
+                random.choice("abcdeth中😀")
+                for _ in range(random.randint(1, 12))
+            )
+        )
+    words = sorted(set(words))
+    merges = [
+        ("t", "h"), ("a", "b"), ("ab", "ab"), ("e", "</w>"),
+        ("th", "e</w>"), ("a", "a"), ("aa", "a"), ("中", "文"),
+    ]
+    df = spark.createDataFrame([Row(word=w) for w in words], "word string")
+    seg_fold = bpe._initial_seg(
+        df.select("word", F.lit(1).alias("wf"))
+    ).select("word", "syms")
+    for left, right in merges:
+        seg_fold = seg_fold.select(
+            "word", bpe._merge_fold(F.col("syms"), left, right).alias("syms")
+        )
+    got_fold = {r["word"]: r["syms"] for r in seg_fold.collect()}
+    got_arrow = {
+        r["word"]: r["syms"]
+        for r in bpe._segment_words_applied(df, merges).collect()
+    }
+    assert got_fold == got_arrow

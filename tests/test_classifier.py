@@ -143,3 +143,50 @@ def test_quality_classifier_sampled_holdout_stays_full(spark):
         docs, label, dim=64, n_iters=2, lr=5.0, sample_frac=0.5,
     ).filter("part != 'weight'").collect()}
     assert (samp["n_pos"], samp["n_neg"]) == (full["n_pos"], full["n_neg"])
+
+
+def test_margin_chain_matches_hof_fold_bitwise(spark):
+    """r12 optimization: _margin moved from a zip_with+aggregate HOF
+    fold to a chained codegen sum. The chain must be BIT-identical
+    (same IEEE op order) — the oracle replays every learned weight at
+    6dp, so even last-ulp drift is a correctness risk. Also pins the
+    zero-weight skip: terms with w_j == 0.0 contribute exactly nothing
+    from a +0.0 accumulator."""
+    import random
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from hnsw_vector_db_spark.operators.classifier import _margin
+
+    random.seed(17)
+    dim = 64
+    rows = []
+    for i in range(50):
+        rows.append(
+            Row(
+                i=i,
+                embedding=[
+                    random.uniform(-1, 1) if random.random() > 0.2 else 0.0
+                    for _ in range(dim)
+                ],
+            )
+        )
+    df = spark.createDataFrame(rows, "i long, embedding array<double>")
+    for trial in range(4):
+        w = [
+            random.uniform(-5, 5) if random.random() > 0.3 else 0.0
+            for _ in range(dim)
+        ]
+        if trial == 0:
+            w = [0.0] * dim  # iteration-1 shape: all-zero weights
+        wlit = F.array(*[F.lit(float(x)) for x in w])
+        hof = F.aggregate(
+            F.zip_with(F.col("embedding"), wlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bad = df.select(hof.alias("a"), _margin(w).alias("b")).filter(
+            ~F.col("a").eqNullSafe(F.col("b"))
+        )
+        assert bad.count() == 0, f"trial {trial}: margin chain diverged"

@@ -606,3 +606,136 @@ def test_window_chunks_validates_params(spark):
         TA.window_chunks(df, stride=0)
     with _pytest.raises(ValueError):
         TA.window_chunks(df, impl="nope")
+
+
+# ---- Arrow-vectorized hash twins (r12 optimization round) ------------------
+
+def test_poly_hash_bulk_matches_hof_fold(spark):
+    """poly_hash_bulk is the NumPy twin the fingerprint tier swaps in
+    for whole-document hashing: it must agree with the interpreted HOF
+    fold VALUE-FOR-VALUE on the same adversarial unicode set the
+    cross-engine fuzz pins (BMP, CJK, astral plane), plus NULL and
+    empty-string edges."""
+    import random
+
+    from pyspark.sql import Row
+
+    from hnsw_vector_db_spark.functions.text import poly_hash, poly_hash_bulk
+
+    random.seed(11)
+    samples = [
+        "", "a", "hello world", "héllo", "中文字符串", "😀 emoji",
+        "𝕏 math bold astral", None, " ", "\t\n",
+    ]
+    for _ in range(60):
+        samples.append(
+            "".join(
+                chr(random.randint(32, 0x2FFF))
+                for _ in range(random.randint(0, 40))
+            )
+        )
+    df = spark.createDataFrame(
+        [Row(i=i, s=s) for i, s in enumerate(samples)],
+        "i long, s string",
+    )
+    bad = df.select(
+        poly_hash(F.col("s")).alias("a"),
+        poly_hash_bulk(F.col("s")).alias("b"),
+    ).filter(~F.col("a").eqNullSafe(F.col("b")))
+    assert bad.count() == 0
+
+
+def test_poly_fold_ids_bulk_matches_hof_fold(spark):
+    """poly_fold_ids_bulk (the entry's token-stream seq_hash) must
+    reproduce the higher-order aggregate fold exactly: empty array -> 0,
+    NULL array -> NULL, NULL element -> NULL, and the same integer
+    recurrence on random id streams up to vocab-scale values."""
+    import random
+
+    from pyspark.sql import Row
+
+    from hnsw_vector_db_spark.functions.text import (
+        HASH_MOD,
+        poly_fold_ids_bulk,
+    )
+
+    random.seed(13)
+    rows = [
+        Row(i=0, ids=[]),
+        Row(i=1, ids=None),
+        Row(i=2, ids=[0]),
+        Row(i=3, ids=[65535] * 128),
+        Row(i=4, ids=[7, None, 9]),
+    ]
+    for i in range(60):
+        rows.append(
+            Row(
+                i=5 + i,
+                ids=[
+                    random.randint(0, 70000)
+                    for _ in range(random.randint(0, 200))
+                ],
+            )
+        )
+    df = spark.createDataFrame(rows, "i long, ids array<long>")
+    hof = F.aggregate(
+        F.col("ids"),
+        F.lit(0).cast("long"),
+        lambda a, x: (a * 131 + x + 1) % HASH_MOD,
+    )
+    bad = df.select(
+        hof.alias("a"), poly_fold_ids_bulk(F.col("ids")).alias("b")
+    ).filter(~F.col("a").eqNullSafe(F.col("b")))
+    assert bad.count() == 0
+
+
+def test_minhash_mins_bulk_matches_hof_form(spark):
+    """The fused Arrow minhash kernel must reproduce the r11 HOF
+    expression form value-for-value: hash each shingle with the
+    portable char fold, take min((a_i*h + b_i) % mod) per permutation
+    — including the empty-set (all-NULL minima) and NULL-array edges."""
+    import random
+
+    from pyspark.sql import Row
+
+    from hnsw_vector_db_spark.functions.text import (
+        minhash_mins_bulk,
+        minhash_params,
+        minhash_perm,
+        poly_hash,
+    )
+
+    random.seed(19)
+    k = 16
+    rows = [Row(i=0, sh=[]), Row(i=1, sh=None), Row(i=2, sh=["a b c"])]
+    for i in range(40):
+        rows.append(
+            Row(
+                i=3 + i,
+                sh=[
+                    " ".join(
+                        "".join(
+                            chr(random.randint(97, 0x2FF))
+                            for _ in range(random.randint(1, 8))
+                        )
+                        for _ in range(3)
+                    )
+                    for _ in range(random.randint(1, 30))
+                ],
+            )
+        )
+    df = spark.createDataFrame(rows, "i long, sh array<string>")
+    hs = F.transform("sh", lambda s: poly_hash(s))
+    params = minhash_params(k, 42)
+
+    def _mk(a, b):
+        # closure, not default-arg lambda: pyspark reads the callable's
+        # arity to bind lambda variables
+        return F.array_min(F.transform(hs, lambda h: minhash_perm(h, a, b)))
+
+    hof_mins = F.array(*[_mk(a, b) for (a, b) in params])
+    bad = df.select(
+        F.when(F.col("sh").isNull(), F.lit(None)).otherwise(hof_mins).alias("a"),
+        minhash_mins_bulk("sh", k).alias("b"),
+    ).filter(~F.col("a").eqNullSafe(F.col("b")))
+    assert bad.count() == 0
