@@ -422,17 +422,34 @@ def _hash_sparse(
     :func:`hash_embed` (dense arrays) and
     :func:`hash_embed_components` (long form). Sums are exact ±1
     integers, which is what makes every downstream value
-    cross-engine-exact."""
+    cross-engine-exact.
+
+    r12 (the bpe_token_ids Zipf collapse, guide §1.2): the two
+    char-fold hashes run over the DISTINCT-term table only — the raw
+    stream collapses to (doc, term, tf) first and the per-term
+    (bucket, sign) joins back, so hash cost is O(vocabulary) instead of
+    O(token occurrences) (~9x fewer folds at sf0.1). Values are
+    IDENTICAL: v = sum over occurrences of ±1 = sum over terms of
+    tf * ±1 — exact small-integer arithmetic in float64, so even the
+    re-associated sum is bit-equal (every oracle still pins it). The
+    term table is vocabulary-sized and joins WITHOUT a broadcast hint
+    (the tfidf lesson — the planner/AQE decides from real sizes)."""
     toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    wtf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
     h = poly_hash(F.col("term"))
     sign = F.when(
         F.pmod(poly_hash(F.concat(F.col("term"), F.lit("#s"))), F.lit(2)) == 0,
         F.lit(1.0),
     ).otherwise(F.lit(-1.0))
+    hashed = (
+        wtf.select("term")
+        .distinct()
+        .select("term", F.pmod(h, F.lit(dim)).alias("b"), sign.alias("s"))
+    )
     return (
-        toks.select(F.col(id_col), F.pmod(h, F.lit(dim)).alias("b"), sign.alias("s"))
+        wtf.join(hashed, "term")
         .groupBy(id_col, "b")
-        .agg(F.sum("s").alias("v"))
+        .agg(F.sum(F.col("_tf") * F.col("s")).alias("v"))
     )
 
 
@@ -478,33 +495,52 @@ def hash_embed(
     pipeline exactly reproducible in an independent engine — embeddings
     included, which no model-based encoder can offer an oracle for.
 
-    Scale shape: explode -> per-(doc, bucket) sum (one keyed shuffle,
-    at most ``dim`` rows per doc out of the aggregate) -> per-doc dense
-    array via map lookup over a sequence — all codegen, no UDF, no
-    vocabulary table at all (that's the point of hashing). Output
+    Scale shape: tf collapse -> distinct-term hash -> per-(doc, bucket)
+    sum (keyed shuffles, at most ``dim`` rows per doc out of the
+    aggregate) -> per-doc dense assembly in ONE Arrow stage. Output
     (doc_id, embedding array<double>, unit norm; docs with no tokens or
-    fully sign-cancelled sums drop out)."""
-    from hnsw_vector_db_spark.functions.distance import norm as vec_norm
+    fully sign-cancelled sums drop out).
 
+    r12 dense-assembly note (guide §4.2): the previous all-expression
+    form built the dense array as ``transform(sequence(0, dim-1),
+    i -> element_at(map, i))`` — GetMapValue is a LINEAR scan of the
+    map, so each doc paid O(dim * nnz) interpreted lookups plus an
+    interpreted norm fold and division transform (measured 39s vs 3s
+    for the sparse core at dim=256, sf0.1). The Arrow kernel scatters
+    the buckets and divides in NumPy. Values are bit-identical: bucket
+    sums are exact small integers in float64, so the norm's sum of
+    squares is an EXACT integer under any summation order, sqrt and the
+    per-element division are single IEEE ops both sides (pinned by the
+    classifier/report oracles and tests/test_text.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from hnsw_vector_db_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(docs.sparkSession)
     sparse = _hash_sparse(docs, dim, text_col, id_col)
-    dense = sparse.groupBy(id_col).agg(
-        F.map_from_entries(F.collect_list(F.struct("b", "v"))).alias("_m")
+    pairs = sparse.groupBy(id_col).agg(
+        F.collect_list(F.struct("b", "v")).alias("_bv")
     )
-    raw = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0.0)),
-    )
-    with_raw = dense.select(F.col(id_col), raw.alias("_raw")).withColumn(
-        "_n", vec_norm(F.col("_raw"))
-    )
+
+    @pandas_udf("array<double>")
+    def _dense_unit(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for entries in col:
+            raw = np.zeros(dim)
+            for e in entries:
+                raw[int(e["b"])] = e["v"]
+            n2 = float(np.dot(raw, raw))  # exact: integer-valued sums
+            if n2 == 0.0:
+                out.append(None)  # zero norm: the doc drops out
+            else:
+                out.append((raw / np.sqrt(n2)).tolist())
+        return pd.Series(out)
+
     return (
-        with_raw.filter(F.col("_n") > 0)
-        .select(
-            F.col(id_col),
-            F.transform(F.col("_raw"), lambda x: x / F.col("_n")).alias(
-                "embedding"
-            ),
-        )
+        pairs.select(F.col(id_col), _dense_unit("_bv").alias("embedding"))
+        .filter(F.col("embedding").isNotNull())
     )
 
 
