@@ -306,10 +306,18 @@ def ann_tune(
     if cache_handles is not None:
         cache_handles.append(assigned)
     n_queries = queries.count()  # bounded: queries are a sample
+    # r12 (guide §5): every sweep point left-semi-joins against the
+    # exact ground truth, and the union of sweep branches shares the
+    # SUBTREE, not the result — unpersisted, the full exact kNN re-ran
+    # once per nprobe. Persist it like the assignment (it is tiny:
+    # n_queries * k rows); released through the same cache_handles
+    # lifecycle below.
     exact = knn_batch(
         queries, vectors, k=k, metric=metric,
         id_col=id_col, vector_col=vector_col,
-    ).select(query_id_col, id_col)
+    ).select(query_id_col, id_col).persist()
+    if cache_handles is not None:
+        cache_handles.append(exact)
     seeds = spark.createDataFrame(
         [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))],
         "seed_id int, seed_vec array<double>",
@@ -396,4 +404,5 @@ def ann_tune(
         # persisted DataFrames (localCheckpoint is eager by default)
         result = result.localCheckpoint()
         assigned.unpersist()
+        exact.unpersist()
     return result
