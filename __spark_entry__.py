@@ -23,6 +23,7 @@ from hnsw_vector_db_spark.functions.text import (
     poly_hash,
     poly_hash_bulk,
 )
+from hnsw_vector_db_spark.functions.distance import lit_double_array
 from hnsw_vector_db_spark.operators import dedup, events, relational, similarity, table, text_analysis
 from hnsw_vector_db_spark.operators.knn import knn_batch, knn_point
 from hnsw_vector_db_spark.operators.stats import group_stats, index_stats
@@ -2521,6 +2522,11 @@ def q_hnsw_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     assigned, old_cent = similarity.ivf_fit_seeded(emb, n_cells=4)
+    # r12 (guide §5): the membership table feeds four consumers inside
+    # the maintenance step (recenter means, reassignment argmin, the
+    # moved-rows semi-join, insert routing) — materialize the seeded
+    # assignment once instead of re-running the quantizer per consumer
+    assigned = assigned.localCheckpoint()
     # the pre-rebalance index is the cached build-once artifact (seeded
     # quantizer, euclidean) — the entry measures the MAINTENANCE step,
     # not a from-scratch build
@@ -7828,7 +7834,7 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = text_analysis.hash_embed(docs, dim=64)
     qdf = spark.createDataFrame([(0, RAG_QUERY)], "doc_id long, text string")
     qv = [float(x) for x in text_analysis.hash_embed(qdf, dim=64).first()["embedding"]]
-    qlit = F.array(*[F.lit(x) for x in qv])
+    qlit = lit_double_array(qv)
     sim = F.aggregate(
         F.zip_with(F.col("embedding"), qlit, lambda a, b: a * b),
         F.lit(0.0),
@@ -7942,7 +7948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-marker are driver-green with unchanged code, and every oracle
     # entry is additionally pinned at sf0.001 by
     # tests/test_entry.py::test_oracle_parity.
-    return {
+    base = {
         # -- NEW in r12 (front of the driver's 50-entry window) --------------
         "gen_epoch_read": q_gen_epoch_read,
         "masked_epoch_read": q_masked_epoch_read,
@@ -8244,6 +8250,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_train_val_split,
         "knn_filtered": q_knn_filtered,
     }
+    # r12 OPTIMIZATION-session window rotation (same policy as every
+    # round: entries whose operator code changed THIS round move into
+    # the driver's 50-entry gate). This session touched the brute
+    # pairwise kernel (similarity_join + its CC/keep-best consumers),
+    # the Observation-carried CC convergence witnesses, the classifier
+    # margin builder, and the literal-array constructors shared by the
+    # kNN/ANN/quantizer tiers — the _WINDOW_FRONT list pulls those
+    # oracle entries ahead of the stable r9-r11 remainder. Rows-only
+    # entries that also changed (api_lifecycle, hnsw_rebalance,
+    # stream_knn_ann) stay OUT of the window per the r11 verdict's
+    # no-no_oracle-rows ask; their in-row ok booleans run in pytest.
+    front = [
+        "gen_epoch_read", "masked_epoch_read", "manifest_retract",
+        "retract_spans", "rank_epoch_read", "epoch_resume", "pack_spans",
+        "pack_fit_spans", "tokenizer_artifact_word", "minhash_native",
+        "shard_rank_read",
+        # changed this session (oracle-backed)
+        "similarity_join", "embedding_neardup", "neardup_components",
+        "dedup_keep_best", "cc_scale", "cc_incremental",
+        "pipeline_entity_resolution", "quality_classifier",
+        "quality_classifier_sampled", "corpus_report",
+        "corpus_report_stored", "dedup_eval", "stream_knn", "knn_cosine",
+        "knn_euclidean", "knn_manhattan", "knn_dot", "matryoshka_knn",
+        "sq_knn", "bq_knn", "lsh_ann", "ivf_ann", "ivf_filtered",
+        "radius_search", "random_projection", "rag_search", "mmr_rerank",
+        "ann_tune",
+        # r11/r10 window remainder (unchanged, recently pinned)
+        "epoch_manifest", "byte_tokenizer_stats", "pipeline_recipe_bytes",
+        "recipe_epoch_reader", "bpe_bytes_roundtrip", "pipeline_recipe",
+        "recipe_shares", "epoch_shuffle", "pack_best_fit",
+        "pack_efficiency", "pack_best_fit_bins",
+    ]
+    out = {n: base[n] for n in front}
+    out.update((k, v) for k, v in base.items() if k not in out)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -207,30 +207,42 @@ class VectorTable:
         else:
             cols.append(F.lit("{}").alias("metadata"))
         src = src.select(*cols)
-        dup = (
-            src.filter(F.col("id").isNotNull())
-            .groupBy("id")
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .collect()
+        valid, _rejects = validate_vectors(src, self.meta["dim"], "vector")
+        # ONE job answers every up-front question the old code asked with
+        # three (dup witness, src count, valid agg — r12, guide §1.2): a
+        # per-id partial aggregate (validity is a row-level flag, so it
+        # folds into the same pass), then one global aggregate over it.
+        _vok = (
+            F.col("vector").isNotNull()
+            & (F.size("vector") == self.meta["dim"])
+        ).cast("long")
+        per_id = src.groupBy("id").agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.sum(_vok).alias("_v"),
         )
-        if dup:
+        stats = per_id.agg(
+            F.sum("_c").alias("n_src"),
+            F.sum("_v").alias("n_valid"),
+            F.sum(F.when(F.col("id").isNull(), F.col("_v"))).alias("n_new"),
+            F.max(
+                F.when(
+                    F.col("id").isNotNull() & (F.col("_v") > 0), F.col("id")
+                )
+            ).alias("batch_max"),
+            F.max(
+                F.when(
+                    F.col("id").isNotNull() & (F.col("_c") > 1), F.col("id")
+                )
+            ).alias("dup_id"),
+        ).first()
+        if stats["dup_id"] is not None:
             raise ValueError(
-                f"duplicate id {dup[0]['id']} within one batch: last-write-"
+                f"duplicate id {stats['dup_id']} within one batch: last-write-"
                 f"wins is undefined inside a single version — split the batch"
             )
-        n_src = src.count()
-        valid, _rejects = validate_vectors(src, self.meta["dim"], "vector")
-        # one agg answers three questions the old code asked with three
-        # jobs: how many valid, how many need minted ids, and the largest
-        # explicit id (max(id) ignores the minted rows' nulls)
-        n_valid, n_new, batch_max = valid.agg(
-            F.count(F.lit(1)),
-            F.sum(F.col("id").isNull().cast("long")),
-            F.max("id"),
-        ).first()
-        n_valid, n_new = int(n_valid or 0), int(n_new or 0)
+        n_src = int(stats["n_src"] or 0)
+        n_valid, n_new = int(stats["n_valid"] or 0), int(stats["n_new"] or 0)
+        batch_max = stats["batch_max"]
         n_failed = n_src - n_valid
         # mint ids for id-less rows STRICTLY above every id in play
         need_ids = valid.filter(F.col("id").isNull())
@@ -246,13 +258,27 @@ class VectorTable:
             )
         batch = have_ids.unionByName(need_ids)
         # capacity: existing ids overwrite in place; only NEW ids grow the
-        # table, and only `room` of them are admitted (lowest id first)
+        # table, and only `room` of them are admitted (lowest id first).
+        # ONE full-outer id join answers both counts the old code asked
+        # with two jobs (how big is the table; how many batch ids are new
+        # — r12, guide §1.2).
         current = self.table().select("id")
-        n_current = current.count()
+        cap = (
+            current.withColumn("_cur", F.lit(1))
+            .join(batch.select("id").withColumn("_bat", F.lit(1)), "id", "full")
+            .agg(
+                F.sum("_cur").alias("n_current"),
+                F.sum(
+                    F.when(F.col("_cur").isNull(), F.col("_bat"))
+                ).alias("n_growing"),
+            )
+            .first()
+        )
+        n_current = int(cap["n_current"] or 0)
         growing = batch.join(current, "id", "left_anti")
         replacing = batch.join(current, "id", "left_semi")
         room = max(self.meta["max_elements"] - n_current, 0)
-        n_overflow = max(growing.count() - room, 0)
+        n_overflow = max(int(cap["n_growing"] or 0) - room, 0)
         wr = Window.orderBy(F.col("id"))
         admitted = (
             growing.withColumn("_rn", F.row_number().over(wr))

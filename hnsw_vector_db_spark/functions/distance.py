@@ -26,6 +26,37 @@ def _d(c: Column | str) -> Column:
     return c.cast("array<double>")
 
 
+def lit_double_array(values) -> Column:
+    """``array(<double literals>)`` built in ONE py4j round-trip.
+
+    r12 optimization round (guide §1.2, driver cost): the idiomatic
+    ``F.array(*[F.lit(float(v)) for v in vs])`` pays ~2 py4j calls per
+    element — ~0.25 s per 64-dim query vector and ~1 s for a dim-1024
+    table, per CALL, on the driver. One ``F.expr`` parse of the literal
+    text builds the IDENTICAL tree (CreateArray of double Literals;
+    ``repr`` is the shortest round-trip form and the SQL parser converts
+    it with the same IEEE-exact path), so every downstream value is
+    bit-unchanged. Non-finite values fall back to the per-element form
+    (``inf``/``nan`` have no SQL literal)."""
+    import math
+
+    vals = [float(v) for v in values]
+    if not vals:
+        return F.array()
+    if not all(math.isfinite(v) for v in vals):
+        return F.array(*[F.lit(v) for v in vals])
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+
+
+def lit_long_array(values) -> Column:
+    """``array(<bigint literals>)`` in one round-trip — the integer twin
+    of :func:`lit_double_array`."""
+    vals = [int(v) for v in values]
+    if not vals:
+        return F.array()
+    return F.expr("array(" + ",".join(f"{v}L" for v in vals) + ")")
+
+
 def dot_raw(a: Column | str, b: Column | str) -> Column:
     """Plain (un-negated) dot product — building block for cosine/dot."""
     return F.aggregate(
@@ -123,7 +154,7 @@ def cosine_to_const(a: Column | str, query: list[float]) -> Column:
     qn = math.sqrt(sum(v * v for v in query))
     if qn == 0.0:
         return F.lit(1.0)
-    q = F.array(*[F.lit(float(v)) for v in query])
+    q = lit_double_array(query)
     na = norm(a)
     return F.when(na == 0.0, F.lit(1.0)).otherwise(
         F.lit(1.0) - dot_raw(a, q) / (na * F.lit(qn))

@@ -51,13 +51,25 @@ def _margin(weights: list[float]) -> Column:
     +0.0 accumulator, adding the ±0.0 product of a zero weight can
     never change the sum (IEEE: +0.0 + ±0.0 = +0.0, and x + ±0.0 = x
     for finite nonzero x under round-to-nearest), so iteration 1's
-    all-zero margin folds to the constant 0.0 at plan time."""
-    m: Column = F.lit(0.0)
-    e = F.col("embedding")
-    for j, x in enumerate(weights):
-        if float(x) != 0.0:
-            m = m + e[j] * F.lit(float(x))
-    return m
+    all-zero margin folds to the constant 0.0 at plan time.
+
+    r12 optimization round 2 note (guide §1.2, driver cost): building
+    the chain as ~3 py4j Column calls per term cost ~1.1 s of driver
+    round-trips PER TRAINING ITERATION at dim=256 (measured; the data
+    is irrelevant — a 100-row frame pays the same). One ``F.expr``
+    parse of the equivalent SQL text builds the IDENTICAL tree —
+    left-associated adds, same multiply order, double literals via
+    ``repr`` (shortest round-trip form, parsed by the same IEEE-exact
+    path) — in one round-trip (~5 ms). Bit-equality with the fold is
+    pinned in tests/test_classifier.py."""
+    terms = [
+        f"(embedding[{j}] * {float(x)!r}D)"
+        for j, x in enumerate(weights)
+        if float(x) != 0.0
+    ]
+    if not terms:
+        return F.lit(0.0)
+    return F.expr("0.0D + " + " + ".join(terms))
 
 
 def sample_filter(

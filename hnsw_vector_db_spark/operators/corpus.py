@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from hnsw_vector_db_spark.functions.distance import lit_double_array
 from hnsw_vector_db_spark.functions.text import poly_hash, tokens
 
 # Denominator for hash-based sampling decisions: pmod(hash, GRAIN)/GRAIN
@@ -1418,7 +1419,7 @@ def dsir_apply(
         .agg(F.count(F.lit(1)).alias("_c"))
     )
     ratio = F.element_at(
-        F.array(*[F.lit(float(x)) for x in log_ratio]),
+        lit_double_array(log_ratio),
         F.col("b").cast("int") + 1,
     )
     return per_doc.select(F.col(id_col), F.col("_c"), ratio.alias("_lr")).groupBy(

@@ -507,10 +507,19 @@ def neardup_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("rep")
-    ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("rep")).first()[0]
+    from pyspark.sql import Observation
+
+    # r12 (guide §1.2 — fewer driver-paced jobs): the convergence witness
+    # rides the checkpoint job as an Observation metric, so each round is
+    # ONE job (join+agg+checkpoint) instead of two (checkpoint, then a
+    # separate sum over it). Same witness, same values.
+    obs0 = Observation()
+    labels = (
+        nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("rep"))
+        .observe(obs0, F.sum("rep").alias("s"))
+        .localCheckpoint()
+    )
+    prev_sum = obs0.get["s"]
     converged = False
     for _ in range(max_iters):
         neigh_min = (
@@ -518,6 +527,7 @@ def neardup_components(
             .groupBy("src")
             .agg(F.min("rep").alias("nrep"))
         )
+        obs = Observation()
         new_labels = (
             labels.join(neigh_min, labels.node == neigh_min.src, "left")
             .select(
@@ -526,12 +536,13 @@ def neardup_components(
                     F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))
                 ).alias("rep"),
             )
+            # labels only ever decrease, so sum(rep) is a strictly-
+            # decreasing convergence witness — collected by the
+            # checkpoint job itself, no second aggregate job
+            .observe(obs, F.sum("rep").alias("s"))
             .localCheckpoint()
         )
-        # labels only ever decrease, so sum(rep) is a strictly-decreasing
-        # convergence witness — one cheap aggregate instead of a
-        # change-count join per round
-        cur_sum = new_labels.agg(F.sum("rep")).first()[0]
+        cur_sum = obs.get["s"]
         labels = new_labels
         if cur_sum == prev_sum:
             converged = True
@@ -675,7 +686,15 @@ def connected_components_twophase(
     fixed point (cannot happen for max_iters >= ~2*log2(n) + 2; the
     guard exists so a logic regression can never silently return
     partial labels)."""
+    from pyspark.sql import Observation
+
     a, b = pairs.columns[0], pairs.columns[1]
+    # r12 (guide §1.2 — fewer driver-paced jobs): edge counts ride each
+    # checkpoint job as Observation metrics, so a round is ONE job (two
+    # star steps + checkpoint) instead of two-to-three (checkpoint, then
+    # count(s) over it). The fixpoint test is unchanged: equal counts
+    # AND empty difference.
+    obs0 = Observation()
     edges = (
         pairs.select(
             F.greatest(F.col(a), F.col(b)).alias("u"),
@@ -683,20 +702,28 @@ def connected_components_twophase(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
-    converged = edges.isEmpty()  # no edges: all singletons, skip the loop
+    prev_count = obs0.get["n"]
+    converged = prev_count == 0  # no edges: all singletons, skip the loop
     for _ in range(max_iters):
         if converged:
             break
-        new_edges = _cc_small_star(_cc_large_star(edges)).localCheckpoint()
+        obs = Observation()
+        new_edges = (
+            _cc_small_star(_cc_large_star(edges))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        new_count = obs.get["n"]
         # exact fixpoint test on the oriented-distinct sets: equal counts
         # AND no edge in new \ old (both sets are distinct, so count
         # equality + empty difference <=> set equality)
-        same_count = new_edges.count() == edges.count()
-        if same_count and new_edges.exceptAll(edges).isEmpty():
+        if new_count == prev_count and new_edges.exceptAll(edges).isEmpty():
             converged = True
         edges = new_edges
+        prev_count = new_count
     if not converged:
         raise RuntimeError(
             f"connected_components_twophase: no fixed point within "

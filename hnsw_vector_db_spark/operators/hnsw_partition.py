@@ -663,6 +663,13 @@ def hnsw_rebalance(
         assigned, id_col=id_col, vector_col=vector_col, cell_col=cell_col,
         metric=metric, old_centroids=old_centroids,
     )
+    # r12 (guide §5): ``moves`` is consumed THREE times — the delete
+    # stage's tombstone collect, the insert stage's routing join, and by
+    # the caller (the maintenance report) — and each lazy consumer
+    # re-ran the full reassignment argmin over the membership. One eager
+    # checkpoint of the (id, old_cell, new_cell, moved) table — four
+    # narrow columns, O(index rows) — computes it once.
+    moves = moves.localCheckpoint()
     moved_rows = assigned.join(
         moves.filter(F.col("moved")).select(id_col), id_col, "left_semi"
     ).select(id_col, vector_col)

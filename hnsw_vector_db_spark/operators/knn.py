@@ -36,7 +36,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hnsw_vector_db_spark.functions.distance import distance
+from hnsw_vector_db_spark.functions.distance import distance, lit_double_array
 
 
 def with_distance(
@@ -55,7 +55,7 @@ def with_distance(
     """
     from hnsw_vector_db_spark.functions.distance import cosine_to_const
 
-    q = F.array(*[F.lit(float(v)) for v in query])
+    q = lit_double_array(query)
     if metric == "cosine":
         expr = cosine_to_const(F.col(vector_col), [float(v) for v in query])
     else:
@@ -468,12 +468,12 @@ def matryoshka_knn(
     prefix_q = q[:prefix_dim]
     prefix_vec = F.slice(F.col(vector_col), 1, prefix_dim)
     short = (
-        vectors.withColumn("_pd", distance(prefix_vec, F.array(*[F.lit(x) for x in prefix_q]), metric))
+        vectors.withColumn("_pd", distance(prefix_vec, lit_double_array(prefix_q), metric))
         .orderBy(F.col("_pd").asc(), F.col(id_col).asc())
         .limit(shortlist)
         .select(id_col)
     )
-    qarr = F.array(*[F.lit(x) for x in q])
+    qarr = lit_double_array(q)
     # rank on the UNROUNDED distance (matches the oracle's exact ordering;
     # rounding first can flip the top-k set near the k-th position), round
     # only in the output projection

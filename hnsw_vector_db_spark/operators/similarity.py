@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 from hnsw_vector_db_spark.functions.distance import (
     distance,
     dot_raw,
+    lit_double_array,
+    lit_long_array,
     norm,
     select_normalized,
 )
@@ -46,6 +48,127 @@ def cosine_sim(a, b) -> F.Column:
     na, nb = norm(a), norm(b)
     return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(
         dot_raw(a, b) / (na * nb)
+    )
+
+
+# Cap on the collected right side for the Arrow pairwise kernel:
+# 150k rows x 64 dims x 8 B ≈ 77 MB — the same order of magnitude as the
+# broadcast-hash relation the expression path ships to every executor.
+_PAIRWISE_KERNEL_CAP = 150_000
+
+
+def _pairwise_threshold_arrow(a, b, threshold, self_join):
+    """Arrow twin of the brute pairwise stage (guide §4.2), value-identical
+    to the ``zip_with``/``aggregate`` expression path by construction.
+
+    Two stages inside one ``mapInPandas``:
+
+    1. PREFILTER — one BLAS matmul per batch scores every (a, b) pair and
+       keeps those with ``S >= threshold - margin``. The margin is
+       rigorous, not heuristic: the expression path emits a pair iff
+       ``round(fold_sim, 6) >= t``, which implies ``fold_sim >= t - 0.5e-6``;
+       both the fold and the matmul are float64 sums of the same d exactly-
+       rounded products, so ``|matmul - fold| <= 2(d+1)·u·‖a_i‖‖b_j‖``
+       (standard sequential/pairwise summation bound, u = 2^-53). The mask
+       uses ``t - 0.5e-6 - bound_ij`` with ``bound_ij`` computed from the
+       row norms, so no qualifying pair can be dropped — false POSITIVES
+       are re-judged by stage 2 and the JVM filter.
+    2. EXACT RECOMPUTE — survivors' ``sim`` is re-accumulated in the
+       IDENTICAL IEEE order the JVM fold uses (products first, then one
+       sequential add per dimension: fl(...fl(fl(0+p0)+p1)...+p{d-1})),
+       so the emitted double is bit-equal to ``dot_raw`` and the final
+       ``F.round(sim, 6) >= t`` filter in the JVM decides membership
+       exactly as before (pinned in tests/test_similarity.py).
+
+    Returns None when the kernel does not apply (right side over the cap,
+    ragged/absent vectors, non-integral ids, a null id) — the caller falls
+    back to the expression path, which remains the semantics anchor.
+    """
+    from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
+
+    id_a_type = a.schema["id_a"].dataType
+    id_b_type = b.schema["id_b"].dataType
+    if not isinstance(id_a_type, (LongType, IntegerType)) or not isinstance(
+        id_b_type, (LongType, IntegerType)
+    ):
+        return None
+    # bounded collect (documented cap): the expression path would collect
+    # this side into a broadcast-hash relation anyway
+    rows = b.limit(_PAIRWISE_KERNEL_CAP + 1).collect()
+    if len(rows) > _PAIRWISE_KERNEL_CAP:
+        return None
+    spark = a.sparkSession
+    schema = StructType(
+        [
+            StructField("id_a", id_a_type),
+            StructField("id_b", id_b_type),
+            StructField("sim", DoubleType()),
+        ]
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    if any(r["id_b"] is None or r["_vb"] is None for r in rows):
+        return None
+    dim = len(rows[0]["_vb"])
+    if dim == 0 or any(len(r["_vb"]) != dim for r in rows):
+        return None
+    ids_b = np.asarray([r["id_b"] for r in rows], dtype=np.int64)
+    mat_b = np.asarray([r["_vb"] for r in rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((ids_b, mat_b))
+    thr = float(threshold)
+    # fold vs matmul worst-case gap for unit-scale rows; recomputed per
+    # pair from the actual row norms below
+    unit = 2.0 * (dim + 1) * 2.0 ** -53
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        ids_r, B = bc.value
+        Bt = _np.ascontiguousarray(B.T)
+        nb = _np.sqrt((B * B).sum(axis=1))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = pdf["_va"]
+            ok = _np.fromiter(
+                (
+                    v is not None
+                    and len(v) == Bt.shape[0]
+                    and i is not None
+                    and i == i  # a null id arrives as NaN in a float column
+                    for v, i in zip(va, pdf["id_a"])
+                ),
+                dtype=bool,
+                count=len(pdf),
+            )
+            if not ok.any():
+                continue
+            sub = pdf[ok]
+            ida = sub["id_a"].to_numpy(dtype=_np.int64)
+            A = _np.asarray(list(sub["_va"]), dtype=_np.float64)
+            S = A @ Bt
+            na = _np.sqrt((A * A).sum(axis=1))
+            mask = S >= (thr - 0.5e-6 - unit * _np.outer(na, nb))
+            if self_join:
+                mask &= ida[:, None] < ids_r[None, :]
+            ai, bj = _np.nonzero(mask)
+            if len(ai) == 0:
+                continue
+            # survivors: bit-exact fold-order recompute (sequential adds)
+            P = A[ai] * B[bj]
+            acc = _np.zeros(len(ai), dtype=_np.float64)
+            for k in range(P.shape[1]):
+                acc = acc + P[:, k]
+            yield _pd.DataFrame(
+                {"id_a": ida[ai], "id_b": ids_r[bj], "sim": acc}
+            )
+
+    cand = a.mapInPandas(gen, schema=schema)
+    return (
+        cand.withColumn("sim", F.round(F.col("sim"), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
     )
 
 
@@ -63,6 +186,14 @@ def similarity_join(
     Brute-force baseline: |L|x|R| distance evaluations with the right side
     broadcast — exact, fine up to ~10^4 x 10^7 per batch. Beyond that use
     the LSH/IVF candidate paths.
+
+    r12 optimization (guide §4.2): when the right side fits the kernel cap
+    the pairwise stage runs as ONE Arrow stage — a BLAS matmul prefilter
+    with a provably-lossless margin plus a bit-exact fold-order recompute
+    of the survivors (see :func:`_pairwise_threshold_arrow`) — instead of
+    materializing |L|x|R| joined rows through an interpreted HOF fold.
+    Same rows, same ``sim`` doubles; equivalence pinned in
+    tests/test_similarity.py and by every downstream oracle entry.
     """
     self_join = right is None
     r = left if self_join else right
@@ -83,6 +214,10 @@ def similarity_join(
     # partitioning -> without this the whole quadratic loop runs in ONE task.
     parallelism = left.sparkSession.sparkContext.defaultParallelism
     a = a.repartition(parallelism)
+    if broadcast_right:
+        fast = _pairwise_threshold_arrow(a, b, threshold, self_join)
+        if fast is not None:
+            return fast
     joined = a.join(F.broadcast(b) if broadcast_right else b)
     if self_join:
         joined = joined.filter(F.col("id_a") < F.col("id_b"))
@@ -104,7 +239,7 @@ def signbit_bucket(vec, planes: Sequence[Sequence[float]]) -> F.Column:
     """LSH bucket id: bit i = sign(vec . plane_i). Pure codegen arithmetic."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
+        arr = lit_double_array(p)
         bucket = bucket + F.when(
             dot_raw(vec, arr) >= 0, F.lit(1 << i).cast("long")
         ).otherwise(F.lit(0).cast("long"))
@@ -502,7 +637,7 @@ def ivf_topk(
     else:
         order = np.argsort(np.linalg.norm(centroids - qv, axis=1), kind="stable")
     cells = [int(c) for c in order[:nprobe]]
-    qarr = F.array(*[F.lit(float(x)) for x in qv])
+    qarr = lit_double_array(qv)
     src = assigned if predicate is None else assigned.filter(predicate)
     return (
         src.filter(F.col("cell").isin(cells))
@@ -706,7 +841,7 @@ def pq_adc_rerank(
         codes, codebook, query, k=shortlist, n_subspaces=n_subspaces,
         dim=dim, id_col=id_col,
     ).select(id_col)
-    qarr = F.array(*[F.lit(float(x)) for x in query])
+    qarr = lit_double_array(query)
     return (
         vectors.join(F.broadcast(short), id_col, "left_semi")
         .withColumn("_dist", distance(F.col(vector_col), qarr, metric))
@@ -864,7 +999,7 @@ def ivf_pq_topk(
         .limit(shortlist)
         .select(id_col)
     )
-    qarr = F.array(*[F.lit(float(x)) for x in q])
+    qarr = lit_double_array(q)
     # rank on the unrounded distance; round only in the output projection
     # (rounding before the top-k can flip the set at the k-th boundary)
     return (
@@ -1001,7 +1136,7 @@ def sq_knn(
     deq = F.transform(
         F.col("codes"), lambda c: F.col("mn") + c.cast("double") * F.col("scale")
     )
-    qarr = F.array(*[F.lit(float(x)) for x in query])
+    qarr = lit_double_array(query)
     short = (
         codes.withColumn("_ad", distance(deq, qarr, metric))
         .orderBy(F.col("_ad").asc(), F.col(id_col).asc())
@@ -1134,7 +1269,7 @@ def bq_knn(
     if codes is None:
         codes = bq_encode(vectors, dim, id_col=id_col, vector_col=vector_col)
     qwords = pack_query_bits(query, dim)
-    qarr_words = F.array(*[F.lit(int(w)).cast("long") for w in qwords])
+    qarr_words = lit_long_array(qwords)
     hamming = F.aggregate(
         F.zip_with(
             F.col("words"), qarr_words, lambda a, b: F.bit_count(a.bitwiseXOR(b))
@@ -1148,7 +1283,7 @@ def bq_knn(
         .limit(shortlist)
         .select(id_col)
     )
-    qarr = F.array(*[F.lit(float(x)) for x in query])
+    qarr = lit_double_array(query)
     return (
         vectors.join(F.broadcast(short), id_col, "left_semi")
         .withColumn("_dist", distance(F.col(vector_col), qarr, metric))
@@ -1296,7 +1431,7 @@ def random_projection(
             F.aggregate(
                 F.zip_with(
                     v,
-                    F.array(*[F.lit(float(s)) for s in m[j]]),
+                    lit_double_array(m[j]),
                     lambda a, b: a * b,
                 ),
                 F.lit(0.0),
@@ -1327,7 +1462,7 @@ def radius_search_exact(
     edge."""
     if radius < 0:
         raise ValueError(f"radius must be >= 0, got {radius}")
-    q = F.array(*[F.lit(float(v)) for v in query])
+    q = lit_double_array(query)
     d = distance(F.col(vector_col), q, "euclidean")
     return (
         vectors.select(F.col(id_col), d.alias("dist"))

@@ -780,3 +780,33 @@ def test_minhash_hash_fn_survivor_parity_on_planted_dups(spark):
     # and the planted originals all survive, their clones all drop
     assert {d for d in range(10)} <= survivors["portable"]
     assert not ({100 + d for d in range(10)} & survivors["portable"])
+
+
+def test_jaccard_pairs_candidates_verify_plan_matches_full(spark, docs):
+    """r12: the candidates path verifies per pair via array_intersect
+    instead of enumerating the inverted-index pair stream — results must
+    equal the full path restricted to the candidate set, reversed/unknown
+    candidates dropped, zero-overlap pairs never emitted (even at t=0)."""
+    from pyspark.sql import functions as SF
+
+    from hnsw_vector_db_spark.operators.dedup import jaccard_pairs
+
+    d = docs.select("doc_id", "text")
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(d, n=3, threshold=0.2).collect()
+    }
+    assert full
+    half = list(full)[: max(len(full) // 2, 1)]
+    cand_rows = half + [(b, a) for a, b in half[:2]] + [(1, 99999999)]
+    cand = spark.createDataFrame(cand_rows, "doc_a long, doc_b long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(d, n=3, threshold=0.2, candidates=cand).collect()
+    }
+    assert got == {p: full[p] for p in half}
+    zero = jaccard_pairs(
+        d, n=3, threshold=0.0,
+        candidates=spark.createDataFrame([(1, 99999999)], "doc_a long, doc_b long"),
+    ).collect()
+    assert zero == []

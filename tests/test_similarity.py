@@ -649,3 +649,62 @@ def test_radius_search_validates_radius(spark):
     df = spark.createDataFrame([Row(vec_id=0, embedding=[0.0, 0.0])])
     with pytest.raises(ValueError):
         radius_search_exact(df, [0.0, 0.0], -1.0)
+
+
+def test_similarity_join_kernel_matches_expression(spark, emb):
+    """r12: the Arrow pairwise kernel (matmul prefilter + fold-order
+    recompute) must be VALUE-IDENTICAL to the zip_with/aggregate
+    expression path — same pair set, bit-equal rounded sims."""
+    sub = emb.limit(300)
+    fast_df = similarity.similarity_join(sub, threshold=0.1)
+    # the kernel path is one MapInPandas stage; broadcast_right=False
+    # forces the retained expression path (the semantics anchor)
+    assert "MapInPandas" in fast_df._jdf.queryExecution().executedPlan().toString()
+    slow_df = similarity.similarity_join(sub, threshold=0.1, broadcast_right=False)
+    fast = {(r["id_a"], r["id_b"]): r["sim"] for r in fast_df.collect()}
+    slow = {(r["id_a"], r["id_b"]): r["sim"] for r in slow_df.collect()}
+    assert fast == slow and len(fast) > 100
+
+
+def test_similarity_join_kernel_edge_cases(spark):
+    """Zero vectors (sim 0 via the normalize guard), negatives, exact
+    duplicates at the sim == threshold boundary, threshold <= 0 — kernel
+    and expression path must agree on all of them."""
+    rows = [
+        (1, [1.0, 2.0, -3.0]),
+        (2, [0.0, 0.0, 0.0]),   # zero norm -> normalizes to zero -> sim 0
+        (3, [-1.0, -2.0, 3.0]),
+        (4, [2.0, 4.0, -6.0]),  # exact multiple of id 1 -> sim rounds to 1.0
+        (5, [0.3, -0.7, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for t in (-1.0, 0.0, 0.5, 1.0):
+        fast = {
+            (r["id_a"], r["id_b"]): r["sim"]
+            for r in similarity.similarity_join(df, threshold=t).collect()
+        }
+        slow = {
+            (r["id_a"], r["id_b"]): r["sim"]
+            for r in similarity.similarity_join(
+                df, threshold=t, broadcast_right=False
+            ).collect()
+        }
+        assert fast == slow, f"threshold={t}: {fast} != {slow}"
+    # sim(1,4) rounds to exactly 1.0 and must survive threshold=1.0
+    at_one = similarity.similarity_join(df, threshold=1.0).collect()
+    assert {(r["id_a"], r["id_b"]) for r in at_one} == {(1, 4)}
+
+
+def test_similarity_join_ragged_falls_back(spark):
+    """A ragged vector on the collected side disables the kernel; the
+    expression path drops ragged pairs (null sim) — behavior unchanged."""
+    rows = [
+        (1, [1.0, 2.0, -3.0]),
+        (2, [1.0, 2.0]),        # ragged -> every pair with it is dropped
+        (3, [-2.0, -4.0, 6.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.similarity_join(df, threshold=-1.0)
+    assert "MapInPandas" not in out._jdf.queryExecution().executedPlan().toString()
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(1, 3)}
