@@ -342,6 +342,13 @@ def q_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("orig_id"),
         (F.col("doc_id") + 10_000_000).alias("dup_id"),
     )
+    # r13 (guide §1.2/§5): both hash modes shingle the SAME corpus — one
+    # materialized shingle-set table serves the two signature stages and
+    # the two exact-Jaccard verifies (previously four tokenize+shingle
+    # passes; values unchanged, the sets frame is the same expression).
+    sets = dedup._doc_shingle_sets(
+        corpus_df, 3, "text", "doc_id"
+    ).localCheckpoint()
     for mode in ("portable", "native"):
         pairs = dedup.minhash_lsh_near_dup(
             corpus_df,
@@ -349,6 +356,7 @@ def q_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             bands=LSH_BANDS,
             threshold=JACCARD_THRESHOLD,
             hash_fn=mode,
+            sets=sets,
         )
         flag = pairs.select(
             F.col("doc_a").alias("orig_id"),

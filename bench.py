@@ -351,7 +351,14 @@ def main() -> None:
         f.write("\n")
 
     # compact driver-parseable line → stdout (MUST stay < ~800 bytes:
-    # the driver's tail capture is ~2 KB and truncates from the front)
+    # the driver's tail capture is ~2 KB and truncates from the front).
+    # r13 (VERDICT_r12 "next round" #2 — make scaling legible): the line
+    # now RECORDS the core count and master the run actually used, so the
+    # driver's scaling probe can see that $SPARK_GRAFT_CPUS was honored
+    # instead of inferring from flat 8-vs-32 ratios (at sf0.1 most
+    # entries sit on a per-query driver-paced floor — plan analysis,
+    # py4j, small sequential jobs — so total wall barely moves with
+    # cores; the data-bound groups are the ones that scale).
     print(
         json.dumps(
             {
@@ -361,6 +368,8 @@ def main() -> None:
                 "queries": subtotals,
                 "sf": float(sf),
                 "n_queries": len(timings),
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS") or "*",
+                "master": spark.sparkContext.master,
                 "detail": "BENCH_LOCAL.json",
             }
         )

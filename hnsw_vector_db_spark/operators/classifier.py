@@ -153,8 +153,21 @@ def logreg_train(
             # carrying the margin fold is re-evaluated per GENERATED row
             # by the Generate (the hash_embed_components trap) — measured
             # 69.4 s -> 5.4 s per iteration at 64x with the filter.
-            resid = data.select(
-                (p - F.col("y")).alias("_r"),
+            # r13 (guide §1.2 — don't compute things per row that are
+            # per-DOC): when the residual is aliased in the SAME select
+            # as the posexplode, ExtractGenerator leaves it in the
+            # Project ABOVE the Generate, so the dim-term margin fold
+            # still ran once per SURVIVING exploded row (~nnz times per
+            # doc). Projecting the residual in its own select BEFORE the
+            # explode puts it below the Generate — evaluated once per
+            # doc, carried through as a plain column. Identical
+            # expression tree, identical doubles, ~nnz-fold fewer margin
+            # evaluations per iteration (plan pair in plans/r13/).
+            pre = data.select(
+                F.col("embedding"), (p - F.col("y")).alias("_r")
+            )
+            resid = pre.select(
+                "_r",
                 F.posexplode("embedding").alias("j", "x"),
             ).filter(F.col("x") != 0)
             grad = (

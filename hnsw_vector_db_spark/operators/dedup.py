@@ -152,6 +152,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     max_shingle_freq: int | None = None,
     candidates: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: J(A,B) >= threshold, id_a < id_b.
 
@@ -164,9 +165,18 @@ def jaccard_pairs(
     stream *before* the expensive groupBy — the LSH verify path, where only
     bucket-collision pairs are worth counting.
 
+    ``sets``, when given, is a precomputed ``_doc_shingle_sets(docs, n,
+    text_col, id_col)`` frame (id, shingle_arr, sz) — the r13 shared-
+    substrate hook (guide §1.2/§5): callers that also MinHash the same
+    corpus (dedup_eval, the LSH verify inside minhash_lsh_near_dup)
+    materialize the shingle sets once instead of re-running the
+    tokenize+shingle projection per consumer. Values are identical by
+    construction — the frame IS the expression this function would build.
+
     Output: (doc_a, doc_b, jaccard) with jaccard rounded to 6dp.
     """
-    sets = _doc_shingle_sets(docs, n, text_col, id_col)
+    if sets is None:
+        sets = _doc_shingle_sets(docs, n, text_col, id_col)
     sh = sets.select(F.col(id_col), F.explode("shingle_arr").alias("shingle"))
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.countDistinct(id_col).alias("_df"))
@@ -217,6 +227,7 @@ def minhash_signature_wide(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "portable",
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Wide MinHash signature: (id, mh0..mh{k-1}).
 
@@ -240,7 +251,9 @@ def minhash_signature_wide(
     correct under either hash.
     """
     params = minhash_params(k, seed)
-    sh = _doc_shingle_sets(docs, n, text_col, id_col).filter(F.col("sz") > 0)
+    if sets is None:
+        sets = _doc_shingle_sets(docs, n, text_col, id_col)
+    sh = sets.filter(F.col("sz") > 0)
     if hash_fn == "portable":
         # r12 optimization (guide §4.2): the char-fold hash + k
         # permutation minima were per-row HOF expressions — interpreted
@@ -315,6 +328,7 @@ def minhash_lsh_near_dup(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "portable",
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup: band the k-wide signature into ``bands``
     buckets, equi-join on (band, band_key) for candidates, then verify each
@@ -324,8 +338,21 @@ def minhash_lsh_near_dup(
     only join keys are band buckets (candidates ~ true near-dups, not all
     pairs), then the verify join touches only candidate pairs.
     Output: (doc_a, doc_b, jaccard).
+
+    r13 (guide §1.2/§5): the signature stage and the exact-Jaccard verify
+    both consume the per-doc shingle sets, which previously re-ran the
+    tokenize+shingle projection over the corpus text TWICE per call. The
+    sets are now materialized once (``localCheckpoint`` — eager, lineage
+    truncated, reclaimed by the ContextCleaner when the result is
+    dropped) and shared by both stages; callers that already hold the
+    sets (dedup_eval's truth stage) pass them in via ``sets``. Values
+    are identical — the frame is the same expression, evaluated once.
     """
-    wide = minhash_signature_wide(docs, k, n, seed, text_col, id_col, hash_fn)
+    if sets is None:
+        sets = _doc_shingle_sets(docs, n, text_col, id_col).localCheckpoint()
+    wide = minhash_signature_wide(
+        docs, k, n, seed, text_col, id_col, hash_fn, sets=sets
+    )
     bk = _band_keys(wide, k, bands, id_col)
     a = bk.toDF("doc_a", "band", "band_key")
     b = bk.toDF("doc_b", "band", "band_key")
@@ -338,7 +365,7 @@ def minhash_lsh_near_dup(
     # exact-verify ONLY the candidate pairs (semi-join pushdown into the
     # pair stream) — the whole point of banding is that this set is tiny.
     return jaccard_pairs(
-        docs, n, threshold, text_col, id_col, candidates=cand
+        docs, n, threshold, text_col, id_col, candidates=cand, sets=sets
     )
 
 

@@ -203,12 +203,20 @@ def dedup_eval(
             .distinct()
         )
         docs = exact_dedup(docs, text_col=text_col, id_col=id_col)
+    # r13 (guide §1.2/§5): the truth stage, the LSH signature stage and
+    # the LSH verify stage all consume the SAME per-doc shingle sets over
+    # the same (collapsed) corpus — previously three independent
+    # tokenize+shingle passes. Materialize once, share everywhere; the
+    # localCheckpoint also truncates what was a ~2 s plan-analysis tree.
+    from hnsw_vector_db_spark.operators.dedup import _doc_shingle_sets
+
+    sets = _doc_shingle_sets(docs, n, text_col, id_col).localCheckpoint()
     truth = jaccard_pairs(
-        docs, n, threshold, text_col, id_col, candidates=pp
+        docs, n, threshold, text_col, id_col, candidates=pp, sets=sets
     ).select("doc_a", "doc_b")
     found = minhash_lsh_near_dup(
         docs, k=k, bands=bands, n=n, threshold=threshold,
-        text_col=text_col, id_col=id_col,
+        text_col=text_col, id_col=id_col, sets=sets,
     ).select("doc_a", "doc_b")
     # ONE pass over the found stream: annotate membership with two left
     # joins (planted and truth are bounded by the plant size — broadcast

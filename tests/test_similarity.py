@@ -708,3 +708,57 @@ def test_similarity_join_ragged_falls_back(spark):
     assert "MapInPandas" not in out._jdf.queryExecution().executedPlan().toString()
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert got == {(1, 3)}
+
+
+def test_similarity_join_null_left_id_matches_expression(spark):
+    """r13 (VERDICT_r12 #1): a null LEFT id with a qualifying vector is
+    EMITTED by the non-self-join expression path (nothing filters id_a)
+    — the kernel must emit it too. In the self-join the id_a < id_b
+    predicate is null for such rows, so both paths drop them."""
+    left = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (None, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    right = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    fast = similarity.similarity_join(left, right, threshold=0.5)
+    assert "MapInPandas" in fast._jdf.queryExecution().executedPlan().toString()
+    slow = similarity.similarity_join(
+        left, right, threshold=0.5, broadcast_right=False
+    )
+    key = lambda r: (r["id_a"], r["id_b"], r["sim"])
+    got = sorted(map(key, fast.collect()), key=str)
+    want = sorted(map(key, slow.collect()), key=str)
+    assert got == want
+    assert any(r[0] is None for r in got)  # the null-id row IS emitted
+    # self-join over a frame containing a null id: null never satisfies
+    # id_a < id_b, so both paths drop it (right side has nulls -> kernel
+    # falls back there; force the left-side case via distinct right)
+    selfd = similarity.similarity_join(
+        left.filter(F.col("vec_id").isNotNull()), threshold=0.5
+    )
+    assert all(r["id_a"] is not None for r in selfd.collect())
+
+
+def test_similarity_join_byte_cap_falls_back(spark, monkeypatch):
+    """r13 (VERDICT_r12 #2): the kernel cap is BYTE-sized — a wide-dim
+    right side must fall back to the expression path instead of
+    collecting rows*dim*8 bytes onto the driver."""
+    import hnsw_vector_db_spark.operators.similarity as sim_mod
+
+    dim = 64
+    rows = [(i, [float(i == j) for j in range(dim)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # shrink the byte budget so 8 rows x 64 dims x 8 B (= 4 KiB) busts it
+    monkeypatch.setattr(sim_mod, "_PAIRWISE_KERNEL_BYTES", 2048)
+    over = similarity.similarity_join(df, threshold=0.5)
+    assert "MapInPandas" not in over._jdf.queryExecution().executedPlan().toString()
+    # and the fallback still answers correctly (each vector only matches
+    # itself; self-join excludes self pairs -> empty)
+    assert over.count() == 0
+    # restore a budget that fits and the kernel re-engages
+    monkeypatch.setattr(sim_mod, "_PAIRWISE_KERNEL_BYTES", 1 << 20)
+    under = similarity.similarity_join(df, threshold=0.5)
+    assert "MapInPandas" in under._jdf.queryExecution().executedPlan().toString()
