@@ -54,25 +54,61 @@ LSH_PROBE_HAMMING = 1
 # changes results, only task fan-out.
 STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8"))
 
+# r13 (VERDICT_r12 "next round" #1, guide §5): the state-store provider
+# for the run-to-completion streaming entries. RocksDB with changelog
+# checkpointing is the production choice for stateful streams — state
+# lives off-heap (no executor-heap pressure at billions of keys) and a
+# commit uploads only the batch's changelog instead of a full snapshot.
+# Measured here (same-session interleaved A/B, 4 repeats): the
+# timeout-processing entry stream_sessionize is 15-25% faster under
+# RocksDB (24.7->17.9, 12.8->11.1, 19.5->14.0, 14.6->12.4 s on a noisy
+# host — every pair favors RocksDB); the other stateful entries
+# (stream_dedup, stream_events_window, stream_attribution) are within
+# noise. Parameterized: SPARK_GRAFT_STREAM_STATE_PROVIDER=hdfs restores
+# the default provider. Provider choice never changes results — every
+# stream==batch oracle still pins them.
+_STREAM_STATE_PROVIDER = os.environ.get(
+    "SPARK_GRAFT_STREAM_STATE_PROVIDER", "rocksdb"
+)
+_PROVIDER_CLASSES = {
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider",
+    "hdfs": "org.apache.spark.sql.execution.streaming.state."
+    "HDFSBackedStateStoreProvider",
+}
+
 
 def _stream_state_width(fn):
     """Decorator for run-to-completion STREAMING entries: pin
     ``spark.sql.shuffle.partitions`` (the stateful-operator state width)
-    to :data:`STREAM_STATE_PARTITIONS` for the duration of the entry,
-    restoring the session value afterwards. Output values are
-    partition-count-independent (every stream==batch oracle still
-    pins them); only the per-micro-batch task/state fan-out changes."""
+    to :data:`STREAM_STATE_PARTITIONS` and the state-store provider to
+    :data:`_STREAM_STATE_PROVIDER` for the duration of the entry,
+    restoring the session values afterwards. Output values are
+    partition-count- and provider-independent (every stream==batch
+    oracle still pins them); only the per-micro-batch task/state
+    fan-out and the state-commit mechanics change."""
     import functools
 
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        key = "spark.sql.shuffle.partitions"
-        old = spark.conf.get(key)
-        spark.conf.set(key, str(STREAM_STATE_PARTITIONS))
+        keys = {
+            "spark.sql.shuffle.partitions": str(STREAM_STATE_PARTITIONS),
+            "spark.sql.streaming.stateStore.providerClass":
+                _PROVIDER_CLASSES[_STREAM_STATE_PROVIDER],
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled": "true",
+        }
+        old = {k: spark.conf.get(k, None) for k in keys}
+        for k, v in keys.items():
+            spark.conf.set(k, v)
         try:
             return fn(spark, sf_dir)
         finally:
-            spark.conf.set(key, old)
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
 
     return wrapped
 
@@ -4437,13 +4473,25 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     work = tempfile.mkdtemp(prefix="stream_inc_dedup_")
-    docs.filter(F.col("doc_id") % 10 == 0).coalesce(1).write.parquet(
-        f"{work}/src", mode="append"
+    # r13 (guide §1.2): one split write for both micro-batch files
+    # instead of two filtered scans (the stream_sessionize pattern)
+    (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("_b", (F.col("doc_id") % 10).cast("int"))
+        .repartition(1)
+        .write.partitionBy("_b")
+        .parquet(f"{work}/parts")
     )
-    first = set(_glob.glob(f"{work}/src/*.parquet"))
-    docs.filter(F.col("doc_id") % 10 == 5).coalesce(1).write.parquet(
-        f"{work}/src", mode="append"
-    )
+    _os.makedirs(f"{work}/src", exist_ok=True)
+    first = set()
+    for b in (0, 5):
+        for i, f in enumerate(
+            sorted(_glob.glob(f"{work}/parts/_b={b}/*.parquet"))
+        ):
+            dst = f"{work}/src/b{b}-{i}.parquet"
+            _os.rename(f, dst)
+            if b == 0:
+                first.add(dst)
     t0 = _time.time()
     for f in _glob.glob(f"{work}/src/*.parquet"):
         _os.utime(f, (t0, t0) if f in first else (t0 + 10, t0 + 10))
@@ -5812,6 +5860,11 @@ def q_stream_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids_df, _vocab = bpe.bpe_token_ids(docs, BPE_ENCODE_MERGES)
     ids_df = ids_df.localCheckpoint()
     work = tempfile.mkdtemp(prefix="stream_shards_")
+    # r13 note: the one-pass split-write rewrite applied to
+    # stream_sessionize/stream_incremental_dedup was measured HERE too
+    # and reverted — funneling the tokenized ids through one write task
+    # costs what the removed checkpoint+filtered-writes saved
+    # (5.3/5.4 s old vs 5.5/6.1 s rewritten, interleaved A/B).
     ids_df.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
         f"{work}/src", mode="append"
     )
@@ -7691,21 +7744,48 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     cut, max_ts = _cut_row["_cut"], _cut_row["_mx"]
     work = tempfile.mkdtemp(prefix="stream_sess_")
-    ev.filter(F.col("ts").cast("double") < cut).coalesce(1).write.parquet(
-        f"{work}/src", mode="append"
+    # r13 (guide §1.2): ONE split write instead of two filtered scans —
+    # a single task partitions the stream into half=0/half=1 files, which
+    # are then moved into the source dir (same rows, same two-batch
+    # split; within-batch row order is irrelevant to the stateful
+    # operator, which groups by user and orders by time internally).
+    (
+        ev.withColumn(
+            "_half", (F.col("ts").cast("double") >= cut).cast("int")
+        )
+        .repartition(1)
+        .write.partitionBy("_half")
+        .parquet(f"{work}/parts")
     )
-    first = set(_glob.glob(f"{work}/src/*.parquet"))
-    ev.filter(F.col("ts").cast("double") >= cut).coalesce(1).write.parquet(
-        f"{work}/src", mode="append"
-    )
-    second = set(_glob.glob(f"{work}/src/*.parquet")) - first
+    _os.makedirs(f"{work}/src", exist_ok=True)
+    first, second = set(), set()
+    for half, bucket in ((0, first), (1, second)):
+        for i, f in enumerate(
+            sorted(_glob.glob(f"{work}/parts/_half={half}/*.parquet"))
+        ):
+            dst = f"{work}/src/half{half}-{i}.parquet"
+            _os.rename(f, dst)
+            bucket.add(dst)
     import datetime as _dt
 
-    sentinel = spark.createDataFrame(
-        [(-1, max_ts + _dt.timedelta(days=30), 0.0)],
-        "user_id long, ts timestamp, value double",
+    # the 1-row far-future sentinel is written driver-side (pyarrow) —
+    # no Spark job for one row
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(
+        _pa.table(
+            {
+                "user_id": _pa.array([-1], type=_pa.int64()),
+                "ts": _pa.array(
+                    [max_ts + _dt.timedelta(days=30)],
+                    type=_pa.timestamp("us", tz="UTC"),
+                ),
+                "value": _pa.array([0.0], type=_pa.float64()),
+            }
+        ),
+        f"{work}/src/sentinel.parquet",
     )
-    sentinel.coalesce(1).write.parquet(f"{work}/src", mode="append")
     # FileStreamSource orders by mtime: pin explicitly (the stream_ema
     # mtime-race lesson)
     t0 = _time.time()
