@@ -8338,37 +8338,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_train_val_split,
         "knn_filtered": q_knn_filtered,
     }
-    # r12 OPTIMIZATION-session window rotation (same policy as every
+    # r13 OPTIMIZATION-round window rotation (same policy as every
     # round: entries whose operator code changed THIS round move into
-    # the driver's 50-entry gate). This session touched the brute
-    # pairwise kernel (similarity_join + its CC/keep-best consumers),
-    # the Observation-carried CC convergence witnesses, the classifier
-    # margin builder, and the literal-array constructors shared by the
-    # kNN/ANN/quantizer tiers — the _WINDOW_FRONT list pulls those
-    # oracle entries ahead of the stable r9-r11 remainder. Rows-only
-    # entries that also changed (api_lifecycle, hnsw_rebalance,
-    # stream_knn_ann) stay OUT of the window per the r11 verdict's
-    # no-no_oracle-rows ask; their in-row ok booleans run in pytest.
+    # the driver's 50-entry gate). This round touched (a) bpe_token_ids'
+    # vocabulary assembly (single bounded collect) — every token/epoch/
+    # pack entry; (b) the shared shingle-set substrate in
+    # minhash_lsh_near_dup/jaccard_pairs/dedup_eval; (c) the pairwise
+    # kernel's byte cap + null-id edge (similarity_join and its
+    # CC/keep-best consumers); (d) the classifier training loop
+    # (residual below the Generate, scored checkpoint); (e) the
+    # streaming entries' RocksDB state provider + setup trims. Plus
+    # tpch_q1/tpch_q21 per the r12 verdict's ask #8 (rotate the two
+    # most complex relational shapes back through the window once a
+    # round). Rows-only changed entries (stream_knn_ann) stay OUT per
+    # the no-no_oracle-rows window policy; their in-row ok booleans run
+    # in pytest.
     front = [
-        "gen_epoch_read", "masked_epoch_read", "manifest_retract",
-        "retract_spans", "rank_epoch_read", "epoch_resume", "pack_spans",
-        "pack_fit_spans", "tokenizer_artifact_word", "minhash_native",
-        "shard_rank_read",
-        # changed this session (oracle-backed)
+        # (a) bpe_token_ids consumers
+        "token_shards", "token_shards_audit", "shard_rank_read",
+        "token_pack", "pipeline_pretrain", "pipeline_recipe",
+        "pack_best_fit_bins", "stream_token_shards", "pack_best_fit",
+        "pack_efficiency", "epoch_shuffle", "epoch_manifest",
+        "recipe_epoch_reader", "rank_epoch_read", "gen_epoch_read",
+        "epoch_resume", "pack_spans", "pack_fit_spans",
+        "manifest_retract", "retract_spans", "masked_epoch_read",
+        # (b) shared shingle sets
+        "jaccard_pairs", "minhash_lsh_neardup", "minhash_native",
+        "dedup_eval", "pipeline_entity_resolution", "incremental_dedup",
+        # (c) pairwise kernel + consumers
         "similarity_join", "embedding_neardup", "neardup_components",
         "dedup_keep_best", "cc_scale", "cc_incremental",
-        "pipeline_entity_resolution", "quality_classifier",
-        "quality_classifier_sampled", "corpus_report",
-        "corpus_report_stored", "dedup_eval", "stream_knn", "knn_cosine",
-        "knn_euclidean", "knn_manhattan", "knn_dot", "matryoshka_knn",
-        "sq_knn", "bq_knn", "lsh_ann", "ivf_ann", "ivf_filtered",
-        "radius_search", "random_projection", "rag_search", "mmr_rerank",
-        "ann_tune",
-        # r11/r10 window remainder (unchanged, recently pinned)
-        "epoch_manifest", "byte_tokenizer_stats", "pipeline_recipe_bytes",
-        "recipe_epoch_reader", "bpe_bytes_roundtrip", "pipeline_recipe",
-        "recipe_shares", "epoch_shuffle", "pack_best_fit",
-        "pack_efficiency", "pack_best_fit_bins",
+        # (d) classifier training loop
+        "quality_classifier", "quality_classifier_sampled",
+        "corpus_report",
+        # (e) streaming provider + setup
+        "stream_sessionize", "stream_incremental_dedup", "stream_dedup",
+        "stream_events_window", "stream_attribution", "stream_ema",
+        "stream_knn",
+        # verdict ask #8: relational tier refresh
+        "tpch_q1", "tpch_q21",
+        # recently pinned remainder to round out the window
+        "tokenizer_artifact_word", "byte_tokenizer_stats",
+        "pipeline_recipe_bytes", "bpe_bytes_roundtrip", "recipe_shares",
     ]
     out = {n: base[n] for n in front}
     out.update((k, v) for k, v in base.items() if k not in out)

@@ -252,14 +252,20 @@ def train_merges(
     return merges
 
 
-def _bounded_collect(df: DataFrame, cap: "int | None", what: str) -> list:
+def _bounded_collect(
+    df: DataFrame, cap: "int | None", what: str, strict: bool = True
+) -> "list | None":
     """Collect a collapsed histogram with a NAMED size guard — the
     bounded-collect convention (hnsw_search's max_collect_queries): a
-    histogram that outgrew the driver should raise with advice, not OOM."""
+    histogram that outgrew the driver should raise with advice, not OOM.
+    With ``strict=False`` an over-cap table returns None instead (the
+    caller keeps a fully distributed fallback path)."""
     if cap is None:
         return df.collect()
     rows = df.limit(cap + 1).collect()
     if len(rows) > cap:
+        if not strict:
+            return None
         raise ValueError(
             f"{what} histogram exceeds max_collect={cap} rows; raise the "
             f"cap (driver memory permitting — the exact-path fix), or "
@@ -268,6 +274,12 @@ def _bounded_collect(df: DataFrame, cap: "int | None", what: str) -> list:
             f"learned merge sequence can change — see the min_freq docs)"
         )
     return rows
+
+
+# r13: distinct-word cap for bpe_token_ids' single-collect fast path
+# (see its body) — the same bounded-collect class as bpe_train's
+# max_collect_words default; above it the distributed two-job path runs.
+_BPE_TOKEN_IDS_COLLECT_CAP = 2_000_000
 
 
 def _min_freq_cut(hist: DataFrame, freq_col: str, min_freq: int) -> DataFrame:
@@ -471,21 +483,48 @@ def bpe_token_ids(
     # one Arrow stage applies every merge in order (see
     # _segment_words_applied — replaces the interpreted fold chain)
     seg = _segment_words_applied(vocab_words, merges)
-    seg = seg.localCheckpoint()  # reused twice below: symbol scan + join
-    # bounded collect: |distinct chars| + |merges| symbols
-    syms = sorted(
-        r["s"] for r in seg.select(F.explode("syms").alias("s")).distinct().collect()
-    )
-    vocab = {s: i for i, s in enumerate(syms)}
-    id_map = F.create_map(
-        *[F.lit(x) for kv in vocab.items() for x in (kv[0], kv[1])]
-    )
-    word_ids = seg.select(
-        "word",
-        F.transform(F.col("syms"), lambda s: id_map[s].cast("long")).alias(
-            "wids"
-        ),
-    )
+    # r13 (guide §1.2): the segmented table is vocabulary-sized (the
+    # Zipf collapse bpe_train already exploits with its guarded
+    # collect), and BOTH consumers — the symbol inventory and the
+    # word -> ids map — are pure functions of it. ONE bounded collect
+    # replaces the previous localCheckpoint job + separate
+    # distinct-symbol collect job, and the word -> ids map is computed
+    # driver-side and re-enters the plan as a parallelized local
+    # relation (broadcast-joined below) instead of a per-row
+    # map-lookup transform. Same vocab (distinct symbols, sorted), same
+    # per-word id sequences, one less Spark job per call. Guarded by
+    # the same cap class as bpe_train: over the cap we keep the fully
+    # distributed two-job form.
+    seg_rows = None
+    if _BPE_TOKEN_IDS_COLLECT_CAP is not None:
+        seg_rows = _bounded_collect(
+            seg, _BPE_TOKEN_IDS_COLLECT_CAP, "segmented-word", strict=False
+        )
+    spark = docs.sparkSession
+    if seg_rows is not None:
+        syms = sorted({s for r in seg_rows for s in r["syms"]})
+        vocab = {s: i for i, s in enumerate(syms)}
+        word_ids = spark.createDataFrame(
+            [(r["word"], [vocab[s] for s in r["syms"]]) for r in seg_rows],
+            "word string, wids array<long>",
+        )
+    else:
+        seg = seg.localCheckpoint()  # reused twice below: symbol scan + join
+        # bounded collect: |distinct chars| + |merges| symbols
+        syms = sorted(
+            r["s"]
+            for r in seg.select(F.explode("syms").alias("s")).distinct().collect()
+        )
+        vocab = {s: i for i, s in enumerate(syms)}
+        id_map = F.create_map(
+            *[F.lit(x) for kv in vocab.items() for x in (kv[0], kv[1])]
+        )
+        word_ids = seg.select(
+            "word",
+            F.transform(
+                F.col("syms"), lambda s: id_map[s].cast("long")
+            ).alias("wids"),
+        )
     eod = [F.lit(len(vocab)).cast("long")] if append_eod else []
     per_doc = (
         wtf.join(word_ids, "word")

@@ -283,9 +283,14 @@ def quality_classifier(
         [("weight", j, float(x)) for j, x in enumerate(w)],
         "part string, idx int, value double",
     ).select("part", "idx", (F.round("value", 6) + F.lit(0.0)).alias("value"))
+    # r13 (guide §5): rank_auc consumes its input twice (the rank-sum
+    # aggregate and the positive-rank crossJoin), and `scored` chains the
+    # full holdout hash_embed + scoring subtree — materialize the tiny
+    # (id, margin, p, y) frame once instead of re-tokenizing the holdout
+    # per consumer. Values unchanged; lineage truncated.
     scored = logreg_score(holdout, w, id_col=id_col).join(
         holdout.select(id_col, "y"), id_col
-    )
+    ).localCheckpoint()
     auc_rows = rank_auc(scored, id_col=id_col).select(
         F.explode(
             F.array(
